@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Table loaders + declared schemas for the engine.
+  *
+  * Schemas are declared explicitly (never inferred) following the reference's
+  * practice of a hardcoded StructType for its stream
+  * (reference: airflow_home/scripts/spark_consumer_kafka.py:47-52) and a
+  * select/alias/cast normalization of its JDBC dimension
+  * (spark_consumer_kafka.py:37-41).
+  */
+object Tables {
+
+  /** Parquet loader for a driver-generated testdata table.
+    *
+    * `events.ts` is written as INT64 TIMESTAMP(NANOS) which Spark 4 cannot
+    * read as a timestamp; read it as raw nanos (legacy conf) and truncate to
+    * microseconds with *integer* division (`div` — a double division would
+    * lose precision above 2^53, and epoch-nanos are ~1.7e18). DuckDB
+    * truncates TIMESTAMP_NS → TIMESTAMP(µs) the same way, so the oracle
+    * agrees.
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Schema of the reference's Kafka JSON message
+    * (spark_consumer_kafka.py:47-52): one fact row per message.
+    */
+  val covidMessageSchema: StructType = StructType(Seq(
+    StructField("date", StringType),
+    StructField("location", StringType),
+    StructField("new_cases", IntegerType),
+    StructField("total_cases", IntegerType)
+  ))
+
+  /** Schema of the `props` JSON payload carried by the `events` table —
+    * the testdata analog of the reference's JSON-on-the-wire fact row.
+    */
+  val eventPropsSchema: StructType = StructType(Seq(
+    StructField("k", IntegerType)
+  ))
+
+  /** Static enrichment dimension keyed by event_type — the testdata analog of
+    * the reference's 8-row `countries` MySQL dimension
+    * (reference README.md:84-92): a small static table with a population-like
+    * weight used for the derived per-million metric
+    * (spark_consumer_kafka.py:109-112) and a continent-like category.
+    *
+    * Kept tiny by design so Catalyst auto-broadcasts it, exactly as the 8-row
+    * countries dim broadcasts in the reference's stream-static join
+    * (spark_consumer_kafka.py:102-106).
+    */
+  val eventTypeDimRows: Seq[(String, Long, String)] = Seq(
+    ("click", 331900000L, "engagement"),
+    ("view", 1400000000L, "engagement"),
+    ("purchase", 5120000L, "revenue"),
+    ("signup", 83200000L, "growth"),
+    ("error", 215000000L, "ops")
+  )
+
+  /** The same dim as a VALUES clause for the DuckDB oracle. */
+  val eventTypeDimSql: String =
+    eventTypeDimRows
+      .map { case (et, w, c) => s"('$et', CAST($w AS BIGINT), '$c')" }
+      .mkString("(VALUES ", ", ", ") AS dim(event_type, weight, category)")
+
+  /** Left-join variant: dim with one key deliberately absent ('view'), to
+    * exercise the documented left-join alternative of the reference
+    * (spark_consumer_kafka.py:105 comment).
+    */
+  val eventTypeDimPartialRows: Seq[(String, Long, String)] =
+    eventTypeDimRows.filterNot(_._1 == "view")
+
+  val eventTypeDimPartialSql: String =
+    eventTypeDimPartialRows
+      .map { case (et, w, c) => s"('$et', CAST($w AS BIGINT), '$c')" }
+      .mkString("(VALUES ", ", ", ") AS dim(event_type, weight, category)")
+
+  def eventTypeDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    eventTypeDimRows.toDF("event_type", "weight", "category")
+  }
+
+  def eventTypeDimPartial(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    eventTypeDimPartialRows.toDF("event_type", "weight", "category")
+  }
+}

@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-parity batch operators (SURVEY.md §2.1–§2.6), one declared
+  * query each, oracle-checked against DuckDB on the same parquet.
+  *
+  * Parity rules applied throughout (SURVEY.md §7.4.2):
+  *  - every query totally ordered;
+  *  - sums of non-integral doubles go through DECIMAL casts (exact,
+  *    order-independent); averages are exact-sum / count (deterministic
+  *    double division);
+  *  - null-on-failure coercion uses try_cast in Spark / TRY_CAST in DuckDB
+  *    (the reference's `int(float(x)) or 0` semantics, kafka_producer.py:76-77);
+  *  - DuckDB SUM(INTEGER) returns HUGEINT → always CAST to BIGINT to match
+  *    Spark's LongType.
+  */
+object CoreQueries {
+
+  import Tables.t
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // S2: dim load + select/alias/cast (spark_consumer_kafka.py:28-41)
+    QuerySpec("dim_scan",
+      """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
+        |       CAST(n_regionkey AS BIGINT) AS region_id
+        |FROM nation ORDER BY id""".stripMargin) { (s, dir) =>
+      t(s, dir, "nation").select(
+        col("n_nationkey").cast(LongType).as("id"),
+        col("n_name").as("name"),
+        col("n_regionkey").cast(LongType).as("region_id"))
+        .orderBy("id")
+    },
+
+    // P1: column select + alias (spark_consumer_kafka.py:37-41)
+    QuerySpec("project_alias",
+      """SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment,
+        |       c_acctbal AS balance
+        |FROM customer ORDER BY id""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        col("c_name").as("name"),
+        col("c_mktsegment").as("segment"),
+        col("c_acctbal").as("balance"))
+        .orderBy("id")
+    },
+
+    // P2/F3: selectExpr with SQL casts (spark_consumer_kafka.py:65)
+    QuerySpec("cast_expr",
+      """SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS okey_str,
+        |       CAST(o_totalprice AS DECIMAL(20,2)) AS price_dec
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").selectExpr(
+        "o_orderkey",
+        "CAST(o_orderkey AS STRING) AS okey_str",
+        "CAST(o_totalprice AS DECIMAL(20,2)) AS price_dec")
+        .orderBy("o_orderkey")
+    },
+
+    // P5/F8: 3-way null-rejection conjunction (spark_consumer_kafka.py:74)
+    QuerySpec("filter_notnull",
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  AND user_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull &&
+          col("user_id").isNotNull)
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+
+    // P6: comparison predicate (reference README.md:125-126)
+    QuerySpec("filter_range",
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value IS NOT NULL AND value > 0
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("value").isNotNull && col("value") > 0)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    },
+
+    // P7: int(float(x))-with-default-0 coercion (kafka_producer.py:76-77)
+    QuerySpec("coerce_default",
+      """SELECT p_partkey,
+        |       COALESCE(CAST(TRUNC(TRY_CAST(p_brand AS DOUBLE)) AS INTEGER), 0)
+        |         AS brand_num,
+        |       COALESCE(CAST(TRUNC(TRY_CAST(CAST(p_size AS VARCHAR) AS DOUBLE))
+        |         AS INTEGER), 0) AS size_num,
+        |       COALESCE(CAST(TRUNC(p_retailprice) AS INTEGER), 0) AS price_int
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        coalesce(expr("try_cast(p_brand AS DOUBLE)").cast(IntegerType),
+          lit(0)).as("brand_num"),
+        coalesce(expr("try_cast(CAST(p_size AS STRING) AS DOUBLE)")
+          .cast(IntegerType), lit(0)).as("size_num"),
+        coalesce(
+          expr("try_cast(CAST(p_retailprice AS STRING) AS DOUBLE)")
+            .cast(IntegerType), lit(0)).as("price_int"))
+        .orderBy("p_partkey")
+    },
+
+    // F2: to_timestamp with format (spark_consumer_kafka.py:69)
+    QuerySpec("ts_parse",
+      """SELECT event_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        to_timestamp(date_format(col("ts"), "yyyy-MM-dd"), "yyyy-MM-dd")
+          .as("day_ts"))
+        .orderBy("event_id")
+    },
+
+    // F1: from_json with declared schema (spark_consumer_kafka.py:66)
+    QuerySpec("json_parse",
+      """SELECT event_id, CAST(props->>'k' AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        from_json(col("props"), Tables.eventPropsSchema).getField("k")
+          .as("k"))
+        .orderBy("event_id")
+    },
+
+    // P4: nested-field access (spark_consumer_kafka.py:68-72,91-92)
+    QuerySpec("struct_access",
+      """SELECT event_id, user_id AS uid, event_type AS et
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("s",
+          struct(col("user_id").as("uid"), col("event_type").as("et")))
+        .select(col("event_id"), col("s.uid").as("uid"),
+          col("s.et").as("et"))
+        .orderBy("event_id")
+    },
+
+    // F3: Decimal(20,x) casts at rest (spark_consumer_kafka.py:126)
+    QuerySpec("decimal_cast",
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_extendedprice AS DECIMAL(20,4)) AS price4,
+        |       CAST(l_discount AS DECIMAL(20,4)) AS disc4
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast(DecimalType(20, 4)).as("price4"),
+          col("l_discount").cast(DecimalType(20, 4)).as("disc4"))
+          .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // A6: count(*) (spark_consumer_kafka.py:136, README.md:131)
+    QuerySpec("count_all",
+      "SELECT COUNT(*) AS n FROM lineitem") { (s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("n"))
+    },
+
+    // L1: top-k = sort + limit (README.md:127) → TakeOrderedAndProjectExec
+    QuerySpec("limit_head",
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 20""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select("event_id", "event_type", "value")
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(20)
+    },
+
+    // S5: CSV scan — schema-on-read parse of delimited text
+    // (kafka_producer.py:61-62 analog), lossless roundtrip.
+    QuerySpec("csv_scan",
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(concat_ws(",", col("event_id"), col("event_type"),
+          col("value")).as("line"))
+        .select(from_csv(col("line"),
+          StructType(Seq(
+            StructField("event_id", LongType),
+            StructField("event_type", StringType),
+            StructField("value", DoubleType))),
+          Map.empty[String, String]).as("c"))
+        .select(col("c.event_id").as("event_id"),
+          col("c.event_type").as("event_type"),
+          col("c.value").as("value"))
+        .orderBy("event_id")
+    },
+
+    // S6/F7: to_json(struct(...)) serialization (kafka_producer.py:79-87)
+    QuerySpec("to_json_roundtrip",
+      """SELECT event_id,
+        |       '{"event_id":' || event_id || ',"event_type":"' || event_type
+        |         || '"}' AS js
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        to_json(struct(col("event_id"), col("event_type"))).as("js"))
+        .orderBy("event_id")
+    },
+
+    // P3/F4/F5: withColumn-derived per-row arithmetic metric
+    // (spark_consumer_kafka.py:109-112)
+    QuerySpec("derived_metric",
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1 - l_discount) AS revenue,
+        |       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).as("charged"))
+          .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // F6: current_timestamp — nondeterministic, oracle omitted
+    // (spark_consumer_kafka.py:127); driver records rows-only check.
+    QuerySpec.noOracle("processing_time") { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), current_timestamp().as("processing_time"))
+        .orderBy("event_id")
+    }
+  )
+}

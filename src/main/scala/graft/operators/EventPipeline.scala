@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The flagship pipeline — the batch/streaming-agnostic analog of the
+  * reference's streaming consumer plan
+  * (reference: airflow_home/scripts/spark_consumer_kafka.py:55-128):
+  *
+  *   parse JSON payload → null-rejection filter → event-time tumbling-window
+  *   multi-aggregate → inner join to a small static dimension → derived
+  *   per-million metric with Decimal(20,4) cast.
+  *
+  * Every step is a `DataFrame => DataFrame` so the *same plan* runs over a
+  * batch parquet scan (oracle-checked) and a streaming source (MemoryStream
+  * in tests, Kafka in prod) — running one plan both ways is itself a
+  * correctness check (SURVEY.md §7.2.3).
+  *
+  * Scale notes (100 TB): the aggregation shuffles once on
+  * (window, event_type) with map-side partial aggregation; the dimension is
+  * tiny and broadcast by Catalyst (BroadcastHashJoin — no shuffle of the fact
+  * side), mirroring the 8-row countries dim of the reference.
+  */
+object EventPipeline {
+
+  /** Parse the JSON `props` payload and derive typed columns — the analog of
+    * CAST(value AS STRING) + from_json + to_timestamp
+    * (spark_consumer_kafka.py:65-72). `ts` is already a timestamp in the
+    * testdata; the string→timestamp path is exercised by `ts_parse`.
+    */
+  def parse(schema: StructType)(df: DataFrame): DataFrame =
+    df.withColumn("data", from_json(col("props"), schema))
+      .select(
+        col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("data.k").as("k"))
+
+  /** Null-rejection filter — the 3-way conjunction of
+    * spark_consumer_kafka.py:74.
+    */
+  def rejectNulls(df: DataFrame): DataFrame =
+    df.filter(
+      col("event_type").isNotNull && col("value").isNotNull &&
+        col("k").isNotNull)
+
+  /** Exact, order-independent sum of a 2-decimal double metric: cast each
+    * value to DECIMAL(12,2) first so partial-aggregate ordering cannot
+    * perturb the result (float-sum associativity trap, SURVEY.md §7.4.2).
+    */
+  private def decSum(c: Column): Column = sum(c.cast(DecimalType(12, 2)))
+
+  /** 1-minute tumbling-window multi-aggregate keyed by event_type — the
+    * analog of the 5-aggregate single-pass agg of
+    * spark_consumer_kafka.py:77-89 (sum/avg/max of new_cases + sum/avg of
+    * total_cases ⇒ sum/avg/max of `value` + sum/avg of `k` here).
+    * One HashAggregateExec partial/final pair, one shuffle.
+    */
+  def windowAgg(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(
+        decSum(col("value")).as("total_value_dec"),
+        max(col("value")).as("max_value"),
+        sum(col("k")).as("total_k"),
+        count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"),
+        col("total_value_dec").cast(DecimalType(38, 2)).as("total_value"),
+        // avg as exact-sum / count: deterministic double division, identical
+        // in Spark and the DuckDB oracle regardless of aggregation order.
+        (col("total_value_dec").cast(DoubleType) / col("n_events"))
+          .as("avg_value"),
+        col("max_value"),
+        col("total_k"),
+        (col("total_k").cast(DoubleType) / col("n_events")).as("avg_k"),
+        col("n_events"))
+
+  /** Enrichment join to the static dim + derived per-million metric — the
+    * analog of spark_consumer_kafka.py:102-126. Inner by default; the
+    * reference documents "left" as the alternative (line 105 comment).
+    */
+  def enrich(dim: DataFrame, joinType: String = "inner")(
+      df: DataFrame): DataFrame =
+    df.join(broadcast(dim), Seq("event_type"), joinType)
+      .withColumn(
+        "value_per_million",
+        // Deterministic double arithmetic over the exact decimal sum. Kept
+        // as DOUBLE: a Decimal(20,4) cast of a long-tail double rounds
+        // differently across engines (Spark rounds the binary value,
+        // DuckDB the shortest decimal repr) — the Decimal(20,4) capability
+        // is exercised where well-defined by `decimal_cast`.
+        col("total_value").cast(DoubleType) * lit(1000000.0) /
+          col("weight"))
+
+  /** Full batch flagship: events parquet → parse → filter → window agg →
+    * enrich → metric, totally ordered for the oracle compare.
+    */
+  def flagship(events: DataFrame, dim: DataFrame,
+      schema: StructType): DataFrame =
+    enrich(dim)(windowAgg(rejectNulls(parse(schema)(events))))
+      .orderBy(col("window_start"), col("event_type"))
+}
