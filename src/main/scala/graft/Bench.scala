@@ -28,7 +28,9 @@ object Bench {
             System.err.println(s"[bench] ${spec.name} FAILED: ${e.getMessage}")
             false
         }
-      spec.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] ${spec.name} ${if (ok) f"$dt%.2f" else "FAIL"}s")
+      spec.name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Extension surface beyond the reference (SURVEY.md §2.9 X5–X7): ranking /
+  * analytic windows, rollup grouping sets, and set operations — all
+  * built-in Spark, all oracle-checked.
+  */
+object AnalyticQueries {
+
+  import Tables.t
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // X5: ranking + analytic window functions over an ordered partition.
+    // Scale note: partitioned by user_id → shuffles once on user_id; no
+    // global sort.
+    QuerySpec("window_rank",
+      """SELECT event_id, user_id,
+        |       row_number() OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS rn,
+        |       lag(value) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id) AS prev_value,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+        |              PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |            AS DECIMAL(38,2)) AS moving_sum
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        row_number().over(w).as("rn"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        sum(col("value").cast(DecimalType(12, 2)))
+          .over(w.rowsBetween(-3, 0))
+          .cast(DecimalType(38, 2)).as("moving_sum"))
+        .orderBy("event_id")
+    },
+
+    // X6: rollup over the star schema; explicit gid so the grouping-bit
+    // layout is engine-independent.
+    QuerySpec("rollup_agg",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+        |       SUM(l_quantity) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |            AS DECIMAL(38,2)) AS sum_price,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(12, 2)))
+            .cast(DecimalType(38, 2)).as("sum_price"),
+          count(lit(1)).as("n"),
+          (grouping(col("l_returnflag")) * 2 +
+            grouping(col("l_linestatus"))).as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid").cast(IntegerType).as("gid"),
+          col("sum_qty"), col("sum_price"), col("n"))
+        .orderBy("rf", "ls")
+    },
+
+    // X7: union / intersect / except over customer segments, tagged and
+    // stacked so one deterministic result exercises all three.
+    QuerySpec("set_ops",
+      """WITH a AS (SELECT c_custkey FROM customer
+        |           WHERE c_mktsegment = 'BUILDING'),
+        |     b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |SELECT 'union' AS op, c_custkey
+        |  FROM (SELECT c_custkey FROM a UNION SELECT c_custkey FROM b)
+        |UNION ALL
+        |SELECT 'intersect' AS op, c_custkey
+        |  FROM (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)
+        |UNION ALL
+        |SELECT 'except' AS op, c_custkey
+        |  FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
+        |ORDER BY op, c_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val a = c.filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val b = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+      a.union(b).distinct().withColumn("op", lit("union"))
+        .unionByName(a.intersect(b).withColumn("op", lit("intersect")))
+        .unionByName(a.except(b).withColumn("op", lit("except")))
+        .select("op", "c_custkey")
+        .orderBy("op", "c_custkey")
+    }
+  )
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads ride as opaque `binary`
+  * columns with typed metadata derived engine-side. The testdata has no
+  * real media, so the payload is the UTF-8 document text treated as bytes;
+  * the *decode* step is stubbed (see graft.operators.Multimodal for the
+  * mapPartitions batch-decode plumbing) but the schema, byte handling, and
+  * metadata extraction are real and oracle-checked.
+  */
+object MultimodalQueries {
+
+  import Tables.t
+
+  val all: Seq[QuerySpec] = Seq(
+
+    QuerySpec("multimodal_meta",
+      """SELECT doc_id,
+        |       octet_length(CAST(text AS BLOB)) AS byte_len,
+        |       hex(CAST(substring(text, 1, 8) AS BLOB)) AS header_hex,
+        |       CAST(octet_length(CAST(text AS BLOB)) % 640 + 1
+        |            AS INTEGER) AS width,
+        |       CAST(octet_length(CAST(text AS BLOB)) % 480 + 1
+        |            AS INTEGER) AS height,
+        |       CAST(octet_length(CAST(text AS BLOB)) % 30 + 1
+        |            AS INTEGER) AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).cast("long").as("byte_len"),
+          hex(expr("cast(substring(text, 1, 8) as binary)"))
+            .as("header_hex"),
+          (octet_length(col("payload")) % 640 + 1).cast("int").as("width"),
+          (octet_length(col("payload")) % 480 + 1).cast("int")
+            .as("height"),
+          (octet_length(col("payload")) % 30 + 1).cast("int").as("frames"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline (north-star
+  * extension surface): normalization, token statistics, token frequency,
+  * n-gram language-ID heuristic, quality scoring, BPE-ish token counting,
+  * and winnowing-style document fingerprinting. All built-in codegen'd
+  * expressions (higher-order functions) — no UDFs — so the plans stay
+  * inside WholeStageCodegen and scale linearly with input.
+  */
+object TextQueries {
+
+  import Tables.t
+  import TextOps._
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // X2: normalize + hash. md5 is identical across engines, so the whole
+    // normalization chain is hash-checked without shipping long strings.
+    QuerySpec("text_normalize",
+      s"""SELECT doc_id, md5($normD) AS norm_hash,
+         |       CAST(len($toksD) AS INTEGER) AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        expr(s"md5($normS)").as("norm_hash"),
+        expr(s"size($toksS)").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // X4: per-document token/char statistics.
+    QuerySpec("token_stats",
+      s"""SELECT doc_id,
+         |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+         |       CAST(len($toksD) AS INTEGER) AS n_tokens,
+         |       CAST(length(text) AS INTEGER) AS n_chars_actual
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        expr("size(split(text, ' '))").as("n_ws_tokens"),
+        expr(s"size($toksS)").as("n_tokens"),
+        length(col("text")).as("n_chars_actual"))
+        .orderBy("doc_id")
+    },
+
+    // X4: corpus-level token frequency via explode (the one
+    // Generator-shaped op) + top-k.
+    QuerySpec("token_freq",
+      s"""SELECT token, COUNT(*) AS cnt
+         |FROM (SELECT unnest($toksD) AS token FROM documents)
+         |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(expr(toksS)).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token"))
+          .limit(100)
+    },
+
+    // Language-ID: stopword-overlap heuristic with a deterministic
+    // tie-break chain (en > de > es > fr, else 'und').
+    QuerySpec("lang_id",
+      s"""SELECT doc_id, n_en, n_de, n_es, n_fr,
+         |  CASE WHEN n_en = 0 AND n_de = 0 AND n_es = 0 AND n_fr = 0
+         |         THEN 'und'
+         |       WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr
+         |         THEN 'en'
+         |       WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
+         |       WHEN n_es >= n_fr THEN 'es'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(toks, x -> list_contains(
+         |      ${arrD(stopEn)}, x))) AS INTEGER) AS n_en,
+         |    CAST(len(list_filter(toks, x -> list_contains(
+         |      ${arrD(stopDe)}, x))) AS INTEGER) AS n_de,
+         |    CAST(len(list_filter(toks, x -> list_contains(
+         |      ${arrD(stopEs)}, x))) AS INTEGER) AS n_es,
+         |    CAST(len(list_filter(toks, x -> list_contains(
+         |      ${arrD(stopFr)}, x))) AS INTEGER) AS n_fr
+         |  FROM (SELECT doc_id, $toksD AS toks FROM documents)
+         |) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      def hits(arr: String) =
+        s"size(filter(toks, x -> array_contains($arr, x)))"
+      t(s, dir, "documents")
+        .withColumn("toks", expr(toksS))
+        .select(
+          col("doc_id"),
+          expr(hits(arrS(stopEn))).as("n_en"),
+          expr(hits(arrS(stopDe))).as("n_de"),
+          expr(hits(arrS(stopEs))).as("n_es"),
+          expr(hits(arrS(stopFr))).as("n_fr"))
+        .withColumn("pred_lang", expr(
+          """CASE WHEN n_en = 0 AND n_de = 0 AND n_es = 0 AND n_fr = 0
+            |       THEN 'und'
+            |     WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr
+            |       THEN 'en'
+            |     WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
+            |     WHEN n_es >= n_fr THEN 'es'
+            |     ELSE 'fr' END""".stripMargin))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: length / stopword-density / token-shape features
+    // combined into one deterministic per-row double score.
+    QuerySpec("quality_score",
+      s"""SELECT doc_id, n_tokens, avg_token_len, stop_ratio,
+         |       CAST(round((0.5 * stop_ratio
+         |         + 0.3 * least(n_tokens / 100.0, 1.0)
+         |         + 0.2 * least(avg_token_len / 8.0, 1.0)) * 1000000)
+         |         AS BIGINT) AS score_micro
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS INTEGER) AS n_tokens,
+         |    CAST(list_reduce(list_prepend(0, list_transform(toks,
+         |      x -> length(x))), (a, b) -> a + b) AS DOUBLE)
+         |      / greatest(len(toks), 1) AS avg_token_len,
+         |    CAST(len(list_filter(toks, x -> list_contains(
+         |      ${arrD(stopEn)}, x))) AS DOUBLE)
+         |      / greatest(len(toks), 1) AS stop_ratio
+         |  FROM (SELECT doc_id, $toksD AS toks FROM documents)
+         |) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("toks", expr(toksS))
+        .select(
+          col("doc_id"),
+          expr("size(toks)").as("n_tokens"),
+          expr("cast(aggregate(toks, 0, (a, x) -> a + length(x)) as double)" +
+            " / greatest(size(toks), 1)").as("avg_token_len"),
+          expr(s"cast(size(filter(toks, x -> array_contains(" +
+            s"${arrS(stopEn)}, x))) as double) / greatest(size(toks), 1)")
+            .as("stop_ratio"))
+        // Quantized to an integer micro-score: the raw weighted sum is
+        // FMA-sensitive (DuckDB fuses a*b+c, Spark doesn't → 1-ulp skew).
+        .withColumn("score_micro", expr(
+          "cast(round((0.5 * stop_ratio " +
+            "+ 0.3 * least(n_tokens / 100.0, 1.0) " +
+            "+ 0.2 * least(avg_token_len / 8.0, 1.0)) * 1000000) as bigint)"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    // (letter runs | digit runs | single punctuation).
+    QuerySpec("token_count",
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+        |       CAST(len(regexp_extract_all(lower(text),
+        |         '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        expr("size(split(text, ' '))").as("n_ws"),
+        expr("size(regexp_extract_all(lower(text), " +
+          "'[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("n_bpe"))
+        .orderBy("doc_id")
+    },
+
+    // Winnowing-style fingerprint: md5 over char 8-grams, min per window
+    // of 4, distinct-sorted, folded into one digest. md5 is portable, so
+    // the whole fingerprint hash-matches across engines.
+    QuerySpec("doc_fingerprint",
+      s"""SELECT doc_id,
+         |  CAST(len(grams) AS INTEGER) AS n_grams,
+         |  md5(array_to_string(list_sort(list_distinct(
+         |    CASE WHEN len(grams) >= 4 THEN
+         |      list_transform(range(1, len(grams) - 2),
+         |        j -> list_min(grams[j:j+3]))
+         |    ELSE [list_min(grams)] END)), '')) AS fp
+         |FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN length(norm) >= 8 THEN
+         |      list_transform(range(1, length(norm) - 6),
+         |        i -> md5(substring(norm, i, 8)))
+         |    ELSE [md5(norm)] END AS grams
+         |  FROM (SELECT doc_id, $normD AS norm FROM documents)
+         |) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("norm", expr(normS))
+        .withColumn("grams", expr(
+          """if(length(norm) >= 8,
+            |   transform(sequence(1, length(norm) - 7),
+            |     i -> md5(substring(norm, i, 8))),
+            |   array(md5(norm)))""".stripMargin))
+        .select(
+          col("doc_id"),
+          expr("size(grams)").as("n_grams"),
+          expr(
+            """md5(concat_ws('', array_sort(array_distinct(
+              |  if(size(grams) >= 4,
+              |     transform(sequence(1, size(grams) - 3),
+              |       j -> array_min(slice(grams, j, 4))),
+              |     array(array_min(grams)))))))""".stripMargin).as("fp"))
+        .orderBy("doc_id")
+    }
+  )
+}
