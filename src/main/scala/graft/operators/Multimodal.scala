@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque binary columns with typed
+  * metadata, decoded batch-wise per partition.
+  *
+  * The decode itself is a STUB — no image/audio codecs exist in this
+  * container — but everything Spark-side is real: the binary schema, the
+  * typed Dataset boundary, the per-partition batched iteration (the shape
+  * a vectorized decoder needs: amortize codec init across a batch, bound
+  * memory by batch size), and the metadata schema.
+  */
+object Multimodal {
+
+  /** A media payload riding the pipeline as opaque bytes. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  /** Typed metadata the decode stage emits. */
+  final case class MediaMeta(doc_id: Long, byte_len: Int, width: Int,
+      height: Int, format: String, frames: Int)
+
+  /** Batch size for per-partition decoding — bounds peak memory per task
+    * regardless of partition size.
+    */
+  val DecodeBatchSize = 64
+
+  /** STUB decoder: a real implementation would hand `bytes` to an image
+    * codec. Deterministic fake so tests are stable: dimensions derived
+    * from payload length, format from the first byte.
+    */
+  def decodeImageStub(bytes: Array[Byte]): (Int, Int, String) = {
+    val w = bytes.length % 640 + 1
+    val h = bytes.length % 480 + 1
+    val fmt = if (bytes.isEmpty) "empty"
+      else if (bytes(0) % 2 == 0) "png" else "jpeg"
+    (w, h, fmt)
+  }
+
+  /** Decode metadata for every payload, batched per partition. Runs
+    * entirely on executors; the driver never sees a payload.
+    */
+  def extractMeta(ds: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(DecodeBatchSize).flatMap { batch =>
+        // One codec-init per batch in a real decoder.
+        batch.map { r =>
+          val (w, h, fmt) = decodeImageStub(r.payload)
+          MediaMeta(r.doc_id, r.payload.length, w, h, fmt,
+            r.payload.length % 30 + 1)
+        }
+      }
+    }
+  }
+
+  /** Adapt the documents table into media rows (text bytes standing in
+    * for image payloads — the testdata carries no real media).
+    */
+  def documentsAsMedia(df: DataFrame): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+}

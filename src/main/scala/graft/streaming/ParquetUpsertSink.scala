@@ -1,0 +1,51 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+
+/** Keyed-upsert sink for foreachBatch: the contract the reference's
+  * "upsertToMySQL" claims but does not implement (it appends into a
+  * PRIMARY KEY (window_start, location) table —
+  * spark_consumer_kafka.py:131-157; first late-data re-emission under
+  * update output mode would violate the PK). Here: rows whose key already
+  * exists are replaced by the new batch's row (INSERT … ON DUPLICATE KEY
+  * UPDATE semantics), parquet-backed.
+  *
+  * Writes happen through executors (DataFrame parquet writer — never a
+  * driver-side row loop); the merge is an anti-join on the key, which at
+  * scale is a broadcast of the (small) changed-keys set against the
+  * store. Batches are applied atomically via write-to-temp + directory
+  * swap.
+  */
+final class ParquetUpsertSink(val path: String, val keyCols: Seq[String]) {
+
+  def upsert(batch: DataFrame, batchId: Long): Unit = synchronized {
+    // Empty-batch short-circuit (reference A7, spark_consumer_kafka.py:132).
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val dir = new File(path)
+    val merged =
+      if (dir.exists()) {
+        val existing = spark.read.parquet(path)
+        existing.join(batch.select(keyCols.map(batch(_)): _*),
+            keyCols, "left_anti")
+          .unionByName(batch)
+      } else batch
+    val tmp = path + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    deleteRecursively(dir)
+    Files.move(Paths.get(tmp), Paths.get(path),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Current store contents (for assertions / downstream reads). */
+  def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.read.parquet(path)
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    if (f.exists()) f.delete(): Unit
+  }
+}

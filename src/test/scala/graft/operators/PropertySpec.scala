@@ -1,0 +1,90 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY.md §5.3). ScalaCheck generators produce the
+  * inputs; each property is evaluated in one DataFrame pass (a session
+  * per generated case would dominate wall time).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** Reference semantics of the producer's coercion
+    * (kafka_producer.py:76-77): int(float(x)) if parseable else 0 —
+    * truncation toward zero, default 0.
+    */
+  private def coerceModel(s: String): Int =
+    try { s.trim.toDouble.toInt } catch { case _: Exception => 0 }
+
+  test("coercion-with-default is total and matches int(float(x)) or 0") {
+    import spark.implicits._
+    val gen = Gen.oneOf(
+      Gen.choose(-1e6, 1e6).map(_.toString),
+      Gen.choose(-1000, 1000).map(_.toString),
+      Gen.alphaNumStr,
+      Gen.const(""),
+      Gen.const("NaN"),
+      Gen.const("Brand#13"))
+    val inputs = Gen.listOfN(300, gen).sample.get
+    val out = inputs.toDF("s")
+      .select(col("s"),
+        coalesce(expr("try_cast(s AS DOUBLE)").cast("int"), lit(0))
+          .as("c"))
+      .as[(String, Int)].collect()
+    out.foreach { case (s, c) =>
+      // Spark parses "NaN" as double NaN; NaN.toInt == 0 in both models.
+      assert(c == coerceModel(s), s"input '$s'")
+    }
+  }
+
+  test("1-minute tumbling window brackets every timestamp, epoch-aligned") {
+    import spark.implicits._
+    val gen = Gen.choose(0L, 4102444800L) // 1970..2100
+    val epochs = Gen.listOfN(300, gen).sample.get
+    val out = epochs.map(e => new Timestamp(e * 1000L)).toDF("ts")
+      .select(col("ts"), window(col("ts"), "1 minute").as("w"))
+      .select(unix_timestamp(col("ts")).as("t"),
+        unix_timestamp(col("w.start")).as("s"),
+        unix_timestamp(col("w.end")).as("e"))
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (t, s, e) =>
+      assert(s <= t && t < e && e - s == 60 && s % 60 == 0)
+    }
+  }
+
+  test("per-million metric equals direct computation") {
+    import spark.implicits._
+    val gen = for {
+      total <- Gen.choose(0L, 1000000L)
+      pop <- Gen.choose(1L, 2000000000L)
+    } yield (total, pop)
+    val inputs = Gen.listOfN(300, gen).sample.get
+    val out = inputs.toDF("total", "pop")
+      .select(col("total"), col("pop"),
+        (col("total") * lit(1000000.0) / col("pop")).as("pm"))
+      .as[(Long, Long, Double)].collect()
+    out.foreach { case (total, pop, pm) =>
+      assert(pm == total * 1000000.0 / pop)
+    }
+  }
+
+  test("portable polynomial hash: Spark fold matches the Scala model") {
+    import spark.implicits._
+    def model(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    val gen = Gen.listOfN(100, Gen.alphaNumStr.suchThat(_.nonEmpty))
+    val inputs = gen.sample.get
+    val out = inputs.toDF("t")
+      .select(col("t"), expr(
+        "aggregate(split(t, ''), 0L, " +
+          "(a, c) -> (a * 31 + ascii(c)) % 1000000007)").as("h"))
+      .as[(String, Long)].collect()
+    out.foreach { case (s, h) => assert(h == model(s), s"input '$s'") }
+  }
+}

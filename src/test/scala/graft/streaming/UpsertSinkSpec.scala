@@ -1,0 +1,24 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class UpsertSinkSpec extends AnyFunSuite {
+
+  test("upsert replaces rows on key, keeps others, ignores empty batches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-upsert").toString + "/s"
+    val sink = new ParquetUpsertSink(dir, Seq("k"))
+
+    sink.upsert(Seq(("a", 1), ("b", 2)).toDF("k", "v"), 0L)
+    sink.upsert(Seq(("b", 20), ("c", 30)).toDF("k", "v"), 1L)
+    // Empty batch: guard short-circuits (reference A7) — store untouched.
+    sink.upsert(Seq.empty[(String, Int)].toDF("k", "v"), 2L)
+
+    val out = sink.read(spark).as[(String, Int)].collect().toMap
+    assert(out == Map("a" -> 1, "b" -> 20, "c" -> 30))
+  }
+}
