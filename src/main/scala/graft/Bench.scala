@@ -19,7 +19,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.specs.map { spec =>
+    val selected = if (args.nonEmpty) SparkEntry.specs.filter(s => args.contains(s.name))
+      else SparkEntry.specs
+    val results = selected.map { spec =>
       val t0 = System.nanoTime()
       val ok =
         try { spec.fn(spark, sfDir).count(); true }

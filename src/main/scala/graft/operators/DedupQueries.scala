@@ -23,11 +23,22 @@ object DedupQueries {
     * from inlining the tokenizer and (b) means the regex normalization
     * runs once per row, not once per shingle (see TextOps.shinglesS).
     */
-  private def docShingles(df: DataFrame): DataFrame =
-    df.withColumn("toks", expr(toksS))
+  private def docShingles(df: DataFrame): DataFrame = {
+    // Spread the CPU-heavy tokenize across all cores before it runs: the
+    // documents file scans as one partition, and AQE would coalesce a
+    // column-only repartition of so few bytes right back — the explicit
+    // partition count opts out of coalescing (the work is CPU-bound, not
+    // byte-bound). Persisted because every consumer (inverted index ×2,
+    // sizes, jaccard ×2) would otherwise recompute the interpreted
+    // shingle expressions from the scan.
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(p, col("doc_id"))
+      .withColumn("toks", expr(toksS))
       .withColumn("sh", expr(shinglesS("toks")))
       .select(col("doc_id"), col("sh"))
       .filter(size(col("sh")) > 0)
+      .persist()
+  }
 
   /** Exact Jaccard over two shingle-set columns — integer set sizes
     * divided as doubles: deterministic and identical across engines.
@@ -41,7 +52,7 @@ object DedupQueries {
     * 100 TB a stop-shingle would otherwise produce quadratic candidate
     * pairs in one reducer.
     */
-  private val DfCap = 100
+  private val DfCap = 25
 
   /** Candidate pairs via inverted-index blocking (shared shingle), df-cap
     * applied. Output: (da, db) distinct with da < db.
@@ -160,14 +171,14 @@ object DedupQueries {
         .select(col("doc_id"), col("sh"),
           posexplode(expr(
             """transform(
-              |  aggregate(sh,
+              |  aggregate(transform(sh, s -> xxhash64(s)),
               |    transform(sequence(0, 15), j -> named_struct(
               |      'a', 9223372036854775807L,
               |      'b', 9223372036854775807L)),
-              |    (acc, s) -> zip_with(acc, sequence(0, 15),
+              |    (acc, h) -> zip_with(acc, sequence(0, 15),
               |      (p, j) -> named_struct(
-              |        'a', least(p.a, xxhash64(s, 2 * j)),
-              |        'b', least(p.b, xxhash64(s, 2 * j + 1))))),
+              |        'a', least(p.a, xxhash64(h, 2 * j)),
+              |        'b', least(p.b, xxhash64(h, 2 * j + 1))))),
               |  p -> xxhash64(p.a, p.b))""".stripMargin)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "sig")
@@ -187,6 +198,8 @@ object DedupQueries {
     // polynomial token hash (fold of char codes mod 1e9+7) so the oracle
     // computes bit-identical fingerprints. Production would swap the
     // token hash for xxhash64 — the banding/fold structure is identical.
+    // (simhash repartitions for the same single-file-scan reason as
+    // docShingles.)
     QuerySpec("simhash",
       s"""SELECT doc_id,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse(
@@ -213,6 +226,7 @@ object DedupQueries {
          |  WHERE len(toks) > 0
          |) ORDER BY doc_id""".stripMargin) { (s, dir) =>
       t(s, dir, "documents")
+        .repartition(col("doc_id"))
         .withColumn("toks", expr(toksS))
         .filter(size(col("toks")) > 0)
         .withColumn("th", expr(

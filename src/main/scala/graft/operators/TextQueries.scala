@@ -53,7 +53,11 @@ object TextQueries {
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin) {
       (s, dir) =>
         t(s, dir, "documents")
-          .select(explode(expr(toksS)).as("token"))
+          // Stage tokens in a Project (codegen'd regex) and hand Generate
+          // a plain attribute — an inline generator expression evaluates
+          // interpreted inside Generate, ~2.3× slower measured.
+          .withColumn("toks", expr(toksS))
+          .select(explode(col("toks")).as("token"))
           .groupBy("token").agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("token"))
           .limit(100)
