@@ -23,10 +23,10 @@ object SimilarityQueries {
     */
   private val NQ = 5
 
-  // Spark-side fragments over array<double> columns.
-  private def dotS(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
-      "cast(0 as double), (acc, x) -> acc + x)"
+  // Spark-side fragments over array<double> columns: the native codegen
+  // expression (graft.functions.ArrayDotProduct). Same sequential fold
+  // as the HOF formulation and the DuckDB oracle — bit-identical output.
+  private def dotS(a: String, b: String): String = s"array_dot($a, $b)"
 
   private def normS(v: String): String = s"sqrt(${dotS(v, v)})"
 
@@ -46,10 +46,9 @@ object SimilarityQueries {
     */
   private val bucketS: String =
     """aggregate(sequence(0, 7), 0L, (acc, j) -> acc * 2 +
-      |  if(aggregate(zip_with(v, transform(sequence(0, 63), d ->
+      |  if(array_dot(v, transform(sequence(0, 63), d ->
       |       cast(((1103515245L * (j * 64 + d) + 12345L) % 2147483648L)
-      |            % 1024L - 512L as double)),
-      |     (x, p) -> x * p), cast(0 as double), (a, x) -> a + x) >= 0,
+      |            % 1024L - 512L as double))) >= 0,
       |     1L, 0L))""".stripMargin
 
   private val bucketD: String =
@@ -65,6 +64,7 @@ object SimilarityQueries {
 
   /** Query vectors vs corpus with per-row norms precomputed. */
   private def sides(df: DataFrame): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val e = df.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val q = e.filter(col("vec_id") < NQ)
@@ -129,6 +129,7 @@ object SimilarityQueries {
          |  SELECT q_id, n_id, cos, row_number() OVER (
          |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
          |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       val b = e.select(col("vec_id"), col("v"),
@@ -161,6 +162,7 @@ object SimilarityQueries {
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${dotD("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.95
          |ORDER BY va, vb""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", expr(normS("v")))
