@@ -54,6 +54,21 @@ object StreamDemo {
     query.stop()
     println("=== after batch 2 (late-data update applied, drops filtered) ===")
     sink.read(spark).orderBy("location").show(false)
+
+    // Custom keyed state: running totals across the stream's lifetime
+    // (mapGroupsWithState — state beyond windowed aggregation).
+    val kv = MemoryStream[StatefulOps.KeyedValue](spark)
+    val rt = StatefulOps.runningTotals(kv.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("demo_running").start()
+    kv.addData(StatefulOps.KeyedValue("clicks", 2.0),
+      StatefulOps.KeyedValue("views", 1.0))
+    rt.processAllAvailable()
+    kv.addData(StatefulOps.KeyedValue("clicks", 5.0))
+    rt.processAllAvailable()
+    rt.stop()
+    println("=== running totals (state persists across batches) ===")
+    spark.table("demo_running").orderBy("key", "n").show(false)
     spark.stop()
   }
 }
