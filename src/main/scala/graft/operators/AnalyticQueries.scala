@@ -71,6 +71,44 @@ object AnalyticQueries {
         .orderBy("rf", "ls")
     },
 
+    // Sessionization (gaps-and-islands): a new session starts after a
+    // >30-minute silence per user. Interval comparison is µs-exact in
+    // both engines. One shuffle on user_id; running sum stays inside the
+    // same window partition.
+    QuerySpec("sessionize",
+      """SELECT event_id, user_id, session_seq FROM (
+        |  SELECT event_id, user_id,
+        |         SUM(is_new) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM (
+        |    SELECT event_id, user_id, ts,
+        |           CASE WHEN prev_ts IS NULL
+        |                  OR ts - prev_ts > INTERVAL 30 minutes
+        |                THEN 1 ELSE 0 END AS is_new
+        |    FROM (SELECT event_id, user_id, ts,
+        |                 lag(ts) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_ts
+        |          FROM events)
+        |  )
+        |) ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        // µs-exact interval comparison (an epoch-seconds cast would floor
+        // and disagree with the oracle on sub-second gaps).
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            (col("ts") - col("prev_ts")) > expr("INTERVAL 30 MINUTES"),
+            lit(1)).otherwise(lit(0)))
+        .withColumn("session_seq",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding,
+            0)))
+        .select("event_id", "user_id", "session_seq")
+        .orderBy("event_id")
+    },
+
     // X7: union / intersect / except over customer segments, tagged and
     // stacked so one deterministic result exercises all three.
     QuerySpec("set_ops",

@@ -218,6 +218,37 @@ object CoreQueries {
           .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // §3.2 composed producer pipeline: delimited ingest → presence
+    // validation → int(float(x))-or-0 coercion → JSON wire format
+    // (kafka_producer.py:61-88 end to end; the Kafka send itself is the
+    // construct-only Connectors.kafkaSinkWriter surface).
+    QuerySpec("producer_pipeline",
+      """SELECT event_id,
+        |       '{"event_id":' || event_id || ',"event_type":"' || event_type
+        |         || '","value_int":'
+        |         || COALESCE(CAST(TRUNC(value) AS INTEGER), 0) || '}' AS js
+        |FROM events
+        |WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(concat_ws(",", col("event_id"), col("event_type"),
+          col("value")).as("line"))
+        .select(from_csv(col("line"),
+          StructType(Seq(
+            StructField("event_id", LongType),
+            StructField("event_type", StringType),
+            StructField("value", StringType))),
+          Map.empty[String, String]).as("c"))
+        .select(col("c.event_id").as("event_id"),
+          col("c.event_type").as("event_type"), col("c.value").as("value"))
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("event_type"),
+            coalesce(expr("try_cast(value AS DOUBLE)").cast(IntegerType),
+              lit(0)).as("value_int"))).as("js"))
+        .orderBy("event_id")
+    },
+
     // F6: current_timestamp — nondeterministic, oracle omitted
     // (spark_consumer_kafka.py:127); driver records rows-only check.
     QuerySpec.noOracle("processing_time") { (s, dir) =>

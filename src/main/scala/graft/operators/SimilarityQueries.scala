@@ -150,6 +150,36 @@ object SimilarityQueries {
         .orderBy("q_id", "rn")
     },
 
+    // Per-label centroids: positional explode → quantize each component
+    // to an integer micro-value → exact integer sums → one double
+    // division. Quantization makes the aggregation order-independent
+    // (double sums are not); the 1e-6 resolution is far below embedding
+    // noise. One shuffle on (label, pos).
+    QuerySpec("embedding_centroid",
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |x AS (SELECT label, CAST(i AS INTEGER) AS pos,
+        |             CAST(round(v[i] * 1000000) AS BIGINT) AS q
+        |      FROM e, range(1, 65) t(i))
+        |SELECT label, pos,
+        |       CAST(SUM(q) AS DOUBLE) / (1000000.0 * COUNT(*)) AS centroid,
+        |       COUNT(*) AS n
+        |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(col("label"),
+            posexplode(col("embedding").cast("array<double>"))
+              .as(Seq("p", "component")))
+          .select(col("label"), (col("p") + 1).cast("int").as("pos"),
+            round(col("component") * 1000000).cast("long").as("q"))
+          .groupBy("label", "pos")
+          .agg(
+            (sum(col("q")).cast("double") /
+              (lit(1000000.0) * count(lit(1)))).as("centroid"),
+            count(lit(1)).as("n"))
+          .orderBy("label", "pos")
+    },
+
     // Embedding-cosine near-dup pairs within a label block, threshold
     // 0.95. Label blocking bounds the pair space (the LSH bucket above is
     // the unblocked scale path).
