@@ -71,6 +71,22 @@ object AnalyticQueries {
         .orderBy("rf", "ls")
     },
 
+    // Distinct aggregation (expand-based two-phase distinct) + plain agg
+    // in one pass — the aggregate class the reference never uses
+    // (SURVEY.md §2.4 note).
+    QuerySpec("count_distinct",
+      """SELECT event_type,
+        |       COUNT(DISTINCT user_id) AS users,
+        |       COUNT(*) AS events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("users"),
+            count(lit(1)).as("events"))
+          .orderBy("event_type")
+    },
+
     // Sessionization (gaps-and-islands): a new session starts after a
     // >30-minute silence per user. Interval comparison is µs-exact in
     // both engines. One shuffle on user_id; running sum stays inside the

@@ -44,12 +44,24 @@ object SimilarityQueries {
     * formula — not a literal matrix — is embedded in both engines.
     * BIGINT arithmetic throughout (the LCG product overflows int32).
     */
+  /** The planes are constants — computed here with the same LCG formula
+    * the oracle uses and embedded as array literals, so Catalyst folds
+    * them once at analysis instead of re-running a (non-foldable) HOF
+    * transform per row: a transform(sequence(...)) plane build cost
+    * 8×64 interpreted lambda evals per input row.
+    */
+  private def plane(j: Int): String =
+    (0 until 64).map { d =>
+      val v = ((1103515245L * (j * 64 + d) + 12345L) % 2147483648L) %
+        1024L - 512L
+      s"${v}D"
+    }.mkString("array(", ", ", ")")
+
   private val bucketS: String =
-    """aggregate(sequence(0, 7), 0L, (acc, j) -> acc * 2 +
-      |  if(array_dot(v, transform(sequence(0, 63), d ->
-      |       cast(((1103515245L * (j * 64 + d) + 12345L) % 2147483648L)
-      |            % 1024L - 512L as double))) >= 0,
-      |     1L, 0L))""".stripMargin
+    (0 until 8).map(j => s"if(array_dot(v, ${plane(j)}) >= 0, 1L, 0L)")
+      .zipWithIndex
+      .map { case (bit, j) => s"shiftleft($bit, ${7 - j})" }
+      .mkString(" + ")
 
   private val bucketD: String =
     """list_reduce(list_prepend(CAST(0 AS BIGINT),
