@@ -71,6 +71,57 @@ object AnalyticQueries {
         .orderBy("rf", "ls")
     },
 
+    // Ordered aggregate: exact interpolated percentiles (Spark
+    // `percentile` ≡ DuckDB `quantile_cont`, verified bit-exact).
+    QuerySpec("percentile_agg",
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS med_qty,
+        |       quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // SQL entry path: the same engine surface through spark.sql over a
+    // registered view (TPC-H Q1 shape with parity-safe decimal sums —
+    // 2-dec × 2-dec products have ≤4 decimals, so DECIMAL(18,6) casts
+    // recover the exact value in both engines).
+    QuerySpec("sql_tpch_q1",
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |            AS DECIMAL(38,2)) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(18,6))) AS DECIMAL(38,6))
+        |         AS sum_disc_price,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       SUM(l_quantity) AS sum_qty,
+          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+          |            AS DECIMAL(38,2)) AS sum_base_price,
+          |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+          |                     AS DECIMAL(18,6))) AS DECIMAL(38,6))
+          |         AS sum_disc_price,
+          |       COUNT(*) AS count_order
+          |FROM lineitem_v
+          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    },
+
     // Distinct aggregation (expand-based two-phase distinct) + plain agg
     // in one pass — the aggregate class the reference never uses
     // (SURVEY.md §2.4 note).

@@ -54,21 +54,6 @@ object DedupQueries {
     */
   private val DfCap = 25
 
-  /** Candidate pairs via inverted-index blocking (shared shingle), df-cap
-    * applied. Output: (da, db) distinct with da < db.
-    */
-  private def blockedPairs(docs: DataFrame): DataFrame = {
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val rare = inv.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DfCap).select("s")
-    val pruned = inv.join(rare, "s")
-    pruned.as("a").join(pruned.as("b"),
-        col("a.s") === col("b.s") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
-  }
-
   /** Join shingle sets back onto candidate pairs and compute exact
     * Jaccard.
     */
@@ -131,12 +116,18 @@ object DedupQueries {
     QuerySpec("ngram_jaccard", pairsOracle("0.3")) { (s, dir) =>
       val docs = docShingles(t(s, dir, "documents"))
       val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+      // Inverted index over hashed shingles: 8-byte join keys instead of
+      // ~20-char strings. Output-preserving: a hash-collision-induced
+      // candidate pair is removed by the exact-Jaccard verification, and
+      // a true near-dup pair shares many shingles, so losing one bucket
+      // to a (≈2^-64) collision cannot lose the pair.
       val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-      val rare = inv.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= DfCap).select("s")
-      val pruned = inv.join(rare, "s")
+        .select(col("doc_id"), expr("xxhash64(s)").as("h"))
+      val rare = inv.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DfCap).select("h")
+      val pruned = inv.join(rare, "h")
       val pairCounts = pruned.as("a").join(pruned.as("b"),
-          col("a.s") === col("b.s") &&
+          col("a.h") === col("b.h") &&
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(count(lit(1)).as("c"))
