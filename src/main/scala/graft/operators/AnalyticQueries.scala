@@ -176,6 +176,46 @@ object AnalyticQueries {
         .orderBy("event_id")
     },
 
+    // Pivot (fixed value list → deterministic schema): per-user event
+    // counts, one column per event type. Oracle: conditional aggregation.
+    QuerySpec("pivot_counts",
+      """SELECT user_id,
+        |       COUNT(*) FILTER (WHERE event_type = 'click') AS "click",
+        |       COUNT(*) FILTER (WHERE event_type = 'error') AS "error",
+        |       COUNT(*) FILTER (WHERE event_type = 'purchase')
+        |         AS "purchase",
+        |       COUNT(*) FILTER (WHERE event_type = 'signup') AS "signup",
+        |       COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy("user_id")
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("user_id")
+    },
+
+    // Ordered collect aggregates: set-collect → sort → join to a string,
+    // and positional array reassembly (collect_list is unordered by
+    // contract — determinism comes from sorting the collected structs).
+    QuerySpec("string_agg",
+      """SELECT l_returnflag,
+        |       array_to_string(list_sort(list_distinct(
+        |         list(l_linestatus))), ',') AS statuses,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+            .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // X7: union / intersect / except over customer segments, tagged and
     // stacked so one deterministic result exercises all three.
     QuerySpec("set_ops",
