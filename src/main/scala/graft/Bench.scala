@@ -19,6 +19,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the session before timing: JVM/Hadoop/codegen init otherwise
+    // lands entirely on the first query (~3.5 s on this host), distorting
+    // its number. Touches a real parquet read + a shuffle.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
     val selected = if (args.nonEmpty) SparkEntry.specs.filter(s => args.contains(s.name))
       else SparkEntry.specs
     val results = selected.map { spec =>

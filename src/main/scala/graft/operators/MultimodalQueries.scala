@@ -25,7 +25,11 @@ object MultimodalQueries {
         |       CAST(octet_length(CAST(text AS BLOB)) % 480 + 1
         |            AS INTEGER) AS height,
         |       CAST(octet_length(CAST(text AS BLOB)) % 30 + 1
-        |            AS INTEGER) AS frames
+        |            AS INTEGER) AS frames,
+        |       list_transform(
+        |         range(0, CAST((octet_length(CAST(text AS BLOB)) % 30)
+        |                       // 5 AS INTEGER) + 1),
+        |         k -> CAST(k * 5 AS INTEGER)) AS sampled_frames
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       t(s, dir, "documents")
         .withColumn("payload", col("text").cast("binary"))
@@ -38,6 +42,11 @@ object MultimodalQueries {
           (octet_length(col("payload")) % 480 + 1).cast("int")
             .as("height"),
           (octet_length(col("payload")) % 30 + 1).cast("int").as("frames"))
+        // Frame sampling: every 5th frame index of [0, frames) — the
+        // video path's decode-every-kth-frame selection, as data.
+        .withColumn("sampled_frames",
+          expr("transform(sequence(0, (frames - 1) div 5), " +
+            "k -> cast(k * 5 as int))"))
         .orderBy("doc_id")
     }
   )

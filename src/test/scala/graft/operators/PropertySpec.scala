@@ -74,6 +74,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("text normalization is idempotent") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val gen = Gen.listOfN(150, Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.asciiPrintableStr,
+      Gen.const("  Mixed   CASE!! with   punct,,, and  spaces  ")))
+    val inputs = gen.sample.get.filter(_.nonEmpty)
+    val out = inputs.toDF("text")
+      .select(expr(TextOps.normS).as("n1"))
+      .withColumnRenamed("n1", "text")
+      .select(col("text").as("n1"), expr(TextOps.normS).as("n2"))
+      .as[(String, String)].collect()
+    out.foreach { case (n1, n2) => assert(n1 == n2, s"'$n1' vs '$n2'") }
+  }
+
   test("portable polynomial hash: Spark fold matches the Scala model") {
     import spark.implicits._
     def model(s: String): Long =
