@@ -82,9 +82,18 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   * the stable public route across Spark 4's Column API changes.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot",
       exprs => ArrayDotProduct(exprs.head, exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash63",
+      exprs => SimHash63(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_bands16x2",
+      exprs => MinHashBands(exprs.head, 16, 2),
+      "built-in")
+  }
 }

@@ -1,0 +1,199 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** 63-bit SimHash over an array of token hashes — codegen'd tight loop
+  * replacing an interpreted HOF fold that allocated a fresh 63-element
+  * accumulator array (plus a sequence array) per token, making the query
+  * GC-bound under load.
+  *
+  * The bit math is EXACTLY the portable definition the DuckDB oracle
+  * computes (DedupQueries.simhash): for bit i, weight = +1 if
+  * ((h·(2i+3) + i) mod 1e9+7) is odd else −1; bit set when the summed
+  * weight is positive; bits folded MSB-first (i = 62 … 0) via
+  * acc = acc·2 + bit. Null elements are skipped (none occur — tokens
+  * are derived non-null).
+  */
+case class SimHash63(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "simhash63"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Long](63)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < 63) {
+        if (((h * (2L * i + 3L) + i) % 1000000007L) % 2L == 1L)
+          counts(i) += 1L
+        else counts(i) -= 1L
+        i += 1
+      }
+      j += 1
+    }
+    var acc = 0L
+    var i = 62
+    while (i >= 0) {
+      acc = acc * 2L + (if (counts(i) > 0L) 1L else 0L)
+      i -= 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val counts = ctx.freshName("counts")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val acc = ctx.freshName("acc")
+      s"""
+         |long[] $counts = new long[63];
+         |int $n = $a.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $a.getLong($j);
+         |  for (int $i = 0; $i < 63; $i++) {
+         |    if ((($h * (2L * $i + 3L) + $i) % 1000000007L) % 2L == 1L) {
+         |      $counts[$i] += 1L;
+         |    } else {
+         |      $counts[$i] -= 1L;
+         |    }
+         |  }
+         |}
+         |long $acc = 0L;
+         |for (int $i = 62; $i >= 0; $i--) {
+         |  $acc = $acc * 2L + ($counts[$i] > 0L ? 1L : 0L);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash63 = copy(child = newChild)
+}
+
+/** MinHash band signatures over hashed shingles — codegen'd replacement
+  * for the struct-pair zip_with fold (which allocated a 16-struct array
+  * per shingle). Emits `numBands` signatures, each combining
+  * `rowsPerBand` minima of seed-mixed splitmix64 hashes.
+  *
+  * Hash choice is free here: LSH candidate pairs are always verified
+  * with exact Jaccard downstream, so the declared query's OUTPUT is
+  * independent of this function (only the candidate set varies, by a
+  * measure-zero amount for near-dup data).
+  */
+case class MinHashBands(child: Expression, numBands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "minhash_bands"
+
+  private val k = numBands * rowsPerBand
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill[Long](k)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var s = 0
+      while (s < k) {
+        val v = MinHashBands.mix(h + MinHashBands.GOLDEN * (s + 1))
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      j += 1
+    }
+    val bands = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var sig = 1125899906842597L
+      var r = 0
+      while (r < rowsPerBand) {
+        sig = sig * 31L + mins(b * rowsPerBand + r)
+        r += 1
+      }
+      bands(b) = sig
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(bands)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mins = ctx.freshName("mins")
+      val bands = ctx.freshName("bands")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val b = ctx.freshName("b")
+      val r = ctx.freshName("r")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val sig = ctx.freshName("sig")
+      val cls = classOf[MinHashBands].getName
+      s"""
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $n = $a.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $a.getLong($j);
+         |  for (int $s = 0; $s < $k; $s++) {
+         |    long $v = $cls.mix($h + $cls.GOLDEN() * ($s + 1));
+         |    if ($v < $mins[$s]) $mins[$s] = $v;
+         |  }
+         |}
+         |long[] $bands = new long[$numBands];
+         |for (int $b = 0; $b < $numBands; $b++) {
+         |  long $sig = 1125899906842597L;
+         |  for (int $r = 0; $r < $rowsPerBand; $r++) {
+         |    $sig = $sig * 31L + $mins[$b * $rowsPerBand + $r];
+         |  }
+         |  $bands[$b] = $sig;
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($bands);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashBands = copy(child = newChild)
+}
+
+object MinHashBands {
+  /** splitmix64 finalizer — public so generated code can call it. */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def GOLDEN(): Long = 0x9e3779b97f4a7c15L
+}

@@ -152,25 +152,18 @@ object DedupQueries {
     // At 100 TB the band-bucket join shuffles on (band, signature) — no
     // all-pairs stage anywhere.
     QuerySpec("minhash_lsh", pairsOracle("0.8")) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       val docs = docShingles(t(s, dir, "documents"))
-      // Single scan over the shingle set: the fold accumulates all 16
-      // band minima pairs at once (one pass × 32 hashes per shingle).
-      // A transform(bands, j -> aggregate(sh, ...)) formulation would
-      // re-scan `sh` per band — 32× the work (HOFs don't codegen, and a
-      // single-reference alias inlines into the lambda).
+      // Band signatures via the native MinHashBands expression (codegen
+      // tight loop). Earlier formulations — transform(bands, j ->
+      // aggregate(sh, ...)) (re-scans sh per band: HOFs don't codegen
+      // and single-reference aliases inline into lambdas) and a
+      // struct-pair zip_with fold (allocates per shingle) — were 4–30×
+      // slower and GC-noisy.
       val banded = docs
         .select(col("doc_id"), col("sh"),
           posexplode(expr(
-            """transform(
-              |  aggregate(transform(sh, s -> xxhash64(s)),
-              |    transform(sequence(0, 15), j -> named_struct(
-              |      'a', 9223372036854775807L,
-              |      'b', 9223372036854775807L)),
-              |    (acc, h) -> zip_with(acc, sequence(0, 15),
-              |      (p, j) -> named_struct(
-              |        'a', least(p.a, xxhash64(h, 2 * j)),
-              |        'b', least(p.b, xxhash64(h, 2 * j + 1))))),
-              |  p -> xxhash64(p.a, p.b))""".stripMargin)))
+            "minhash_bands16x2(transform(sh, s -> xxhash64(s)))")))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "sig")
         .drop("sh")
@@ -216,6 +209,7 @@ object DedupQueries {
          |  FROM (SELECT doc_id, $toksD AS toks FROM documents)
          |  WHERE len(toks) > 0
          |) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       t(s, dir, "documents")
         .repartition(col("doc_id"))
         .withColumn("toks", expr(toksS))
@@ -224,17 +218,11 @@ object DedupQueries {
           """transform(toks, t ->
             |  aggregate(split(t, ''), 0L,
             |    (a, c) -> (a * 31 + ascii(c)) % 1000000007))""".stripMargin))
-        // Single scan over the token hashes: the fold accumulates all 63
-        // bit-sums at once (a per-bit aggregate(th, ...) would re-scan th
-        // 63× — see the minhash_lsh comment).
-        .select(col("doc_id"), expr(
-          """aggregate(reverse(transform(
-            |  aggregate(th, array_repeat(0L, 63), (acc, h) ->
-            |    zip_with(acc, sequence(0, 62), (a, i) ->
-            |      a + if(((h * (2 * i + 3) + i) % 1000000007) % 2 = 1,
-            |             1L, -1L))),
-            |  s -> if(s > 0, 1L, 0L))),
-            |  0L, (a, b) -> a * 2 + b)""".stripMargin).as("simhash"))
+        // Native codegen bit fold (graft.functions.SimHash63) — same
+        // integer math as the oracle, bit-identical; replaces an
+        // interpreted zip_with accumulator that allocated a 63-element
+        // array per token.
+        .select(col("doc_id"), expr("simhash63(th)").as("simhash"))
         .orderBy("doc_id")
     }
   )
