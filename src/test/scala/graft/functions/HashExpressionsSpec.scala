@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+class HashExpressionsSpec extends AnyFunSuite {
+
+  private def model63(hashes: Seq[Long]): Long = {
+    val counts = new Array[Long](63)
+    hashes.foreach { h =>
+      (0 until 63).foreach { i =>
+        if (((h * (2L * i + 3L) + i) % 1000000007L) % 2L == 1L)
+          counts(i) += 1
+        else counts(i) -= 1
+      }
+    }
+    (62 to 0 by -1).foldLeft(0L)((acc, i) =>
+      acc * 2L + (if (counts(i) > 0L) 1L else 0L))
+  }
+
+  test("simhash63 matches the Scala reference model") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val gen = Gen.nonEmptyListOf(Gen.choose(0L, 1000000006L))
+    val inputs = (1 to 40).map(_ => gen.sample.get)
+    val out = inputs.toDF("th")
+      .select(col("th"), expr("simhash63(th)").as("s"))
+      .as[(Seq[Long], Long)].collect()
+    out.foreach { case (th, s) => assert(s == model63(th)) }
+  }
+
+  test("minhash_bands16x2: 16 signatures, deterministic, similarity-monotone") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val base = (1L to 60L).toSeq
+    val near = base.drop(2) ++ Seq(1001L, 1002L) // high overlap
+    val far = (1000L to 1060L).toSeq // no overlap
+    val out = Seq(("a", base), ("a2", base), ("n", near), ("f", far))
+      .toDF("id", "th")
+      .select(col("id"), expr("minhash_bands16x2(th)").as("b"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(out("a").length == 16)
+    // Deterministic: identical input → identical signatures.
+    assert(out("a") == out("a2"))
+    // Near-identical sets collide on most bands; disjoint sets on none.
+    val nearCollisions = out("a").zip(out("n")).count(p => p._1 == p._2)
+    val farCollisions = out("a").zip(out("f")).count(p => p._1 == p._2)
+    assert(nearCollisions > 0, s"near=$nearCollisions")
+    assert(farCollisions == 0, s"far=$farCollisions")
+  }
+}
