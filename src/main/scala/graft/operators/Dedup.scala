@@ -1,0 +1,139 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Public deduplication API over a corpus DataFrame — the operators a
+  * training-data pipeline calls directly (the declared oracle queries in
+  * DedupQueries are thin wrappers over these).
+  *
+  * Scale design: inverted-index blocking with a document-frequency cap
+  * (never all-pairs), integer count-prefilters ahead of array work, LSH
+  * band-bucket joins for candidates, exact-Jaccard verification so
+  * outputs are hash-independent.
+  */
+object Dedup {
+
+  import TextOps._
+
+  /** Shingles occurring in more docs than this are dropped from the
+    * inverted index (stop-shingle df-cut; a hot shingle otherwise
+    * produces quadratic candidates in one reducer at scale).
+    */
+  val DfCap = 25
+
+  private val shingleCache =
+    mutable.Map.empty[(org.apache.spark.sql.SparkSession, String),
+      DataFrame]
+
+  /** (doc_id, sh) with non-empty distinct 3-word shingle sets, computed
+    * once per (session, cache key): tokenization is CPU-bound and every
+    * dedup operator consumes the same sets. See TextOps.shinglesS for the
+    * HOF eval-cost rules this obeys.
+    */
+  def docShingles(df: DataFrame, cacheKey: String = ""): DataFrame =
+    synchronized {
+      val k = (df.sparkSession, cacheKey)
+      if (cacheKey.nonEmpty && shingleCache.contains(k)) shingleCache(k)
+      else {
+        val p = df.sparkSession.sparkContext.defaultParallelism
+        val out = df.repartition(p, col("doc_id"))
+          .withColumn("toks", expr(toksS))
+          .withColumn("sh", expr(shinglesS("toks")))
+          .select(col("doc_id"), col("sh"))
+          .filter(size(col("sh")) > 0)
+          .persist()
+        if (cacheKey.nonEmpty) shingleCache(k) = out
+        out
+      }
+    }
+
+  /** Deterministic exact dedup: keep the lowest-ordered row per key. */
+  def exactDedup(df: DataFrame, keys: Seq[String],
+      tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tiebreak)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact Jaccard over shingle-set columns `sha`/`shb` (distinct-set
+    * semantics; ints divided as doubles — deterministic).
+    */
+  val jaccard: Column =
+    expr("cast(size(array_intersect(sha, shb)) as double) " +
+      "/ size(array_union(sha, shb))")
+
+  /** Attach exact Jaccard to candidate (da, db) pairs. */
+  def withJaccard(pairs: DataFrame, docs: DataFrame): DataFrame =
+    pairs
+      .join(docs.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+      .join(docs.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+      .select(col("da"), col("db"), jaccard.as("jaccard"))
+
+  /** Near-dup pairs with exact Jaccard ≥ p/q, candidates from the
+    * hashed inverted index with df cap and the exact integer
+    * count-prefilter c·(q+p) ≥ p·(|a|+|b|).
+    */
+  def nearDupPairs(docs: DataFrame, p: Int, q: Int): DataFrame = {
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), expr("xxhash64(s)").as("h"))
+    val rare = inv.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select("h")
+    val pruned = inv.join(rare, "h")
+    val pairCounts = pruned.as("a").join(pruned.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+    val candidates = pairCounts
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
+      .filter(col("c") * (q + p) >= (col("sa") + col("sb")) * p)
+      .select("da", "db")
+    withJaccard(candidates, docs)
+      .filter(col("jaccard") >= lit(p.toDouble) / q)
+  }
+
+  /** MinHash-LSH verified near-dup pairs: band-bucket candidates
+    * (native MinHashBands expression, 16 bands × 2 rows) verified with
+    * exact Jaccard ≥ p/q — output independent of the banding hash.
+    */
+  def minhashNearDupPairs(docs: DataFrame, p: Int, q: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val banded = docs
+      .select(col("doc_id"), col("sh"),
+        posexplode(expr(
+          "minhash_bands16x2(transform(sh, s -> xxhash64(s)))")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "sig")
+      .drop("sh")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    withJaccard(cand, docs)
+      .filter(col("jaccard") >= lit(p.toDouble) / q)
+  }
+
+  /** Portable 63-bit SimHash fingerprints per doc (native SimHash63
+    * expression over polynomial token hashes — bit-stable across
+    * engines; swap the token hash for xxhash64 in production where
+    * cross-engine parity is not required).
+    */
+  def simhashFingerprints(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.repartition(col("doc_id"))
+      .withColumn("toks", expr(toksS))
+      .filter(size(col("toks")) > 0)
+      .withColumn("th", expr(
+        """transform(toks, t ->
+          |  aggregate(split(t, ''), 0L,
+          |    (a, c) -> (a * 31 + ascii(c)) % 1000000007))""".stripMargin))
+      .select(col("doc_id"), expr("simhash63(th)").as("simhash"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Public similarity-search API over an embedding column — brute-force
+  * exact top-k as the baseline, hyperplane-LSH bucketed search as the
+  * scale path. Cosine uses the native `array_dot` codegen expression;
+  * summation order matches a sequential fold, so results are bit-stable
+  * (and bit-equal to the DuckDB oracle).
+  */
+object Similarity {
+
+  /** Normalize input to (vec_id, v: array&lt;double&gt;, nrm). */
+  def prepared(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(array_dot(v, v))"))
+  }
+
+  private def cosCol = expr("array_dot(qv, cv) / (qn * cn)")
+
+  private def split(e: DataFrame, nQueries: Int): (DataFrame, DataFrame) = (
+    e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn")),
+    e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("n_id"), col("v").as("cv"),
+        col("nrm").as("cn")))
+
+  /** Exact cosine top-k: broadcast the (small) query side, stream the
+    * corpus once, partitioned-window top-k (plans as WindowGroupLimit —
+    * per-partition pruning before the exchange).
+    */
+  def cosineTopK(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val (q, c) = split(e, nQueries)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("n_id"), cosCol.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id", "rn", "cos")
+  }
+
+  /** Deterministic LCG hyperplane component — shared with the oracle's
+    * SQL formula so both engines build identical planes.
+    */
+  def planeComponent(j: Int, d: Int): Long =
+    ((1103515245L * (j * 64 + d) + 12345L) % 2147483648L) % 1024L - 512L
+
+  /** 8-bit hyperplane bucket as a SQL expression over column `v`. The
+    * planes are embedded as folded array literals (Catalyst does not
+    * constant-fold HOF-built arrays).
+    */
+  val bucketExpr: String = {
+    def plane(j: Int): String =
+      (0 until 64).map(d => s"${planeComponent(j, d)}D")
+        .mkString("array(", ", ", ")")
+    (0 until 8).map(j => s"if(array_dot(v, ${plane(j)}) >= 0, 1L, 0L)")
+      .zipWithIndex
+      .map { case (bit, j) => s"shiftleft($bit, ${7 - j})" }
+      .mkString(" + ")
+  }
+
+  /** Approximate top-k: queries probe only their LSH bucket's corpus
+    * partition — at scale the corpus is hash-partitioned by bucket and
+    * each query touches one partition instead of the full scan.
+    */
+  def lshTopK(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val b = e.withColumn("bucket", expr(bucketExpr))
+    val q = b.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("bucket"), col("nrm").as("qn"))
+    val c = b.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("n_id"), col("v").as("cv"),
+        col("bucket"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    c.join(broadcast(q), "bucket")
+      .select(col("q_id"), col("n_id"), cosCol.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id", "rn", "cos")
+  }
+
+  /** Blocked near-dup pairs: cosine ≥ threshold within a blocking-key
+    * partition (label here; the LSH bucket is the unblocked scale path).
+    */
+  def nearDupPairs(df: DataFrame, blockKey: String,
+      threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val e = df.select(col("vec_id"), col(blockKey).as("blk"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(array_dot(v, v))"))
+    val a = e.select(col("vec_id").as("va"), col("blk"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val b = e.select(col("vec_id").as("vb"), col("blk"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    a.join(b, Seq("blk"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"), cosCol.as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Per-label positional centroids via integer micro-quantization
+    * (order-independent exact aggregation of float components).
+    */
+  def labelCentroids(df: DataFrame): DataFrame =
+    df.select(col("label"),
+      posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("p", "component")))
+      .select(col("label"), (col("p") + 1).cast("int").as("pos"),
+        round(col("component") * 1000000).cast("long").as("q"))
+      .groupBy("label", "pos")
+      .agg(
+        (sum(col("q")).cast("double") /
+          (lit(1000000.0) * count(lit(1)))).as("centroid"),
+        count(lit(1)).as("n"))
+}
