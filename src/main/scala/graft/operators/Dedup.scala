@@ -77,17 +77,27 @@ object Dedup {
   /** Near-dup pairs with exact Jaccard ≥ p/q, candidates from the
     * hashed inverted index with df cap and the exact integer
     * count-prefilter c·(q+p) ≥ p·(|a|+|b|).
+    *
+    * Pair generation: group the index by shingle, collect the (≤ DfCap)
+    * sorted doc ids, and expand combinations locally — one shuffle on
+    * the shingle hash and one on the pair, instead of a df-filter join
+    * plus a self-join that reshuffles the index twice. The df cap is
+    * what bounds the per-group expansion to DfCap²/2.
     */
   def nearDupPairs(docs: DataFrame, p: Int, q: Int): DataFrame = {
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), expr("xxhash64(s)").as("h"))
-    val rare = inv.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DfCap).select("h")
-    val pruned = inv.join(rare, "h")
-    val pairCounts = pruned.as("a").join(pruned.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val grouped = inv.groupBy("h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, DfCap))
+    val pairCounts = grouped
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |    y -> named_struct('da', x, 'db', y))))""".stripMargin))
+        .as("pr"))
+      .groupBy(col("pr.da").as("da"), col("pr.db").as("db"))
       .agg(count(lit(1)).as("c"))
     val candidates = pairCounts
       .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
