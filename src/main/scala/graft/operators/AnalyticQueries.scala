@@ -176,6 +176,34 @@ object AnalyticQueries {
         .orderBy("event_id")
     },
 
+    // As-of join: each error event matched to the latest prior click by
+    // the same user (graft.operators.AsOfJoin — union + carry-forward
+    // window; oracle uses DuckDB's native ASOF JOIN, so two independent
+    // implementations must agree).
+    QuerySpec("asof_join",
+      """WITH clicks AS (SELECT user_id, ts, event_id FROM events
+        |                WHERE event_type = 'click'),
+        |     errors AS (SELECT user_id, ts, event_id FROM events
+        |                WHERE event_type = 'error')
+        |SELECT e.event_id AS error_id, e.user_id,
+        |       c.event_id AS asof_click_id, c.ts AS asof_click_ts
+        |FROM errors e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND c.ts <= e.ts
+        |ORDER BY error_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+      AsOfJoin.leftAsOf(errors, clicks, "user_id", "ts",
+        Seq("click_id", "click_ts"))
+        .select(col("error_id"), col("user_id"),
+          col("asof_click_id"), col("asof_click_ts"))
+        .orderBy("error_id")
+    },
+
     // Pivot (fixed value list → deterministic schema): per-user event
     // counts, one column per event type. Oracle: conditional aggregation.
     QuerySpec("pivot_counts",
