@@ -176,6 +176,26 @@ object AnalyticQueries {
         .orderBy("event_id")
     },
 
+    // Range self-join: same-user event pairs within 60 s, via bucketed
+    // banding (ScaleOps.bucketedRangeSelfJoin — equi-join on time
+    // buckets, never an inequality nested loop). Oracle: the plain
+    // inequality join, tractable at oracle scale.
+    QuerySpec("range_join",
+      """SELECT a.user_id, a.event_id AS ea, b.event_id AS eb,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+        |ORDER BY ea, eb""".stripMargin) { (s, dir) =>
+      ScaleOps.bucketedRangeSelfJoin(
+        t(s, dir, "events"),
+        col("user_id"), col("event_id"), unix_micros(col("ts")),
+        60000000L)
+        .select(col("k").as("user_id"), col("ea"), col("eb"),
+          col("gap_us"))
+        .orderBy("ea", "eb")
+    },
+
     // As-of join: each error event matched to the latest prior click by
     // the same user (graft.operators.AsOfJoin — union + carry-forward
     // window; oracle uses DuckDB's native ASOF JOIN, so two independent

@@ -27,6 +27,33 @@ object ScaleOps {
       .groupBy(col("k"))
       .agg(sum(col("s")).as("total"), sum(col("c")).as("n"))
 
+  /** Bucketed range self-join: pairs of rows with the same key whose
+    * timestamps lie within `windowUs` microseconds, without an
+    * inequality join (which plans as a nested loop). Each row probes its
+    * own time bucket ±1 (bucket width = windowUs), so a true pair meets
+    * on exactly one bucket value — equi-join on (key, bucket), then the
+    * exact |Δt| filter. Output: (key, ea, eb, gap_us) with ea < eb.
+    */
+  def bucketedRangeSelfJoin(df: DataFrame, key: Column, id: Column,
+      tsUs: Column, windowUs: Long): DataFrame = {
+    val e = df.select(key.as("k"), id.as("id"), tsUs.as("us"))
+    // Integer division for the bucket (a double division would lose
+    // precision near 2^53 and round instead of floor).
+    val bucket = expr(s"us div ${windowUs}L")
+    val own = e.withColumn("b", bucket)
+    val probe = e
+      .withColumn("b0", bucket)
+      .withColumn("b",
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+      .drop("b0")
+    own.as("a").join(probe.as("p"),
+        col("a.k") === col("p.k") && col("a.b") === col("p.b") &&
+          col("a.id") < col("p.id"))
+      .filter(abs(col("a.us") - col("p.us")) <= windowUs)
+      .select(col("a.k").as("k"), col("a.id").as("ea"),
+        col("p.id").as("eb"), (col("p.us") - col("a.us")).as("gap_us"))
+  }
+
   /** Broadcast-hint helper: the small side of an enrichment join must
     * broadcast (the reference's 8-row dim pattern). Spark auto-broadcasts
     * under the threshold; the explicit hint pins the plan when statistics
