@@ -70,6 +70,75 @@ object FlagshipQueries {
         Tables.eventPropsSchema)
     },
 
+    // Sliding windows (2-minute length, 1-minute slide): every event
+    // lands in exactly two windows. Oracle: unnest the two aligned
+    // window starts per event.
+    QuerySpec("sliding_window",
+      """WITH x AS (
+        |  SELECT event_type, value, ws
+        |  FROM (SELECT event_type, value,
+        |               time_bucket(INTERVAL 1 minute, ts) AS tb
+        |        FROM events),
+        |       unnest([tb - INTERVAL 1 minute, tb]) AS t(ws)
+        |)
+        |SELECT ws AS window_start,
+        |       ws + INTERVAL 2 minutes AS window_end,
+        |       event_type,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        |         AS total_value,
+        |       COUNT(*) AS n_events
+        |FROM x GROUP BY ws, event_type
+        |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 minutes", "1 minute"),
+          col("event_type"))
+        .agg(
+          sum(col("value").cast(org.apache.spark.sql.types
+            .DecimalType(12, 2)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 2))
+            .as("total_value"),
+          count(lit(1)).as("n_events"))
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"), col("event_type"),
+          col("total_value"), col("n_events"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // Session windows (30-minute gap): Spark's session_window vs the
+    // oracle's gaps-and-islands derivation — two independent
+    // formulations of session semantics must agree.
+    QuerySpec("session_window",
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR ts - prev_ts > INTERVAL 30 minutes
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM (SELECT user_id, ts,
+        |               lag(ts) OVER (PARTITION BY user_id
+        |                             ORDER BY ts) AS prev_ts
+        |        FROM events)
+        |), numbered AS (
+        |  SELECT user_id, ts,
+        |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |       MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 minutes AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM numbered GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
     // J1 variant: the documented left-join alternative
     // (spark_consumer_kafka.py:105) — dim missing 'view' → null enrichment.
     QuerySpec("join_left",
