@@ -27,7 +27,7 @@ object AnalyticQueries {
         |       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
         |              PARTITION BY user_id ORDER BY ts, event_id
         |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-        |            AS DECIMAL(38,2)) AS moving_sum
+        |            AS DOUBLE) AS moving_sum
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -35,9 +35,10 @@ object AnalyticQueries {
         col("event_id"), col("user_id"),
         row_number().over(w).as("rn"),
         lag(col("value"), 1).over(w).as("prev_value"),
+        // decimal-exact 4-row sum surfaced as DOUBLE (trailing-zero trap)
         sum(col("value").cast(DecimalType(12, 2)))
           .over(w.rowsBetween(-3, 0))
-          .cast(DecimalType(38, 2)).as("moving_sum"))
+          .cast(DoubleType).as("moving_sum"))
         .orderBy("event_id")
     },
 
@@ -92,14 +93,15 @@ object AnalyticQueries {
     // SQL entry path: the same engine surface through spark.sql over a
     // registered view (TPC-H Q1 shape with parity-safe decimal sums —
     // 2-dec × 2-dec products have ≤4 decimals, so DECIMAL(18,6) casts
-    // recover the exact value in both engines).
+    // recover the exact value in both engines; final sums surface as
+    // DOUBLE — unscaled micro-units stay < 2^53, so conversion is exact).
     QuerySpec("sql_tpch_q1",
       """SELECT l_returnflag, l_linestatus,
         |       SUM(l_quantity) AS sum_qty,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
-        |            AS DECIMAL(38,2)) AS sum_base_price,
+        |            AS DOUBLE) AS sum_base_price,
         |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-        |                     AS DECIMAL(18,6))) AS DECIMAL(38,6))
+        |                     AS DECIMAL(18,6))) AS DOUBLE)
         |         AS sum_disc_price,
         |       COUNT(*) AS count_order
         |FROM lineitem
@@ -111,9 +113,9 @@ object AnalyticQueries {
         """SELECT l_returnflag, l_linestatus,
           |       SUM(l_quantity) AS sum_qty,
           |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
-          |            AS DECIMAL(38,2)) AS sum_base_price,
+          |            AS DOUBLE) AS sum_base_price,
           |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-          |                     AS DECIMAL(18,6))) AS DECIMAL(38,6))
+          |                     AS DECIMAL(18,6))) AS DOUBLE)
           |         AS sum_disc_price,
           |       COUNT(*) AS count_order
           |FROM lineitem_v
@@ -145,9 +147,12 @@ object AnalyticQueries {
     QuerySpec("sessionize",
       """SELECT event_id, user_id, session_seq FROM (
         |  SELECT event_id, user_id,
-        |         SUM(is_new) OVER (PARTITION BY user_id
-        |                           ORDER BY ts, event_id
-        |                           ROWS UNBOUNDED PRECEDING) AS session_seq
+        |         -- DuckDB window SUM(INTEGER) → HUGEINT (pandas float):
+        |         -- cast to BIGINT to match Spark's LongType exactly.
+        |         CAST(SUM(is_new) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING)
+        |              AS BIGINT) AS session_seq
         |  FROM (
         |    SELECT event_id, user_id, ts,
         |           CASE WHEN prev_ts IS NULL

@@ -51,12 +51,16 @@ object CoreQueries {
     // P2/F3: selectExpr with SQL casts (spark_consumer_kafka.py:65)
     QuerySpec("cast_expr",
       """SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS okey_str,
-        |       CAST(o_totalprice AS DECIMAL(20,2)) AS price_dec
+        |       CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS DOUBLE)
+        |         AS price_dec
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      // The DECIMAL(20,2) cast is the capability; the output surfaces it
+      // as DOUBLE (exact for 2-decimal values) so the stringified compare
+      // can't trip on decimal trailing zeros ('1234.50' vs '1234.5').
       t(s, dir, "orders").selectExpr(
         "o_orderkey",
         "CAST(o_orderkey AS STRING) AS okey_str",
-        "CAST(o_totalprice AS DECIMAL(20,2)) AS price_dec")
+        "CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS DOUBLE) AS price_dec")
         .orderBy("o_orderkey")
     },
 
@@ -142,14 +146,19 @@ object CoreQueries {
     // F3: Decimal(20,x) casts at rest (spark_consumer_kafka.py:126)
     QuerySpec("decimal_cast",
       """SELECT l_orderkey, l_linenumber,
-        |       CAST(l_extendedprice AS DECIMAL(20,4)) AS price4,
-        |       CAST(l_discount AS DECIMAL(20,4)) AS disc4
+        |       CAST(CAST(l_extendedprice AS DECIMAL(20,4)) AS DOUBLE)
+        |         AS price4,
+        |       CAST(CAST(l_discount AS DECIMAL(20,4)) AS DOUBLE) AS disc4
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) {
       (s, dir) =>
+        // DECIMAL(20,4) cast exercised internally, surfaced as DOUBLE
+        // (exact: source values have ≤2 decimals) — see cast_expr note.
         t(s, dir, "lineitem").select(
           col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice").cast(DecimalType(20, 4)).as("price4"),
-          col("l_discount").cast(DecimalType(20, 4)).as("disc4"))
+          col("l_extendedprice").cast(DecimalType(20, 4))
+            .cast(DoubleType).as("price4"),
+          col("l_discount").cast(DecimalType(20, 4))
+            .cast(DoubleType).as("disc4"))
           .orderBy("l_orderkey", "l_linenumber")
     },
 

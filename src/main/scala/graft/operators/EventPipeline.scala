@@ -66,7 +66,11 @@ object EventPipeline {
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"),
-        col("total_value_dec").cast(DecimalType(38, 2)).as("total_value"),
+        // Exact decimal sum surfaced as DOUBLE: the at-rest value is
+        // 2-decimal so the conversion is exact, and a double stringifies
+        // identically in Spark parquet and the DuckDB oracle (a DECIMAL
+        // output would hash-mismatch on trailing zeros: '3.20' vs '3.2').
+        col("total_value_dec").cast(DoubleType).as("total_value"),
         // avg as exact-sum / count: deterministic double division, identical
         // in Spark and the DuckDB oracle regardless of aggregation order.
         (col("total_value_dec").cast(DoubleType) / col("n_events"))

@@ -33,7 +33,7 @@ object FlagshipQueries {
       |  SELECT window_start,
       |         window_start + INTERVAL 1 minute AS window_end,
       |         event_type,
-      |         CAST(tv AS DECIMAL(38,2)) AS total_value,
+      |         CAST(tv AS DOUBLE) AS total_value,
       |         CAST(tv AS DOUBLE) / n_events AS avg_value,
       |         max_value,
       |         total_k,
@@ -84,7 +84,7 @@ object FlagshipQueries {
         |SELECT ws AS window_start,
         |       ws + INTERVAL 2 minutes AS window_end,
         |       event_type,
-        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
         |         AS total_value,
         |       COUNT(*) AS n_events
         |FROM x GROUP BY ws, event_type
@@ -95,7 +95,7 @@ object FlagshipQueries {
         .agg(
           sum(col("value").cast(org.apache.spark.sql.types
             .DecimalType(12, 2)))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 2))
+            .cast(org.apache.spark.sql.types.DoubleType)
             .as("total_value"),
           count(lit(1)).as("n_events"))
         .select(col("window.start").as("window_start"),

@@ -26,10 +26,10 @@ object MultimodalQueries {
         |            AS INTEGER) AS height,
         |       CAST(octet_length(CAST(text AS BLOB)) % 30 + 1
         |            AS INTEGER) AS frames,
-        |       list_transform(
+        |       array_to_string(list_transform(
         |         range(0, CAST((octet_length(CAST(text AS BLOB)) % 30)
         |                       // 5 AS INTEGER) + 1),
-        |         k -> CAST(k * 5 AS INTEGER)) AS sampled_frames
+        |         k -> CAST(k * 5 AS INTEGER)), ',') AS sampled_frames
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       t(s, dir, "documents")
         .withColumn("payload", col("text").cast("binary"))
@@ -43,10 +43,13 @@ object MultimodalQueries {
             .as("height"),
           (octet_length(col("payload")) % 30 + 1).cast("int").as("frames"))
         // Frame sampling: every 5th frame index of [0, frames) — the
-        // video path's decode-every-kth-frame selection, as data.
+        // video path's decode-every-kth-frame selection. Serialized to a
+        // CSV string: the gate's pandas comparator can't sort/hash raw
+        // array cells (unhashable ndarray); drop the array_join to get
+        // the array-typed column back library-side.
         .withColumn("sampled_frames",
-          expr("transform(sequence(0, (frames - 1) div 5), " +
-            "k -> cast(k * 5 as int))"))
+          expr("array_join(transform(sequence(0, (frames - 1) div 5), " +
+            "k -> cast(k * 5 as string)), ',')"))
         .orderBy("doc_id")
     }
   )

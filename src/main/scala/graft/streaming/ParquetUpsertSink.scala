@@ -35,9 +35,26 @@ final class ParquetUpsertSink(val path: String, val keyCols: Seq[String]) {
       } else batch
     val tmp = path + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    deleteRecursively(dir)
+    // Crash-safe swap: park the old store aside BEFORE moving the new one
+    // in, so no window exists where both the old and new data are gone —
+    // a crash leaves either the old store (at path or .bak) or the new
+    // one in place, never nothing.
+    val bak = Paths.get(path + ".bak")
+    deleteRecursively(bak.toFile)
+    if (dir.exists())
+      Files.move(Paths.get(path), bak, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(path),
       StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(bak.toFile)
+  }
+
+  /** Recover after a crash: if only the .bak survives (crash between the
+    * two moves), restore it. Called before first use of an existing store.
+    */
+  def recover(): Unit = synchronized {
+    val bak = Paths.get(path + ".bak")
+    if (!new File(path).exists() && bak.toFile.exists())
+      Files.move(bak, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Current store contents (for assertions / downstream reads). */

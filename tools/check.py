@@ -2,24 +2,34 @@
 """Local replica of the driver's correctness gate: compare graft.Verify
 parquet dumps against DuckDB runs of SparkEntry.oracleSql.
 
+Faithful to the driver's comparison path (per round-2 ADVICE.md): the
+Spark dump is loaded with pandas/pyarrow, the oracle runs via duckdb
+.df(), both frames get columns sorted by name, rows sorted by all
+columns, and the *stringified* cell values are compared. This is what
+makes Decimal('43683.0600') != float('43683.06') and BIGINT 8 !=
+HUGEINT-as-float 8.0 — differences the old fetchall() replica masked.
+
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 
 Dev tooling only — not part of the library (uses driver-side duckdb).
 """
+import glob
 import json
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    import math
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    return v
+def canon(df):
+    df = df[sorted(df.columns)]
+    if len(df.columns) and len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    df = df.reset_index(drop=True)
+    return df.astype(str)
 
 
 def main():
@@ -35,46 +45,45 @@ def main():
         if only and name not in only:
             continue
         try:
-            spark = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            sdf = spark.fetchall()
-            scols = [d[0] for d in spark.description]
-            stypes = {d[0]: str(d[1]) for d in spark.description}
-            duck = con.sql(sql)
-            ddf = duck.fetchall()
-            dcols = [d[0] for d in duck.description]
-            dtypes = {d[0]: str(d[1]) for d in duck.description}
+            files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+            sdf = pd.concat([pd.read_parquet(f) for f in files],
+                            ignore_index=True)
+            ddf = con.sql(sql).df()
+            schema_match = sorted(sdf.columns) == sorted(ddf.columns)
+            rows_match = len(sdf) == len(ddf)
+            hash_match = False
+            detail = []
+            if schema_match and rows_match:
+                cs, cd = canon(sdf), canon(ddf)
+                neq = (cs != cd).any(axis=1)
+                hash_match = not bool(neq.any())
+                if not hash_match:
+                    for i in cs.index[neq][:3]:
+                        for c in cs.columns:
+                            if cs.at[i, c] != cd.at[i, c]:
+                                detail.append(
+                                    f"row {i} col {c}: "
+                                    f"spark={cs.at[i, c]!r} "
+                                    f"duck={cd.at[i, c]!r}")
+            else:
+                if not schema_match:
+                    detail.append(f"cols spark={sorted(sdf.columns)} "
+                                  f"duck={sorted(ddf.columns)}")
+                if not rows_match:
+                    detail.append(f"rows spark={len(sdf)} duck={len(ddf)}")
         except Exception as e:
-            print(f"FAIL {name}: error {e}")
+            print(f"FAIL {name}: error {type(e).__name__}: {e}")
             n_bad += 1
             continue
-        issues = []
-        if sorted(scols) != sorted(dcols):
-            issues.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
-        if len(sdf) != len(ddf):
-            issues.append(f"rows spark={len(sdf)} duck={len(ddf)}")
-        if not issues:
-            for c in scols:
-                if stypes[c] != dtypes.get(c):
-                    issues.append(
-                        f"type {c}: spark={stypes[c]} duck={dtypes.get(c)}")
-            sidx = [scols.index(c) for c in sorted(scols)]
-            didx = [dcols.index(c) for c in sorted(dcols)]
-            for i, (sr, dr) in enumerate(zip(sdf, ddf)):
-                sv = [norm(sr[j]) for j in sidx]
-                dv = [norm(dr[j]) for j in didx]
-                if sv != dv:
-                    issues.append(f"row {i}: spark={sv} duck={dv}")
-                    if sum(1 for x in issues if x.startswith("row ")) > 3:
-                        break
-        if issues:
-            n_bad += 1
-            print(f"FAIL {name}:")
-            for msg in issues[:6]:
-                print(f"  {msg}")
-        else:
+        if schema_match and rows_match and hash_match:
             n_ok += 1
             print(f"ok   {name} ({len(sdf)} rows)")
+        else:
+            n_bad += 1
+            print(f"FAIL {name}: rows={rows_match} schema={schema_match} "
+                  f"hash={hash_match}")
+            for msg in detail[:6]:
+                print(f"  {msg}")
     print(f"== {n_ok} ok, {n_bad} fail")
     sys.exit(1 if n_bad else 0)
 
