@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational-surface extensions beyond SURVEY.md §2's core inventory:
+  * the join variants, grouping-set family, subquery forms, and reshaping
+  * operators a user of a general analytics engine reaches for next. All
+  * built-in Spark, all oracle-checked; parity rules as in CoreQueries.
+  */
+object RelationalQueries {
+
+  import Tables.t
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // Left-semi join: existence filter without duplicating or widening
+    // rows (the dedup/citation-lookup shape). Plans as a broadcast or
+    // shuffled hash semi-join — the build side carries only the key.
+    QuerySpec("semi_join",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 450000
+        |                AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").as("c")
+        .join(
+          t(s, dir, "orders").filter(col("o_totalprice") > 450000 &&
+            col("o_orderpriority") === "1-URGENT").as("o"),
+          col("c.c_custkey") === col("o.o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Left-anti join: the complement — rows with NO match (training-data
+    // "not already ingested" filter).
+    QuerySpec("anti_join",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 450000
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").as("c")
+        .join(
+          t(s, dir, "orders").filter(col("o_totalprice") > 450000 &&
+            col("o_orderpriority") === "1-URGENT").as("o"),
+          col("c.c_custkey") === col("o.o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Full outer join of two pre-aggregated sides: per-nation customer
+    // vs supplier counts — null-extension on both sides. Aggregating
+    // BEFORE the join keeps the shuffled sides one-row-per-key.
+    QuerySpec("join_full",
+      """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+        |           FROM customer GROUP BY c_nationkey),
+        |     s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+        |           FROM supplier GROUP BY s_nationkey)
+        |SELECT COALESCE(c.nk, s.nk) AS nk, c.n_cust, s.n_supp
+        |FROM c FULL JOIN s ON c.nk = s.nk
+        |ORDER BY nk""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, Seq("nk"), "full_outer")
+        .select(col("nk"), col("n_cust"), col("n_supp"))
+        .orderBy("nk")
+    },
+
+    // Cube: all 4 grouping combinations in one pass (Expand-based — one
+    // shuffle, ×4 map-side rows, partial agg collapses before exchange).
+    QuerySpec("cube_agg",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+        |       SUM(l_quantity) AS sum_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          (grouping(col("l_returnflag")) * 2 +
+            grouping(col("l_linestatus"))).as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid").cast(IntegerType).as("gid"),
+          col("sum_qty"), col("n"))
+        .orderBy("gid", "rf", "ls")
+    },
+
+    // Explicit grouping sets (the general form rollup/cube sugar over):
+    // by-flag and by-status marginals in one aggregation.
+    QuerySpec("grouping_sets",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       SUM(l_quantity) AS sum_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+          |       COALESCE(l_linestatus, 'ALL') AS ls,
+          |       SUM(l_quantity) AS sum_qty,
+          |       COUNT(*) AS n
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY rf, ls""".stripMargin)
+    },
+
+    // Correlated EXISTS + uncorrelated scalar subquery through the SQL
+    // entry path — Catalyst rewrites the EXISTS to a semi-join and the
+    // scalar subquery to a broadcast single-row cross input.
+    QuerySpec("exists_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity >= 49)
+        |  AND o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_sq")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders_sq o
+          |WHERE EXISTS (SELECT 1 FROM lineitem_sq l
+          |              WHERE l.l_orderkey = o.o_orderkey
+          |                AND l.l_quantity >= 49)
+          |  AND o_totalprice > (SELECT AVG(o_totalprice) FROM orders_sq)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // Unpivot / melt: wide part metrics → long (metric, val) rows. The
+    // oracle uses the portable UNION ALL phrasing of the same reshape.
+    QuerySpec("unpivot_melt",
+      """SELECT p_partkey, metric, val FROM (
+        |  SELECT p_partkey, 'retailprice' AS metric,
+        |         p_retailprice AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'size' AS metric,
+        |         CAST(p_size AS DOUBLE) AS val FROM part
+        |) ORDER BY p_partkey, metric""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice").as("retailprice"),
+          col("p_size").cast(DoubleType).as("size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("retailprice"), col("size")), "metric", "val")
+        .orderBy("p_partkey", "metric")
+    },
+
+    // TPC-H Q3 shape: 3-table join (selective dim filter first), grouped
+    // decimal-exact revenue, top-10. The customer filter prunes before
+    // the join; revenue aggregates partially map-side; the final top-k is
+    // a TakeOrderedAndProject, not a global sort.
+    QuerySpec("sql_tpch_q3",
+      """SELECT l_orderkey,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |     JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        val cutoff = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
+        t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .join(t(s, dir, "orders").filter(col("o_orderdate") < cutoff),
+            col("c_custkey") === col("o_custkey"))
+          .join(t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 6))).cast(DoubleType).as("revenue"))
+          .select("l_orderkey", "revenue", "o_orderdate",
+            "o_orderpriority")
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+    },
+
+    // Salted two-stage aggregation (ScaleOps.saltedSumCount): the
+    // hot-key skew formulation must equal the naive GROUP BY — the
+    // oracle IS the naive formulation. Decimal metric keeps the split
+    // partial sums order-independent.
+    QuerySpec("salted_agg",
+      """SELECT event_type,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |       COUNT(*) AS n
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        ScaleOps.saltedSumCount(
+          t(s, dir, "events").filter(col("value").isNotNull),
+          col("event_type"), col("value").cast(DecimalType(12, 2)),
+          salts = 8)
+          .select(col("k").as("event_type"),
+            col("total").cast(DoubleType).as("total"), col("n"))
+          .orderBy("event_type")
+    }
+  )
+}

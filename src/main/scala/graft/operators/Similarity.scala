@@ -86,6 +86,59 @@ object Similarity {
       .select("q_id", "n_id", "rn", "cos")
   }
 
+  /** IVF-style ANN — the scale path beyond hyperplane LSH: a coarse
+    * codebook of `nCentroids` vectors (here the first corpus vectors — a
+    * deterministic stand-in for a k-means codebook, which at scale would
+    * be trained offline), every corpus vector assigned once to its
+    * nearest centroid, and a query probing only its `nProbe` nearest
+    * centroid lists instead of the full corpus.
+    *
+    * Scale shape: the codebook is broadcast, so assignment is a map-side
+    * crossJoin + groupBy(n_id) argmax whose partial aggregation collapses
+    * the ×nCentroids blow-up *before* the shuffle (shuffle volume = one
+    * row per corpus vector, not nCentroids). Deterministic argmax: max of
+    * struct(sim, -cid, …) ⇒ highest sim, ties to lowest centroid id —
+    * identical to the oracle's row_number tie-break. The probe join
+    * broadcasts the (tiny) query×probe set; at scale the assigned corpus
+    * would be written bucketed by cid so a probe reads nProbe/nCentroids
+    * of the data.
+    */
+  def ivfTopK(e: DataFrame, nQueries: Int, nCentroids: Int, nProbe: Int,
+      k: Int): DataFrame = {
+    val cent = e
+      .filter(col("vec_id") >= nQueries &&
+        col("vec_id") < nQueries + nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("centv"),
+        col("nrm").as("centn"))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("n_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val assigned = corpus.crossJoin(broadcast(cent))
+      .withColumn("csim", expr("array_dot(cv, centv) / (cn * centn)"))
+      .groupBy(col("n_id"))
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"), col("cv"),
+        col("cn"))).as("m"))
+      .select(col("n_id"), (-col("m.ncid")).as("cid"), col("m.cv").as("cv"),
+        col("m.cn").as("cn"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("psim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("psim", expr("array_dot(qv, centv) / (qn * centn)"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("qn"), col("cid"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    assigned.join(broadcast(probes), "cid")
+      .select(col("q_id"), col("n_id"), cosCol.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id", "rn", "cos")
+  }
+
   /** Blocked near-dup pairs: cosine ≥ threshold within a blocking-key
     * partition (label here; the LSH bucket is the unblocked scale path).
     */

@@ -76,6 +76,46 @@ object SimilarityQueries {
         .orderBy("q_id", "rn")
     },
 
+    // IVF-style ANN: codebook of 8 centroid vectors, corpus assigned to
+    // nearest-centroid lists, query probes its 2 nearest lists only. The
+    // oracle derives the same assignment with a row_number argmax —
+    // independent formulation, identical deterministic tie-break.
+    QuerySpec("ivf_ann",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, ${normD("v")} AS nrm FROM e),
+         |cent AS (SELECT vec_id AS cid, v AS centv, nrm AS centn
+         |         FROM n WHERE vec_id >= $NQ AND vec_id < $NQ + 8),
+         |corpus AS (SELECT vec_id AS n_id, v AS cv, nrm AS cn
+         |           FROM n WHERE vec_id >= $NQ),
+         |asg AS (
+         |  SELECT n_id, cv, cn, cid FROM (
+         |    SELECT n_id, cv, cn, cid, row_number() OVER (
+         |      PARTITION BY n_id
+         |      ORDER BY ${dotD("cv", "centv")} / (cn * centn) DESC, cid)
+         |      AS arn
+         |    FROM corpus CROSS JOIN cent) WHERE arn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn
+         |      FROM n WHERE vec_id < $NQ),
+         |probe AS (
+         |  SELECT q_id, qv, qn, cid FROM (
+         |    SELECT q_id, qv, qn, cid, row_number() OVER (
+         |      PARTITION BY q_id
+         |      ORDER BY ${dotD("qv", "centv")} / (qn * centn) DESC, cid)
+         |      AS prn
+         |    FROM q CROSS JOIN cent) WHERE prn <= 2),
+         |s AS (SELECT q_id, n_id,
+         |             ${dotD("qv", "cv")} / (qn * cn) AS cos
+         |      FROM asg JOIN probe USING (cid))
+         |SELECT q_id, n_id, rn, cos FROM (
+         |  SELECT q_id, n_id, cos, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      Similarity.ivfTopK(
+        Similarity.prepared(t(s, dir, "embeddings")), NQ, 8, 2, 10)
+        .orderBy("q_id", "rn")
+    },
+
     QuerySpec("embedding_centroid",
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v
         |           FROM embeddings),

@@ -53,6 +53,11 @@ object TextQueries {
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin) {
       (s, dir) =>
         t(s, dir, "documents")
+          // A single small parquet file scans as ONE partition, which
+          // serializes the regex tokenization + explode; the explicit
+          // count opts out of AQE re-coalescing (few-MB input). At real
+          // scale the scan has many splits and this is a no-op cost.
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           // Stage tokens in a Project (codegen'd regex) and hand Generate
           // a plain attribute — an inline generator expression evaluates
           // interpreted inside Generate, ~2.3× slower measured.
