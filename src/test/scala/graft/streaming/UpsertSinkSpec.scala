@@ -21,4 +21,24 @@ class UpsertSinkSpec extends AnyFunSuite {
     val out = sink.read(spark).as[(String, Int)].collect().toMap
     assert(out == Map("a" -> 1, "b" -> 20, "c" -> 30))
   }
+
+  test("recover restores the store after a crash between the two moves") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-upsert").toString + "/s"
+    val sink = new ParquetUpsertSink(dir, Seq("k"))
+    sink.upsert(Seq(("a", 1)).toDF("k", "v"), 0L)
+
+    // Simulate the crash window: old store parked at .bak, new store
+    // never moved in (path missing).
+    Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir + ".bak"))
+    sink.recover()
+
+    val out = sink.read(spark).as[(String, Int)].collect().toMap
+    assert(out == Map("a" -> 1))
+    // Recover on a healthy store is a no-op.
+    sink.recover()
+    assert(sink.read(spark).count() == 1)
+  }
 }
