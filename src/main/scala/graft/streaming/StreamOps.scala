@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+
+/** Streaming operators beyond the reference's windowed-aggregate core:
+  * watermark-bounded deduplication, stream-stream interval joins, and
+  * timeout-driven sessionization via flatMapGroupsWithState — the three
+  * stateful shapes a production event pipeline reaches for next. Each is
+  * exercised end-to-end by StreamOpsSpec over MemoryStream input.
+  *
+  * Scale notes: all three keep state partition-local behind a shuffle on
+  * the key (RocksDB/HDFS-backed state stores on a real cluster), and all
+  * three bound state with the watermark — unbounded state is the failure
+  * mode that kills long-running streams at 100 TB/day.
+  */
+object StreamOps {
+
+  /** Exactly-once-per-key emission bounded by the watermark: duplicates
+    * arriving within `delay` of the first sighting are dropped; state for
+    * a key is freed once the watermark passes its event time (unlike
+    * plain dropDuplicates, whose state grows forever).
+    */
+  def dedupWithinWatermark(df: DataFrame, keys: Seq[String], tsCol: String,
+      delay: String): DataFrame =
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-stream inner interval join: each left row matches right rows
+    * with the same key whose event time lies in
+    * [left.ts, left.ts + within]. Both sides are watermarked so the
+    * join's buffered state expires; the time-range predicate is what
+    * lets Spark compute that bound (an unconstrained stream-stream
+    * equi-join would buffer forever).
+    *
+    * Column contract: the two sides use disjoint column names (rename
+    * before calling); the join condition references them directly.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, lts: String, rts: String, within: String,
+      delay: String): DataFrame =
+    left.withWatermark(lts, delay).join(
+      right.withWatermark(rts, delay),
+      expr(s"$leftKey = $rightKey AND $rts >= $lts " +
+        s"AND $rts <= $lts + INTERVAL $within"))
+
+  final case class SessionEvent(key: String, ts: java.sql.Timestamp)
+
+  final case class SessionSummary(key: String, start: java.sql.Timestamp,
+    end: java.sql.Timestamp, n: Long)
+
+  /** Internal session accumulator (public: the state encoder's codegen
+    * must be able to construct it).
+    */
+  final case class SessionState(start: Long, end: Long, n: Long)
+
+  /** Timeout-driven sessionization: a session closes (and is emitted)
+    * only when the event-time watermark passes last-event + gap — the
+    * flatMapGroupsWithState formulation of session_window, needed when
+    * the per-session output must be computed from custom state (here a
+    * summary; in production e.g. a funnel state machine).
+    *
+    * The caller must set a watermark on the event-time column BEFORE
+    * converting to Dataset[SessionEvent] — EventTimeTimeout requires it.
+    */
+  def sessionize(ds: Dataset[SessionEvent], gapMs: Long)
+      : Dataset[SessionSummary] = {
+    import ds.sparkSession.implicits._
+
+    def fn(key: String, rows: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[SessionSummary] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionSummary(key, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.end + gapMs), s.n))
+      } else {
+        val times = rows.map(_.ts.getTime).toSeq
+        val prev = state.getOption.getOrElse(
+          SessionState(times.min, times.min, 0L))
+        // Rows beyond the gap of the buffered session would belong to a
+        // new session; with the watermark ≥ gap they cannot arrive after
+        // the timeout fires, so a simple extend is sound here.
+        val next = SessionState(math.min(prev.start, times.min),
+          math.max(prev.end, times.max), prev.n + times.size)
+        state.update(next)
+        state.setTimeoutTimestamp(next.end + gapMs)
+        Iterator.empty
+      }
+    }
+
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamOpsSpec extends AnyFunSuite {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("dedupWithinWatermark drops in-watermark duplicates across batches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+
+    val src = MemoryStream[(String, java.sql.Timestamp)](spark)
+    val out = StreamOps.dedupWithinWatermark(
+      src.toDF().toDF("k", "ts"), Seq("k"), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+
+    src.addData(("a", ts("2024-01-01 00:00:00")),
+      ("a", ts("2024-01-01 00:00:05")), // dup, same batch
+      ("b", ts("2024-01-01 00:00:10")))
+    q.processAllAvailable()
+    src.addData(("a", ts("2024-01-01 00:01:00")), // dup, later batch
+      ("c", ts("2024-01-01 00:01:30")))
+    q.processAllAvailable()
+    q.stop()
+
+    val keys = spark.sql("SELECT k FROM dedup_out").as[String]
+      .collect().sorted.toSeq
+    assert(keys == Seq("a", "b", "c"))
+  }
+
+  test("stream-stream interval join matches right rows within the window " +
+    "and only those") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val buys = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF().toDF("user", "click_ts"),
+      buys.toDF().toDF("b_user", "buy_ts"),
+      "user", "b_user", "click_ts", "buy_ts",
+      within = "10 MINUTES", delay = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+
+    clicks.addData((1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:00:00")))
+    buys.addData(
+      (1L, ts("2024-01-01 10:05:00")), // inside window  → match
+      (1L, ts("2024-01-01 10:20:00")), // beyond +10 min → no match
+      (2L, ts("2024-01-01 09:59:00"))) // before click   → no match
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.sql("SELECT user, buy_ts FROM ssj_out")
+      .as[(Long, java.sql.Timestamp)].collect().toSeq
+    assert(rows == Seq((1L, ts("2024-01-01 10:05:00"))))
+  }
+
+  test("flatMapGroupsWithState sessionize emits a session only after the " +
+    "watermark passes its gap timeout") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+
+    val src = MemoryStream[(String, java.sql.Timestamp)](spark)
+    val events = src.toDF().toDF("key", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[StreamOps.SessionEvent]
+    val out = StreamOps.sessionize(events, gapMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+
+    // Session for key a: two events 10 s apart.
+    src.addData(("a", ts("2024-01-01 00:00:00")),
+      ("a", ts("2024-01-01 00:00:10")))
+    q.processAllAvailable()
+    // Nothing emitted yet — watermark (00:00:10) has not passed
+    // last-event + 60 s.
+    assert(spark.sql("SELECT * FROM sess_out").count() == 0)
+
+    // An unrelated key far in the future advances the watermark past the
+    // timeout → the session for a closes and is emitted.
+    src.addData(("z", ts("2024-01-01 00:10:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val sess = spark.sql("SELECT key, start, end, n FROM sess_out")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSeq
+    assert(sess == Seq(("a", ts("2024-01-01 00:00:00"),
+      ts("2024-01-01 00:01:10"), 2L)))
+  }
+}
