@@ -21,11 +21,40 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the session before timing: JVM/Hadoop/codegen init otherwise
     // lands entirely on the first query (~3.5 s on this host), distorting
-    // its number. Touches a real parquet read + a shuffle.
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/nation.parquet").count()
-    val selected = if (args.nonEmpty) SparkEntry.specs.filter(s => args.contains(s.name))
-      else SparkEntry.specs
+    // its number. Warms shared machinery only — a shuffle, parquet reads
+    // (incl. the events ns-timestamp path), the interpreted-HOF/Generate
+    // evaluator classes, window exec, and the native graft expressions —
+    // never a timed query itself (measured: first-run codegen otherwise
+    // adds 2-4 s to whichever query hits each code path first).
+    locally {
+      import org.apache.spark.sql.functions._
+      graft.functions.GraftFunctions.register(spark)
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/nation.parquet").count()
+      Tables.t(spark, sfDir, "events").limit(100).count()
+      val wdocs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
+        .withColumn("toks", expr(graft.operators.TextOps.toksS))
+      wdocs.select(explode_outer(col("toks")).as("tok"))
+        .groupBy("tok").count()
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("tok")).orderBy(col("count"))))
+        .count()
+      wdocs
+        .withColumn("sh", expr(graft.operators.TextOps.shinglesS("toks")))
+        .selectExpr(
+          "size(minhash_bands16x2(transform(sh, s -> xxhash64(s)))) AS n")
+        .agg(sum(col("n"))).collect()
+      spark.read.parquet(s"$sfDir/embeddings.parquet").limit(20)
+        .selectExpr("cast(embedding as array<double>) as v")
+        .selectExpr("array_dot(v, v) as d", "simhash63(array(1L, 2L)) as s")
+        .count()
+    }
+    // Arg order (and repeats) honored: "q q q" times a query three times
+    // in one session — the way to see steady-state past first-run codegen.
+    val selected = if (args.nonEmpty)
+      args.toSeq.flatMap(a => SparkEntry.specs.find(_.name == a))
+    else SparkEntry.specs
     val results = selected.map { spec =>
       val t0 = System.nanoTime()
       val ok =

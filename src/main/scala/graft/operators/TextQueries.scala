@@ -62,7 +62,14 @@ object TextQueries {
           // a plain attribute — an inline generator expression evaluates
           // interpreted inside Generate, ~2.3× slower measured.
           .withColumn("toks", expr(toksS))
-          .select(explode(col("toks")).as("token"))
+          // explode_OUTER on purpose: plain explode triggers
+          // InferFiltersFromGenerate, whose size(toks)>0 filter gets
+          // substituted through the Project and pushed below the
+          // repartition — re-running the whole tokenization twice on the
+          // unsplit scan. Outer generate skips the rule; the null row an
+          // empty doc produces is dropped by a cheap post-filter.
+          .select(explode_outer(col("toks")).as("token"))
+          .filter(col("token").isNotNull)
           .groupBy("token").agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("token"))
           .limit(100)
