@@ -63,4 +63,59 @@ object Multimodal {
     df.select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[MediaRow]
   }
+
+  /** One sampled frame of a media payload. */
+  final case class MediaFrame(doc_id: Long, frame_idx: Int,
+      frame: Array[Byte])
+
+  /** Fixed-width numeric features extracted from a payload. */
+  final case class MediaFeatures(doc_id: Long, features: Array[Double])
+
+  /** STUB resize: a real implementation rescales pixels to (w, h); the
+    * stand-in deterministically truncates / zero-pads to w*h bytes so the
+    * output size contract (every row same byte length) is real.
+    */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+    java.util.Arrays.copyOf(bytes, w * h)
+
+  /** Frame sampling as a dataflow op: every `every`-th frame of each
+    * payload, one output row per sampled frame (the flatMap/explode
+    * shape — downstream stages parallelize over frames, not videos,
+    * which is what keeps one long video from pinning one task). Frames
+    * are stubbed as fixed-size byte slices.
+    */
+  def sampleFrames(ds: Dataset[MediaRow], frameBytes: Int,
+      every: Int): Dataset[MediaFrame] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      val nFrames = math.max(r.payload.length / frameBytes, 1)
+      (0 until nFrames by every).map { i =>
+        val from = math.min(i * frameBytes, r.payload.length)
+        val until = math.min(from + frameBytes, r.payload.length)
+        MediaFrame(r.doc_id, i,
+          java.util.Arrays.copyOfRange(r.payload, from, until))
+      }
+    }
+  }
+
+  /** Feature extraction: a 16-bin normalized byte histogram per payload —
+    * the embedding-extraction shape (a real model would emit a float
+    * vector; the histogram is a deterministic stand-in with the same
+    * schema). Batched like extractMeta so a vectorized model would
+    * amortize its init per batch, and the output is exactly the
+    * `Array[Double]` column the Similarity operators consume.
+    */
+  def byteHistogram(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map { r =>
+          val counts = new Array[Double](16)
+          r.payload.foreach(b => counts((b & 0xff) >> 4) += 1.0)
+          val n = math.max(r.payload.length, 1).toDouble
+          MediaFeatures(r.doc_id, counts.map(_ / n))
+        }
+      }
+    }
+  }
 }

@@ -173,6 +173,59 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Document chunking: overlapping 50-token windows with stride 40 —
+    // the LLM-ingest reshape (one row per chunk). Chunk content is
+    // hash-checked (md5 of the joined tokens) instead of shipping long
+    // strings through the comparator.
+    QuerySpec("doc_chunk",
+      s"""SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+         |       CAST(len(toks[i*40+1 : i*40+50]) AS INTEGER) AS n_tokens,
+         |       md5(array_to_string(toks[i*40+1 : i*40+50], ' '))
+         |         AS chunk_hash
+         |FROM (SELECT doc_id, $toksD AS toks FROM documents),
+         |     unnest(range(0, greatest(CAST(ceil(len(toks) / 40.0)
+         |                                   AS INTEGER), 1))) t(i)
+         |WHERE len(toks) > 0
+         |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("toks", expr(toksS))
+        .filter(expr("size(toks) > 0"))
+        // Chunk structs staged in a Project, exploded as an attribute
+        // (outer + post-filter: see token_freq's InferFiltersFromGenerate
+        // note — a plain explode re-evaluates this whole expression as an
+        // inferred pre-filter).
+        .withColumn("chunks", expr(
+          """transform(sequence(0, cast(ceil(size(toks) / 40.0) as int) - 1),
+            |  i -> named_struct(
+            |    'chunk_id', cast(i as int),
+            |    'n_tokens', size(slice(toks, i * 40 + 1, 50)),
+            |    'chunk_hash', md5(concat_ws(' ',
+            |        slice(toks, i * 40 + 1, 50)))))""".stripMargin))
+        .select(col("doc_id"), explode_outer(col("chunks")).as("c"))
+        .filter(col("c").isNotNull)
+        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+          col("c.n_tokens").as("n_tokens"),
+          col("c.chunk_hash").as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Deterministic stratified sampling: per-language rates via an
+    // arithmetic pseudo-randomizer on the key — reproducible across
+    // engines and runs (what a training-data pipeline needs from a
+    // sampler: no RNG state, re-runs select identical rows).
+    QuerySpec("stratified_sample",
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 48271 + 11) % 100 <
+        |      CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .filter((col("doc_id") * 48271 + 11) % 100 <
+          when(col("lang") === "en", 50).otherwise(10))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // Winnowing-style fingerprint: md5 over char 8-grams, min per window
     // of 4, distinct-sorted, folded into one digest. md5 is portable, so
     // the whole fingerprint hash-matches across engines.

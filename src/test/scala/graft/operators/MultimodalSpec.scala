@@ -23,4 +23,28 @@ class MultimodalSpec extends AnyFunSuite {
       .sameElements(again.collect().sortBy(_.doc_id)))
     meta.unpersist()
   }
+
+  test("frame sampling emits every kth fixed-size frame; resize keeps " +
+    "the size contract; features feed the similarity operators") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.documentsAsMedia(docs)
+
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, every = 5)
+    val f = frames.filter(_.doc_id == 0L).collect().sortBy(_.frame_idx)
+    assert(f.nonEmpty && f.map(_.frame_idx).forall(_ % 5 == 0))
+    assert(f.init.forall(_.frame.length == 64)) // only the tail is short
+
+    assert(Multimodal.resizeStub(Array[Byte](1, 2, 3), 4, 2).length == 8)
+    assert(Multimodal.resizeStub(new Array[Byte](100), 4, 2).length == 8)
+
+    val feats = Multimodal.byteHistogram(media)
+    val v = feats.filter(_.doc_id == 0L).head().features
+    assert(v.length == 16 && math.abs(v.sum - 1.0) < 1e-9)
+    // The features column is directly consumable by the similarity API
+    // (same shape as an embedding column).
+    val e = feats.toDF("vec_id", "embedding")
+    assert(Similarity.prepared(e).select("nrm").head().getDouble(0) > 0)
+  }
 }
