@@ -41,7 +41,7 @@ object Bench {
             .partitionBy(col("tok")).orderBy(col("count"))))
         .count()
       wdocs
-        .withColumn("sh", expr(graft.operators.TextOps.shinglesS("toks")))
+        .withColumn("sh", expr("shingles3(toks)"))
         .selectExpr(
           "size(minhash_bands16x2(transform(sh, s -> xxhash64(s)))) AS n")
         .agg(sum(col("n"))).collect()

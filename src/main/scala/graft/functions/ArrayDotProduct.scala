@@ -95,5 +95,9 @@ object GraftFunctions {
       "minhash_bands16x2",
       exprs => MinHashBands(exprs.head, 16, 2),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles3",
+      exprs => Shingles3(exprs.head),
+      "built-in")
   }
 }

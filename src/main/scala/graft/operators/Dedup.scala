@@ -39,10 +39,14 @@ object Dedup {
       val k = (df.sparkSession, cacheKey)
       if (cacheKey.nonEmpty && shingleCache.contains(k)) shingleCache(k)
       else {
+        graft.functions.GraftFunctions.register(df.sparkSession)
         val p = df.sparkSession.sparkContext.defaultParallelism
         val out = df.repartition(p, col("doc_id"))
           .withColumn("toks", expr(toksS))
-          .withColumn("sh", expr(shinglesS("toks")))
+          // Native single-pass shingling (graft.functions.Shingles3) —
+          // same output as the HOF chain shinglesS, ~no interpreted
+          // lambdas or slice copies (ShinglesSpec asserts equality).
+          .withColumn("sh", expr("shingles3(toks)"))
           .select(col("doc_id"), col("sh"))
           .filter(size(col("sh")) > 0)
           .persist()
