@@ -190,6 +190,44 @@ object RelationalQueries {
           .limit(10)
     },
 
+    // TPC-H Q5 shape: 6-table star join (region→nation selective dims,
+    // fact tables pruned by date), local-supplier condition, grouped
+    // decimal-exact revenue — the full join-reorder/pushdown workout
+    // through the SQL entry path.
+    QuerySpec("sql_tpch_q5",
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      Seq("customer", "orders", "lineitem", "supplier", "nation",
+        "region").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(n + "_q5"))
+      s.sql(
+        """SELECT n_name,
+          |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+          |                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+          |       COUNT(*) AS n
+          |FROM customer_q5, orders_q5, lineitem_q5, supplier_q5,
+          |     nation_q5, region_q5
+          |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |  AND r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          |GROUP BY n_name
+          |ORDER BY revenue DESC, n_name""".stripMargin)
+    },
+
     // Salted two-stage aggregation (ScaleOps.saltedSumCount): the
     // hot-key skew formulation must equal the naive GROUP BY — the
     // oracle IS the naive formulation. Decimal metric keeps the split
