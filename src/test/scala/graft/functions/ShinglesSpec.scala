@@ -19,6 +19,25 @@ class ShinglesSpec extends AnyFunSuite {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("shingles3 equals the HOF formulation on random token arrays " +
+    "(property)") {
+    val spark = TestSpark.spark
+    GraftFunctions.register(spark)
+    import graft.operators.TextOps
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val tok = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("a", "b", "ab", "", "x y")) // incl. repeats & odd tokens
+    val arrays = Gen.listOfN(200, Gen.choose(0, 12)
+      .flatMap(n => Gen.listOfN(n, tok))).sample.get
+    val bad = arrays.toDF("toks")
+      .select(expr("shingles3(toks)").as("native"),
+        expr(TextOps.shinglesS("toks")).as("hof"))
+      .filter(org.apache.spark.sql.functions.col("native") =!=
+        org.apache.spark.sql.functions.col("hof"))
+    assert(bad.count() == 0)
+  }
+
   test("shingles3 edge cases: under 3 tokens, exact duplicates") {
     val spark = TestSpark.spark
     GraftFunctions.register(spark)
