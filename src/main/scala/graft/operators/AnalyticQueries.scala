@@ -50,7 +50,7 @@ object AnalyticQueries {
         |       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
         |       SUM(l_quantity) AS sum_qty,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
-        |            AS DECIMAL(38,2)) AS sum_price,
+        |            AS DOUBLE) AS sum_price,
         |       COUNT(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -59,8 +59,10 @@ object AnalyticQueries {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
+          // exact decimal sum surfaced as DOUBLE (trailing-zero trap —
+          // '...23.60' vs '...23.6' at sf0.1's grand total)
           sum(col("l_extendedprice").cast(DecimalType(12, 2)))
-            .cast(DecimalType(38, 2)).as("sum_price"),
+            .cast(DoubleType).as("sum_price"),
           count(lit(1)).as("n"),
           (grouping(col("l_returnflag")) * 2 +
             grouping(col("l_linestatus"))).as("gid"))
