@@ -14,8 +14,8 @@ object SparkEntry {
   /** All declared queries, in capability order. */
   val specs: Seq[QuerySpec] =
     CoreQueries.all ++ FlagshipQueries.all ++ AnalyticQueries.all ++
-      RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ MultimodalQueries.all
+      RelationalQueries.all ++ FunctionQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference-analog plan: parse → filter → tumbling-window
