@@ -68,25 +68,39 @@ object StreamOps {
       : Dataset[SessionSummary] = {
     import ds.sparkSession.implicits._
 
+    def summary(key: String, s: SessionState): SessionSummary =
+      SessionSummary(key, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.end + gapMs), s.n)
+
     def fn(key: String, rows: Iterator[SessionEvent],
         state: GroupState[SessionState]): Iterator[SessionSummary] = {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        Iterator(SessionSummary(key, new java.sql.Timestamp(s.start),
-          new java.sql.Timestamp(s.end + gapMs), s.n))
+        Iterator(summary(key, s))
       } else {
-        val times = rows.map(_.ts.getTime).toSeq
-        val prev = state.getOption.getOrElse(
-          SessionState(times.min, times.min, 0L))
-        // Rows beyond the gap of the buffered session would belong to a
-        // new session; with the watermark ≥ gap they cannot arrive after
-        // the timeout fires, so a simple extend is sound here.
-        val next = SessionState(math.min(prev.start, times.min),
-          math.max(prev.end, times.max), prev.n + times.size)
-        state.update(next)
-        state.setTimeoutTimestamp(next.end + gapMs)
-        Iterator.empty
+        // Sorted walk so a single batch containing a >gap silence splits
+        // into multiple sessions: every closed run is emitted now, only
+        // the trailing open session stays in state (its close is the
+        // event-time timeout).
+        val closed = scala.collection.mutable.ListBuffer[SessionSummary]()
+        var cur = state.getOption
+        rows.map(_.ts.getTime).toSeq.sorted.foreach { t =>
+          cur match {
+            case Some(s) if t <= s.end + gapMs =>
+              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+            case Some(s) =>
+              closed += summary(key, s)
+              cur = Some(SessionState(t, t, 1L))
+            case None =>
+              cur = Some(SessionState(t, t, 1L))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.iterator
       }
     }
 

@@ -95,4 +95,34 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(sess == Seq(("a", ts("2024-01-01 00:00:00"),
       ts("2024-01-01 00:01:10"), 2L)))
   }
+
+  test("sessionize splits a single batch containing a >gap silence into " +
+    "separate sessions") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+
+    val src = MemoryStream[(String, java.sql.Timestamp)](spark)
+    val events = src.toDF().toDF("key", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[StreamOps.SessionEvent]
+    val out = StreamOps.sessionize(events, gapMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("sess_split_out")
+      .outputMode("append").start()
+
+    // One batch, one key, 5-minute silence in the middle: the first run
+    // closes intra-batch and is emitted immediately.
+    src.addData(("a", ts("2024-01-01 00:00:00")),
+      ("a", ts("2024-01-01 00:00:30")),
+      ("a", ts("2024-01-01 00:05:30")))
+    q.processAllAvailable()
+    q.stop()
+
+    val sess = spark.sql(
+      "SELECT key, start, end, n FROM sess_split_out ORDER BY start")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSeq
+    assert(sess == Seq(("a", ts("2024-01-01 00:00:00"),
+      ts("2024-01-01 00:01:30"), 2L)))
+    // The second run (00:05:30) is still open in state — not emitted.
+  }
 }
