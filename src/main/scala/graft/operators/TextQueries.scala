@@ -173,6 +173,28 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Intra-document repetition: distinct-token ratio — the boilerplate/
+    // spam signal (low ratio = heavy repetition). Exact integer counts,
+    // one float division.
+    QuerySpec("repetition_stats",
+      s"""SELECT doc_id,
+         |       CAST(len(toks) AS INTEGER) AS n_tokens,
+         |       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+         |       CAST(len(list_distinct(toks)) AS DOUBLE)
+         |         / greatest(len(toks), 1) AS distinct_ratio
+         |FROM (SELECT doc_id, $toksD AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("toks", expr(toksS))
+        .select(
+          col("doc_id"),
+          expr("size(toks)").as("n_tokens"),
+          expr("size(array_distinct(toks))").as("n_distinct"),
+          expr("cast(size(array_distinct(toks)) as double) " +
+            "/ greatest(size(toks), 1)").as("distinct_ratio"))
+        .orderBy("doc_id")
+    },
+
     // Document chunking: overlapping 50-token windows with stride 40 —
     // the LLM-ingest reshape (one row per chunk). Chunk content is
     // hash-checked (md5 of the joined tokens) instead of shipping long

@@ -30,6 +30,20 @@ class StorageLayoutSpec extends AnyFunSuite {
     assert(q.count() == expected)
   }
 
+  test("repartitionByRange + sortWithinPartitions plans range exchange " +
+    "and in-partition sort (the sorted-layout write shape)") {
+    val spark = TestSpark.spark
+    val q = Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .repartitionByRange(4, col("ts"))
+      .sortWithinPartitions("ts")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("Sort"), plan)
+    // Globally ordered across partition boundaries once written in
+    // partition order (range exchange gives disjoint, ordered ranges).
+    assert(q.count() == 1000)
+  }
+
   test("bucketed tables equi-join with zero exchanges") {
     val spark = TestSpark.spark
     val wh = Files.createTempDirectory("graft-wh").toString
