@@ -105,6 +105,30 @@ object FunctionQueries {
         .orderBy("l_returnflag")
     },
 
+    // MapType surface: parse the JSON payload as map<string,int> and
+    // exercise map functions (keys, cardinality, lookup). Keys serialize
+    // to a string for the comparator (array cells are unhashable there).
+    QuerySpec("map_ops",
+      """SELECT event_id,
+        |       'k' AS keys_str,
+        |       1 AS n_keys,
+        |       CAST(props->>'k' AS INTEGER) AS k_val
+        |FROM events WHERE (props->>'k') IS NOT NULL
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType)))
+        .filter(expr("element_at(m, 'k')").isNotNull)
+        .select(
+          col("event_id"),
+          array_join(map_keys(col("m")), ",").as("keys_str"),
+          size(col("m")).as("n_keys"),
+          expr("element_at(m, 'k')").as("k_val"))
+        .orderBy("event_id")
+    },
+
     // Remaining analytic window functions: lead, first/last value over
     // an explicit frame, ntile — deterministic under the total
     // (ts, event_id) order.
