@@ -22,6 +22,10 @@ import org.apache.spark.sql.DataFrame
 final class ParquetUpsertSink(val path: String, val keyCols: Seq[String]) {
 
   def upsert(batch: DataFrame, batchId: Long): Unit = synchronized {
+    // If a previous swap crashed between its two moves, the store lives
+    // at .bak — restore it BEFORE reading, or this batch would merge
+    // against nothing and the backup would be discarded below.
+    recover()
     // Empty-batch short-circuit (reference A7, spark_consumer_kafka.py:132).
     if (batch.isEmpty) return
     val spark = batch.sparkSession

@@ -41,4 +41,21 @@ class UpsertSinkSpec extends AnyFunSuite {
     sink.recover()
     assert(sink.read(spark).count() == 1)
   }
+
+  test("upsert directly onto a crashed store auto-recovers the backup " +
+    "instead of merging against nothing") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-upsert").toString + "/s"
+    val sink = new ParquetUpsertSink(dir, Seq("k"))
+    sink.upsert(Seq(("a", 1), ("b", 2)).toDF("k", "v"), 0L)
+
+    // Crash window again — but the next call is upsert, not recover.
+    Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir + ".bak"))
+    sink.upsert(Seq(("b", 20)).toDF("k", "v"), 1L)
+
+    val out = sink.read(spark).as[(String, Int)].collect().toMap
+    assert(out == Map("a" -> 1, "b" -> 20))
+  }
 }
