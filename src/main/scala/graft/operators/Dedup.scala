@@ -134,6 +134,53 @@ object Dedup {
       .filter(col("jaccard") >= lit(p.toDouble) / q)
   }
 
+  /** Connected components over a near-dup pair graph — the step that
+    * turns pairs into a dedup decision: every doc in a component maps to
+    * the component's minimum doc_id (the canonical representative; rows
+    * with doc_id == cluster_id are the keepers).
+    *
+    * Pregel-style min-label propagation with path compression: each
+    * iteration takes the per-node min over neighbor labels (one hop),
+    * then shortcuts every label to its label's label (pointer jumping),
+    * so convergence is O(log diameter), not O(diameter). The driver only
+    * checks a convergence flag; the data never leaves the cluster.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .union(pairs.select(col("db").as("a"), col("da").as("b")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "b")
+          .withColumnRenamed("lbl", "nlbl"), "b")
+        .select(col("a").as("id"), col("nlbl").as("lbl"))
+      val hop = labels.select(col("id"), col("lbl"))
+        .union(viaEdges)
+        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+      // Path compression: follow the label pointer one step (labels are
+      // always node ids, so the self-join matches) — halves the
+      // remaining distance to the component minimum each iteration.
+      val next = hop
+        .join(hop.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+          "lbl")
+        .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl"))
+        .persist()
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") < col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** Portable 63-bit SimHash fingerprints per doc (native SimHash63
     * expression over polynomial token hashes — bit-stable across
     * engines; swap the token hash for xxhash64 in production where

@@ -69,6 +69,46 @@ object DedupQueries {
         .orderBy("da", "db")
     },
 
+    // Near-dup clustering: connected components over the verified
+    // minhash pair graph, each doc labeled with its component's min
+    // doc_id (the canonical keeper). Spark: distributed min-label
+    // propagation; oracle: recursive-CTE transitive closure — two
+    // independent algorithms, same fixpoint.
+    QuerySpec("dedup_clusters",
+      s"""WITH RECURSIVE ${TextOps.docShinglesCteD},
+         |inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
+         |rare AS (SELECT s FROM inv GROUP BY s
+         |         HAVING COUNT(*) <= ${Dedup.DfCap}),
+         |pruned AS (SELECT doc_id, s FROM inv
+         |           WHERE s IN (SELECT s FROM rare)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM pruned a JOIN pruned b
+         |    ON a.s = b.s AND a.doc_id < b.doc_id
+         |), p AS (
+         |  SELECT da, db FROM (
+         |    SELECT da, db,
+         |           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |             / len(list_distinct(x.sh || y.sh)) AS jaccard
+         |    FROM cand JOIN d x ON x.doc_id = da JOIN d y ON y.doc_id = db
+         |  ) WHERE jaccard >= 0.8
+         |), edges AS (
+         |  SELECT da AS a, db AS b FROM p
+         |  UNION SELECT db, da FROM p
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |)
+         |SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+         |FROM reach GROUP BY a
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.nearDupClusters(
+        Dedup.minhashNearDupPairs(
+          Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir), 4, 5))
+        .orderBy("doc_id")
+    },
+
     // Portable 63-bit SimHash fingerprints (native SimHash63; oracle
     // computes the identical integer math).
     QuerySpec("simhash",
