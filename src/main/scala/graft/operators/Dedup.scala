@@ -167,12 +167,13 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "b")
           .withColumnRenamed("lbl", "nlbl"), "b")
         .select(col("a").as("id"), col("nlbl").as("lbl"))
-      // hop feeds both sides of the compression self-join — checkpoint
-      // so the propagate stage runs once per iteration, not twice.
+      // hop feeds both sides of the compression self-join; inlined (not
+      // checkpointed) on purpose — the propagate stage computes twice
+      // inside the ONE checkpoint job below, which is cheaper than a
+      // second eager materialization job per iteration.
       val hop = labels.select(col("id"), col("lbl"))
         .union(viaEdges)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
       // Path compression: follow the label pointer one step (labels are
       // always node ids, so the self-join matches) — halves the
       // remaining distance to the component minimum each iteration.
