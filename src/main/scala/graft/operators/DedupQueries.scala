@@ -109,6 +109,51 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // The dedup pipeline's end product: the corpus with non-canonical
+    // near-dup cluster members removed (left-anti join against the
+    // clustering's duplicate set).
+    QuerySpec("dedup_keep",
+      s"""WITH RECURSIVE ${TextOps.docShinglesCteD},
+         |inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
+         |rare AS (SELECT s FROM inv GROUP BY s
+         |         HAVING COUNT(*) <= ${Dedup.DfCap}),
+         |pruned AS (SELECT doc_id, s FROM inv
+         |           WHERE s IN (SELECT s FROM rare)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM pruned a JOIN pruned b
+         |    ON a.s = b.s AND a.doc_id < b.doc_id
+         |), p AS (
+         |  SELECT da, db FROM (
+         |    SELECT da, db,
+         |           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |             / len(list_distinct(x.sh || y.sh)) AS jaccard
+         |    FROM cand JOIN d x ON x.doc_id = da JOIN d y ON y.doc_id = db
+         |  ) WHERE jaccard >= 0.8
+         |), edges AS (
+         |  SELECT da AS a, db AS b FROM p
+         |  UNION SELECT db, da FROM p
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |), dupes AS (
+         |  SELECT a AS doc_id FROM reach
+         |  GROUP BY a HAVING least(a, MIN(b)) != a
+         |)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val clusters = Dedup.nearDupClusters(
+        Dedup.minhashNearDupPairs(
+          Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir), 4, 5))
+      val dupes = clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      t(s, dir, "documents").select("doc_id", "lang")
+        .join(dupes, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+
     // Portable 63-bit SimHash fingerprints (native SimHash63; oracle
     // computes the identical integer math).
     QuerySpec("simhash",
