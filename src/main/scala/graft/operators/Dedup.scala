@@ -118,19 +118,51 @@ object Dedup {
     */
   def minhashNearDupPairs(docs: DataFrame, p: Int, q: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val banded = docs
+    val b = banded(docs)
+    val cand = b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    withJaccard(cand, docs)
+      .filter(col("jaccard") >= lit(p.toDouble) / q)
+  }
+
+  /** Banded (doc_id, band, sig) signatures for LSH candidate joins. */
+  private def banded(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("sh"),
         posexplode(expr(
           "minhash_bands16x2(transform(sh, s -> xxhash64(s)))")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "sig")
       .drop("sh")
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+
+  /** Incremental near-dup detection — the production dedup shape: a new
+    * batch checked against the EXISTING corpus (never corpus×corpus).
+    * The incoming side is banded and broadcast (a day's intake vs a
+    * 100 TB corpus whose band signatures are precomputed and, at scale,
+    * bucketed by (band, sig) so the probe reads only matching buckets);
+    * candidates are verified with exact Jaccard as always, so the output
+    * is independent of the banding hash.
+    *
+    * Input frames are (doc_id, sh) as produced by docShingles. Output:
+    * (new_id, corpus_id, jaccard) with jaccard ≥ p/q.
+    */
+  def incrementalNearDupPairs(corpus: DataFrame, incoming: DataFrame,
+      p: Int, q: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val nb = banded(incoming)
+      .withColumnRenamed("doc_id", "new_id")
+    val cand = banded(corpus).join(broadcast(nb), Seq("band", "sig"))
+      .select(col("new_id"), col("doc_id").as("corpus_id"))
       .distinct()
-    withJaccard(cand, docs)
+    cand
+      .join(incoming.select(col("doc_id").as("new_id"),
+        col("sh").as("sha")), "new_id")
+      .join(corpus.select(col("doc_id").as("corpus_id"),
+        col("sh").as("shb")), "corpus_id")
+      .select(col("new_id"), col("corpus_id"), jaccard.as("jaccard"))
       .filter(col("jaccard") >= lit(p.toDouble) / q)
   }
 

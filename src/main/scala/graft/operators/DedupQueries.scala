@@ -109,6 +109,43 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Incremental dedup — the production shape: a "new batch" (docs
+    // with doc_id % 5 == 0) checked against the existing corpus (the
+    // rest), never corpus×corpus. Candidates from the banded broadcast
+    // join, verified exact; oracle derives the same cross-split pairs
+    // from the exhaustive blocked formulation.
+    QuerySpec("dedup_incremental",
+      s"""WITH ${TextOps.docShinglesCteD},
+         |inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
+         |rare AS (SELECT s FROM inv GROUP BY s
+         |         HAVING COUNT(*) <= ${Dedup.DfCap}),
+         |pruned AS (SELECT doc_id, s FROM inv
+         |           WHERE s IN (SELECT s FROM rare)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM pruned a JOIN pruned b
+         |    ON a.s = b.s AND a.doc_id < b.doc_id
+         |), p AS (
+         |  SELECT da, db FROM (
+         |    SELECT da, db,
+         |           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |             / len(list_distinct(x.sh || y.sh)) AS jaccard
+         |    FROM cand JOIN d x ON x.doc_id = da JOIN d y ON y.doc_id = db
+         |  ) WHERE jaccard >= 0.8
+         |)
+         |SELECT CASE WHEN da % 5 = 0 THEN da ELSE db END AS new_id,
+         |       CASE WHEN da % 5 = 0 THEN db ELSE da END AS corpus_id
+         |FROM p
+         |WHERE (da % 5 = 0) != (db % 5 = 0)
+         |ORDER BY new_id, corpus_id""".stripMargin) { (s, dir) =>
+      val sh = Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir)
+      Dedup.incrementalNearDupPairs(
+        corpus = sh.filter(col("doc_id") % 5 =!= 0),
+        incoming = sh.filter(col("doc_id") % 5 === 0), 4, 5)
+        .select("new_id", "corpus_id")
+        .orderBy("new_id", "corpus_id")
+    },
+
     // The dedup pipeline's end product: the corpus with non-canonical
     // near-dup cluster members removed (left-anti join against the
     // clustering's duplicate set).

@@ -18,6 +18,24 @@ class DedupClustersSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("incremental dedup equals the cross-split restriction of the " +
+    "full pair scan") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val sh = Dedup.docShingles(graft.Tables.t(spark,
+      "/root/testdata/sf0.001", "documents"))
+    val inc = Dedup.incrementalNearDupPairs(
+      corpus = sh.filter(col("doc_id") % 5 =!= 0),
+      incoming = sh.filter(col("doc_id") % 5 === 0), 4, 5)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashNearDupPairs(sh, 4, 5)
+      .select("da", "db").as[(Long, Long)].collect()
+      .filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b) => if (a % 5 == 0) (a, b) else (b, a) }.toSet
+    assert(inc == full && inc.nonEmpty)
+  }
+
   test("a long chain converges within the iteration cap") {
     val spark = TestSpark.spark
     import spark.implicits._
