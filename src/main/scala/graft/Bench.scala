@@ -55,23 +55,47 @@ object Bench {
     val selected = if (args.nonEmpty)
       args.toSeq.flatMap(a => SparkEntry.specs.find(_.name == a))
     else SparkEntry.specs
-    val results = selected.map { spec =>
+    // Steady-state mode: SPARK_GRAFT_BENCH_REPEAT=n (n ≥ 2) runs each
+    // query n times and reports cold (first run — the driver-protocol
+    // number) plus median-warm (runs 2..n — host-load-resistant;
+    // BASELINE.md documents 33-80 s full-suite cold variance under
+    // neighbor load). Memoized dedup intermediates make warm numbers
+    // for the dedup chain reflect the cached pipeline by design.
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
+      .flatMap(_.toIntOption).filter(_ >= 2)
+    def timeOnce(spec: QuerySpec): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { spec.fn(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] ${spec.name} FAILED: ${e.getMessage}")
-            false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] ${spec.name} ${if (ok) f"$dt%.2f" else "FAIL"}s")
-      spec.name -> (if (ok) dt else -1.0)
+      try { spec.fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ${spec.name} FAILED: ${e.getMessage}")
+          -1.0
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = selected.map { spec =>
+      val cold = timeOnce(spec)
+      val warm = repeat match {
+        case Some(n) if cold >= 0 =>
+          val reps = Seq.fill(n - 1)(timeOnce(spec)).filter(_ >= 0).sorted
+          if (reps.isEmpty) None else Some(reps(reps.size / 2))
+        case _ => None
+      }
+      val w = warm.map(v => f" warm $v%.2f").getOrElse("")
+      System.err.println(
+        f"[bench] ${spec.name} ${if (cold >= 0) f"$cold%.2f" else "FAIL"}s$w")
+      (spec.name, cold, warm)
+    }
+    def j(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = j(results.map { case (k, v, _) => (k, v) })
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val warmPart = if (repeat.isDefined) {
+      val wq = j(results.collect { case (k, _, Some(w)) => (k, w) })
+      val wt = results.collect { case (_, _, Some(w)) => w }.sum
+      s""","warm_total":$wt,"queries_warm":$wq"""
+    } else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$warmPart,"sf":"$sfDir"}""")
+    operators.Dedup.clearCaches(spark)
     spark.stop()
   }
 }

@@ -12,8 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // Reference semantics are PySpark 3.5 (pre-ANSI): null-on-bad-cast,
-      // PERMISSIVE from_json (spark_consumer_kafka.py:65-74).
-      .config("spark.sql.ansi.enabled", "false")
+      // PERMISSIVE from_json (spark_consumer_kafka.py:65-74). Spark 4
+      // defaults ANSI on; SPARK_GRAFT_ANSI=true runs the suite under
+      // ANSI for the production-mode sweep recorded in ANSI.md.
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -40,6 +43,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Release memoized dedup intermediates (persisted DataFrames) —
+    // CacheLifecycleSpec asserts no persistent RDDs survive this.
+    operators.Dedup.clearCaches(spark)
     spark.stop()
   }
 }

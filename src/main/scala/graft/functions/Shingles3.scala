@@ -56,6 +56,15 @@ object Shingles3 {
   /** Public so generated code can call it. */
   def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
+    // Enforce the no-nulls contract instead of silently diverging from
+    // the HOF formulation (concatWs would skip a null and emit a wrong
+    // 2-token shingle where the HOF chain yields null).
+    var c = 0
+    while (c < n) {
+      if (arr.isNullAt(c)) throw new IllegalArgumentException(
+        "shingles3: null token (input contract is non-null elements)")
+      c += 1
+    }
     if (n < 3) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
     var i = 0

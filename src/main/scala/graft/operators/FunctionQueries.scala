@@ -110,8 +110,8 @@ object FunctionQueries {
     // to a string for the comparator (array cells are unhashable there).
     QuerySpec("map_ops",
       """SELECT event_id,
-        |       'k' AS keys_str,
-        |       1 AS n_keys,
+        |       array_to_string(json_keys(props), ',') AS keys_str,
+        |       CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
         |       CAST(props->>'k' AS INTEGER) AS k_val
         |FROM events WHERE (props->>'k') IS NOT NULL
         |ORDER BY event_id""".stripMargin) { (s, dir) =>

@@ -61,9 +61,14 @@ final class ParquetUpsertSink(val path: String, val keyCols: Seq[String]) {
       Files.move(bak, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Current store contents (for assertions / downstream reads). */
-  def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
+  /** Current store contents (for assertions / downstream reads). A
+    * post-crash read before any upsert must also see the .bak backup,
+    * so recover (idempotent, synchronized) first.
+    */
+  def read(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    recover()
     spark.read.parquet(path)
+  }
 
   private def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)

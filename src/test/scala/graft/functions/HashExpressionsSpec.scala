@@ -32,6 +32,26 @@ class HashExpressionsSpec extends AnyFunSuite {
     out.foreach { case (th, s) => assert(s == model63(th)) }
   }
 
+  test("simhash63 over string tokens ≡ interpreted per-char HOF hash " +
+    "then simhash63 over hashes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      "the quick brown fox", "lorem ipsum dolor sit amet", "a", "",
+      "numbers 123 and 456 mixed", "zzz zzz zzz").toDF("text")
+      .selectExpr(
+        "filter(split(text, ' '), x -> x != '') AS toks")
+    val out = docs.selectExpr(
+      "simhash63(toks) AS direct",
+      """simhash63(transform(toks, t ->
+        |  aggregate(split(t, ''), 0L,
+        |    (a, c) -> (a * 31 + ascii(c)) % 1000000007))) AS viaHof"""
+        .stripMargin)
+      .as[(Long, Long)].collect()
+    out.foreach { case (d, h) => assert(d == h) }
+  }
+
   test("minhash_bands16x2: 16 signatures, deterministic, similarity-monotone") {
     val spark = TestSpark.spark
     import spark.implicits._
