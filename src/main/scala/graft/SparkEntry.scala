@@ -15,7 +15,8 @@ object SparkEntry {
   val specs: Seq[QuerySpec] =
     CoreQueries.all ++ FlagshipQueries.all ++ AnalyticQueries.all ++
       RelationalQueries.all ++ FunctionQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all
+      DedupQueries.all ++ SimilarityQueries.all ++ PipelineQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference-analog plan: parse → filter → tumbling-window

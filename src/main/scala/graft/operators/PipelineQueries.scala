@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Declared corpus-preparation queries — thin oracle-checked wrappers
+  * over the public graft.operators.Pipeline API (decontamination,
+  * deterministic splits, sequence packing, TF-IDF).
+  */
+object PipelineQueries {
+
+  import Tables.t
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // Benchmark decontamination: the "eval set" is the deterministic
+    // doc_id % 97 slice; corpus docs sharing ≥ 1 shingle with it are
+    // reported with their overlap count, flagged at ≥ 5 (overlap
+    // distribution at sf0.1: 4636 docs ≥ 1, 2285 ≥ 5).
+    QuerySpec("decontaminate",
+      s"""WITH ${TextOps.docShinglesCteD},
+         |bench AS (SELECT DISTINCT unnest(sh) AS s FROM d
+         |          WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT doc_id, unnest(sh) AS s FROM d
+         |           WHERE doc_id % 97 != 0)
+         |SELECT doc_id, COUNT(*) AS n_overlap,
+         |       COUNT(*) >= 5 AS contaminated
+         |FROM corpus WHERE s IN (SELECT s FROM bench)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Pipeline.decontaminate(
+        Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir),
+        col("doc_id") % 97 === 0, minOverlap = 5)
+        .orderBy("doc_id")
+    },
+
+    // Deterministic train/val/test split (Knuth multiplicative hash on
+    // doc_id, 80/10/10), reported as per-(split, lang) counts — the
+    // stratification check a pipeline runs after splitting.
+    QuerySpec("hash_split",
+      """SELECT split, lang, COUNT(*) AS n FROM (
+        |  SELECT CASE WHEN b < 800 THEN 'train'
+        |              WHEN b < 900 THEN 'val'
+        |              ELSE 'test' END AS split, lang
+        |  FROM (SELECT ((doc_id * 2654435761) % 4294967296) % 1000 AS b,
+        |               lang
+        |        FROM documents))
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            Pipeline.splitName(Pipeline.splitBucket(col("doc_id")))
+              .as("split"),
+            col("lang"))
+          .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+          .orderBy("split", "lang")
+    },
+
+    // Token-budget sequence packing: per-lang exclusive prefix sums
+    // assign each doc to its 2048-token training sequence.
+    QuerySpec("seq_pack",
+      s"""SELECT doc_id, lang, n_tok, tok_offset,
+         |       CAST(floor(tok_offset / 2048) AS BIGINT) AS bin
+         |FROM (
+         |  SELECT doc_id, lang, CAST(len(toks) AS INTEGER) AS n_tok,
+         |         CAST(COALESCE(SUM(len(toks)) OVER (
+         |           PARTITION BY lang ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS BIGINT) AS tok_offset
+         |  FROM (SELECT doc_id, lang, ${TextOps.toksD} AS toks
+         |        FROM documents)
+         |) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Pipeline.packSequences(t(s, dir, "documents"), cap = 2048)
+        .orderBy("doc_id")
+    },
+
+    // Top-3 TF-IDF terms per doc (rational idf — see Pipeline scaladoc
+    // for the bit-portability rationale).
+    QuerySpec("tfidf_topk",
+      s"""WITH t AS (SELECT doc_id, unnest(${TextOps.toksD}) AS term
+         |           FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+         |       GROUP BY doc_id, term),
+         |dfq AS (SELECT term, COUNT(*) AS df
+         |        FROM (SELECT DISTINCT doc_id, term FROM t)
+         |        GROUP BY term),
+         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM t),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         |         tf.tf * (CAST(nd.n_docs AS DOUBLE) / dfq.df) AS score
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN nd)
+         |SELECT doc_id, term, tf, df, CAST(rk AS INTEGER) AS rk, score
+         |FROM (
+         |  SELECT doc_id, term, tf, df, score, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+         |  FROM scored)
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+      Pipeline.tfIdfTopK(t(s, dir, "documents"), k = 3)
+        .orderBy("doc_id", "rk")
+    }
+  )
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of the corpus-preparation operators beyond the oracle
+  * gate: plan shapes (what must broadcast), split determinism and
+  * proportions, packing invariants.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  private def docs = Dedup.docShingles(
+    graft.Tables.t(TestSpark.spark, "/root/testdata/sf0.001", "documents"))
+
+  test("decontaminate broadcasts the benchmark side; corpus never " +
+    "self-joins") {
+    val out = Pipeline.decontaminate(docs, col("doc_id") % 97 === 0, 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "benchmark shingles must broadcast")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"))
+    // Overlap counts are positive by construction and the flag obeys
+    // the threshold.
+    val rows = out.select("n_overlap", "contaminated")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1)
+      assert(r.getBoolean(1) == (r.getLong(0) >= 5))
+    }
+  }
+
+  test("hash split is deterministic, partition-stable, and ~80/10/10") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ids = (0L until 10000L).toDF("doc_id")
+    val split = ids.select(col("doc_id"),
+      Pipeline.splitName(Pipeline.splitBucket(col("doc_id"))).as("split"))
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") - 8000L) < 200)
+    assert(math.abs(counts("val") - 1000L) < 150)
+    assert(math.abs(counts("test") - 1000L) < 150)
+    // Stable under repartitioning (rand()-based splits are not).
+    val again = ids.repartition(7).select(col("doc_id"),
+      Pipeline.splitName(Pipeline.splitBucket(col("doc_id"))).as("split"))
+    assert(split.exceptAll(again).isEmpty)
+  }
+
+  test("seq_pack: bins are contiguous per group and no bin starts " +
+    "past its budget") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val out = Pipeline.packSequences(
+      graft.Tables.t(spark, "/root/testdata/sf0.001", "documents"), 2048)
+      .as[(Long, String, Int, Long, Long)].collect()
+    val byLang = out.groupBy(_._2)
+    byLang.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      // Offsets are exclusive prefix sums in doc_id order.
+      var run = 0L
+      sorted.foreach { case (_, _, nTok, off, bin) =>
+        assert(off == run)
+        assert(bin == off / 2048)
+        run += nTok
+      }
+      // Bin ids are non-decreasing and gap-free.
+      val bins = sorted.map(_._5)
+      assert(bins.sameElements(bins.sorted))
+      assert(bins.distinct.sameElements(bins.min to bins.max))
+    }
+  }
+
+  test("tfidf: df/N sides broadcast and per-doc ranks are 1..k") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val out = Pipeline.tfIdfTopK(
+      graft.Tables.t(spark, "/root/testdata/sf0.001", "documents"), 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), "scalar N must broadcast")
+    val ranks = out.groupBy("doc_id")
+      .agg(collect_list(col("rk")).as("rks"))
+      .select("rks").as[Seq[Int]].collect()
+    ranks.foreach(rks => assert(rks.sorted == (1 to rks.size).toList))
+  }
+}
