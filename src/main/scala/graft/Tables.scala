@@ -23,6 +23,10 @@ object Tables {
     * agrees.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Every declared query loads through here, so this is the one
+    // choke point that guarantees graft's native functions (norm_tokens
+    // etc. in TextOps fragments) resolve in any session. Idempotent.
+    functions.GraftFunctions.register(spark)
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")

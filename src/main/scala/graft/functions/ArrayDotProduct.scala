@@ -82,22 +82,41 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   * the stable public route across Spark 4's Column API changes.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_dot",
-      exprs => ArrayDotProduct(exprs.head, exprs(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash63",
-      exprs => SimHash63(exprs.head),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_bands16x2",
-      exprs => MinHashBands(exprs.head, 16, 2),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingles3",
-      exprs => Shingles3(exprs.head),
-      "built-in")
+
+  // Idempotency guard: registration is called from every query entry
+  // point (Tables.t), and re-registering logs a replacement WARN per
+  // function per call otherwise.
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  def register(spark: SparkSession): Unit = synchronized {
+    if (!registered.contains(spark)) {
+      registered.add(spark)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "array_dot",
+        exprs => ArrayDotProduct(exprs.head, exprs(1)),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "simhash63",
+        exprs => SimHash63(exprs.head),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "minhash_bands16x2",
+        exprs => MinHashBands(exprs.head, 16, 2),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "shingles3",
+        exprs => Shingles3(exprs.head),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "norm_text",
+        exprs => NormText(exprs.head),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "norm_tokens",
+        exprs => NormTokens(exprs.head),
+        "built-in")
+    }
   }
 }

@@ -13,11 +13,21 @@ object TextOps {
 
   // ---- Spark SQL expression fragments (input column: text) ----
 
-  val normS: String =
+  /** Regex/HOF formulations — the definitional baseline. The declared
+    * queries use the native single-pass expressions below instead
+    * (graft.functions.NormText/NormTokens, registered via Tables.t);
+    * TextOpsSpec asserts the two formulations are equal on the corpus
+    * and on adversarial inputs, so swapping was output-neutral.
+    */
+  val normHofS: String =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), " +
       "' +', ' '))"
 
-  val toksS: String = s"filter(split($normS, ' '), x -> x != '')"
+  val toksHofS: String = s"filter(split($normHofS, ' '), x -> x != '')"
+
+  val normS: String = "norm_text(text)"
+
+  val toksS: String = "norm_tokens(text)"
 
   /** Distinct 3-word shingles; empty typed array below 3 tokens.
     *
