@@ -90,6 +90,42 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Content-exact dedup annotation: per doc, the normalized-text md5
+    // plus keep flags for two content keys — the full digest (the
+    // canonical byte-identical first dedup stage; 8 dups at sf0.1) and
+    // a 60-char normalized prefix (boilerplate-prefix duplicates; ~5%
+    // of docs at every SF, so the keep/drop logic is differentiated at
+    // the sf0.01 gate too). Keeper = lowest doc_id per key. The
+    // hash-groupBy shape shuffles digest+id only, never document
+    // bodies; downstream filters on the flag it wants.
+    QuerySpec("dedup_content",
+      s"""SELECT doc_id, h,
+         |       rn_full = 1 AS keep_exact,
+         |       rn_pre = 1 AS keep_prefix
+         |FROM (
+         |  SELECT doc_id, h,
+         |         row_number() OVER (PARTITION BY h
+         |                            ORDER BY doc_id) AS rn_full,
+         |         row_number() OVER (PARTITION BY hp
+         |                            ORDER BY doc_id) AS rn_pre
+         |  FROM (SELECT doc_id, md5(norm) AS h,
+         |               md5(substring(norm, 1, 60)) AS hp
+         |        FROM (SELECT doc_id, ${TextOps.normD} AS norm
+         |              FROM documents))
+         |) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byH = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      val byHp = Window.partitionBy(col("hp")).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("norm", expr(TextOps.normS))
+        .select(col("doc_id"), expr("md5(norm)").as("h"),
+          expr("md5(substring(norm, 1, 60))").as("hp"))
+        .select(col("doc_id"), col("h"),
+          (row_number().over(byH) === 1).as("keep_exact"),
+          (row_number().over(byHp) === 1).as("keep_prefix"))
+        .orderBy("doc_id")
+    },
+
     // Exact n-gram Jaccard ≥ 0.3 over blocked candidates.
     QuerySpec("ngram_jaccard", pairsOracle("0.3")) { (s, dir) =>
       Dedup.nearDupPairs(
