@@ -45,6 +45,41 @@ object StreamOps {
       expr(s"$leftKey = $rightKey AND $rts >= $lts " +
         s"AND $rts <= $lts + INTERVAL $within"))
 
+  /** Streaming incremental near-dup detection — the intake-time dedup
+    * gate of a corpus pipeline: a stream of incoming documents
+    * (doc_id, text) is checked against a STATIC banded corpus, each
+    * micro-batch through the exact batch operator
+    * (Dedup.incrementalNearDupPairs) via foreachBatch, so stream and
+    * batch semantics are identical by construction (the spec asserts
+    * union-of-batches ≡ one batch run). `onMatches` receives each
+    * batch's verified (new_id, corpus_id, jaccard) pairs — production
+    * would anti-join intake on it before admitting documents.
+    *
+    * foreachBatch (not a streaming join) is the right tool: candidate
+    * dedup + the jaccard-verify aggregate are multi-shuffle batch
+    * shapes that streaming append mode cannot express without
+    * watermark-bounded state it does not need — the corpus side is
+    * static and each micro-batch is self-contained.
+    */
+  def streamingNearDup(incoming: DataFrame, corpusShingles: DataFrame,
+      p: Int, q: Int, checkpointDir: String)(
+      onMatches: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.functions.GraftFunctions.register(incoming.sparkSession)
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val batchShingles = batch
+          .withColumn("sh", expr("shingles3(norm_tokens(text))"))
+          .select(col("doc_id"), col("sh"))
+          .filter(size(col("sh")) > 0)
+        onMatches(graft.operators.Dedup.incrementalNearDupPairs(
+          corpusShingles, batchShingles, p, q), batchId)
+      }
+      .start()
+  }
+
   final case class SessionEvent(key: String, ts: java.sql.Timestamp)
 
   final case class SessionSummary(key: String, start: java.sql.Timestamp,

@@ -125,4 +125,44 @@ class StreamOpsSpec extends AnyFunSuite {
       ts("2024-01-01 00:01:30"), 2L)))
     // The second run (00:05:30) is still open in state — not emitted.
   }
+
+  test("streamingNearDup over micro-batches equals one batch run of the " +
+    "incremental dedup operator") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val corpusShingles = Dedup.docShingles(docs)
+      .filter(col("doc_id") % 2 =!= 0)
+    val incomingDocs = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+
+    val collected =
+      scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    val src = MemoryStream[(Long, String)](spark)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-sndd").toString
+    val q = StreamOps.streamingNearDup(
+      src.toDF().toDF("doc_id", "text"), corpusShingles, 4, 5, ckpt) {
+      (matches, _) =>
+        collected ++= matches.select("new_id", "corpus_id")
+          .as[(Long, Long)].collect()
+    }
+    // Two micro-batches covering the whole incoming split.
+    val (b1, b2) = incomingDocs.splitAt(incomingDocs.size / 2)
+    src.addData(b1: _*)
+    q.processAllAvailable()
+    src.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val oneShot = Dedup.incrementalNearDupPairs(
+      corpusShingles, Dedup.docShingles(docs)
+        .filter(col("doc_id") % 2 === 0), 4, 5)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(collected.toSet == oneShot && oneShot.nonEmpty)
+  }
 }
