@@ -66,6 +66,38 @@ object Soak {
     println(s"""{"metric":"soak","n_copies":$n,"docs":$nDocs,""" +
       s""""pairs":$nPairs,"clusters":$nClusters,""" +
       s""""sec_shingle":$tShingle,"sec_pairs":$tPairs,"sec_cc":$tCC}""")
+
+    // ANN soak: amplify the embedding corpus the same way (vec_id
+    // offsets; queries = the original vec_id < 500) and compare exact
+    // brute-force top-k against IVF at a realistic query-batch size.
+    // Brute does queries×corpus dot products; IVF does corpus×centroids
+    // (assignment) + queries×corpus×(nProbe/nCentroids) (probes) — with
+    // 500 queries and 4/32 probing that's ~6× fewer dots, and the gap
+    // widens linearly with the query count. (With a handful of queries
+    // brute wins: assignment then costs more than the whole scan —
+    // which is why ivf_ann's fixture-scale bench number is not the
+    // scale story.)
+    val NQ = 500
+    val annN = sys.env.getOrElse("SPARK_GRAFT_SOAK_ANN_N", n.toString).toInt
+    val eBase = Tables.t(spark, srcDir, "embeddings")
+      .select("vec_id", "embedding")
+    val amplified = (0 until annN).map(k => eBase
+        .filter(if (k == 0) lit(true) else col("vec_id") >= NQ)
+        .withColumn("vec_id", col("vec_id") + lit(k * 10000000L)))
+      .reduce(_ unionByName _)
+    amplified.write.mode("overwrite")
+      .parquet(s"$soakDir/embeddings.parquet")
+    val e = operators.Similarity.prepared(
+      Tables.t(spark, soakDir, "embeddings"))
+    val (nBrute, tBrute) = timed {
+      operators.Similarity.cosineTopK(e, NQ, 10).count()
+    }
+    val (nIvf, tIvf) = timed {
+      operators.Similarity.ivfTopK(e, NQ, 32, 4, 10).count()
+    }
+    println(s"""{"metric":"soak_ann","n_copies":$annN,""" +
+      s""""vecs":${amplified.count()},"brute_rows":$nBrute,""" +
+      s""""ivf_rows":$nIvf,"sec_brute":$tBrute,"sec_ivf":$tIvf}""")
     operators.Dedup.clearCaches(spark)
     spark.stop()
   }

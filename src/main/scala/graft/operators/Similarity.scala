@@ -113,13 +113,19 @@ object Similarity {
     val corpus = e.filter(col("vec_id") >= nQueries)
       .select(col("vec_id").as("n_id"), col("v").as("cv"),
         col("nrm").as("cn"))
-    val assigned = corpus.crossJoin(broadcast(cent))
+    // Argmax carries ONLY (csim, -cid): dragging the 64-dim vector
+    // through the max(struct(...)) aggregation buffers copies the
+    // payload array once per (corpus row × centroid) update — measured
+    // 1.7× slower than brute force at 30k vecs × 32 centroids before
+    // the payload was split out. The vector re-attaches afterwards by
+    // joining corpus on n_id (both sides hash-partition on n_id — at
+    // scale a cid-bucketed layout removes even that).
+    val bestCid = corpus.crossJoin(broadcast(cent))
       .withColumn("csim", expr("array_dot(cv, centv) / (cn * centn)"))
       .groupBy(col("n_id"))
-      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"), col("cv"),
-        col("cn"))).as("m"))
-      .select(col("n_id"), (-col("m.ncid")).as("cid"), col("m.cv").as("cv"),
-        col("m.cn").as("cn"))
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("n_id"), (-col("m.ncid")).as("cid"))
+    val assigned = corpus.join(bestCid, "n_id")
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
