@@ -73,6 +73,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Corpus balancing: deterministic per-language downsampling via the
+    // same multiplicative-hash buckets as hash_split — 'en' (the
+    // over-represented language) keeps a 50% quota, everything else
+    // passes through. Per-row expression, no shuffle except the final
+    // count; reproducible under repartitioning, unlike rand() sampling.
+    QuerySpec("downsample",
+      """SELECT lang, COUNT(*) AS n_kept FROM (
+        |  SELECT lang,
+        |         ((doc_id * 2654435761) % 4294967296) % 1000 AS b
+        |  FROM documents)
+        |WHERE b < (CASE WHEN lang = 'en' THEN 500 ELSE 1000 END)
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("b", Pipeline.splitBucket(col("doc_id")))
+        .filter(col("b") <
+          when(col("lang") === "en", 500).otherwise(1000))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    },
+
     // Top-3 TF-IDF terms per doc (rational idf — see Pipeline scaladoc
     // for the bit-portability rationale).
     QuerySpec("tfidf_topk",
