@@ -77,6 +77,28 @@ object Pipeline {
       .select("doc_id", "lang", "n_tok", "tok_offset", "bin")
   }
 
+  /** Percentile-based length outlier removal — the quality-filter stage
+    * that drops truncated fragments and runaway concatenations: keep
+    * documents whose token count lies within the per-language
+    * [p05, p95] band. The per-lang bounds reduce to a languages-sized
+    * table and BROADCAST; the corpus streams once through the band
+    * filter (the exact-percentile groupBy is one shuffle of (lang,
+    * n_tok) pairs — at 100 TB swap in approx_percentile to keep the
+    * bound computation single-pass-mergeable, same plan shape).
+    */
+  def lengthFilter(docs: DataFrame, lo: Double, hi: Double): DataFrame = {
+    val d = docs
+      .withColumn("toks", expr(toksS))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).as("n_tok"))
+    val bounds = d.groupBy("lang").agg(
+      expr(s"percentile(n_tok, $lo)").as("p_lo"),
+      expr(s"percentile(n_tok, $hi)").as("p_hi"))
+    d.join(broadcast(bounds), "lang")
+      .filter(col("n_tok") >= col("p_lo") && col("n_tok") <= col("p_hi"))
+      .select("doc_id", "lang", "n_tok")
+  }
+
   /** Top-k TF-IDF terms per document. IDF is the rational N/df rather
     * than log(N/df): rank-equivalent per document (log is monotone),
     * and exact-deterministic IEEE arithmetic in any engine, where

@@ -93,6 +93,24 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
+    // Quality filtering: drop per-language token-count outliers outside
+    // the exact [p05, p95] band (Spark percentile ≡ DuckDB
+    // quantile_cont — parity established by percentile_agg).
+    QuerySpec("length_filter",
+      s"""WITH d AS (SELECT doc_id, lang,
+         |            CAST(len(${TextOps.toksD}) AS INTEGER) AS n_tok
+         |            FROM documents),
+         |b AS (SELECT lang, quantile_cont(n_tok, 0.05) AS p_lo,
+         |             quantile_cont(n_tok, 0.95) AS p_hi
+         |      FROM d GROUP BY lang)
+         |SELECT doc_id, lang, n_tok
+         |FROM d JOIN b USING (lang)
+         |WHERE n_tok >= p_lo AND n_tok <= p_hi
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Pipeline.lengthFilter(t(s, dir, "documents"), 0.05, 0.95)
+        .orderBy("doc_id")
+    },
+
     // Top-3 TF-IDF terms per doc (rational idf — see Pipeline scaladoc
     // for the bit-portability rationale).
     QuerySpec("tfidf_topk",
