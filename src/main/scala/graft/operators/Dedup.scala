@@ -1,7 +1,5 @@
 package graft.operators
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -15,14 +13,14 @@ import org.apache.spark.sql.functions._
   * band-bucket candidates with a bucket-size cap, exact-Jaccard
   * verification so outputs are hash-independent.
   *
-  * Expensive intermediates (shingle sets, verified pair sets, cluster
-  * labels) are memoized per (session, cacheKey): the dedup operators
-  * compose — `dedupKeep` consumes `clusters` consumes `verifiedPairs`
-  * consumes `docShingles` — and without memoization each declared query
-  * re-runs the whole upstream pipeline. Caches are bounded to ONE live
-  * key per session (only one corpus dir is active per process; inserting
-  * a different key evicts + unpersists the old entry) and released by
-  * `clearCaches`.
+  * Expensive intermediates (shingle sets, band signatures, verified
+  * pair sets, cluster labels) are memoized per (session, cacheKey) via
+  * graft.operators.Memo: the dedup operators compose — `dedupKeep`
+  * consumes `clusters` consumes `verifiedPairs` consumes `docShingles`
+  * — and without memoization each declared query re-runs the whole
+  * upstream pipeline. Caches are bounded to ONE live key per session
+  * and released by `clearCaches`; see Memo for the invalidation
+  * contract (returned frames die with their cache entry).
   */
 object Dedup {
 
@@ -34,74 +32,36 @@ object Dedup {
     */
   val DfCap = 25
 
-  /** Max docs per LSH (band, sig) bucket expanded into candidate pairs.
-    * A skewed bucket (boilerplate-heavy corpora produce them) otherwise
-    * degenerates to B²/2 pairs in one task; the cap bounds per-group
-    * expansion to BandCap²/2. Recall cost is negligible: a dropped
-    * bucket's true pairs still collide in any of the other 15 bands
-    * (miss probability (1−j²)^16 per pair, < 1e-11 at j ≥ 0.9).
+  /** Max docs per LSH (band, sig) bucket expanded into full pairwise
+    * candidates. A skewed bucket (boilerplate-heavy corpora produce
+    * them) otherwise degenerates to B²/2 pairs in one task; under the
+    * cap, per-group expansion is bounded by BandCap²/2. Buckets OVER
+    * the cap are not dropped — near-identical docs have identical
+    * minhash sigs in EVERY band (bands are fully correlated for j≈1,
+    * so "another band catches it" does not hold) — they emit a bounded
+    * STAR instead: the bucket's min id paired with each other member
+    * (B−1 pairs, linear). The star preserves cluster connectivity
+    * (every member links to the min), so clustering/dedupKeep are
+    * unaffected; the standalone pairs query trades pair-level recall
+    * inside over-cap buckets for bounded expansion.
     */
   val BandCap = 100
 
-  // ---- Memoized intermediates (bounded: one live cacheKey/session) ----
-
-  private val shingleCache =
-    mutable.Map.empty[(SparkSession, String), DataFrame]
-  private val pairCache =
-    mutable.Map.empty[(SparkSession, String), DataFrame]
-  private val clusterCache =
-    mutable.Map.empty[(SparkSession, String), DataFrame]
-
-  /** The materialized RDDs behind a localCheckpoint'ed plan —
-    * Dataset.unpersist only releases CacheManager entries, so checkpoint
-    * storage must be dropped at the RDD level.
+  /** Backwards-compatible alias: release every memoized intermediate
+    * (shingles, bands, pairs, clusters, term tables). See Memo.
     */
-  private def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }
-
-  private def release(df: DataFrame, blocking: Boolean): Unit = {
-    df.unpersist(blocking)
-    checkpointRdds(df).foreach(_.unpersist(blocking))
-  }
-
-  private def memo(cache: mutable.Map[(SparkSession, String), DataFrame],
-      spark: SparkSession, key: String, persistIt: Boolean)(
-      build: => DataFrame): DataFrame = synchronized {
-    if (key.isEmpty) build
-    else cache.getOrElse((spark, key), {
-      // Bound the cache: evict (and unpersist) other keys of this
-      // session before inserting — only one corpus dir is live at a
-      // time, and persisted storage would otherwise leak for the life
-      // of the session.
-      cache.keys.filter(k => k._1 == spark && k._2 != key).toList
-        .foreach(k => cache.remove(k).foreach(release(_, blocking = false)))
-      val df = if (persistIt) build.persist() else build
-      cache((spark, key)) = df
-      df
-    })
-  }
-
-  /** Unpersist and drop every memoized DataFrame of `spark` (all
-    * sessions when null), including localCheckpoint storage behind the
-    * cluster labels. Call at the end of a Verify/Bench run; a test
-    * asserts no persisted RDDs remain after this.
-    */
-  def clearCaches(spark: SparkSession = null): Unit = synchronized {
-    Seq(shingleCache, pairCache, clusterCache).foreach { cache =>
-      cache.keys.filter(k => spark == null || k._1 == spark).toList
-        .foreach(k => cache.remove(k).foreach(release(_, blocking = true)))
-    }
-  }
+  def clearCaches(spark: SparkSession = null): Unit =
+    Memo.clearCaches(spark)
 
   /** (doc_id, sh) with non-empty distinct 3-word shingle sets, computed
     * once per (session, cache key): tokenization is CPU-bound and every
     * dedup operator consumes the same sets. See TextOps.shinglesS for the
-    * HOF eval-cost rules this obeys.
+    * HOF eval-cost rules this obeys. With an empty cacheKey the frame is
+    * still persisted (withJaccard consumes it twice) but not cached —
+    * the caller owns the unpersist.
     */
   def docShingles(df: DataFrame, cacheKey: String = ""): DataFrame =
-    memo(shingleCache, df.sparkSession, cacheKey, persistIt = true) {
+    Memo.memo("shingles", df.sparkSession, cacheKey, persistIt = true) {
       graft.functions.GraftFunctions.register(df.sparkSession)
       val p = df.sparkSession.sparkContext.defaultParallelism
       df.repartition(p, col("doc_id"))
@@ -176,43 +136,69 @@ object Dedup {
       .filter(col("jaccard") >= lit(p.toDouble) / q)
   }
 
+  /** Over-cap bucket fallback: a bounded star — the (sorted) bucket's
+    * min id paired with every other member, B−1 pairs, linear in bucket
+    * size. See BandCap for why over-cap buckets must not be dropped.
+    */
+  private val starPairs: String =
+    """transform(slice(ids, 2, size(ids) - 1),
+      |  y -> named_struct('da', element_at(ids, 1), 'db', y))""".stripMargin
+
   /** MinHash-LSH verified near-dup pairs: band-bucket candidates
     * (native MinHashBands expression, 16 bands × 2 rows) verified with
     * exact Jaccard ≥ p/q — output independent of the banding hash.
     *
-    * Candidate generation groups the banded table by (band, sig),
-    * drops buckets larger than BandCap, and expands combinations
-    * locally — the same bounded-expansion shape as nearDupPairs, never
-    * an uncapped bucket self-join (one hot bucket of B docs would
-    * otherwise emit B²/2 rows into a single reducer at scale).
+    * Candidate generation groups the banded table by (band, sig) and
+    * expands combinations locally — the same bounded-expansion shape as
+    * nearDupPairs, never an uncapped bucket self-join: buckets within
+    * BandCap expand fully (≤ BandCap²/2 pairs per group), buckets over
+    * it emit the bounded star (B−1 pairs; connectivity preserved, see
+    * BandCap).
     *
-    * Memoized per (session, cacheKey): clustering and corpus
+    * Memoized per (session, cacheKey, p, q): clustering and corpus
     * materialization reuse the verified pair set instead of re-banding.
     */
   def minhashNearDupPairs(docs: DataFrame, p: Int, q: Int,
       cacheKey: String = ""): DataFrame =
-    memo(pairCache, docs.sparkSession, cacheKey, persistIt = true) {
-      graft.functions.GraftFunctions.register(docs.sparkSession)
-      val cand = banded(docs)
+    Memo.memo("pairs", docs.sparkSession,
+      if (cacheKey.isEmpty) "" else s"$cacheKey|p=$p|q=$q",
+      persistIt = true) {
+      val cand = bandSignatures(docs, cacheKey)
         .groupBy("band", "sig")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")).between(2, BandCap))
-        .select(explode(expr(expandPairs)).as("pr"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(expr(
+          s"if(size(ids) <= $BandCap, $expandPairs, $starPairs)")).as("pr"))
         .select(col("pr.da").as("da"), col("pr.db").as("db"))
         .distinct()
       withJaccard(cand, docs)
         .filter(col("jaccard") >= lit(p.toDouble) / q)
     }
 
-  /** Banded (doc_id, band, sig) signatures for LSH candidate joins. */
-  private def banded(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), col("sh"),
-        posexplode(expr(
-          "minhash_bands16x2(transform(sh, s -> xxhash64(s)))")))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "sig")
-      .drop("sh")
+  /** Banded (doc_id, band, sig) signatures for LSH candidate joins,
+    * memoized per (session, cacheKey) — the minhash pass over the
+    * shingle sets is the CPU-heavy half of candidate generation, and
+    * the full-corpus, incremental, and streaming paths all consume the
+    * same signatures. At 100 TB this is the precomputed, (band, sig)-
+    * bucketed signature table a production corpus maintains alongside
+    * the documents; per-row output (16 rows/doc), so a filter on the
+    * corpus commutes with banding (incremental callers filter the
+    * cached table instead of re-banding their slice).
+    */
+  def bandSignatures(docs: DataFrame, cacheKey: String = ""): DataFrame =
+    // Keyless: no persist — a one-shot consumer gains nothing from
+    // materialization, and there is no owner to release it.
+    Memo.memo("bands", docs.sparkSession, cacheKey,
+      persistIt = cacheKey.nonEmpty) {
+      graft.functions.GraftFunctions.register(docs.sparkSession)
+      docs
+        .select(col("doc_id"), col("sh"),
+          posexplode(expr(
+            "minhash_bands16x2(transform(sh, s -> xxhash64(s)))")))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "sig")
+        .drop("sh")
+    }
 
   /** Incremental near-dup detection — the production dedup shape: a new
     * batch checked against the EXISTING corpus (never corpus×corpus).
@@ -223,22 +209,37 @@ object Dedup {
     * always, so the output is independent of the banding hash.
     *
     * Broadcast-size guard: the broadcast side is 16 band rows per
-    * incoming doc (~48 bytes each), so keep `broadcastIncoming = true`
-    * only while the incoming batch is ≲ spark.sql.autoBroadcastJoinThreshold
-    * / (16 · 48 B) docs (~10 MB default ⇒ low millions of band rows);
-    * beyond that pass `false` to fall back to a shuffle join on
-    * (band, sig) — same output, one extra exchange of the corpus
-    * signatures (which a cid-bucketed corpus layout avoids entirely).
+    * incoming doc (~48 bytes each). With `broadcastIncoming = None`
+    * (the default) the operator decides itself: it counts the incoming
+    * docs (one cheap job — incoming is typically a filter over the
+    * persisted shingle cache) and broadcasts only while the estimated
+    * band-row bytes fit spark.sql.autoBroadcastJoinThreshold; past
+    * that it falls back to a shuffle join on (band, sig) — same
+    * output, one extra exchange of the corpus signatures (which a
+    * (band, sig)-bucketed corpus layout avoids entirely). An explicit
+    * broadcast() hint would OVERRIDE the threshold, so the auto path
+    * is what makes the guard enforced rather than caller discipline;
+    * pass Some(...) to pin the plan and skip the count job.
     *
-    * Input frames are (doc_id, sh) as produced by docShingles. Output:
+    * Input frames are (doc_id, sh) as produced by docShingles; pass
+    * `corpusBands`/`incomingBands` (filtered slices of a memoized
+    * bandSignatures table) to skip re-banding. Output:
     * (new_id, corpus_id, jaccard) with jaccard ≥ p/q.
     */
   def incrementalNearDupPairs(corpus: DataFrame, incoming: DataFrame,
-      p: Int, q: Int, broadcastIncoming: Boolean = true): DataFrame = {
+      p: Int, q: Int, broadcastIncoming: Option[Boolean] = None,
+      corpusBands: DataFrame = null,
+      incomingBands: DataFrame = null): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val nb0 = banded(incoming).withColumnRenamed("doc_id", "new_id")
-    val nb = if (broadcastIncoming) broadcast(nb0) else nb0
-    val cand = banded(corpus).join(nb, Seq("band", "sig"))
+    val nb0 = Option(incomingBands).getOrElse(bandSignatures(incoming))
+      .withColumnRenamed("doc_id", "new_id")
+    val doBroadcast = broadcastIncoming.getOrElse {
+      val thr = autoBroadcastBytes(corpus.sparkSession)
+      thr > 0 && incoming.count() * 16L * 48L <= thr
+    }
+    val nb = if (doBroadcast) broadcast(nb0) else nb0
+    val cand = Option(corpusBands).getOrElse(bandSignatures(corpus))
+      .join(nb, Seq("band", "sig"))
       .select(col("new_id"), col("doc_id").as("corpus_id"))
       .distinct()
     cand
@@ -248,6 +249,13 @@ object Dedup {
         col("sh").as("shb")), "corpus_id")
       .select(col("new_id"), col("corpus_id"), jaccard.as("jaccard"))
       .filter(col("jaccard") >= lit(p.toDouble) / q)
+  }
+
+  /** spark.sql.autoBroadcastJoinThreshold in bytes (-1 ⇒ disabled). */
+  private def autoBroadcastBytes(spark: SparkSession): Long = {
+    val v = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    v.toLongOption.getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
   }
 
   /** One min-label propagation step (exposed for plan tests): labels
@@ -336,16 +344,16 @@ object Dedup {
       // executor-storage footprint stays one generation, not the whole
       // iteration history. (This is RDD-level block removal; the
       // CacheManager cascade-invalidation trap does not apply.)
-      checkpointRdds(labels).foreach(_.unpersist(blocking = false))
+      Memo.checkpointRdds(labels).foreach(_.unpersist(blocking = false))
       labels = next.select(col("id"), col("lbl"))
       iter += 1
     }
-    checkpointRdds(edges).foreach(_.unpersist(blocking = false))
+    Memo.checkpointRdds(edges).foreach(_.unpersist(blocking = false))
     // Silent-wrong-label guard (ADVICE r3): an unconverged exit would
     // drop/keep the wrong documents with no signal. Practically
     // unreachable with pointer jumping (diameter ~2^maxIters).
     if (!converged) {
-      checkpointRdds(labels).foreach(_.unpersist(blocking = false))
+      Memo.checkpointRdds(labels).foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
         s"nearDupClusters did not converge in $maxIters iterations")
     }
@@ -360,7 +368,9 @@ object Dedup {
     */
   def clusters(docs: DataFrame, p: Int, q: Int,
       cacheKey: String = ""): DataFrame =
-    memo(clusterCache, docs.sparkSession, cacheKey, persistIt = false) {
+    Memo.memo("clusters", docs.sparkSession,
+      if (cacheKey.isEmpty) "" else s"$cacheKey|p=$p|q=$q",
+      persistIt = false) {
       nearDupClusters(minhashNearDupPairs(docs, p, q, cacheKey))
     }
 

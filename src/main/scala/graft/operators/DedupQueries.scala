@@ -64,12 +64,21 @@ object DedupQueries {
        |WHERE (da % $mod = 0) != (db % $mod = 0)
        |ORDER BY new_id, corpus_id""".stripMargin
 
+  /** Both incremental splits slice the SAME memoized band-signature
+    * table (banding is per-row, so filter commutes with it) — the
+    * production layout, where corpus signatures are precomputed once,
+    * not re-derived per intake batch. broadcastIncoming stays None:
+    * the operator's own size guard picks broadcast vs shuffle.
+    */
   private def incrementalQuery(s: org.apache.spark.sql.SparkSession,
       dir: String, mod: Int) = {
     val sh = Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir)
+    val bands = Dedup.bandSignatures(sh, cacheKey = dir)
     Dedup.incrementalNearDupPairs(
       corpus = sh.filter(col("doc_id") % mod =!= 0),
-      incoming = sh.filter(col("doc_id") % mod === 0), 4, 5)
+      incoming = sh.filter(col("doc_id") % mod === 0), 4, 5,
+      corpusBands = bands.filter(col("doc_id") % mod =!= 0),
+      incomingBands = bands.filter(col("doc_id") % mod === 0))
       .select("new_id", "corpus_id")
       .orderBy("new_id", "corpus_id")
   }

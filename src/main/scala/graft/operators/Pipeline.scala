@@ -99,31 +99,48 @@ object Pipeline {
       .select("doc_id", "lang", "n_tok")
   }
 
+  /** Materialized per-document term counts (doc_id, term, tf) — THE
+    * term table every downstream scoring query (TF-IDF, token
+    * frequency, vocabulary stats) derives from, memoized per (session,
+    * cacheKey) like Dedup.docShingles: tokenization is the CPU-dominant
+    * stage and ReuseExchange cannot collapse branches whose column
+    * pruning differs, so sharing this work requires materialization,
+    * not optimizer luck. At 100 TB this is the persisted term-table
+    * layer a production corpus maintains; here it is one tokenize pass
+    * per session instead of one per branch per query.
+    *
+    * Plan: repartition on doc_id (splits the small-file scan; no-op
+    * cost at real scale), codegen'd native tokenizer staged in a
+    * Project, explode_outer (InferFiltersFromGenerate would re-run the
+    * tokenizer below the repartition — see token_freq), one shuffle
+    * for the (doc_id, term) count.
+    */
+  def docTerms(docs: DataFrame, cacheKey: String = ""): DataFrame =
+    // Always persisted — even within one query the tf/df/N branches
+    // are multiple consumers. Keyless callers own the unpersist.
+    Memo.memo("terms", docs.sparkSession, cacheKey, persistIt = true) {
+      graft.functions.GraftFunctions.register(docs.sparkSession)
+      val p = docs.sparkSession.sparkContext.defaultParallelism
+      docs
+        .repartition(p, col("doc_id"))
+        .withColumn("toks", expr(toksS))
+        .select(col("doc_id"), explode_outer(col("toks")).as("term"))
+        .filter(col("term").isNotNull)
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+    }
+
   /** Top-k TF-IDF terms per document. IDF is the rational N/df rather
     * than log(N/df): rank-equivalent per document (log is monotone),
     * and exact-deterministic IEEE arithmetic in any engine, where
-    * libm log implementations may differ by 1 ulp. Plan: one shuffle
-    * for per-doc term counts, document frequencies reduced to a
+    * libm log implementations may differ by 1 ulp. Plan: every branch
+    * (tf, df, N) reads the memoized docTerms table — InMemoryTableScan,
+    * zero re-tokenization; document frequencies reduce to a
     * vocabulary-sized table and BROADCAST, scalar N broadcast, top-k
     * via ranked window (WindowGroupLimit prunes pre-exchange).
     */
-  def tfIdfTopK(docs: DataFrame, k: Int): DataFrame = {
-    val p = docs.sparkSession.sparkContext.defaultParallelism
-    val terms = docs
-      .repartition(p, col("doc_id"))
-      .withColumn("toks", expr(toksS))
-      .select(col("doc_id"), explode_outer(col("toks")).as("term"))
-      .filter(col("term").isNotNull)
-    // df and N derive from tf (one row per (doc, term)) rather than
-    // from the raw token stream — fewer rows aggregated. The three
-    // branches still each tokenize from the scan (column pruning gives
-    // each branch a different exchange subtree, so ReuseExchange cannot
-    // collapse them — verified in the plan); that 3× is the honest
-    // single-shot cost. A production corpus materializes the (doc,
-    // term, tf) table once and runs every downstream scoring query
-    // against it — the memoization pattern Dedup.docShingles uses.
-    val tf = terms.groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+  def tfIdfTopK(docs: DataFrame, k: Int, cacheKey: String = ""): DataFrame = {
+    val tf = docTerms(docs, cacheKey)
     val dfTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = tf.select("doc_id").distinct()
       .agg(count(lit(1)).as("n_docs"))

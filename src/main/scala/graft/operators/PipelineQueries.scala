@@ -132,7 +132,7 @@ object PipelineQueries {
          |    PARTITION BY doc_id ORDER BY score DESC, term) AS rk
          |  FROM scored)
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
-      Pipeline.tfIdfTopK(t(s, dir, "documents"), k = 3)
+      Pipeline.tfIdfTopK(t(s, dir, "documents"), k = 3, cacheKey = dir)
         .orderBy("doc_id", "rk")
     }
   )

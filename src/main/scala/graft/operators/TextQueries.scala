@@ -45,32 +45,20 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // X4: corpus-level token frequency via explode (the one
-    // Generator-shaped op) + top-k.
+    // X4: corpus-level token frequency: per-term sums over the memoized
+    // (doc_id, term, tf) table (Pipeline.docTerms — one tokenize pass
+    // per session shared with tfidf_topk), then top-k. sum(tf) over
+    // docs ≡ count of raw token occurrences, so the oracle is the plain
+    // unnest formulation. The explode_outer/staged-Project/repartition
+    // rules this depends on live in docTerms' scaladoc.
     QuerySpec("token_freq",
       s"""SELECT token, COUNT(*) AS cnt
          |FROM (SELECT unnest($toksD) AS token FROM documents)
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin) {
       (s, dir) =>
-        t(s, dir, "documents")
-          // A single small parquet file scans as ONE partition, which
-          // serializes the regex tokenization + explode; the explicit
-          // count opts out of AQE re-coalescing (few-MB input). At real
-          // scale the scan has many splits and this is a no-op cost.
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-          // Stage tokens in a Project (codegen'd regex) and hand Generate
-          // a plain attribute — an inline generator expression evaluates
-          // interpreted inside Generate, ~2.3× slower measured.
-          .withColumn("toks", expr(toksS))
-          // explode_OUTER on purpose: plain explode triggers
-          // InferFiltersFromGenerate, whose size(toks)>0 filter gets
-          // substituted through the Project and pushed below the
-          // repartition — re-running the whole tokenization twice on the
-          // unsplit scan. Outer generate skips the rule; the null row an
-          // empty doc produces is dropped by a cheap post-filter.
-          .select(explode_outer(col("toks")).as("token"))
-          .filter(col("token").isNotNull)
-          .groupBy("token").agg(count(lit(1)).as("cnt"))
+        Pipeline.docTerms(t(s, dir, "documents"), cacheKey = dir)
+          .groupBy("term").agg(sum(col("tf")).as("cnt"))
+          .select(col("term").as("token"), col("cnt"))
           .orderBy(col("cnt").desc, col("token"))
           .limit(100)
     },

@@ -62,10 +62,18 @@ object StreamOps {
     * static and each micro-batch is self-contained.
     */
   def streamingNearDup(incoming: DataFrame, corpusShingles: DataFrame,
-      p: Int, q: Int, checkpointDir: String)(
+      p: Int, q: Int, checkpointDir: String,
+      corpusBands: DataFrame = null)(
       onMatches: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     graft.functions.GraftFunctions.register(incoming.sparkSession)
+    // Band the static corpus ONCE for the life of the stream (persisted;
+    // released with the stream) — every micro-batch probes the same
+    // signatures, and at scale they are a precomputed table anyway. A
+    // caller-supplied corpusBands (e.g. a memoized
+    // Dedup.bandSignatures slice) takes precedence.
+    val bands = Option(corpusBands).getOrElse(
+      graft.operators.Dedup.bandSignatures(corpusShingles).persist())
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -75,7 +83,11 @@ object StreamOps {
           .select(col("doc_id"), col("sh"))
           .filter(size(col("sh")) > 0)
         onMatches(graft.operators.Dedup.incrementalNearDupPairs(
-          corpusShingles, batchShingles, p, q), batchId)
+          corpusShingles, batchShingles, p, q,
+          // Micro-batches are small by construction — pin broadcast
+          // instead of paying a count job per batch.
+          broadcastIncoming = Some(true),
+          corpusBands = bands), batchId)
       }
       .start()
   }

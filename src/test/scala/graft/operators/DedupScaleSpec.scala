@@ -21,13 +21,20 @@ class DedupScaleSpec extends AnyFunSuite {
     // Under the cap: B identical docs ⇒ all B(B-1)/2 verified pairs.
     val small = Dedup.minhashNearDupPairs(docsWithShingles(10, sh), 4, 5)
     assert(small.count() == 45)
-    // A hot (band, sig) bucket beyond BandCap is dropped, not expanded
-    // into B²/2 rows in one task — the skew guard. (Recall on real
-    // corpora comes from the other 15 bands; here all 16 buckets are
-    // identical by construction, so the output is empty.)
-    val big = Dedup.minhashNearDupPairs(
-      docsWithShingles(Dedup.BandCap + 50, sh), 4, 5)
-    assert(big.count() == 0)
+    // A hot (band, sig) bucket beyond BandCap emits the bounded STAR
+    // (min id × each other member: B−1 pairs, linear) instead of the
+    // B²/2 full expansion — or, pre-round-5, instead of being DROPPED:
+    // identical docs have identical sigs in every band (bands are
+    // fully correlated at j≈1), so a drop would lose the whole
+    // near-identical group, the most important one to dedup.
+    val n = Dedup.BandCap + 50
+    val big = Dedup.minhashNearDupPairs(docsWithShingles(n, sh), 4, 5)
+    val pairs = big.collect()
+    assert(pairs.length == n - 1, "star = min id paired with each member")
+    assert(pairs.forall(r => r.getLong(0) == 0L && r.getDouble(2) == 1.0))
+    // Connectivity survives the cap: one cluster, labeled by the min.
+    val clusters = Dedup.nearDupClusters(big.select("da", "db"))
+    assert(clusters.select("cluster_id").distinct().count() == 1)
   }
 
   test("salted propagateStep: identical labels, salt visible in plan") {
@@ -59,13 +66,17 @@ class DedupScaleSpec extends AnyFunSuite {
       graft.Tables.t(spark, "/root/testdata/sf0.001", "documents"))
     val corpus = sh.filter(col("doc_id") % 2 =!= 0)
     val incoming = sh.filter(col("doc_id") % 2 === 0)
-    def run(bc: Boolean) =
+    def run(bc: Option[Boolean]) =
       Dedup.incrementalNearDupPairs(corpus, incoming, 4, 5,
         broadcastIncoming = bc)
         .orderBy("new_id", "corpus_id").collect().toSeq
-    val viaBroadcast = run(true)
+    val viaBroadcast = run(Some(true))
     assert(viaBroadcast.nonEmpty)
-    assert(run(false) == viaBroadcast)
+    assert(run(Some(false)) == viaBroadcast)
+    // Auto mode: the size guard decides (tiny incoming ⇒ broadcast) —
+    // same output either way; the point is the decision happens inside
+    // the operator, not as caller discipline.
+    assert(run(None) == viaBroadcast)
   }
 
   test("clearCaches releases every memoized persisted DataFrame") {
