@@ -48,31 +48,75 @@ object Pipeline {
     * rest test. Pure per-row expression: no shuffle, no RNG state —
     * the split is reproducible row-by-row at any scale and stable
     * under re-partitioning (the property `rand()`-based splits lack).
+    *
+    * The k·2654435761 mod 2³² product is computed in split 16-bit
+    * halves so no intermediate exceeds ~2⁴⁸: a naive `key * C`
+    * overflows Long for key > ~3.47e9, which THROWS under ANSI mode
+    * (the recommended production mode) — and since multiplication
+    * mod 2³² depends only on key mod 2³², the halved form returns the
+    * IDENTICAL bucket for every Long key, overflowing or not
+    * (PropertySpec asserts both, ANSI on, keys > 2³²).
     */
-  def splitBucket(key: Column): Column =
-    pmod(key.cast("long") * lit(2654435761L), lit(4294967296L)) % 1000
+  def splitBucket(key: Column): Column = {
+    val m32 = lit(4294967296L)
+    val k = pmod(key.cast("long"), m32)
+    val hi = shiftrightunsigned(k, 16) // < 2^16
+    val lo = k.bitwiseAND(lit(0xFFFFL)) // < 2^16
+    // k·C mod 2³² = ((hi·C mod 2¹⁶) << 16 + lo·C) mod 2³²; every
+    // intermediate ≤ 2¹⁶·C ≈ 1.74e14.
+    val c = lit(2654435761L)
+    pmod(shiftleft(pmod(hi * c, lit(65536L)), 16) + lo * c, m32) % 1000
+  }
 
   def splitName(bucket: Column): Column =
     when(bucket < 800, "train").when(bucket < 900, "val")
       .otherwise("test")
 
   /** Token-budget sequence packing — assign documents to fixed-budget
-    * training sequences (`cap` tokens) by running prefix sums within a
-    * group (lang here; a real pipeline packs within shard): a doc's bin
-    * is its exclusive running-token-offset divided by the budget — the
-    * concatenate-and-cut packing used to fill context windows, as a
-    * single window aggregation instead of a sequential loop. One
-    * shuffle (the window partition); deterministic doc order by doc_id.
+    * training sequences (`cap` tokens): a doc's bin is its exclusive
+    * per-language running-token-offset (in doc_id order) divided by the
+    * budget — the concatenate-and-cut packing used to fill context
+    * windows.
+    *
+    * The prefix sum is TWO-STAGE so no task ever runs a whole
+    * language (a `Window.partitionBy(lang)` would put every 'en' doc —
+    * billions of rows at 100 TB — through ONE reducer):
+    *
+    *  1. bucket docs by `doc_id div bucketWidth` — order-PRESERVING
+    *     (all of bucket b precedes all of bucket b+1 in doc_id order),
+    *     so per-language work splits across ~n_docs/bucketWidth tasks;
+    *     local exclusive prefix sums run within (lang, bucket);
+    *  2. per-(lang, bucket) token totals — a tiny table, one row per
+    *     bucket — get their own cumulative (exclusive) sums per lang
+    *     and BROADCAST back; global offset = bucket offset + local
+    *     offset.
+    *
+    * Output is row-identical to the single-window formulation (the
+    * oracle keeps the plain PARTITION BY lang SQL). The stage-2 window
+    * still runs per-language in one task, but over bucket rows —
+    * bucketWidth× fewer; tune bucketWidth to taste at scale (or
+    * recurse once more for truly enormous bucket tables). doc_id is
+    * assumed non-negative (`div` truncation = floor there).
     */
-  def packSequences(docs: DataFrame, cap: Int): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+  def packSequences(docs: DataFrame, cap: Int,
+      bucketWidth: Long = 4096): DataFrame = {
+    val d = docs
       .withColumn("toks", expr(toksS))
-      .select(col("doc_id"), col("lang"),
-        size(col("toks")).as("n_tok"))
-      .withColumn("tok_offset",
-        coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), size(col("toks")).as("n_tok"))
+      .withColumn("bkt", expr(s"doc_id div ${bucketWidth}L"))
+    val wLocal = Window.partitionBy(col("lang"), col("bkt"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBkt = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = d.groupBy(col("lang"), col("bkt"))
+      .agg(sum(col("n_tok")).as("tot"))
+      .withColumn("bkt_off", coalesce(sum(col("tot")).over(wBkt), lit(0L)))
+      .select("lang", "bkt", "bkt_off")
+    d.withColumn("local_off",
+        coalesce(sum(col("n_tok")).over(wLocal), lit(0L)))
+      .join(broadcast(bucketOffsets), Seq("lang", "bkt"))
+      .withColumn("tok_offset", col("bkt_off") + col("local_off"))
       .withColumn("bin", floor(col("tok_offset") / lit(cap)))
       .select("doc_id", "lang", "n_tok", "tok_offset", "bin")
   }
@@ -82,18 +126,27 @@ object Pipeline {
     * documents whose token count lies within the per-language
     * [p05, p95] band. The per-lang bounds reduce to a languages-sized
     * table and BROADCAST; the corpus streams once through the band
-    * filter (the exact-percentile groupBy is one shuffle of (lang,
-    * n_tok) pairs — at 100 TB swap in approx_percentile to keep the
-    * bound computation single-pass-mergeable, same plan shape).
+    * filter.
+    *
+    * `approxBounds = false` (the oracle path) uses exact `percentile`,
+    * whose aggregation buffer holds EVERY per-language n_tok — fine at
+    * fixture scale, OOM-shaped at 100 TB. `approxBounds = true` is the
+    * scale path: `approx_percentile` (t-digest-style sketch, bounded
+    * buffer, mergeable partials) with rank error ≤ 1/accuracy — same
+    * plan shape, and the band it produces keeps ≳99% of the exact
+    * band's rows (PipelineSpec asserts it on the corpus).
     */
-  def lengthFilter(docs: DataFrame, lo: Double, hi: Double): DataFrame = {
+  def lengthFilter(docs: DataFrame, lo: Double, hi: Double,
+      approxBounds: Boolean = false, accuracy: Int = 10000): DataFrame = {
     val d = docs
       .withColumn("toks", expr(toksS))
       .select(col("doc_id"), col("lang"),
         size(col("toks")).as("n_tok"))
+    val pct = if (approxBounds) {
+      p: Double => s"approx_percentile(n_tok, $p, $accuracy)"
+    } else { p: Double => s"percentile(n_tok, $p)" }
     val bounds = d.groupBy("lang").agg(
-      expr(s"percentile(n_tok, $lo)").as("p_lo"),
-      expr(s"percentile(n_tok, $hi)").as("p_hi"))
+      expr(pct(lo)).as("p_lo"), expr(pct(hi)).as("p_hi"))
     d.join(broadcast(bounds), "lang")
       .filter(col("n_tok") >= col("p_lo") && col("n_tok") <= col("p_hi"))
       .select("doc_id", "lang", "n_tok")

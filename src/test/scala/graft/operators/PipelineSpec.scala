@@ -73,6 +73,50 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("seq_pack two-stage prefix sum: >1 task per language, output " +
+    "identical to the single-window formulation") {
+    val spark = TestSpark.spark
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    // bucketWidth=64 so the 500-doc fixture spans ~8 buckets per lang.
+    val twoStage = Pipeline.packSequences(docs, 2048, bucketWidth = 64)
+    val plan = twoStage.queryExecution.executedPlan.toString
+    // The per-doc window must partition on (lang, bkt) — the whole
+    // point: no single reducer owns a language.
+    assert("hashpartitioning\\(lang#\\d+, bkt#\\d+".r
+      .findFirstIn(plan).isDefined,
+      s"expected a (lang, bkt)-partitioned window, got:\n$plan")
+    // Row-identical to the naive per-language window (the oracle's
+    // formulation).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, -1)
+    val naive = docs
+      .withColumn("toks", expr(TextOps.toksS))
+      .select(col("doc_id"), col("lang"), size(col("toks")).as("n_tok"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("tok_offset") / lit(2048)))
+      .select("doc_id", "lang", "n_tok", "tok_offset", "bin")
+    assert(twoStage.orderBy("doc_id").collect().toSeq ==
+      naive.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("lengthFilter approx path: sketch bounds keep ≥99% of the exact " +
+    "band and no out-of-band row strays in beyond the rank error") {
+    val spark = TestSpark.spark
+    val docsDf = graft.Tables.t(spark, "/root/testdata/sf0.01", "documents")
+    val exact = Pipeline.lengthFilter(docsDf, 0.05, 0.95)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val approx = Pipeline.lengthFilter(docsDf, 0.05, 0.95,
+      approxBounds = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty)
+    val kept = (exact intersect approx).size.toDouble / exact.size
+    assert(kept >= 0.99, s"approx band kept only ${kept * 100}% of exact")
+    // Symmetric sanity: the approx band is a band, not a superset blowup.
+    assert(approx.size <= (exact.size * 1.05).toInt + 5)
+  }
+
   test("tfidf: df/N sides broadcast and per-doc ranks are 1..k") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -90,6 +90,31 @@ class PropertySpec extends AnyFunSuite {
     out.foreach { case (n1, n2) => assert(n1 == n2, s"'$n1' vs '$n2'") }
   }
 
+  test("splitBucket: halved multiply matches the Scala model for all " +
+    "Longs and survives ANSI mode past 2^32") {
+    import spark.implicits._
+    // Reference model in BigInt — immune to Long overflow by
+    // construction: bucket = ((k mod 2^32) * C mod 2^32) mod 1000.
+    def model(k: Long): Long =
+      (((BigInt(k).mod(BigInt(2).pow(32))) * BigInt(2654435761L))
+        .mod(BigInt(2).pow(32)) % 1000).toLong
+    val gen = Gen.oneOf(
+      Gen.choose(0L, 10000L),                   // fixture range
+      Gen.choose(3400000000L, Long.MaxValue),   // the old overflow range
+      Gen.choose(Long.MinValue, -1L),           // negative keys
+      Gen.const(Long.MaxValue), Gen.const(Long.MinValue))
+    val inputs = Gen.listOfN(300, gen).sample.get
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val out = inputs.toDF("doc_id")
+        .select(col("doc_id"),
+          Pipeline.splitBucket(col("doc_id")).as("b"))
+        .as[(Long, Long)].collect()
+      out.foreach { case (k, b) => assert(b == model(k), s"key $k") }
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("portable polynomial hash: Spark fold matches the Scala model") {
     import spark.implicits._
     def model(s: String): Long =
