@@ -85,16 +85,33 @@ object Bench {
         f"[bench] ${spec.name} ${if (cold >= 0) f"$cold%.2f" else "FAIL"}s$w")
       (spec.name, cold, warm)
     }
+    // Millisecond precision keeps the per-query line compact: the
+    // driver captures the LAST N bytes of output, and round 4's
+    // 9-decimal 79-query line overflowed that window, truncating its
+    // own head (where the total lives) — BENCH_r04 parsed to null.
+    def f3(v: Double): String =
+      if (v < 0) "-1.0" else BigDecimal(v).setScale(3,
+        BigDecimal.RoundingMode.HALF_UP).toString
     def j(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      kvs.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
     val qs = j(results.map { case (k, v, _) => (k, v) })
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val n = results.count(_._2 >= 0)
     val warmPart = if (repeat.isDefined) {
       val wq = j(results.collect { case (k, _, Some(w)) => (k, w) })
       val wt = results.collect { case (_, _, Some(w)) => w }.sum
-      s""","warm_total":$wt,"queries_warm":$wq"""
+      s""","warm_total":${f3(wt)},"queries_warm":$wq"""
     } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$warmPart,"sf":"$sfDir"}""")
+    val warmTotalOnly = if (repeat.isDefined) {
+      val wt = results.collect { case (_, _, Some(w)) => w }.sum
+      s""","warm_total":${f3(wt)}"""
+    } else ""
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"queries":$qs$warmPart,"sf":"$sfDir"}""")
+    // Compact headline LAST: whatever byte window the driver tails,
+    // the final line always fits whole, so the total survives even if
+    // the per-query line above gets clipped.
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"sf":"$sfDir"$warmTotalOnly}""")
     operators.Dedup.clearCaches(spark)
     spark.stop()
   }

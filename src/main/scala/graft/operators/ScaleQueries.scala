@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Declared queries whose point is a SCALE lever in the physical plan
+  * rather than new query semantics; results equal the plain
+  * formulation (which is what the oracle runs).
+  */
+object ScaleQueries {
+
+  import Tables.t
+
+  /** Confs that make the runtime bloom-filter rewrite fire at fixture
+    * scale: production thresholds (application side ≥ 10 GB scan) are
+    * deliberately conservative, and the fixture join would broadcast.
+    * Shared with ScaleQueriesSpec's plan assertion.
+    */
+  val bloomConfs: Map[String, String] = Map(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  /** The pre-materialization plan of bloom_pruned_join — factored out
+    * so ScaleQueriesSpec can assert the injected bloom filter on the
+    * exact frame the declared query executes.
+    */
+  def bloomJoin(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "lineitem")
+      .join(
+        t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"))
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // Runtime bloom-filter join pruning — the 100 TB lever for a
+    // fact ⋈ selectively-filtered dim SHUFFLE join (dim too big to
+    // broadcast): the optimizer turns the dim filter into a bloom
+    // filter evaluated on the fact side BEFORE its shuffle, so
+    // non-matching fact rows never cross the wire. Semantics-neutral
+    // (bloom false-positives only pass extra rows to the exact join),
+    // so the oracle is the plain join.
+    //
+    // Execution shape: the thresholds above only exist while this
+    // query PLANS AND RUNS, so the result is materialized eagerly via
+    // localCheckpoint inside the fn (the work lands in the caller's
+    // timing window as usual) and the confs are restored before
+    // returning — later queries in the same session plan under the
+    // session defaults, not these overrides. ScaleQueriesSpec asserts
+    // the executed plan contains the injected bloom filter.
+    QuerySpec("bloom_pruned_join",
+      """SELECT o_orderkey, COUNT(*) AS n_items,
+        |       SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) =>
+        val prev = ScaleQueries.bloomConfs.keys
+          .map(k => k -> s.conf.getOption(k)).toMap
+        try {
+          ScaleQueries.bloomConfs.foreach { case (k, v) => s.conf.set(k, v) }
+          // Eager: plan + run under the overrides (see above). The
+          // aggregated result is small; checkpoint storage is
+          // released with the session.
+          bloomJoin(s, dir).localCheckpoint().orderBy("o_orderkey")
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+    }
+  )
+}
