@@ -86,11 +86,21 @@ object SimHash63 {
       var j = 0
       while (j < n) { a = (a * 31L + bytes(j)) % Mod; j += 1 }
     } else {
-      // Non-ASCII fallback: one UTF-16 code unit at a time, matching
-      // Spark's split(t, '') element-per-char + ascii(c) for BMP text.
+      // Non-ASCII fallback: one CODE POINT at a time (codePointAt +
+      // charCount, mirroring NormTokens.unicodeFiltered) — Spark's
+      // split(t, '') yields one element per code point (Java regex
+      // does not split surrogate pairs) and ascii(c) returns its code
+      // point, so iterating UTF-16 code units would diverge on
+      // supplementary-plane tokens (reachable: simhash63 publicly
+      // accepts any array<string>, not just normalized [a-z0-9]
+      // tokens; HashExpressionsSpec asserts the parity).
       val str = s.toString
       var j = 0
-      while (j < str.length) { a = (a * 31L + str.charAt(j)) % Mod; j += 1 }
+      while (j < str.length) {
+        val cp = str.codePointAt(j)
+        a = (a * 31L + cp) % Mod
+        j += Character.charCount(cp)
+      }
     }
     a
   }

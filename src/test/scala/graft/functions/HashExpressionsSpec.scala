@@ -39,7 +39,12 @@ class HashExpressionsSpec extends AnyFunSuite {
     GraftFunctions.register(spark)
     val docs = Seq(
       "the quick brown fox", "lorem ipsum dolor sit amet", "a", "",
-      "numbers 123 and 456 mixed", "zzz zzz zzz").toDF("text")
+      "numbers 123 and 456 mixed", "zzz zzz zzz",
+      // Non-ASCII incl. supplementary-plane (outside the BMP): split
+      // yields one element per CODE POINT, so the native fallback must
+      // iterate code points, not UTF-16 code units.
+      "café naïve", "你好 世界",
+      "emoji 😀🚀 mixed 𐀀x").toDF("text")
       .selectExpr(
         "filter(split(text, ' '), x -> x != '') AS toks")
     val out = docs.selectExpr(
