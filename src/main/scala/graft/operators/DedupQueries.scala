@@ -203,11 +203,11 @@ object DedupQueries {
     },
 
     // Same operator at a 1-in-2 incoming fraction — stresses the
-    // broadcast side (half the corpus banded and shipped) against
-    // Dedup.incrementalNearDupPairs' documented broadcast-size guard;
-    // past the guard a caller flips broadcastIncoming = false for the
-    // shuffle-join fallback (same output, asserted in
-    // DedupClustersSpec).
+    // broadcast side (half the corpus's band rows shipped) against
+    // Dedup.incrementalNearDupPairs' broadcast-size guard, which since
+    // round 5 the operator ENFORCES itself (estimated band bytes vs
+    // autoBroadcastJoinThreshold → broadcast or shuffle join; same
+    // output either way, asserted in DedupScaleSpec).
     QuerySpec("dedup_incremental_half", incrementalOracle(2)) { (s, dir) =>
       incrementalQuery(s, dir, 2)
     },
