@@ -134,6 +134,36 @@ object PipelineQueries {
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
       Pipeline.tfIdfTopK(t(s, dir, "documents"), k = 3, cacheKey = dir)
         .orderBy("doc_id", "rk")
+    },
+
+    // Per-language vocabulary statistics — the tokenizer-training
+    // diagnostic (vocab size, token mass, hapax share): a third
+    // consumer of the memoized docTerms table (with tfidf_topk and
+    // token_freq), so the whole family shares ONE tokenize pass per
+    // session. Plan: term table joins the (doc_id, lang) metadata
+    // projection on its grouping key, then two bounded aggregations
+    // (per-(lang, term), then per-lang). DuckDB SUM(BIGINT) returns
+    // HUGEINT — cast to BIGINT for schema parity.
+    QuerySpec("vocab_stats",
+      s"""WITH tq AS (SELECT doc_id, unnest(${TextOps.toksD}) AS term
+         |            FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tq
+         |       GROUP BY doc_id, term),
+         |j AS (SELECT d.lang, tf.term, CAST(SUM(tf.tf) AS BIGINT) AS c
+         |      FROM tf JOIN documents d USING (doc_id)
+         |      GROUP BY d.lang, tf.term)
+         |SELECT lang, COUNT(*) AS n_vocab,
+         |       CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |       COUNT(*) FILTER (WHERE c = 1) AS n_hapax
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Pipeline.docTerms(t(s, dir, "documents"), cacheKey = dir)
+        .join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "term").agg(sum(col("tf")).as("c"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_vocab"),
+          sum(col("c")).as("n_tokens"),
+          count(when(col("c") === 1, lit(1))).as("n_hapax"))
+        .orderBy("lang")
     }
   )
 }
