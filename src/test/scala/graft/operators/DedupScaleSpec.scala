@@ -85,9 +85,15 @@ class DedupScaleSpec extends AnyFunSuite {
     val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
     val sh = Dedup.docShingles(docs, cacheKey = "lifecycle-test")
     // Memoization: same key returns the same plan; clustering runs the
-    // full chain so the persisted intermediates materialize.
+    // full chain so the persisted intermediates materialize. Touch
+    // every named cache (shingles, bands, pairs, clusters, terms) so
+    // the release assertion covers them all.
     assert(Dedup.docShingles(docs, cacheKey = "lifecycle-test") eq sh)
     Dedup.clusters(sh, 4, 5, cacheKey = "lifecycle-test").count()
+    assert(Dedup.bandSignatures(sh, cacheKey = "lifecycle-test")
+      .count() > 0)
+    assert(Pipeline.docTerms(docs, cacheKey = "lifecycle-test")
+      .count() > 0)
     assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
       "expected memoized intermediates to be persisted")
     Dedup.clearCaches(spark)
