@@ -67,11 +67,11 @@ object StreamOps {
       onMatches: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     graft.functions.GraftFunctions.register(incoming.sparkSession)
-    // Band the static corpus ONCE for the life of the stream (persisted;
-    // released with the stream) — every micro-batch probes the same
-    // signatures, and at scale they are a precomputed table anyway. A
-    // caller-supplied corpusBands (e.g. a memoized
-    // Dedup.bandSignatures slice) takes precedence.
+    // Band the static corpus ONCE (persisted for the life of the
+    // session; callers wanting earlier release pass their own
+    // corpusBands, e.g. a memoized Dedup.bandSignatures slice, which
+    // takes precedence) — every micro-batch probes the same
+    // signatures, and at scale they are a precomputed table anyway.
     val bands = Option(corpusBands).getOrElse(
       graft.operators.Dedup.bandSignatures(corpusShingles).persist())
     incoming.writeStream
