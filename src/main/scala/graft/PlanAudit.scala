@@ -13,7 +13,8 @@ object PlanAudit {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -89,15 +89,54 @@ object Soak {
       .parquet(s"$soakDir/embeddings.parquet")
     val e = operators.Similarity.prepared(
       Tables.t(spark, soakDir, "embeddings"))
-    val (nBrute, tBrute) = timed {
-      operators.Similarity.cosineTopK(e, NQ, 10).count()
-    }
+    val bruteDf = operators.Similarity.cosineTopK(e, NQ, 10).persist()
+    val (nBrute, tBrute) = timed { bruteDf.count() }
     val (nIvf, tIvf) = timed {
       operators.Similarity.ivfTopK(e, NQ, 32, 4, 10).count()
     }
     println(s"""{"metric":"soak_ann","n_copies":$annN,""" +
       s""""vecs":${amplified.count()},"brute_rows":$nBrute,""" +
       s""""ivf_rows":$nIvf,"sec_brute":$tBrute,"sec_ivf":$tIvf}""")
+
+    // recall@10 vs the brute ground truth — the quality half of the
+    // ANN story (times alone reward returning garbage fast).
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double = {
+      val hit = approx.select("q_id", "n_id")
+        .join(bruteDf.select("q_id", "n_id"), Seq("q_id", "n_id"))
+        .count()
+      hit.toDouble / nBrute
+    }
+    // Hyperplane LSH: single-probe vs bucket+Hamming-1 multi-probe —
+    // multi-probe should recover the across-one-plane misses at ~9/256
+    // of the corpus per query (vs 1/256).
+    val (rLsh1, tLsh1) = timed {
+      recallOf(operators.Similarity.lshTopK(e, NQ, 10))
+    }
+    val (rLsh9, tLsh9) = timed {
+      recallOf(operators.Similarity.lshTopK(e, NQ, 10, multiProbe = true))
+    }
+    println(s"""{"metric":"soak_lsh","recall_single":$rLsh1,""" +
+      s""""recall_multiprobe":$rLsh9,"sec_single":$tLsh1,""" +
+      s""""sec_multiprobe":$tLsh9}""")
+    // IVF codebook quality at equal nProbe: untrained first-N vs a
+    // 3-iteration deterministic Lloyd refinement (the soak previously
+    // inherited the degenerate first-N codebook in its recall story).
+    val cb0 = operators.Similarity.firstNCodebook(e, NQ, 32)
+    val (cbLloyd, tTrain) = timed {
+      val cb = operators.Similarity.lloydRefine(e, cb0, NQ, iters = 3)
+      cb.count()
+      cb
+    }
+    val (rIvf0, _) = timed {
+      recallOf(operators.Similarity.ivfTopKWith(e, cb0, NQ, 4, 10))
+    }
+    val (rIvfL, tIvfL) = timed {
+      recallOf(operators.Similarity.ivfTopKWith(e, cbLloyd, NQ, 4, 10))
+    }
+    println(s"""{"metric":"soak_ivf_codebook","n_centroids":32,""" +
+      s""""n_probe":4,"recall_first_n":$rIvf0,"recall_lloyd":$rIvfL,""" +
+      s""""sec_lloyd_train":$tTrain,"sec_ivf_lloyd":$tIvfL}""")
+    bruteDf.unpersist()
     operators.Dedup.clearCaches(spark)
     spark.stop()
   }

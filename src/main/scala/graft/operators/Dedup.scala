@@ -53,12 +53,16 @@ object Dedup {
   def clearCaches(spark: SparkSession = null): Unit =
     Memo.clearCaches(spark)
 
-  /** (doc_id, sh) with non-empty distinct 3-word shingle sets, computed
-    * once per (session, cache key): tokenization is CPU-bound and every
-    * dedup operator consumes the same sets. See TextOps.shinglesS for the
-    * HOF eval-cost rules this obeys. With an empty cacheKey the frame is
-    * still persisted (withJaccard consumes it twice) but not cached —
-    * the caller owns the unpersist.
+  /** (doc_id, sh) with non-empty distinct 3-word shingle sets as
+    * PRE-HASHED int64 keys (graft.functions.Shingles3 — portable
+    * polynomial, replicated in the DuckDB oracle), computed once per
+    * (session, cache key): tokenization is CPU-bound and every dedup
+    * operator consumes the same sets. Hashing at creation means the
+    * exact-Jaccard verify, the inverted index, and minhash banding all
+    * run on fixed-width longs — no shingle string ever materializes and
+    * no downstream stage re-hashes per row. With an empty cacheKey the
+    * frame is still persisted (withJaccard consumes it twice) but not
+    * cached — the caller owns the unpersist.
     */
   def docShingles(df: DataFrame, cacheKey: String = ""): DataFrame =
     Memo.memo("shingles", df.sparkSession, cacheKey, persistIt = true) {
@@ -66,9 +70,11 @@ object Dedup {
       val p = df.sparkSession.sparkContext.defaultParallelism
       df.repartition(p, col("doc_id"))
         .withColumn("toks", expr(toksS))
-        // Native single-pass shingling (graft.functions.Shingles3) —
-        // same output as the HOF chain shinglesS, ~no interpreted
-        // lambdas or slice copies (ShinglesSpec asserts equality).
+        // Native single-pass shingle+hash (graft.functions.Shingles3) —
+        // same windows as the HOF chain shinglesS with the portable
+        // hash applied (ShinglesSpec asserts equality against the
+        // HOF+hash formulation), no interpreted lambdas or slice
+        // copies.
         .withColumn("sh", expr("shingles3(toks)"))
         .select(col("doc_id"), col("sh"))
         .filter(size(col("sh")) > 0)
@@ -83,8 +89,10 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Exact Jaccard over shingle-set columns `sha`/`shb` (distinct-set
-    * semantics; ints divided as doubles — deterministic).
+  /** Exact Jaccard over hashed-shingle-set columns `sha`/`shb`
+    * (distinct-set semantics over int64 keys — array_intersect/union on
+    * fixed-width longs, no per-element string comparisons; ints divided
+    * as doubles — deterministic).
     */
   val jaccard: Column =
     expr("cast(size(array_intersect(sha, shb)) as double) " +
@@ -107,8 +115,9 @@ object Dedup {
       |    y -> named_struct('da', x, 'db', y))))""".stripMargin
 
   /** Near-dup pairs with exact Jaccard ≥ p/q, candidates from the
-    * hashed inverted index with df cap and the exact integer
-    * count-prefilter c·(q+p) ≥ p·(|a|+|b|).
+    * inverted index with df cap and the exact integer count-prefilter
+    * c·(q+p) ≥ p·(|a|+|b|). Shingles arrive pre-hashed (docShingles),
+    * so the index explodes longs directly — no per-row re-hash.
     *
     * Pair generation: group the index by shingle, collect the (≤ DfCap)
     * sorted doc ids, and expand combinations locally — one shuffle on
@@ -118,8 +127,7 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, p: Int, q: Int): DataFrame = {
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), expr("xxhash64(s)").as("h"))
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("h"))
     val grouped = inv.groupBy("h")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, DfCap))
@@ -191,10 +199,12 @@ object Dedup {
     Memo.memo("bands", docs.sparkSession, cacheKey,
       persistIt = cacheKey.nonEmpty) {
       graft.functions.GraftFunctions.register(docs.sparkSession)
+      // sh is already array<bigint> (hashed at shingling), so banding
+      // consumes it directly — the old per-shingle
+      // `transform(sh, s -> xxhash64(s))` interpreted-HOF pass is gone.
       docs
         .select(col("doc_id"), col("sh"),
-          posexplode(expr(
-            "minhash_bands16x2(transform(sh, s -> xxhash64(s)))")))
+          posexplode(expr("minhash_bands16x2(sh)")))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "sig")
         .drop("sh")

@@ -13,9 +13,10 @@ object DedupQueries {
   import Tables.t
 
   /** Shared oracle CTE mirror of Dedup.docShingles + the blocked-pair
-    * exact-Jaccard pipeline (DuckDB side; string shingle keys — the
-    * Spark side's hashed keys and prefilter are output-preserving, see
-    * Dedup.nearDupPairs).
+    * exact-Jaccard pipeline. Both engines shingle to the SAME portable
+    * int64 hash (Shingles3 / TextOps.docShinglesCteD), so the oracle's
+    * Jaccard is computed over identical key sets; the Spark side's
+    * count-prefilter is output-preserving (see Dedup.nearDupPairs).
     */
   private def pairsOracle(minJ: String): String =
     s"""WITH ${TextOps.docShinglesCteD},

@@ -2,6 +2,8 @@ package graft.operators
 
 import scala.collection.mutable
 
+import org.apache.spark.scheduler.{SparkListener,
+  SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped memoization of expensive pipeline intermediates
@@ -20,6 +22,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * including localCheckpoint RDD storage behind checkpoint-truncated
   * plans (Dataset.unpersist alone leaves those blocks behind).
   *
+  * Lifecycle beyond explicit clearCaches: the first memo against a
+  * SparkContext installs an application-end listener that DROPS every
+  * entry (and keyless-frame registration) when the context stops — the
+  * storage died with the context, so only the references need
+  * releasing; a long-lived process that stops and recreates Spark does
+  * not accumulate dead sessions or frames (MemoLifecycleSpec asserts a
+  * released session is weakly collectable). Note the inherent limit: a
+  * session DISCARDED without stop or clearCaches cannot be detected —
+  * its persisted storage is pinned by the shared CacheManager
+  * regardless, so the only sound releases are explicit or at
+  * context end.
+  *
   * Invalidation contract: a DataFrame returned from a memoized
   * operator is backed by persisted/checkpointed storage owned by the
   * cache — eviction or `clearCaches` invalidates it (checkpoint-
@@ -30,6 +44,18 @@ private[graft] object Memo {
 
   private val caches =
     mutable.Map.empty[String, mutable.Map[(SparkSession, String), DataFrame]]
+
+  /** Keyless persisted frames handed to callers ("ownership passes to
+    * the caller") — ALSO tracked here so `clearCaches` releases any the
+    * caller leaked (ADVICE r5: pre-existing keyless call sites were
+    * written against no-persist semantics and never unpersist).
+    * Reference-identity keyed; unpersisting twice is a no-op, so a
+    * disciplined caller's own unpersist composes fine.
+    */
+  private val keyless = mutable.Set.empty[DataFrame]
+
+  /** Contexts whose application-end drop hook is installed. */
+  private val hooked = mutable.Set.empty[org.apache.spark.SparkContext]
 
   /** The materialized RDDs behind a localCheckpoint'ed plan —
     * Dataset.unpersist only releases CacheManager entries, so checkpoint
@@ -45,9 +71,31 @@ private[graft] object Memo {
     checkpointRdds(df).foreach(_.unpersist(blocking))
   }
 
+  private def installHook(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (!hooked.contains(sc)) {
+      hooked += sc
+      sc.addSparkListener(new SparkListener {
+        override def onApplicationEnd(
+            e: SparkListenerApplicationEnd): Unit = dropAll()
+      })
+    }
+  }
+
+  /** Drop every reference WITHOUT unpersisting — for application end,
+    * where the storage is already gone and unpersist would throw on the
+    * stopped context.
+    */
+  private def dropAll(): Unit = synchronized {
+    caches.values.foreach(_.clear())
+    keyless.clear()
+    hooked.clear()
+  }
+
   /** Build-or-reuse under `(cacheName, session, key)`. An empty key
     * disables memoization (the frame is still persisted when
-    * `persistIt` — ownership passes to the caller, who unpersists).
+    * `persistIt` — ownership passes to the caller, who unpersists;
+    * clearCaches backstops leaked ones).
     *
     * The key must uniquely determine the RESULT: callers fold every
     * semantic parameter (thresholds p/q, corpus identity) into it —
@@ -56,8 +104,11 @@ private[graft] object Memo {
     */
   def memo(cacheName: String, spark: SparkSession, key: String,
       persistIt: Boolean)(build: => DataFrame): DataFrame = synchronized {
-    if (key.isEmpty) { if (persistIt) build.persist() else build }
-    else {
+    installHook(spark)
+    if (key.isEmpty) {
+      if (persistIt) { val df = build.persist(); keyless += df; df }
+      else build
+    } else {
       val cache = caches.getOrElseUpdate(cacheName, mutable.Map.empty)
       cache.getOrElse((spark, key), {
         // Bound the cache: evict (and unpersist) other keys of this
@@ -74,15 +125,33 @@ private[graft] object Memo {
     }
   }
 
+  /** Test hook: keyed entries plus tracked keyless frames held for
+    * `spark` — MemoLifecycleSpec asserts this reaches 0 after
+    * clearCaches (i.e. Memo retains no strong reference to the session
+    * or its frames; whether the session object itself then collects
+    * depends on Spark-internal thread-locals, not on Memo).
+    */
+  private[graft] def entryCount(spark: SparkSession): Int = synchronized {
+    caches.values.map(_.keys.count(_._1 eq spark)).sum +
+      keyless.count(_.sparkSession eq spark)
+  }
+
   /** Unpersist and drop every memoized DataFrame of `spark` (all
-    * sessions when null), including localCheckpoint storage behind the
-    * cluster labels. Call at the end of a Verify/Bench run; a test
-    * asserts no persisted RDDs remain after this.
+    * sessions when null) — keyed entries AND tracked keyless frames —
+    * including localCheckpoint storage behind the cluster labels. Call
+    * at the end of a Verify/Bench run; a test asserts no persisted
+    * RDDs remain after this. After the drop no strong reference to the
+    * released sessions survives in Memo (MemoLifecycleSpec).
     */
   def clearCaches(spark: SparkSession = null): Unit = synchronized {
     caches.values.foreach { cache =>
       cache.keys.filter(k => spark == null || k._1 == spark).toList
         .foreach(k => cache.remove(k).foreach(release(_, blocking = true)))
     }
+    keyless.filter(df => spark == null || (df.sparkSession eq spark))
+      .toList.foreach { df =>
+        keyless -= df
+        release(df, blocking = true)
+      }
   }
 }

@@ -112,10 +112,18 @@ object Pipeline {
     val bucketOffsets = d.groupBy(col("lang"), col("bkt"))
       .agg(sum(col("n_tok")).as("tot"))
       .withColumn("bkt_off", coalesce(sum(col("tot")).over(wBkt), lit(0L)))
-      .select("lang", "bkt", "bkt_off")
+      .select(col("lang").as("o_lang"), col("bkt").as("o_bkt"),
+        col("bkt_off"))
+    // lang joins NULL-SAFE (<=>): windows treat NULL lang as its own
+    // partition (so does the oracle's PARTITION BY lang), and a
+    // null-rejecting equi-join here would silently drop null-lang
+    // documents from the output (ADVICE r5). PipelineSpec covers a
+    // null-lang corpus.
     d.withColumn("local_off",
         coalesce(sum(col("n_tok")).over(wLocal), lit(0L)))
-      .join(broadcast(bucketOffsets), Seq("lang", "bkt"))
+      .join(broadcast(bucketOffsets),
+        col("lang") <=> col("o_lang") && col("bkt") === col("o_bkt"))
+      .drop("o_lang", "o_bkt")
       .withColumn("tok_offset", col("bkt_off") + col("local_off"))
       .withColumn("bin", floor(col("tok_offset") / lit(cap)))
       .select("doc_id", "lang", "n_tok", "tok_offset", "bin")
@@ -170,18 +178,27 @@ object Pipeline {
     */
   def docTerms(docs: DataFrame, cacheKey: String = ""): DataFrame =
     // Always persisted — even within one query the tf/df/N branches
-    // are multiple consumers. Keyless callers own the unpersist.
+    // are multiple consumers. Keyless callers own the unpersist
+    // (clearCaches backstops leaked ones).
     Memo.memo("terms", docs.sparkSession, cacheKey, persistIt = true) {
-      graft.functions.GraftFunctions.register(docs.sparkSession)
-      val p = docs.sparkSession.sparkContext.defaultParallelism
-      docs
-        .repartition(p, col("doc_id"))
-        .withColumn("toks", expr(toksS))
-        .select(col("doc_id"), explode_outer(col("toks")).as("term"))
-        .filter(col("term").isNotNull)
-        .groupBy("doc_id", "term")
-        .agg(count(lit(1)).as("tf"))
+      docTermsPlan(docs)
     }
+
+  /** The un-memoized docTerms plan — for one-shot consumers that must
+    * not persist (e.g. the per-micro-batch term counts of
+    * StreamOps.streamingDocTerms, where each batch is read once).
+    */
+  def docTermsPlan(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    docs
+      .repartition(p, col("doc_id"))
+      .withColumn("toks", expr(toksS))
+      .select(col("doc_id"), explode_outer(col("toks")).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+  }
 
   /** Top-k TF-IDF terms per document. IDF is the rational N/df rather
     * than log(N/df): rank-equivalent per document (log is monotone),

@@ -68,12 +68,28 @@ object Similarity {
   /** Approximate top-k: queries probe only their LSH bucket's corpus
     * partition — at scale the corpus is hash-partitioned by bucket and
     * each query touches one partition instead of the full scan.
+    *
+    * `multiProbe = true` probes the query's bucket PLUS its 8
+    * Hamming-1 neighbors (the quality lever single-probe lacks: a near
+    * neighbor on the far side of one hyperplane lands in a bucket one
+    * bit away, and at 100 TB each of the 256 buckets is still huge, so
+    * missing across boundaries is the dominant recall loss). Cost:
+    * 9/256 of the corpus per query instead of 1/256 — still ≪ a full
+    * scan; the query side stays a tiny broadcast (9 rows per query).
+    * Each corpus vector lives in exactly one bucket, so probes never
+    * produce duplicate candidates. Soak reports recall@10 for both
+    * modes against brute force.
     */
-  def lshTopK(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
+  def lshTopK(e: DataFrame, nQueries: Int, k: Int,
+      multiProbe: Boolean = false): DataFrame = {
     val b = e.withColumn("bucket", expr(bucketExpr))
-    val q = b.filter(col("vec_id") < nQueries)
+    val q0 = b.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("bucket"), col("nrm").as("qn"))
+    val q = if (!multiProbe) q0 else q0
+      .withColumn("bucket", explode(expr(
+        "transform(sequence(0, 8), i -> " +
+          "if(i = 0, bucket, bucket ^ shiftleft(1L, i - 1)))")))
     val c = b.filter(col("vec_id") >= nQueries)
       .select(col("vec_id").as("n_id"), col("v").as("cv"),
         col("bucket"), col("nrm").as("cn"))
@@ -104,12 +120,86 @@ object Similarity {
     * of the data.
     */
   def ivfTopK(e: DataFrame, nQueries: Int, nCentroids: Int, nProbe: Int,
-      k: Int): DataFrame = {
-    val cent = e
-      .filter(col("vec_id") >= nQueries &&
-        col("vec_id") < nQueries + nCentroids)
-      .select(col("vec_id").as("cid"), col("v").as("centv"),
-        col("nrm").as("centn"))
+      k: Int): DataFrame =
+    ivfTopKWith(e, firstNCodebook(e, nQueries, nCentroids), nQueries,
+      nProbe, k)
+
+  /** The deterministic first-N codebook the declared `ivf_ann` query
+    * uses (a stand-in for an offline-trained k-means codebook; see
+    * lloydRefine for the trained shape).
+    */
+  def firstNCodebook(e: DataFrame, nQueries: Int,
+      nCentroids: Int): DataFrame = e
+    .filter(col("vec_id") >= nQueries &&
+      col("vec_id") < nQueries + nCentroids)
+    .select(col("vec_id").as("cid"), col("v").as("centv"),
+      col("nrm").as("centn"))
+
+  /** Deterministic Lloyd refinement of an IVF codebook — the offline
+    * k-means training a production system runs before assignment:
+    * each iteration assigns every corpus vector to its nearest
+    * centroid (cosine; same argmax tie-break as ivfTopKWith) and
+    * replaces each centroid with its members' mean. The mean uses the
+    * same integer micro-quantization as labelCentroids, so sums are
+    * order-independent and the refinement is bit-deterministic run to
+    * run (no RNG anywhere: init = the caller's codebook, typically
+    * firstNCodebook). A centroid that loses all members keeps its
+    * previous position. The per-iteration collect is nCentroids×dim
+    * doubles — a few KB; the corpus-side work is the same broadcast
+    * crossJoin + payload-free argmax shape as assignment itself.
+    *
+    * Soak-only quality lever: the declared `ivf_ann` oracle keeps the
+    * untrained first-N codebook (oracle-replicable); Soak reports
+    * recall@10 at equal nProbe for both.
+    */
+  def lloydRefine(e: DataFrame, codebook: DataFrame, nQueries: Int,
+      iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    val corpus = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("n_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    var cent = codebook
+    for (_ <- 0 until iters) {
+      val bestCid = corpus.crossJoin(broadcast(cent))
+        .withColumn("csim", expr("array_dot(cv, centv) / (cn * centn)"))
+        .groupBy(col("n_id"))
+        .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
+        .select(col("n_id"), (-col("m.ncid")).as("cid"))
+      val means = corpus.join(bestCid, "n_id")
+        .select(col("cid"), posexplode(col("cv")).as(Seq("p", "comp")))
+        .select(col("cid"), col("p"),
+          round(col("comp") * 1000000).cast("long").as("q"))
+        .groupBy("cid", "p")
+        .agg((sum(col("q")).cast("double") /
+          (lit(1000000.0) * count(lit(1)))).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("p"), col("m"))))
+          .as("pm"))
+        .select(col("cid"),
+          expr("transform(pm, x -> x.m)").as("centv"))
+        .withColumn("centn", expr("sqrt(array_dot(centv, centv))"))
+      // Keep empty centroids where they were (left join, coalesce).
+      val updated = cent.select(col("cid"), col("centv").as("oldv"),
+          col("centn").as("oldn"))
+        .join(means, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("centv"), col("oldv")).as("centv"),
+          coalesce(col("centn"), col("oldn")).as("centn"))
+      // Materialize each iteration driver-side (tiny) so the lineage
+      // does not stack corpus-wide crossJoins iters deep.
+      val rows = updated.collect().toSeq
+      cent = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), updated.schema)
+    }
+    cent
+  }
+
+  /** IVF probe/search against a supplied codebook (see ivfTopK for the
+    * scale shape; the codebook frame is (cid, centv, centn)).
+    */
+  def ivfTopKWith(e: DataFrame, codebook: DataFrame, nQueries: Int,
+      nProbe: Int, k: Int): DataFrame = {
+    val cent = codebook
     val corpus = e.filter(col("vec_id") >= nQueries)
       .select(col("vec_id").as("n_id"), col("v").as("cv"),
         col("nrm").as("cn"))

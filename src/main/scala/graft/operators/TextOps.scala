@@ -47,6 +47,30 @@ object TextOps {
       s"slice($toks, 3, greatest(size($toks) - 2, 0)), " +
       s"(ab, c) -> concat(ab, ' ', c)))"
 
+  /** Spark HOF formulation of the portable per-token hash (SimHash63
+    * .tokenHash / Shingles3's token stage) — the definitional baseline
+    * ShinglesSpec checks the native expression against.
+    */
+  def tokenHashHofS(t: String): String =
+    s"aggregate(split($t, ''), CAST(0 AS BIGINT), " +
+      s"(a, c) -> (a * 31 + ascii(c)) % 1000000007)"
+
+  /** Spark HOF formulation of Shingles3's hashed window combine over a
+    * MATERIALIZED per-token-hash column `th` (attribute, not inlined —
+    * see shinglesS's eval-cost note): two 30-bit polynomial forms per
+    * window packed as hi·2^30 + lo. Spec-only baseline; declared
+    * queries use the native single-pass Shingles3.
+    */
+  def shinglesHashHofS(th: String): String = {
+    val m = s"greatest(size($th) - 2, 0)"
+    def form(mult: Int): String =
+      s"zip_with(zip_with(slice($th, 1, $m), slice($th, 2, $m), " +
+        s"(a, b) -> (a * $mult + b) % 1000000007), slice($th, 3, $m), " +
+        s"(ab, c) -> (ab * $mult + c) % 1000000007)"
+    s"array_distinct(zip_with(${form(31)}, ${form(37)}, " +
+      s"(l, h) -> h * 1073741824L + l))"
+  }
+
   // ---- DuckDB oracle fragments (input column: text) ----
 
   val normD: String =
@@ -60,14 +84,41 @@ object TextOps {
     s"list_distinct(list_transform(range(1, greatest(len($toks) - 2, 0) " +
       s"+ 1), i -> $toks[i] || ' ' || $toks[i + 1] || ' ' || $toks[i + 2]))"
 
-  /** DuckDB CTE producing (doc_id, sh) with non-empty shingle sets —
-    * the mirror of DedupQueries' Spark-side doc→shingles stage.
+  /** DuckDB mirror of the portable per-token hash shared by
+    * graft.functions.SimHash63.tokenHash and Shingles3: left fold
+    * (a*31 + codePoint) mod 1e9+7. `string_split(t, '')` yields one
+    * element per code point and `ascii(c)` returns it.
+    */
+  def tokenHashD(t: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($t, ''), " +
+      s"c -> CAST(ascii(c) AS BIGINT))), (a, c) -> (a * 31 + c) " +
+      s"% 1000000007)"
+
+  /** DuckDB mirror of Shingles3's window combine over a per-token hash
+    * list `th`: two 30-bit polynomial forms packed as hi·2^30 + lo (see
+    * Shingles3 for the injectivity/overflow argument — every
+    * intermediate fits BIGINT, which DuckDB checks like ANSI Spark).
+    */
+  def shinglesHashD(th: String): String =
+    s"list_distinct(list_transform(" +
+      s"range(1, greatest(len($th) - 2, 0) + 1), i -> " +
+      s"(((($th[i] * 37 + $th[i + 1]) % 1000000007) * 37 + $th[i + 2]) " +
+      s"% 1000000007) * 1073741824 + " +
+      s"(((($th[i] * 31 + $th[i + 1]) % 1000000007) * 31 + $th[i + 2]) " +
+      s"% 1000000007)))"
+
+  /** DuckDB CTE producing (doc_id, sh) with non-empty HASHED shingle
+    * sets — the mirror of DedupQueries' Spark-side doc→shingles stage
+    * (Dedup.docShingles over the int64-emitting Shingles3 expression).
     */
   val docShinglesCteD: String =
     s"""d AS (
-       |  SELECT doc_id, ${shinglesD("toks")} AS sh
-       |  FROM (SELECT doc_id, $toksD AS toks FROM documents)
-       |  WHERE len(${shinglesD("toks")}) > 0
+       |  SELECT doc_id, ${shinglesHashD("th")} AS sh
+       |  FROM (SELECT doc_id,
+       |          list_transform($toksD, t -> ${tokenHashD("t")}) AS th
+       |        FROM documents)
+       |  WHERE len(th) >= 3
        |)""".stripMargin
 
   // ---- Stopword lists for language-ID / quality heuristics ----

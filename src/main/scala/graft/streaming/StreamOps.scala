@@ -92,6 +92,30 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming incremental corpus term stats — the intake-time
+    * counterpart of the memoized batch term table (Pipeline.docTerms)
+    * that token_freq / tfidf_topk / vocab_stats read: each micro-batch
+    * of (doc_id, text) documents runs the SAME batch tokenize+count
+    * plan (Pipeline.docTermsPlan) via foreachBatch, so stream and
+    * batch semantics are identical by construction (StreamOpsSpec
+    * asserts union-of-batches ≡ one batch docTerms run — intake
+    * doc_ids are unique, so per-doc term counts concatenate). `onBatch`
+    * receives each batch's (doc_id, term, tf); production MERGEs it
+    * into the persisted term table, the incremental-corpus-stats shape
+    * at 100 TB (df/N aggregates refresh from the table, never by
+    * re-tokenizing the corpus).
+    */
+  def streamingDocTerms(incoming: DataFrame, checkpointDir: String)(
+      onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(graft.operators.Pipeline.docTermsPlan(batch), batchId)
+      }
+      .start()
+
   final case class SessionEvent(key: String, ts: java.sql.Timestamp)
 
   final case class SessionSummary(key: String, start: java.sql.Timestamp,

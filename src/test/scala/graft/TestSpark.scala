@@ -3,8 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** One shared session across all suites (session startup dominates test
-  * wall time otherwise). Config mirrors the driver harness: UTC, ANSI off
-  * (reference PySpark 3.5 semantics), small shuffle parallelism.
+  * wall time otherwise). Config mirrors the driver harness: UTC, small
+  * shuffle parallelism, and — like Verify since round 5 — ANSI ON by
+  * default (the recommended production mode, and the mode correctness
+  * is graded under; ADVICE r5 flagged tests exercising a different
+  * execution mode than the gate). SPARK_GRAFT_ANSI=false is the same
+  * reference-compat escape hatch Verify honors.
   */
 object TestSpark {
   lazy val spark: SparkSession = {
@@ -13,7 +17,8 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -10,14 +10,16 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class DedupScaleSpec extends AnyFunSuite {
 
-  private def docsWithShingles(n: Int, shingles: Seq[String]) = {
+  // sh carries pre-hashed int64 shingle keys (the Shingles3 output
+  // contract); any distinct longs model a shingle set.
+  private def docsWithShingles(n: Int, shingles: Seq[Long]) = {
     val spark = TestSpark.spark
     import spark.implicits._
     (0 until n).map(i => (i.toLong, shingles)).toDF("doc_id", "sh")
   }
 
   test("LSH bucket cap bounds pair expansion under a hot bucket") {
-    val sh = (1 to 10).map(i => s"tok a $i")
+    val sh = (1 to 10).map(i => 0xABCD0000L + i)
     // Under the cap: B identical docs ⇒ all B(B-1)/2 verified pairs.
     val small = Dedup.minhashNearDupPairs(docsWithShingles(10, sh), 4, 5)
     assert(small.count() == 45)
@@ -35,6 +37,30 @@ class DedupScaleSpec extends AnyFunSuite {
     // Connectivity survives the cap: one cluster, labeled by the min.
     val clusters = Dedup.nearDupClusters(big.select("da", "db"))
     assert(clusters.select("cluster_id").distinct().count() == 1)
+  }
+
+  test("oracle fixtures stay under BandCap (star fallback disengaged)") {
+    // minhash_lsh's declared oracle (exhaustive blocked pairs) emits
+    // ALL verified pairs, but over-BandCap buckets emit only the
+    // min-star — parity therefore ASSUMES no fixture (band, sig)
+    // bucket exceeds BandCap. This pins that assumption: if a future
+    // SF gate grows a >BandCap boilerplate group, this test names the
+    // documented star trade-off instead of leaving a bare hash
+    // mismatch to diagnose (ADVICE r5). Clustering/dedup_keep stay
+    // correct either way — the star preserves connectivity.
+    val spark = TestSpark.spark
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val sh = Dedup.docShingles(
+        graft.Tables.t(spark, s"/root/testdata/$sf", "documents"))
+      val maxBucket = Dedup.bandSignatures(sh)
+        .groupBy("band", "sig").count()
+        .agg(max(col("count"))).collect()(0).getLong(0)
+      sh.unpersist()
+      assert(maxBucket <= Dedup.BandCap,
+        s"$sf grew a $maxBucket-doc (band,sig) bucket > BandCap=" +
+          s"${Dedup.BandCap}: minhash_lsh pair-level oracle parity no " +
+          "longer holds by construction (star fallback engages)")
+    }
   }
 
   test("salted propagateStep: identical labels, salt visible in plan") {
@@ -77,6 +103,43 @@ class DedupScaleSpec extends AnyFunSuite {
     // same output either way; the point is the decision happens inside
     // the operator, not as caller discipline.
     assert(run(None) == viaBroadcast)
+  }
+
+  test("switching corpus keys mid-session evicts the old cluster chain " +
+    "and computes the new corpus correctly") {
+    val spark = TestSpark.spark
+    val sc = spark.sparkContext
+    Dedup.clearCaches(spark)
+    val before = sc.getPersistentRDDs.keySet
+    val docsA = graft.Tables.t(spark, "/root/testdata/sf0.001",
+      "documents")
+    val docsB = docsA.filter(col("doc_id") < 250)
+    // Corpus A: full memoized chain (shingles → bands → pairs →
+    // clusters; clusters is the trickiest lifecycle — persistIt=false
+    // but backed by localCheckpoint RDD storage).
+    val shA = Dedup.docShingles(docsA, cacheKey = "corpusA")
+    val clA = Dedup.clusters(shA, 4, 5, cacheKey = "corpusA")
+    assert(clA.count() > 0)
+    val idsA = sc.getPersistentRDDs.keySet.diff(before)
+    assert(idsA.nonEmpty, "chain A should hold persisted/checkpoint RDDs")
+    // Corpus B under a DIFFERENT key: each named cache holds one live
+    // key per session, so inserting B must evict and RELEASE all of
+    // A's storage — including the checkpoint blocks behind clA.
+    val shB = Dedup.docShingles(docsB, cacheKey = "corpusB")
+    val clB = Dedup.clusters(shB, 4, 5, cacheKey = "corpusB")
+    val b = clB.orderBy("doc_id").collect().toSeq
+    assert(sc.getPersistentRDDs.keySet.intersect(idsA).isEmpty,
+      "corpus A's persisted/checkpoint RDDs must be released on key switch")
+    assert(Dedup.clusters(shB, 4, 5, cacheKey = "corpusB") eq clB)
+    // B's memoized result equals a fresh un-memoized computation.
+    val freshPairs = Dedup.minhashNearDupPairs(shB, 4, 5)
+    val freshDf = Dedup.nearDupClusters(freshPairs)
+    val fresh = freshDf.orderBy("doc_id").collect().toSeq
+    freshPairs.unpersist()
+    Memo.checkpointRdds(freshDf).foreach(_.unpersist(blocking = false))
+    assert(b == fresh && b.nonEmpty)
+    Dedup.clearCaches(spark)
+    assert(sc.getPersistentRDDs.keySet.diff(before).isEmpty)
   }
 
   test("clearCaches releases every memoized persisted DataFrame") {

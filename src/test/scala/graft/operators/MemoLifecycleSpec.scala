@@ -1,0 +1,81 @@
+package graft.operators
+
+import java.lang.ref.WeakReference
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Memo's reference lifecycle: clearCaches must leave NO strong
+  * references behind — keyed entries, keyless persisted frames, and
+  * (transitively) the sessions those frames pin. The r5 verdict flagged
+  * the session-retention trap: cache keys held SparkSessions in a
+  * process-global map forever unless clearCaches ran.
+  */
+class MemoLifecycleSpec extends AnyFunSuite {
+
+  private def awaitCollected(refs: Seq[WeakReference[_]]): Boolean = {
+    var tries = 0
+    while (refs.exists(_.get != null) && tries < 60) {
+      System.gc()
+      Thread.sleep(25)
+      tries += 1
+    }
+    refs.forall(_.get == null)
+  }
+
+  test("clearCaches leaves keyed and keyless frames weakly collectable " +
+    "(no strong refs retained)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // One keyed entry and one keyless persisted frame (the ADVICE-r5
+    // leak shape: keyless callers that never unpersist).
+    var keyed: DataFrame = Memo.memo("lifecycle-weak", spark, "k1",
+      persistIt = true) { Seq(1, 2, 3).toDF("x") }
+    var leaked: DataFrame = Memo.memo("lifecycle-weak", spark, "",
+      persistIt = true) { Seq(4, 5).toDF("x") }
+    assert(keyed.count() == 3 && leaked.count() == 2)
+    assert(leaked.storageLevel.useMemory, "keyless frame persists")
+    val refs = Seq(new WeakReference(keyed), new WeakReference(leaked))
+    Memo.clearCaches(spark)
+    assert(!leaked.storageLevel.useMemory,
+      "clearCaches must release tracked keyless frames too")
+    keyed = null
+    leaked = null
+    assert(awaitCollected(refs),
+      "frames still strongly reachable after clearCaches — Memo retains " +
+        "a reference")
+  }
+
+  test("a discarded child session's memo entries release with " +
+    "clearCaches: Memo retains nothing for the session") {
+    val spark = TestSpark.spark
+    var s2 = spark.newSession()
+    def mk(s: org.apache.spark.sql.SparkSession): DataFrame = {
+      import s.implicits._
+      Memo.memo("lifecycle-weak2", s, "k", persistIt = true) {
+        Seq(1L, 2L).toDF("x")
+      }
+    }
+    var df: DataFrame = mk(s2)
+    assert(df.count() == 2)
+    assert(Memo.entryCount(s2) == 1)
+    Memo.clearCaches(s2)
+    // The direct contract: NOTHING held for the session — keyed keys
+    // (which embed the session) or keyless frames (which pin it via
+    // df.sparkSession). The session OBJECT may still be reachable
+    // through Spark's own inheritable thread-locals (threads spawned
+    // while it was active), so collectability is asserted on the frame,
+    // which only Memo and this test ever referenced.
+    assert(Memo.entryCount(s2) == 0,
+      "clearCaches must drop every keyed entry and keyless frame of " +
+        "the session")
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    val refs = Seq(new WeakReference(df))
+    df = null
+    s2 = null
+    assert(awaitCollected(refs),
+      "frame still strongly reachable after clearCaches — Memo " +
+        "retains a reference")
+  }
+}

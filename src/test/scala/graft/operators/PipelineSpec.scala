@@ -101,6 +101,38 @@ class PipelineSpec extends AnyFunSuite {
       naive.orderBy("doc_id").collect().toSeq)
   }
 
+  test("seq_pack keeps NULL-lang documents as their own partition " +
+    "(null-safe bucket join)") {
+    val spark = TestSpark.spark
+    // Real corpus plus a synthetic null-lang slice: the two-stage
+    // rewrite joins local offsets to bucket offsets on lang, and a
+    // null-rejecting equi-join would silently DROP these rows (ADVICE
+    // r5); the single-window formulation (and the seq_pack oracle's
+    // PARTITION BY lang) keeps them as one partition.
+    val base = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang", "text")
+    val nulled = base.limit(40)
+      .select(col("doc_id") + 100000L, lit(null: String).as("lang"),
+        col("text"))
+      .toDF("doc_id", "lang", "text")
+    val docs = base.union(nulled)
+    val twoStage = Pipeline.packSequences(docs, 2048, bucketWidth = 64)
+    assert(twoStage.filter(col("lang").isNull).count() == 40,
+      "null-lang docs must survive the bucket-offset join")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, -1)
+    val naive = docs
+      .withColumn("toks", expr(TextOps.toksS))
+      .select(col("doc_id"), col("lang"), size(col("toks")).as("n_tok"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("tok_offset") / lit(2048)))
+      .select("doc_id", "lang", "n_tok", "tok_offset", "bin")
+    assert(twoStage.orderBy("doc_id").collect().toSeq ==
+      naive.orderBy("doc_id").collect().toSeq)
+  }
+
   test("lengthFilter approx path: sketch bounds keep ≥99% of the exact " +
     "band and no out-of-band row strays in beyond the rank error") {
     val spark = TestSpark.spark

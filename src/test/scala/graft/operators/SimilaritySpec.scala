@@ -20,6 +20,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.toSeq == brute.toSeq)
   }
 
+  test("multi-probe lshTopK recall vs brute is a superset of " +
+    "single-probe's") {
+    val spark = TestSpark.spark
+    val e = Similarity.prepared(Tables.t(spark, dir, "embeddings"))
+    val brute = Similarity.cosineTopK(e, 5, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(multi: Boolean) =
+      Similarity.lshTopK(e, 5, 5, multiProbe = multi).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = hits(multi = false) intersect brute
+    val multi = hits(multi = true) intersect brute
+    // Multi-probe candidates are a strict superset (bucket + 8
+    // Hamming-1 neighbors), and a true-top-k item among candidates
+    // always survives the window, so its brute hits can only grow.
+    assert(single.subsetOf(multi),
+      s"multi-probe lost brute hits: ${single diff multi}")
+  }
+
+  test("lloydRefine is run-to-run deterministic and probe-all search " +
+    "over the refined codebook stays exact") {
+    val spark = TestSpark.spark
+    val e = Similarity.prepared(Tables.t(spark, dir, "embeddings"))
+    val cb0 = Similarity.firstNCodebook(e, 5, 8)
+    val cb1 = Similarity.lloydRefine(e, cb0, 5, iters = 2)
+      .orderBy("cid").collect().toSeq
+    val cb2 = Similarity.lloydRefine(e, cb0, 5, iters = 2)
+      .orderBy("cid").collect().toSeq
+    assert(cb1 == cb2, "quantized-sum means must be order-independent")
+    assert(cb1 != cb0.orderBy("cid").collect().toSeq,
+      "refinement should actually move the first-N centroids")
+    // Probing every list is exhaustive regardless of codebook quality —
+    // exactness is codebook-independent, only recall at nProbe <
+    // nCentroids varies (Soak reports that).
+    val cbDf = Similarity.lloydRefine(e, cb0, 5, iters = 2)
+    val ivf = Similarity.ivfTopKWith(e, cbDf, 5, nProbe = 8, k = 5)
+      .orderBy("q_id", "rn").collect()
+    val brute = Similarity.cosineTopK(e, 5, 5)
+      .orderBy("q_id", "rn").collect()
+    assert(ivf.toSeq == brute.toSeq)
+  }
+
   test("ivfTopK with nProbe < nCentroids returns k candidates per query " +
     "whose cosines are exact (subset of the brute-force ranking)") {
     val spark = TestSpark.spark

@@ -126,6 +126,41 @@ class StreamOpsSpec extends AnyFunSuite {
     // The second run (00:05:30) is still open in state — not emitted.
   }
 
+  test("streamingDocTerms over micro-batches equals one batch docTerms " +
+    "run (incremental term-table parity)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.Pipeline
+
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val incoming = docs.as[(Long, String)].collect().toSeq
+
+    val collected =
+      scala.collection.mutable.ListBuffer.empty[(Long, String, Long)]
+    val src = MemoryStream[(Long, String)](spark)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-sdt").toString
+    val q = StreamOps.streamingDocTerms(
+      src.toDF().toDF("doc_id", "text"), ckpt) { (terms, _) =>
+      collected ++= terms.as[(Long, String, Long)].collect()
+    }
+    val (b1, b2) = incoming.splitAt(incoming.size / 2)
+    src.addData(b1: _*)
+    q.processAllAvailable()
+    src.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // Intake doc_ids are unique, so per-doc term counts concatenate:
+    // the union of batch term tables IS the batch-mode term table.
+    val oneShot = Pipeline.docTermsPlan(docs)
+      .as[(Long, String, Long)].collect().toSet
+    assert(collected.toSet == oneShot && oneShot.nonEmpty)
+    assert(collected.size == collected.toSet.size,
+      "no (doc, term) row may appear in two batches")
+  }
+
   test("streamingNearDup over micro-batches equals one batch run of the " +
     "incremental dedup operator") {
     val spark = TestSpark.spark
