@@ -89,23 +89,29 @@ object CoreQueries {
     },
 
     // P7: int(float(x))-with-default-0 coercion (kafka_producer.py:76-77)
+    // Both casts are try_cast: the inner one nulls unparseable strings,
+    // the outer one nulls NaN/out-of-int-range doubles — so the coercion
+    // stays total (→ 0) under ANSI mode too, where a plain double→int
+    // cast of NaN throws CAST_OVERFLOW.
     QuerySpec("coerce_default",
       """SELECT p_partkey,
-        |       COALESCE(CAST(TRUNC(TRY_CAST(p_brand AS DOUBLE)) AS INTEGER), 0)
-        |         AS brand_num,
-        |       COALESCE(CAST(TRUNC(TRY_CAST(CAST(p_size AS VARCHAR) AS DOUBLE))
-        |         AS INTEGER), 0) AS size_num,
-        |       COALESCE(CAST(TRUNC(p_retailprice) AS INTEGER), 0) AS price_int
+        |       COALESCE(TRY_CAST(TRUNC(TRY_CAST(p_brand AS DOUBLE)) AS INTEGER),
+        |         0) AS brand_num,
+        |       COALESCE(TRY_CAST(TRUNC(TRY_CAST(CAST(p_size AS VARCHAR)
+        |         AS DOUBLE)) AS INTEGER), 0) AS size_num,
+        |       COALESCE(TRY_CAST(TRUNC(p_retailprice) AS INTEGER), 0)
+        |         AS price_int
         |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
       t(s, dir, "part").select(
         col("p_partkey"),
-        coalesce(expr("try_cast(p_brand AS DOUBLE)").cast(IntegerType),
+        coalesce(expr("try_cast(try_cast(p_brand AS DOUBLE) AS INT)"),
           lit(0)).as("brand_num"),
-        coalesce(expr("try_cast(CAST(p_size AS STRING) AS DOUBLE)")
-          .cast(IntegerType), lit(0)).as("size_num"),
-        coalesce(
-          expr("try_cast(CAST(p_retailprice AS STRING) AS DOUBLE)")
-            .cast(IntegerType), lit(0)).as("price_int"))
+        coalesce(expr(
+          "try_cast(try_cast(CAST(p_size AS STRING) AS DOUBLE) AS INT)"),
+          lit(0)).as("size_num"),
+        coalesce(expr(
+          "try_cast(try_cast(CAST(p_retailprice AS STRING) AS DOUBLE) AS INT)"),
+          lit(0)).as("price_int"))
         .orderBy("p_partkey")
     },
 
@@ -235,7 +241,7 @@ object CoreQueries {
       """SELECT event_id,
         |       '{"event_id":' || event_id || ',"event_type":"' || event_type
         |         || '","value_int":'
-        |         || COALESCE(CAST(TRUNC(value) AS INTEGER), 0) || '}' AS js
+        |         || COALESCE(TRY_CAST(TRUNC(value) AS INTEGER), 0) || '}' AS js
         |FROM events
         |WHERE event_type IS NOT NULL AND value IS NOT NULL
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
@@ -253,7 +259,8 @@ object CoreQueries {
         .filter(col("event_type").isNotNull && col("value").isNotNull)
         .select(col("event_id"),
           to_json(struct(col("event_id"), col("event_type"),
-            coalesce(expr("try_cast(value AS DOUBLE)").cast(IntegerType),
+            coalesce(
+              expr("try_cast(try_cast(value AS DOUBLE) AS INT)"),
               lit(0)).as("value_int"))).as("js"))
         .orderBy("event_id")
     },

@@ -16,11 +16,19 @@ class PropertySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   /** Reference semantics of the producer's coercion
-    * (kafka_producer.py:76-77): int(float(x)) if parseable else 0 —
-    * truncation toward zero, default 0.
+    * (kafka_producer.py:76-77): int(float(x)) if parseable AND
+    * representable as a 32-bit int, else 0. Python raises on
+    * int(float('nan'))/int(float('inf')) → except → 0; values past the
+    * int range coerce to 0 too (the library's documented choice — under
+    * ANSI a plain double→int cast would throw, so both casts are
+    * try_cast and NULL-on-unrepresentable folds to the default).
     */
   private def coerceModel(s: String): Int =
-    try { s.trim.toDouble.toInt } catch { case _: Exception => 0 }
+    try {
+      val d = s.trim.toDouble
+      if (d.isNaN || d < Int.MinValue.toDouble || d > Int.MaxValue.toDouble) 0
+      else d.toInt
+    } catch { case _: Exception => 0 }
 
   test("coercion-with-default is total and matches int(float(x)) or 0") {
     import spark.implicits._
@@ -30,15 +38,16 @@ class PropertySpec extends AnyFunSuite {
       Gen.alphaNumStr,
       Gen.const(""),
       Gen.const("NaN"),
+      Gen.const("Infinity"),
+      Gen.const("9999999999999"), // double-parseable, past Int range
       Gen.const("Brand#13"))
     val inputs = Gen.listOfN(300, gen).sample.get
     val out = inputs.toDF("s")
       .select(col("s"),
-        coalesce(expr("try_cast(s AS DOUBLE)").cast("int"), lit(0))
+        coalesce(expr("try_cast(try_cast(s AS DOUBLE) AS INT)"), lit(0))
           .as("c"))
       .as[(String, Int)].collect()
     out.foreach { case (s, c) =>
-      // Spark parses "NaN" as double NaN; NaN.toInt == 0 in both models.
       assert(c == coerceModel(s), s"input '$s'")
     }
   }
