@@ -114,30 +114,49 @@ object Dedup {
       |  transform(slice(ids, i + 2, size(ids) - i - 1),
       |    y -> named_struct('da', x, 'db', y))))""".stripMargin
 
+  /** Size-carrying variant of expandPairs for the inverted-index path:
+    * `ids` holds (doc_id, sz) structs (sorted by doc_id — the struct's
+    * first field — so da < db ordering matches the plain-id expansion),
+    * and each emitted pair carries both set sizes for the count-
+    * prefilter. Carrying a 4-byte int through the index costs far less
+    * at any scale than the two pairs⋈sizes shuffle joins it replaces
+    * (each of which reshuffles the full candidate-pair table AND a
+    * corpus-wide sizes projection).
+    */
+  private val expandPairsSz: String =
+    """flatten(transform(ids, (x, i) ->
+      |  transform(slice(ids, i + 2, size(ids) - i - 1),
+      |    y -> named_struct('da', x.doc_id, 'sa', x.sz,
+      |                      'db', y.doc_id, 'sb', y.sz))))""".stripMargin
+
   /** Near-dup pairs with exact Jaccard ≥ p/q, candidates from the
     * inverted index with df cap and the exact integer count-prefilter
     * c·(q+p) ≥ p·(|a|+|b|). Shingles arrive pre-hashed (docShingles),
     * so the index explodes longs directly — no per-row re-hash.
     *
     * Pair generation: group the index by shingle, collect the (≤ DfCap)
-    * sorted doc ids, and expand combinations locally — one shuffle on
-    * the shingle hash and one on the pair, instead of a df-filter join
-    * plus a self-join that reshuffles the index twice. The df cap is
-    * what bounds the per-group expansion to DfCap²/2.
+    * sorted (doc_id, sz) structs, and expand combinations locally — one
+    * shuffle on the shingle hash and one on the pair, instead of a
+    * df-filter join plus a self-join that reshuffles the index twice.
+    * The df cap is what bounds the per-group expansion to DfCap²/2.
+    * Set sizes ride the index rows (expandPairsSz), so the prefilter is
+    * a scalar filter on the pair aggregate — no join touches the corpus
+    * until the (tiny) surviving candidate set meets the Jaccard verify.
     */
   def nearDupPairs(docs: DataFrame, p: Int, q: Int): DataFrame = {
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("h"))
+    val inv = docs.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("h"))
     val grouped = inv.groupBy("h")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sz"))))
+        .as("ids"))
       .filter(size(col("ids")).between(2, DfCap))
-    val pairCounts = grouped
-      .select(explode(expr(expandPairs)).as("pr"))
-      .groupBy(col("pr.da").as("da"), col("pr.db").as("db"))
+    val candidates = grouped
+      .select(explode(expr(expandPairsSz)).as("pr"))
+      // sa/sb are functionally determined by da/db — grouping on all
+      // four keeps them available without a post-agg join.
+      .groupBy(col("pr.da").as("da"), col("pr.db").as("db"),
+        col("pr.sa").as("sa"), col("pr.sb").as("sb"))
       .agg(count(lit(1)).as("c"))
-    val candidates = pairCounts
-      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
       .filter(col("c") * (q + p) >= (col("sa") + col("sb")) * p)
       .select("da", "db")
     withJaccard(candidates, docs)
