@@ -22,6 +22,9 @@ object Bench {
       .config("spark.sql.ansi.enabled",
         sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJAGG_FALLBACK",
+          GraftConf.ObjAggFallbackGroups.toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the session before timing: JVM/Hadoop/codegen init otherwise
@@ -49,6 +52,18 @@ object Bench {
         .withColumn("sh", expr("shingles3(toks)"))
         .selectExpr("size(minhash_bands16x2(sh)) AS n")
         .agg(sum(col("n"))).collect()
+      // Warm the native pair-expansion generators + ObjectHashAggregate
+      // (collect_list) path the dedup chain runs on.
+      wdocs.withColumn("sh", expr("shingles3(toks)"))
+        .select(col("doc_id"), size(col("sh")).as("sz"),
+          explode(col("sh")).as("h"))
+        .groupBy("h")
+        .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ids"))
+        .filter(size(col("ids")) >= 1)
+        .select(expr("pair_expand_sz(ids, 3, 10)"))
+        .count()
+      spark.range(5).agg(collect_list(col("id")).as("ids"))
+        .select(expr("pair_expand_cap(ids, 100)")).count()
       spark.read.parquet(s"$sfDir/embeddings.parquet").limit(20)
         .selectExpr("cast(embedding as array<double>) as v")
         .selectExpr("array_dot(v, v) as d", "simhash63(array(1L, 2L)) as s")

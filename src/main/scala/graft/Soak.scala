@@ -34,6 +34,9 @@ object Soak {
       .config("spark.sql.ansi.enabled",
         sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJAGG_FALLBACK",
+          GraftConf.ObjAggFallbackGroups.toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

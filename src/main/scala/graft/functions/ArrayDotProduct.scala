@@ -117,6 +117,32 @@ object GraftFunctions {
         "norm_tokens",
         exprs => NormTokens(exprs.head),
         "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "pair_expand_sz",
+        exprs => PairExpandSz(exprs.head,
+          litInt(exprs(1), "pair_expand_sz p"),
+          litInt(exprs(2), "pair_expand_sz q")),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "pair_expand_cap",
+        exprs => PairExpandCap(exprs.head,
+          litInt(exprs(1), "pair_expand_cap cap")),
+        "built-in")
     }
+  }
+
+  /** Fold a literal int argument at registration time (the generator's
+    * thresholds are plan constants, not per-row expressions).
+    */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case lit if lit.foldable =>
+      lit.eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$what must be an integer literal, got $other")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"$what must be a literal")
   }
 }

@@ -105,57 +105,39 @@ object Dedup {
       .join(docs.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
       .select(col("da"), col("db"), jaccard.as("jaccard"))
 
-  /** Sorted-id combination expansion used by both blocking paths: turns
-    * a per-group `ids` array (already size-capped) into (da, db) structs
-    * locally — no self-join, per-group output bounded by cap²/2.
-    */
-  private val expandPairs: String =
-    """flatten(transform(ids, (x, i) ->
-      |  transform(slice(ids, i + 2, size(ids) - i - 1),
-      |    y -> named_struct('da', x, 'db', y))))""".stripMargin
-
-  /** Size-carrying variant of expandPairs for the inverted-index path:
-    * `ids` holds (doc_id, sz) structs (sorted by doc_id — the struct's
-    * first field — so da < db ordering matches the plain-id expansion),
-    * and each emitted pair carries both set sizes for the count-
-    * prefilter. Carrying a 4-byte int through the index costs far less
-    * at any scale than the two pairs⋈sizes shuffle joins it replaces
-    * (each of which reshuffles the full candidate-pair table AND a
-    * corpus-wide sizes projection).
-    */
-  private val expandPairsSz: String =
-    """flatten(transform(ids, (x, i) ->
-      |  transform(slice(ids, i + 2, size(ids) - i - 1),
-      |    y -> named_struct('da', x.doc_id, 'sa', x.sz,
-      |                      'db', y.doc_id, 'sb', y.sz))))""".stripMargin
-
   /** Near-dup pairs with exact Jaccard ≥ p/q, candidates from the
     * inverted index with df cap and the exact integer count-prefilter
     * c·(q+p) ≥ p·(|a|+|b|). Shingles arrive pre-hashed (docShingles),
     * so the index explodes longs directly — no per-row re-hash.
     *
     * Pair generation: group the index by shingle, collect the (≤ DfCap)
-    * sorted (doc_id, sz) structs, and expand combinations locally — one
-    * shuffle on the shingle hash and one on the pair, instead of a
+    * (doc_id, sz) structs, and expand combinations locally via the
+    * native `pair_expand_sz` Generator (graft.functions.PairExpandSz) —
+    * one shuffle on the shingle hash and one on the pair, instead of a
     * df-filter join plus a self-join that reshuffles the index twice.
     * The df cap is what bounds the per-group expansion to DfCap²/2.
-    * Set sizes ride the index rows (expandPairsSz), so the prefilter is
-    * a scalar filter on the pair aggregate — no join touches the corpus
-    * until the (tiny) surviving candidate set meets the Jaccard verify.
+    * Set sizes ride the index rows, so the prefilter is a scalar filter
+    * on the pair aggregate — no join touches the corpus until the
+    * (tiny) surviving candidate set meets the Jaccard verify. The
+    * generator also applies the size-ratio prefilter q·min ≥ p·max
+    * BEFORE the candidate shuffle (provably output-neutral — it is
+    * implied by the count-prefilter since c ≤ min(sa,sb); see
+    * PairExpand scaladoc), cutting the shuffled candidate volume.
     */
   def nearDupPairs(docs: DataFrame, p: Int, q: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val inv = docs.select(col("doc_id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("h"))
     val grouped = inv.groupBy("h")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sz"))))
-        .as("ids"))
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ids"))
       .filter(size(col("ids")).between(2, DfCap))
     val candidates = grouped
-      .select(explode(expr(expandPairsSz)).as("pr"))
+      // Generator output columns: da, sa, db, sb (canonical da < db —
+      // the generator sorts each bucket by doc_id internally).
+      .select(expr(s"pair_expand_sz(ids, $p, $q)"))
       // sa/sb are functionally determined by da/db — grouping on all
       // four keeps them available without a post-agg join.
-      .groupBy(col("pr.da").as("da"), col("pr.db").as("db"),
-        col("pr.sa").as("sa"), col("pr.sb").as("sb"))
+      .groupBy("da", "db", "sa", "sb")
       .agg(count(lit(1)).as("c"))
       .filter(col("c") * (q + p) >= (col("sa") + col("sb")) * p)
       .select("da", "db")
@@ -163,24 +145,17 @@ object Dedup {
       .filter(col("jaccard") >= lit(p.toDouble) / q)
   }
 
-  /** Over-cap bucket fallback: a bounded star — the (sorted) bucket's
-    * min id paired with every other member, B−1 pairs, linear in bucket
-    * size. See BandCap for why over-cap buckets must not be dropped.
-    */
-  private val starPairs: String =
-    """transform(slice(ids, 2, size(ids) - 1),
-      |  y -> named_struct('da', element_at(ids, 1), 'db', y))""".stripMargin
-
   /** MinHash-LSH verified near-dup pairs: band-bucket candidates
     * (native MinHashBands expression, 16 bands × 2 rows) verified with
     * exact Jaccard ≥ p/q — output independent of the banding hash.
     *
     * Candidate generation groups the banded table by (band, sig) and
-    * expands combinations locally — the same bounded-expansion shape as
-    * nearDupPairs, never an uncapped bucket self-join: buckets within
-    * BandCap expand fully (≤ BandCap²/2 pairs per group), buckets over
-    * it emit the bounded star (B−1 pairs; connectivity preserved, see
-    * BandCap).
+    * expands combinations locally via the native `pair_expand_cap`
+    * Generator (graft.functions.PairExpandCap) — the same bounded-
+    * expansion shape as nearDupPairs, never an uncapped bucket
+    * self-join: buckets within BandCap expand fully (≤ BandCap²/2 pairs
+    * per group), buckets over it emit the bounded star (B−1 pairs;
+    * connectivity preserved, see BandCap).
     *
     * Memoized per (session, cacheKey, p, q): clustering and corpus
     * materialization reuse the verified pair set instead of re-banding.
@@ -190,13 +165,12 @@ object Dedup {
     Memo.memo("pairs", docs.sparkSession,
       if (cacheKey.isEmpty) "" else s"$cacheKey|p=$p|q=$q",
       persistIt = true) {
+      graft.functions.GraftFunctions.register(docs.sparkSession)
       val cand = bandSignatures(docs, cacheKey)
         .groupBy("band", "sig")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .agg(collect_list(col("doc_id")).as("ids"))
         .filter(size(col("ids")) >= 2)
-        .select(explode(expr(
-          s"if(size(ids) <= $BandCap, $expandPairs, $starPairs)")).as("pr"))
-        .select(col("pr.da").as("da"), col("pr.db").as("db"))
+        .select(expr(s"pair_expand_cap(ids, $BandCap)"))
         .distinct()
       withJaccard(cand, docs)
         .filter(col("jaccard") >= lit(p.toDouble) / q)

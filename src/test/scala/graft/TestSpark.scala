@@ -20,6 +20,9 @@ object TestSpark {
       .config("spark.sql.ansi.enabled",
         sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJAGG_FALLBACK",
+          GraftConf.ObjAggFallbackGroups.toString))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     functions.GraftFunctions.register(s)
