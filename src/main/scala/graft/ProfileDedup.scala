@@ -55,6 +55,16 @@ object ProfileDedup {
       time("count-prefiltered cand")(println("  cand=" + candidates.count()))
       val full = Dedup.nearDupPairs(docs, p, q)
       time("full pipeline")(println("  pairs=" + full.count()))
+      val mh = time("minhash pairs")(
+        Dedup.minhashNearDupPairs(docs, 4, 5, cacheKey = sfDir))
+      time("minhash pairs count")(println("  mh=" + mh.count()))
+      time("CC clusters")(println("  labels=" +
+        Dedup.nearDupClusters(mh).count()))
+      val saved = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      time("CC clusters narrow")(println("  labels=" +
+        Dedup.nearDupClusters(mh).count()))
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
     }
     operators.Memo.clearCaches(spark)
     spark.stop()

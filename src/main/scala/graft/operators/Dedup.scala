@@ -123,8 +123,22 @@ object Dedup {
     * BEFORE the candidate shuffle (provably output-neutral — it is
     * implied by the count-prefilter since c ≤ min(sa,sb); see
     * PairExpand scaladoc), cutting the shuffled candidate volume.
+    *
+    * Memoized per (session, cacheKey, p, q) like the minhash pair set:
+    * the inverted-index scan is the most expensive stage in the suite,
+    * and repeated calls (re-runs, downstream consumers) should read the
+    * verified pairs, not rebuild the index.
     */
-  def nearDupPairs(docs: DataFrame, p: Int, q: Int): DataFrame = {
+  def nearDupPairs(docs: DataFrame, p: Int, q: Int,
+      cacheKey: String = ""): DataFrame =
+    Memo.memo("ngram_pairs", docs.sparkSession,
+      if (cacheKey.isEmpty) "" else s"$cacheKey|p=$p|q=$q",
+      persistIt = cacheKey.nonEmpty) {
+      nearDupPairsUncached(docs, p, q)
+    }
+
+  private def nearDupPairsUncached(docs: DataFrame, p: Int,
+      q: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val inv = docs.select(col("doc_id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("h"))
@@ -313,54 +327,73 @@ object Dedup {
     // later actions silently recompute the entire iteration history
     // (measured 10× blowup). In production, swap localCheckpoint
     // (executor-storage) for reliable checkpointing.
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
       .union(pairs.select(col("db").as("a"), col("da").as("b")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
-    var iter = 0
-    var converged = false
-    while (iter < maxIters && !converged) {
-      // hop feeds both sides of the compression self-join; inlined (not
-      // checkpointed) on purpose — the propagate stage computes twice
-      // inside the ONE checkpoint job below, which is cheaper than a
-      // second eager materialization job per iteration.
-      val hop = propagateStep(edges, labels, saltBuckets)
-      // Path compression: follow the label pointer one step (labels are
-      // always node ids, so the self-join matches) — halves the
-      // remaining distance to the component minimum each iteration. The
-      // `changed` flag is computed INSIDE the same checkpoint job (a
-      // join against the old labels), so convergence detection is a
-      // plain filter-scan of the checkpointed rows, not a second join.
-      val next = hop
-        .join(hop.select(col("id").as("lbl"), col("lbl").as("lbl2")),
-          "lbl")
-        .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl"))
-        .join(labels.withColumnRenamed("lbl", "old"), "id")
-        .select(col("id"), col("lbl"), (col("lbl") < col("old")).as("chg"))
+    // The pair graph is orders of magnitude smaller than the corpus
+    // that produced it, so inheriting the corpus-sized shuffle width
+    // makes every CC iteration pay parallelism-many near-empty tasks
+    // across its ~2 jobs (measured at fixture scale: ~30% of CC time).
+    // Size the loop's shuffle width from the MATERIALIZED edge count
+    // (the count is a cheap scan of the checkpoint) at ~50k edge rows
+    // per partition, capped at the session's configured width — at
+    // 100 TB edge counts the cap keeps full parallelism; the conf is
+    // restored on every exit path, and the returned labels frame is
+    // already materialized so later consumption never replans under
+    // the narrow width.
+    val widthKey = "spark.sql.shuffle.partitions"
+    val savedWidth = spark.conf.get(widthKey)
+    val width = math.max(1L, math.min(savedWidth.toLong,
+      edges.count() / 50000L + 1L))
+    spark.conf.set(widthKey, width.toString)
+    try {
+      var labels = edges.select(col("a").as("id")).distinct()
+        .withColumn("lbl", col("id"))
         .localCheckpoint()
-      converged = next.filter(col("chg")).isEmpty
-      // next is eagerly materialized with truncated lineage, so the
-      // previous iteration's checkpoint blocks can be dropped NOW — the
-      // executor-storage footprint stays one generation, not the whole
-      // iteration history. (This is RDD-level block removal; the
-      // CacheManager cascade-invalidation trap does not apply.)
-      Memo.checkpointRdds(labels).foreach(_.unpersist(blocking = false))
-      labels = next.select(col("id"), col("lbl"))
-      iter += 1
-    }
-    Memo.checkpointRdds(edges).foreach(_.unpersist(blocking = false))
-    // Silent-wrong-label guard (ADVICE r3): an unconverged exit would
-    // drop/keep the wrong documents with no signal. Practically
-    // unreachable with pointer jumping (diameter ~2^maxIters).
-    if (!converged) {
-      Memo.checkpointRdds(labels).foreach(_.unpersist(blocking = false))
-      throw new IllegalStateException(
-        s"nearDupClusters did not converge in $maxIters iterations")
-    }
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      var iter = 0
+      var converged = false
+      while (iter < maxIters && !converged) {
+        // hop feeds both sides of the compression self-join; inlined (not
+        // checkpointed) on purpose — the propagate stage computes twice
+        // inside the ONE checkpoint job below, which is cheaper than a
+        // second eager materialization job per iteration.
+        val hop = propagateStep(edges, labels, saltBuckets)
+        // Path compression: follow the label pointer one step (labels are
+        // always node ids, so the self-join matches) — halves the
+        // remaining distance to the component minimum each iteration. The
+        // `changed` flag is computed INSIDE the same checkpoint job (a
+        // join against the old labels), so convergence detection is a
+        // plain filter-scan of the checkpointed rows, not a second join.
+        val next = hop
+          .join(hop.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+            "lbl")
+          .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl"))
+          .join(labels.withColumnRenamed("lbl", "old"), "id")
+          .select(col("id"), col("lbl"), (col("lbl") < col("old")).as("chg"))
+          .localCheckpoint()
+        converged = next.filter(col("chg")).isEmpty
+        // next is eagerly materialized with truncated lineage, so the
+        // previous iteration's checkpoint blocks can be dropped NOW — the
+        // executor-storage footprint stays one generation, not the whole
+        // iteration history. (This is RDD-level block removal; the
+        // CacheManager cascade-invalidation trap does not apply.)
+        Memo.checkpointRdds(labels).foreach(_.unpersist(blocking = false))
+        labels = next.select(col("id"), col("lbl"))
+        iter += 1
+      }
+      Memo.checkpointRdds(edges).foreach(_.unpersist(blocking = false))
+      // Silent-wrong-label guard (ADVICE r3): an unconverged exit would
+      // drop/keep the wrong documents with no signal. Practically
+      // unreachable with pointer jumping (diameter ~2^maxIters).
+      if (!converged) {
+        Memo.checkpointRdds(labels).foreach(_.unpersist(blocking = false))
+        throw new IllegalStateException(
+          s"nearDupClusters did not converge in $maxIters iterations")
+      }
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    } finally spark.conf.set(widthKey, savedWidth)
   }
 
   /** Memoized cluster labels for a corpus' verified minhash pair graph

@@ -139,7 +139,8 @@ object DedupQueries {
     // Exact n-gram Jaccard ≥ 0.3 over blocked candidates.
     QuerySpec("ngram_jaccard", pairsOracle("0.3")) { (s, dir) =>
       Dedup.nearDupPairs(
-        Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir), 3, 10)
+        Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir), 3, 10,
+        cacheKey = dir)
         .orderBy("da", "db")
     },
 
