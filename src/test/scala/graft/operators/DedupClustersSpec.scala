@@ -18,6 +18,23 @@ class DedupClustersSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("CC restores the session shuffle width on success and on the " +
+    "non-convergence throw") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("da", "db")
+    Dedup.nearDupClusters(pairs).count()
+    assert(spark.conf.get(key) === before, "width not restored on success")
+    // maxIters = 0 exits the loop unconverged → the guard throws; the
+    // finally must still restore the session width.
+    intercept[IllegalStateException] {
+      Dedup.nearDupClusters(pairs, maxIters = 0)
+    }
+    assert(spark.conf.get(key) === before, "width not restored on throw")
+  }
+
   test("incremental dedup equals the cross-split restriction of the " +
     "full pair scan") {
     val spark = TestSpark.spark
