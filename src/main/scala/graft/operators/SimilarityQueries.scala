@@ -76,6 +76,39 @@ object SimilarityQueries {
         .orderBy("q_id", "rn")
     },
 
+    // Multi-probe variant — the recall lever over single-bucket LSH
+    // (VERDICT r5): each query probes its bucket plus the 8 Hamming-1
+    // neighbors, so a near neighbor across one hyperplane boundary is
+    // no longer lost. The oracle expands the same 9-bucket probe set
+    // with xor; corpus vectors live in exactly one bucket so probes
+    // never duplicate a candidate.
+    QuerySpec("ann_lsh_mp",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucketD AS bucket, ${normD("v")} AS nrm
+         |      FROM e),
+         |q0 AS (SELECT vec_id AS q_id, v AS qv, bucket, nrm AS qn
+         |       FROM b WHERE vec_id < $NQ),
+         |q AS (SELECT q_id, qv, qn,
+         |             CASE WHEN i = 0 THEN bucket
+         |                  ELSE xor(bucket, CAST(1 AS BIGINT) << (i - 1))
+         |             END AS bucket
+         |      FROM q0, range(0, 9) t(i)),
+         |c AS (SELECT vec_id AS n_id, v AS cv, bucket, nrm AS cn
+         |      FROM b WHERE vec_id >= $NQ),
+         |s AS (SELECT q_id, n_id,
+         |             ${dotD("qv", "cv")} / (qn * cn) AS cos
+         |      FROM c JOIN q USING (bucket))
+         |SELECT q_id, n_id, rn, cos FROM (
+         |  SELECT q_id, n_id, cos, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
+         |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      Similarity.lshTopK(
+        Similarity.prepared(t(s, dir, "embeddings")), NQ, 3,
+        multiProbe = true)
+        .orderBy("q_id", "rn")
+    },
+
     // IVF-style ANN: codebook of 8 centroid vectors, corpus assigned to
     // nearest-centroid lists, query probes its 2 nearest lists only. The
     // oracle derives the same assignment with a row_number argmax —
