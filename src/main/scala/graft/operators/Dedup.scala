@@ -217,6 +217,39 @@ object Dedup {
         .drop("sh")
     }
 
+  /** Persist the corpus band-signature table as a BUCKETED table — the
+    * at-rest layout the incremental path's scale story assumes: the
+    * 100 TB corpus maintains (doc_id, band, sig) bucketed by
+    * (band, sig), so an intake batch too large to broadcast probes it
+    * with a sort-merge join in which the CORPUS SIDE NEVER SHUFFLES
+    * (the incoming side alone exchanges, to the store's bucket count) —
+    * re-banding and re-shuffling the corpus per batch would otherwise
+    * dominate every intake run. DedupStoreSpec asserts the one-sided
+    * exchange on the physical plan and result parity with the
+    * non-stored path.
+    *
+    * Bucket count is a layout decision: bucketed-join width equals it,
+    * so size buckets for intake parallelism (hundreds to thousands at
+    * 100 TB), not for the fixture.
+    *
+    * Deployment note: set
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` on
+    * sessions probing the store — Spark's auto heuristic drops the
+    * bucketed layout in the one-side-bucketed probe shape under AQE
+    * and re-shuffles BOTH sides (DedupStoreSpec pins this).
+    */
+  def writeSignatureStore(docs: DataFrame, path: String, table: String,
+      buckets: Int = 16): Unit =
+    bandSignatures(docs)
+      .write.bucketBy(buckets, "band", "sig").sortBy("band", "sig")
+      .option("path", path).mode("overwrite").saveAsTable(table)
+
+  /** Read back a signature store written by [[writeSignatureStore]];
+    * pass as `corpusBands` to [[incrementalNearDupPairs]].
+    */
+  def signatureStore(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** Incremental near-dup detection — the production dedup shape: a new
     * batch checked against the EXISTING corpus (never corpus×corpus).
     * The incoming side is banded and (by default) broadcast — a day's

@@ -1,0 +1,79 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bucketed band-signature store: the at-rest layout the
+  * incremental dedup scale story assumes (a 100 TB corpus maintains its
+  * (band, sig)-bucketed signatures; intake batches probe them without
+  * ever reshuffling the corpus).
+  */
+class DedupStoreSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("store probe join shuffles ONLY the incoming side; results match " +
+    "the non-stored incremental path") {
+    val spark = TestSpark.spark
+    val wh = Files.createTempDirectory("graft-sigstore").toString
+    val sh = Dedup.docShingles(Tables.t(spark, dir, "documents"))
+    val corpus = sh.filter(col("doc_id") % 5 =!= 0)
+    val incoming = sh.filter(col("doc_id") % 5 === 0)
+
+    Dedup.writeSignatureStore(corpus, s"$wh/sig_store", "sig_store")
+    val store = Dedup.signatureStore(spark, "sig_store")
+
+    // Stored rows are exactly the banded corpus.
+    val direct = Dedup.bandSignatures(corpus)
+    assert(store.exceptAll(direct).isEmpty &&
+      direct.exceptAll(store).isEmpty)
+
+    // Intake too large to broadcast (threshold off): the sort-merge
+    // probe must exchange ONLY the incoming side — the store's bucketed
+    // layout already satisfies the join's (band, sig) distribution.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedABS = spark.conf.get(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // Spark's auto-bucketed-scan heuristic drops the bucketed layout in
+    // this one-sided shape under AQE (both sides then exchange); pin
+    // bucketed scans ON for signature-store probes — the production
+    // guidance that ships with writeSignatureStore.
+    spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val probe = store.join(
+        Dedup.bandSignatures(incoming).withColumnRenamed("doc_id", "new_id"),
+        Seq("band", "sig"))
+      // AQE finalizes the plan only on execution, and count() would
+      // execute a DIFFERENT QueryExecution — collect() runs this one.
+      probe.collect()
+      // AdaptiveSparkPlan.toString prints BOTH the final and the
+      // initial plan — count exchanges in the final section only.
+      val planStr = probe.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exchanges =
+        "Exchange hashpartitioning\\(band".r.findAllIn(planStr).size
+      assert(exchanges == 1,
+        s"expected exactly the incoming-side exchange, got: $planStr")
+      assert(planStr.contains("Bucketed: true"), planStr)
+      // End-to-end parity: incremental pairs through the store equal
+      // the in-memory-banded result.
+      val viaStore = Dedup.incrementalNearDupPairs(corpus, incoming, 4, 5,
+        broadcastIncoming = Some(false), corpusBands = store)
+      val direct2 = Dedup.incrementalNearDupPairs(corpus, incoming, 4, 5,
+        broadcastIncoming = Some(false))
+      assert(viaStore.exceptAll(direct2).isEmpty &&
+        direct2.exceptAll(viaStore).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", savedABS)
+      spark.sql("DROP TABLE IF EXISTS sig_store")
+    }
+  }
+}
