@@ -132,8 +132,12 @@ object GraftFunctions {
   }
 
   /** Fold a literal int argument at registration time (the generator's
-    * thresholds are plan constants, not per-row expressions).
+    * thresholds are plan constants, not per-row expressions). Shared
+    * with GraftExtensions.
     */
+  private[functions] def litIntArg(e: Expression, what: String): Int =
+    litInt(e, what)
+
   private def litInt(e: Expression, what: String): Int = e match {
     case lit if lit.foldable =>
       lit.eval(null) match {
