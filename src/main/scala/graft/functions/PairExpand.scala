@@ -93,19 +93,25 @@ case class PairExpandSz(child: Expression, p: Int, q: Int)
     if (n < 2) return Iterator.empty
     val ids = new Array[Long](n)
     val szs = new Array[Int](n)
+    var m = 0
     var i = 0
     while (i < n) {
-      val st = arr.getStruct(i, 2)
-      ids(i) = st.getLong(0)
-      szs(i) = st.getInt(1)
+      // Null elements are treated as absent (collect_list never emits
+      // them; direct SQL callers might).
+      if (!arr.isNullAt(i)) {
+        val st = arr.getStruct(i, 2)
+        ids(m) = st.getLong(0)
+        szs(m) = st.getInt(1)
+        m += 1
+      }
       i += 1
     }
-    PairExpandBase.sortByIds(ids, szs)
+    PairExpandBase.sortByIds(ids, szs, m)
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     i = 0
-    while (i < n) {
+    while (i < m) {
       var j = i + 1
-      while (j < n) {
+      while (j < m) {
         val sa = szs(i); val sb = szs(j)
         val mn = if (sa < sb) sa else sb
         val mx = if (sa < sb) sb else sa
@@ -140,10 +146,18 @@ case class PairExpandCap(child: Expression, cap: Int)
   override protected def expand(input: InternalRow): IterableOnce[InternalRow] = {
     val arr = child.eval(input).asInstanceOf[ArrayData]
     if (arr == null) return Iterator.empty
-    val n = arr.numElements()
-    if (n < 2) return Iterator.empty
-    val ids = arr.toLongArray()
-    java.util.Arrays.sort(ids)
+    val n0 = arr.numElements()
+    if (n0 < 2) return Iterator.empty
+    // Null elements are treated as absent (collect_list never emits
+    // them; direct SQL callers might).
+    val ids = new Array[Long](n0)
+    var n = 0
+    var k = 0
+    while (k < n0) {
+      if (!arr.isNullAt(k)) { ids(n) = arr.getLong(k); n += 1 }
+      k += 1
+    }
+    java.util.Arrays.sort(ids, 0, n)
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     if (n <= cap) {
       var i = 0
@@ -165,12 +179,13 @@ case class PairExpandCap(child: Expression, cap: Int)
 }
 
 object PairExpandBase {
-  /** In-place dual-array insertion sort by ids (buckets are df-capped,
-    * n ≤ a few hundred — allocation-free beats asymptotics here).
+  /** In-place dual-array insertion sort by ids over the first `n`
+    * slots (buckets are df-capped, n ≤ a few hundred — allocation-free
+    * beats asymptotics here).
     */
-  def sortByIds(ids: Array[Long], szs: Array[Int]): Unit = {
+  def sortByIds(ids: Array[Long], szs: Array[Int], n: Int): Unit = {
     var i = 1
-    while (i < ids.length) {
+    while (i < n) {
       val id = ids(i); val sz = szs(i)
       var j = i - 1
       while (j >= 0 && ids(j) > id) {

@@ -95,6 +95,24 @@ class PairExpandSpec extends AnyFunSuite {
     assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
   }
 
+  test("null ELEMENTS are treated as absent (collect_list never emits " +
+    "them; direct SQL callers might)") {
+    val spark = TestSpark.spark
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, Seq(Some(3L), None, Some(1L), Some(2L))))
+      .toDF("g", "ids")
+    val cap = df.select(expr("pair_expand_cap(ids, 10)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cap === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val sz = df.select(expr(
+      "transform(ids, x -> if(x is null, null, " +
+        "named_struct('doc_id', x, 'sz', 5)))").as("ids"))
+      .select(expr("pair_expand_sz(ids, 3, 10)")).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(sz === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("degenerate buckets: empty, singleton, and null arrays emit " +
     "nothing") {
     val spark = TestSpark.spark
