@@ -258,5 +258,5 @@ object MinHashBands {
     z ^ (z >>> 31)
   }
 
-  def GOLDEN(): Long = 0x9e3779b97f4a7c15L
+  def GOLDEN: Long = 0x9e3779b97f4a7c15L
 }
