@@ -11,7 +11,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = GraftConf.tune(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
@@ -23,9 +23,6 @@ object Bench {
       .config("spark.sql.ansi.enabled",
         sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_OBJAGG_FALLBACK",
-          GraftConf.ObjAggFallbackGroups.toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the session before timing: JVM/Hadoop/codegen init otherwise
@@ -111,6 +108,11 @@ object Bench {
     // resistant warm_total (= cold total with those queries' re-run
     // times substituted; the r3–r5 totals were load-inflated to an
     // unknown degree and adjudicating that cost the judge a re-run).
+    // CAVEAT: for the memoizing dedup queries a re-run reads the
+    // session cache (a persisted-frame scan, ~0.1 s), so warm_total
+    // reflects the cached-pipeline steady state BY DESIGN and is blind
+    // to regressions in their cold pipeline — the COLD total is the
+    // regression signal; warm_total only de-noises host load.
     val results = if (repeat.isDefined) coldResults else {
       val slowest = coldResults.filter(_._2 >= 0).sortBy(-_._2)
         .take(10).map(_._1).toSet

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Distinct 3-word shingles over a token array, emitted as PRE-HASHED
   * int64 keys — a single-pass codegen'd stage that replaces both the
-  * interpreted string-shingle HOF chain (TextOps.shinglesS) and every
+  * interpreted string-shingle HOF chain it replaced and every
   * downstream per-shingle re-hash (`xxhash64(s)` in the inverted index,
   * `transform(sh, s -> xxhash64(s))` ahead of minhash banding).
   *

@@ -71,7 +71,7 @@ object Dedup {
       df.repartition(p, col("doc_id"))
         .withColumn("toks", expr(toksS))
         // Native single-pass shingle+hash (graft.functions.Shingles3) —
-        // same windows as the HOF chain shinglesS with the portable
+        // same windows as the HOF hash chain with the portable
         // hash applied (ShinglesSpec asserts equality against the
         // HOF+hash formulation), no interpreted lambdas or slice
         // copies.
@@ -376,7 +376,20 @@ object Dedup {
     // restored on every exit path, and the returned labels frame is
     // already materialized so later consumption never replans under
     // the narrow width.
+    //
+    // CONCURRENCY CONTRACT: shuffle width is session-global state, so
+    // the loop (a) serializes CC runs per session via ccLock — two
+    // concurrent calls would otherwise interleave save/set/restore and
+    // could strand the session at the narrow width — and (b) restores
+    // compare-and-set style (only if the conf still holds OUR width),
+    // so an unexpected concurrent writer wins rather than being
+    // clobbered by a stale restore. OTHER queries planned on the same
+    // session while a CC loop runs still see the narrow width (same
+    // documented window as the bloom-filter query's threshold confs);
+    // callers running CC concurrently with latency-sensitive planning
+    // should use a separate SparkSession.
     val widthKey = "spark.sql.shuffle.partitions"
+    ccLocks.computeIfAbsent(spark, _ => new Object).synchronized {
     val savedWidth = spark.conf.get(widthKey)
     val width = math.max(1L, math.min(savedWidth.toLong,
       edges.count() / 50000L + 1L))
@@ -426,8 +439,20 @@ object Dedup {
           s"nearDupClusters did not converge in $maxIters iterations")
       }
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-    } finally spark.conf.set(widthKey, savedWidth)
+    } finally {
+      // CAS restore: leave a concurrent writer's value in place.
+      if (spark.conf.get(widthKey) == width.toString)
+        spark.conf.set(widthKey, savedWidth)
+    }
+    }
   }
+
+  /** Per-session lock serializing nearDupClusters' shuffle-width
+    * save/set/restore window (weak keys — sessions come and go).
+    */
+  private val ccLocks =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Object]())
 
   /** Memoized cluster labels for a corpus' verified minhash pair graph
     * — `dedupKeep` and the declared clustering query share this instead

@@ -106,7 +106,17 @@ private[graft] object Memo {
       persistIt: Boolean)(build: => DataFrame): DataFrame = synchronized {
     installHook(spark)
     if (key.isEmpty) {
-      if (persistIt) { val df = build.persist(); keyless += df; df }
+      if (persistIt) {
+        // Bound the tracking set: entries the caller already unpersisted
+        // (per the ownership contract) report StorageLevel.NONE — drop
+        // them here so a long-lived service calling keyless operators
+        // per batch does not accumulate one strong DataFrame reference
+        // per call forever. Genuinely leaked (still-persisted) frames
+        // stay tracked for clearCaches.
+        keyless.filterInPlace(
+          _.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        val df = build.persist(); keyless += df; df
+      }
       else build
     } else {
       val cache = caches.getOrElseUpdate(cacheName, mutable.Map.empty)

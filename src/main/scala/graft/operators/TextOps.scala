@@ -29,23 +29,13 @@ object TextOps {
 
   val toksS: String = "norm_tokens(text)"
 
-  /** Distinct 3-word shingles; empty typed array below 3 tokens.
-    *
-    * IMPORTANT eval-cost shape: `toks` must be an *attribute* (a
-    * materialized column), never an inlined expensive expression — it is
-    * referenced from zip_with data arguments only (never inside a lambda
-    * body via element_at), so each reference evaluates once per row, not
-    * once per array element. Spark HOFs are interpreted (no codegen /
-    * no subexpression elimination): an expression referenced per-element
-    * re-evaluates its whole subtree per element.
-    */
-  def shinglesS(toks: String): String =
-    s"array_distinct(zip_with(zip_with(" +
-      s"slice($toks, 1, greatest(size($toks) - 2, 0)), " +
-      s"slice($toks, 2, greatest(size($toks) - 2, 0)), " +
-      s"(a, b) -> concat(a, ' ', b)), " +
-      s"slice($toks, 3, greatest(size($toks) - 2, 0)), " +
-      s"(ab, c) -> concat(ab, ' ', c)))"
+  // (The string-shingle HOF formulation that predated hashed shingles
+  // was removed with the int64 migration — Shingles3 is the only
+  // shingle producer; ShinglesSpec's baseline is shinglesHashHofS.
+  // IMPORTANT eval-cost shape for any future HOF fragment: reference
+  // arrays as attributes from zip_with DATA arguments only — Spark
+  // HOFs are interpreted, and an expression referenced per-element
+  // re-evaluates its whole subtree per element.)
 
   /** Spark HOF formulation of the portable per-token hash (SimHash63
     * .tokenHash / Shingles3's token stage) — the definitional baseline
@@ -79,10 +69,6 @@ object TextOps {
 
   val toksD: String =
     s"list_filter(string_split($normD, ' '), x -> x != '')"
-
-  def shinglesD(toks: String): String =
-    s"list_distinct(list_transform(range(1, greatest(len($toks) - 2, 0) " +
-      s"+ 1), i -> $toks[i] || ' ' || $toks[i + 1] || ' ' || $toks[i + 2]))"
 
   /** DuckDB mirror of the portable per-token hash shared by
     * graft.functions.SimHash63.tokenHash and Shingles3: left fold

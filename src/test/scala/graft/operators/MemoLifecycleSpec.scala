@@ -47,6 +47,29 @@ class MemoLifecycleSpec extends AnyFunSuite {
         "a reference")
   }
 
+  test("keyless tracking self-prunes entries the caller already " +
+    "unpersisted (no per-batch accumulation in a long-lived service)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = Memo.entryCount(spark)
+    // The disciplined-caller loop: keyless memo per batch, caller
+    // unpersists each frame per the ownership contract.
+    for (i <- 1 to 5) {
+      val df = Memo.memo("lifecycle-prune", spark, "",
+        persistIt = true) { Seq(i).toDF("x") }
+      df.count()
+      df.unpersist(blocking = true)
+    }
+    // The next keyless registration prunes the five NONE-level entries,
+    // so tracking stays bounded at the one still-live frame.
+    val live = Memo.memo("lifecycle-prune", spark, "",
+      persistIt = true) { Seq(99).toDF("x") }
+    live.count()
+    assert(Memo.entryCount(spark) <= base + 1,
+      "unpersisted keyless frames must be pruned, not accumulated")
+    Memo.clearCaches(spark)
+  }
+
   test("a discarded child session's memo entries release with " +
     "clearCaches: Memo retains nothing for the session") {
     val spark = TestSpark.spark
