@@ -76,4 +76,39 @@ class DedupStoreSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS sig_store")
     }
   }
+
+  test("streaming intake probes the store: streamingNearDup with " +
+    "corpusBands = signatureStore equals the in-memory-banded run") {
+    val spark = graft.TestSpark.spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-sigstream").toString
+    val docs = Tables.t(spark, dir, "documents")
+    val sh = Dedup.docShingles(docs)
+    val corpus = sh.filter(col("doc_id") % 2 =!= 0)
+    Dedup.writeSignatureStore(corpus, s"$wh/sig_stream", "sig_stream")
+    try {
+      val incomingDocs = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq
+      val collected =
+        scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      val src = MemoryStream[(Long, String)](spark)
+      val ckpt = Files.createTempDirectory("graft-snds").toString
+      val q = graft.streaming.StreamOps.streamingNearDup(
+        src.toDF().toDF("doc_id", "text"), corpus, 4, 5, ckpt,
+        corpusBands = Dedup.signatureStore(spark, "sig_stream")) {
+        (matches, _) =>
+          collected ++= matches.select("new_id", "corpus_id")
+            .as[(Long, Long)].collect()
+      }
+      src.addData(incomingDocs: _*)
+      q.processAllAvailable()
+      q.stop()
+      val oneShot = Dedup.incrementalNearDupPairs(
+        corpus, sh.filter(col("doc_id") % 2 === 0), 4, 5)
+        .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+      assert(collected.toSet == oneShot && oneShot.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS sig_stream")
+  }
 }
