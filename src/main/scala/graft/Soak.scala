@@ -69,6 +69,36 @@ object Soak {
       s""""pairs":$nPairs,"clusters":$nClusters,""" +
       s""""sec_shingle":$tShingle,"sec_pairs":$tPairs,"sec_cc":$tCC}""")
 
+    // Signature-store soak: write the amplified corpus' band table
+    // bucketed by (band, sig), then run the incremental probe (a 5%
+    // intake slice vs the rest) against the STORE vs in-memory bands —
+    // the at-rest layout the production intake path reads. Probe pins
+    // the shuffle path (broadcast off) so both runs exercise the
+    // (band, sig) join the bucketed layout exists for.
+    spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val corpusSh = sh.filter(col("doc_id") % 20 =!= 0)
+    val intakeSh = sh.filter(col("doc_id") % 20 === 0)
+    val (_, tStoreWrite) = timed {
+      operators.Dedup.writeSignatureStore(corpusSh,
+        s"$soakDir/sig_store", "soak_sig_store", buckets = cpus.toInt)
+    }
+    val (nProbeStore, tProbeStore) = timed {
+      operators.Dedup.incrementalNearDupPairs(corpusSh, intakeSh, 4, 5,
+        broadcastIncoming = Some(false),
+        corpusBands = operators.Dedup.signatureStore(spark,
+          "soak_sig_store")).count()
+    }
+    val (nProbeMem, tProbeMem) = timed {
+      operators.Dedup.incrementalNearDupPairs(corpusSh, intakeSh, 4, 5,
+        broadcastIncoming = Some(false)).count()
+    }
+    spark.sql("DROP TABLE IF EXISTS soak_sig_store")
+    println(s"""{"metric":"soak_store","n_copies":$n,""" +
+      s""""probe_pairs_store":$nProbeStore,"probe_pairs_mem":$nProbeMem,""" +
+      s""""sec_store_write":$tStoreWrite,"sec_probe_store":$tProbeStore,""" +
+      s""""sec_probe_mem":$tProbeMem}""")
+
     // ANN soak: amplify the embedding corpus the same way (vec_id
     // offsets; queries = the original vec_id < 500) and compare exact
     // brute-force top-k against IVF at a realistic query-batch size.
