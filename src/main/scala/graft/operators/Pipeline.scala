@@ -72,6 +72,20 @@ object Pipeline {
     when(bucket < 800, "train").when(bucket < 900, "val")
       .otherwise("test")
 
+  /** Memoized (doc_id, lang, n_tok) projection — the narrow frame both
+    * packSequences and lengthFilter consume TWICE each (an aggregate
+    * branch and a main branch): tokenization is the CPU-dominant stage
+    * (see docTerms), ReuseExchange cannot collapse the branches, and
+    * without materialization every such operator re-tokenizes the full
+    * corpus once per branch. Same Memo contract as docShingles/docTerms
+    * (keyless ⇒ persisted + tracked, clearCaches backstops).
+    */
+  def docLengths(docs: DataFrame, cacheKey: String = ""): DataFrame =
+    Memo.memo("doclen", docs.sparkSession, cacheKey, persistIt = true) {
+      docs.withColumn("toks", expr(toksS))
+        .select(col("doc_id"), col("lang"), size(col("toks")).as("n_tok"))
+    }
+
   /** Token-budget sequence packing — assign documents to fixed-budget
     * training sequences (`cap` tokens): a doc's bin is its exclusive
     * per-language running-token-offset (in doc_id order) divided by the
@@ -99,10 +113,8 @@ object Pipeline {
     * assumed non-negative (`div` truncation = floor there).
     */
   def packSequences(docs: DataFrame, cap: Int,
-      bucketWidth: Long = 4096): DataFrame = {
-    val d = docs
-      .withColumn("toks", expr(toksS))
-      .select(col("doc_id"), col("lang"), size(col("toks")).as("n_tok"))
+      bucketWidth: Long = 4096, cacheKey: String = ""): DataFrame = {
+    val d = docLengths(docs, cacheKey)
       .withColumn("bkt", expr(s"doc_id div ${bucketWidth}L"))
     val wLocal = Window.partitionBy(col("lang"), col("bkt"))
       .orderBy(col("doc_id"))
@@ -145,17 +157,21 @@ object Pipeline {
     * band's rows (PipelineSpec asserts it on the corpus).
     */
   def lengthFilter(docs: DataFrame, lo: Double, hi: Double,
-      approxBounds: Boolean = false, accuracy: Int = 10000): DataFrame = {
-    val d = docs
-      .withColumn("toks", expr(toksS))
-      .select(col("doc_id"), col("lang"),
-        size(col("toks")).as("n_tok"))
+      approxBounds: Boolean = false, accuracy: Int = 10000,
+      cacheKey: String = ""): DataFrame = {
+    val d = docLengths(docs, cacheKey)
     val pct = if (approxBounds) {
       p: Double => s"approx_percentile(n_tok, $p, $accuracy)"
     } else { p: Double => s"percentile(n_tok, $p)" }
+    // lang joins NULL-SAFE like packSequences (ADVICE r5 bug class):
+    // the groupBy computes a bounds row for the NULL-lang group, and a
+    // null-rejecting equi-join would silently DELETE every null-lang
+    // document instead of band-filtering it. Oracle mirrors with
+    // IS NOT DISTINCT FROM; PipelineSpec covers a null-lang corpus.
     val bounds = d.groupBy("lang").agg(
-      expr(pct(lo)).as("p_lo"), expr(pct(hi)).as("p_hi"))
-    d.join(broadcast(bounds), "lang")
+        expr(pct(lo)).as("p_lo"), expr(pct(hi)).as("p_hi"))
+      .withColumnRenamed("lang", "b_lang")
+    d.join(broadcast(bounds), col("lang") <=> col("b_lang"))
       .filter(col("n_tok") >= col("p_lo") && col("n_tok") <= col("p_hi"))
       .select("doc_id", "lang", "n_tok")
   }
@@ -179,7 +195,14 @@ object Pipeline {
   def docTerms(docs: DataFrame, cacheKey: String = ""): DataFrame =
     // Always persisted — even within one query the tf/df/N branches
     // are multiple consumers. Keyless callers own the unpersist
-    // (clearCaches backstops leaked ones).
+    // (clearCaches backstops leaked ones). NOTE for keyless use
+    // through derived operators (tfIdfTopK, packSequences,
+    // lengthFilter): those return LAZY frames still reading the
+    // persisted table, so the "owner" cannot unpersist before
+    // consumption — a service calling them repeatedly must either
+    // pass a cacheKey (ONE live table per session, auto-evicted) or
+    // call clearCaches between corpora. Memo prunes caller-unpersisted
+    // entries, so disciplined direct docTerms users stay bounded.
     Memo.memo("terms", docs.sparkSession, cacheKey, persistIt = true) {
       docTermsPlan(docs)
     }

@@ -69,7 +69,8 @@ object PipelineQueries {
          |  FROM (SELECT doc_id, lang, ${TextOps.toksD} AS toks
          |        FROM documents)
          |) ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Pipeline.packSequences(t(s, dir, "documents"), cap = 2048)
+      Pipeline.packSequences(t(s, dir, "documents"), cap = 2048,
+        cacheKey = dir)
         .orderBy("doc_id")
     },
 
@@ -103,11 +104,12 @@ object PipelineQueries {
          |b AS (SELECT lang, quantile_cont(n_tok, 0.05) AS p_lo,
          |             quantile_cont(n_tok, 0.95) AS p_hi
          |      FROM d GROUP BY lang)
-         |SELECT doc_id, lang, n_tok
-         |FROM d JOIN b USING (lang)
+         |SELECT doc_id, d.lang AS lang, n_tok
+         |FROM d JOIN b ON d.lang IS NOT DISTINCT FROM b.lang
          |WHERE n_tok >= p_lo AND n_tok <= p_hi
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Pipeline.lengthFilter(t(s, dir, "documents"), 0.05, 0.95)
+      Pipeline.lengthFilter(t(s, dir, "documents"), 0.05, 0.95,
+        cacheKey = dir)
         .orderBy("doc_id")
     },
 

@@ -69,11 +69,18 @@ object StreamOps {
     graft.functions.GraftFunctions.register(incoming.sparkSession)
     // Band the static corpus ONCE (persisted for the life of the
     // session; callers wanting earlier release pass their own
-    // corpusBands, e.g. a memoized Dedup.bandSignatures slice, which
-    // takes precedence) — every micro-batch probes the same
-    // signatures, and at scale they are a precomputed table anyway.
+    // corpusBands — a memoized Dedup.bandSignatures slice or a
+    // signatureStore read — which takes precedence): every micro-batch
+    // probes the same signatures, and at scale they are a precomputed
+    // table anyway. The default persist goes through Memo's KEYLESS
+    // path so clearCaches can release it — a bare .persist() here
+    // escaped every release path, accumulating one corpus band table
+    // per restarted stream for the session lifetime.
     val bands = Option(corpusBands).getOrElse(
-      graft.operators.Dedup.bandSignatures(corpusShingles).persist())
+      graft.operators.Memo.memo("bands",
+        corpusShingles.sparkSession, "", persistIt = true) {
+        graft.operators.Dedup.bandSignatures(corpusShingles)
+      })
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -132,6 +139,19 @@ object StreamOps {
     * the per-session output must be computed from custom state (here a
     * summary; in production e.g. a funnel state machine).
     *
+    * Semantics match session_window: a session spans
+    * [start, last + gap) with the end EXCLUSIVE — an event at exactly
+    * last + gap starts a new session — and an event's interval
+    * [t, t + gap) merges every session it overlaps (so an in-watermark
+    * late event EARLIER than the open session either extends it
+    * backward, bridges into it, or forms its own session — it is never
+    * silently absorbed without moving `start`). State keeps only the
+    * trailing open session; runs closed by a later event emit
+    * immediately (an even-later cross-batch arrival inside the
+    * watermark that would have re-opened an emitted run starts a fresh
+    * session instead — the single-open-session trade; Spark's own
+    * session_window keeps a session LIST per key to cover that).
+    *
     * The caller must set a watermark on the event-time column BEFORE
     * converting to Dataset[SessionEvent] — EventTimeTimeout requires it.
     */
@@ -150,28 +170,29 @@ object StreamOps {
         state.remove()
         Iterator(summary(key, s))
       } else {
-        // Sorted walk so a single batch containing a >gap silence splits
-        // into multiple sessions: every closed run is emitted now, only
-        // the trailing open session stays in state (its close is the
-        // event-time timeout).
-        val closed = scala.collection.mutable.ListBuffer[SessionSummary]()
-        var cur = state.getOption
+        // Sorted walk over a transient DISJOINT session list seeded
+        // from state: each event interval [t, t+gap) merges every
+        // session it overlaps (strict bounds — end-exclusive). Sorted
+        // order means once an event lands strictly after a session,
+        // no later event can touch that session, so after the walk
+        // everything but the latest session is closed: emit those now,
+        // keep the trailing one (its close is the event-time timeout).
+        var sessions = state.getOption.toList
         rows.map(_.ts.getTime).toSeq.sorted.foreach { t =>
-          cur match {
-            case Some(s) if t <= s.end + gapMs =>
-              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
-            case Some(s) =>
-              closed += summary(key, s)
-              cur = Some(SessionState(t, t, 1L))
-            case None =>
-              cur = Some(SessionState(t, t, 1L))
+          val (ov, dis) = sessions.partition(s =>
+            t < s.end + gapMs && s.start < t + gapMs)
+          val merged = ov.foldLeft(SessionState(t, t, 1L)) { (a, s) =>
+            SessionState(math.min(a.start, s.start),
+              math.max(a.end, s.end), a.n + s.n)
           }
+          sessions = merged :: dis
         }
-        cur.foreach { s =>
+        val ordered = sessions.sortBy(_.start)
+        ordered.lastOption.foreach { s =>
           state.update(s)
           state.setTimeoutTimestamp(s.end + gapMs)
         }
-        closed.iterator
+        ordered.dropRight(1).map(summary(key, _)).iterator
       }
     }
 

@@ -133,6 +133,24 @@ class PipelineSpec extends AnyFunSuite {
       naive.orderBy("doc_id").collect().toSeq)
   }
 
+  test("lengthFilter band-filters NULL-lang documents instead of " +
+    "silently deleting them (null-safe bounds join)") {
+    val spark = TestSpark.spark
+    val base = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang", "text")
+    val nulled = base.limit(40)
+      .select(col("doc_id") + 100000L, lit(null: String).as("lang"),
+        col("text"))
+      .toDF("doc_id", "lang", "text")
+    val out = Pipeline.lengthFilter(base.union(nulled), 0.05, 0.95)
+    val nullKept = out.filter(col("lang").isNull).count()
+    // The NULL group gets its own [p05, p95] band like every language;
+    // with 40 rows the band keeps the inner ~90% (exact count depends
+    // on ties, but silent deletion would be 0).
+    assert(nullKept >= 30 && nullKept <= 40,
+      s"null-lang docs must be band-filtered, not dropped (kept $nullKept)")
+  }
+
   test("lengthFilter approx path: sketch bounds keep ≥99% of the exact " +
     "band and no out-of-band row strays in beyond the rank error") {
     val spark = TestSpark.spark

@@ -126,6 +126,75 @@ class StreamOpsSpec extends AnyFunSuite {
     // The second run (00:05:30) is still open in state — not emitted.
   }
 
+  test("sessionize handles in-watermark late events: earlier-than-open " +
+    "disjoint events form their own session, overlapping ones extend " +
+    "start backward") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+
+    val src = MemoryStream[(String, java.sql.Timestamp)](spark)
+    val events = src.toDF().toDF("key", "ts")
+      .withWatermark("ts", "30 minutes")
+      .as[StreamOps.SessionEvent]
+    val out = StreamOps.sessionize(events, gapMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("sess_late_out")
+      .outputMode("append").start()
+
+    // Open session for a at 10:00.
+    src.addData(("a", ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // Late DISJOINT event at 09:50 (within the 30 min watermark): it
+    // must become its own immediately-emitted session — the old merge
+    // guard absorbed it into the 10:00 session without moving start.
+    src.addData(("a", ts("2024-01-01 09:50:00")))
+    q.processAllAvailable()
+    // Late OVERLAPPING event at 09:59:30 (interval [09:59:30, 10:00:30)
+    // overlaps the open [10:00, 10:01)): extends the session backward.
+    src.addData(("a", ts("2024-01-01 09:59:30")))
+    q.processAllAvailable()
+    // Far-future unrelated key pushes the watermark past every timeout.
+    src.addData(("z", ts("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val sess = spark.sql(
+      "SELECT key, start, end, n FROM sess_late_out WHERE key = 'a' " +
+        "ORDER BY start")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSeq
+    assert(sess == Seq(
+      ("a", ts("2024-01-01 09:50:00"), ts("2024-01-01 09:51:00"), 1L),
+      ("a", ts("2024-01-01 09:59:30"), ts("2024-01-01 10:01:00"), 2L)))
+  }
+
+  test("sessionize gap boundary is end-exclusive like session_window: " +
+    "an event at exactly last + gap starts a new session") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+
+    val src = MemoryStream[(String, java.sql.Timestamp)](spark)
+    val events = src.toDF().toDF("key", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[StreamOps.SessionEvent]
+    val out = StreamOps.sessionize(events, gapMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("sess_bound_out")
+      .outputMode("append").start()
+
+    // 00:01:00 is exactly last(00:00:00) + gap: new session, so the
+    // first closes and emits intra-batch.
+    src.addData(("a", ts("2024-01-01 00:00:00")),
+      ("a", ts("2024-01-01 00:01:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val sess = spark.sql(
+      "SELECT key, start, end, n FROM sess_bound_out ORDER BY start")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSeq
+    assert(sess == Seq(("a", ts("2024-01-01 00:00:00"),
+      ts("2024-01-01 00:01:00"), 1L)))
+  }
+
   test("streamingDocTerms over micro-batches equals one batch docTerms " +
     "run (incremental term-table parity)") {
     val spark = TestSpark.spark
