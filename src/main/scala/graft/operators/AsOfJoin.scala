@@ -25,9 +25,20 @@ object AsOfJoin {
     */
   def leftAsOf(left: DataFrame, right: DataFrame, key: String,
       tsCol: String, rightPayload: Seq[String]): DataFrame = {
+    // Silent-drop guard: the final cleanup drops the payload columns,
+    // and a LEFT column sharing a payload name would vanish with them.
+    val collisions = rightPayload.toSet
+      .intersect(left.columns.toSet -- Set(key, tsCol))
+    require(collisions.isEmpty,
+      s"leftAsOf: left columns ${collisions.mkString(", ")} collide " +
+        "with rightPayload names — rename one side")
     val l = left.withColumn("__kind", lit(1))
     val r = right
       .select((Seq(key, tsCol) ++ rightPayload).map(col): _*)
+      // A null right timestamp can never satisfy right.ts <= left.ts
+      // (DuckDB ASOF agrees) — unfiltered it would sort FIRST
+      // (nulls-first ascending) and be carried into every left row.
+      .filter(col(tsCol).isNotNull)
       .withColumn("__kind", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))

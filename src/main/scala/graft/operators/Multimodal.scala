@@ -60,7 +60,11 @@ object Multimodal {
     */
   def documentsAsMedia(df: DataFrame): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
+    // Null payloads reject here, at the boundary: every downstream
+    // decode stub dereferences payload unguarded (a null-text document
+    // would NPE the task mid-pipeline otherwise).
     df.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .filter(col("payload").isNotNull)
       .as[MediaRow]
   }
 

@@ -20,8 +20,16 @@ object ScaleOps {
   def saltedSumCount(df: DataFrame, key: Column, metric: Column,
       salts: Int): DataFrame =
     df.select(key.as("k"), metric.as("m"))
-      .withColumn("salt", pmod(hash(col("k"), monotonically_increasing_id()),
-        lit(salts)))
+      // DETERMINISTIC salt: a grouping key derived from
+      // monotonically_increasing_id() (the previous formulation) is the
+      // SPARK-23207 retry hazard — a recomputed map task re-salts its
+      // rows differently than the partials some reducers already
+      // fetched, silently double-counting or dropping rows. Hashing the
+      // row's own values spreads a hot key across salts whenever the
+      // metric varies (identical (k, m) duplicates share a salt — skew
+      // relief degrades only in the all-duplicates corner, correctness
+      // never).
+      .withColumn("salt", pmod(hash(col("k"), col("m")), lit(salts)))
       .groupBy(col("k"), col("salt"))
       .agg(sum(col("m")).as("s"), count(lit(1)).as("c"))
       .groupBy(col("k"))

@@ -24,9 +24,18 @@ import org.apache.spark.sql.types._
 object CovidStreamPipeline {
 
   /** Parse the JSON wire format with the declared schema — PERMISSIVE
-    * parse, then 3-way null rejection (spark_consumer_kafka.py:65-74).
-    * Input must have a string column `value` (Kafka's payload after
+    * parse, then null rejection (spark_consumer_kafka.py:65-74). Input
+    * must have a string column `value` (Kafka's payload after
     * CAST(value AS STRING), or the raw MemoryStream string).
+    *
+    * The date parse is try_to_timestamp + explicit rejection: a plain
+    * to_timestamp THROWS on a malformed date string under ANSI mode
+    * (the library's default) — one bad producer message would kill the
+    * StreamingQuery permanently — and under pre-ANSI it produced a
+    * null event_time that slipped past the declared rejection stage
+    * only to be dropped silently inside the window expansion.
+    * Malformed dates now reject with the other malformed fields, in
+    * both modes (StreamingSliceSpec covers a bad-date message).
     */
   def parse(raw: DataFrame): DataFrame =
     raw.selectExpr("CAST(value AS STRING) AS json_value")
@@ -37,9 +46,10 @@ object CovidStreamPipeline {
         col("data.location").as("location"),
         col("data.new_cases").as("new_cases"),
         col("data.total_cases").as("total_cases"))
-      .withColumn("event_time", to_timestamp(col("date"), "yyyy-MM-dd"))
+      .withColumn("event_time",
+        expr("try_to_timestamp(date, 'yyyy-MM-dd')"))
       .filter(col("location").isNotNull && col("new_cases").isNotNull &&
-        col("total_cases").isNotNull)
+        col("total_cases").isNotNull && col("event_time").isNotNull)
 
   /** Watermarked 1-minute tumbling-window 5-aggregate
     * (spark_consumer_kafka.py:77-99), column names matching the

@@ -26,8 +26,34 @@ final class ParquetUpsertSink(val path: String, val keyCols: Seq[String]) {
     // at .bak — restore it BEFORE reading, or this batch would merge
     // against nothing and the backup would be discarded below.
     recover()
+    // The batch drives multiple actions (isEmpty, then a write whose
+    // plan references it twice) — persist per the foreachBatch
+    // contract, or the upstream stateful aggregation re-executes up to
+    // three times per trigger.
+    batch.persist()
+    try upsertPersisted(batch)
+    finally batch.unpersist(): Unit
+  }
+
+  private def upsertPersisted(batch0: DataFrame): Unit = {
     // Empty-batch short-circuit (reference A7, spark_consumer_kafka.py:132).
-    if (batch.isEmpty) return
+    if (batch0.isEmpty) return
+    // Enforce the PK invariant WITHIN the batch too: a non-key-unique
+    // batch (anything other than a key-unique streaming aggregate)
+    // would union intra-batch duplicates straight into the store.
+    // Deterministic winner per key: greatest non-key struct.
+    val nonKey = batch0.columns.filterNot(keyCols.contains).toSeq
+    val batch = if (nonKey.isEmpty) batch0.dropDuplicates(keyCols)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(batch0(_)): _*)
+        .orderBy(nonKey.map(c => batch0(c).desc): _*)
+      batch0
+        .withColumn("__rn",
+          org.apache.spark.sql.functions.row_number.over(w))
+        .filter(org.apache.spark.sql.functions.col("__rn") === 1)
+        .drop("__rn")
+    }
     val spark = batch.sparkSession
     val dir = new File(path)
     val merged =
@@ -63,12 +89,17 @@ final class ParquetUpsertSink(val path: String, val keyCols: Seq[String]) {
 
   /** Current store contents (for assertions / downstream reads). A
     * post-crash read before any upsert must also see the .bak backup,
-    * so recover (idempotent, synchronized) first.
+    * so recover first. Takes the sink monitor and MATERIALIZES the
+    * snapshot (eager localCheckpoint) before returning: an unlocked
+    * lazy read could list files mid-directory-swap — or list them now
+    * and execute after a swap moved them away. The returned frame is
+    * therefore a point-in-time snapshot, independent of later upserts.
     */
-  def read(spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    recover()
-    spark.read.parquet(path)
-  }
+  def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    synchronized {
+      recover()
+      spark.read.parquet(path).localCheckpoint()
+    }
 
   private def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)

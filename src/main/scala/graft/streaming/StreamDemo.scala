@@ -18,7 +18,11 @@ object StreamDemo {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
+      // ANSI on like every other entry point — the pipeline's date
+      // parse is try_to_timestamp, so malformed dates reject instead
+      // of killing the query (the old ansi=false pin masked that).
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

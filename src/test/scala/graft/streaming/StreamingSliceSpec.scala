@@ -60,7 +60,11 @@ class StreamingSliceSpec extends AnyFunSuite {
       row("2021-03-01", "New Zealand", 3, 110),
       row("2021-02-27", "United States", 999, 9999),
       """{"date": "2021-03-01", "location": null, "new_cases": 1, "total_cases": 1}""",
-      "{not json at all")
+      "{not json at all",
+      // Malformed DATE in valid JSON: must reject at the parse stage —
+      // under ANSI (the session default here) a plain to_timestamp
+      // would throw and kill the query instead.
+      row("2021/03/01", "New Zealand", 50, 500))
     query.processAllAvailable()
     query.stop()
 
