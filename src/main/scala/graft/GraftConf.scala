@@ -29,4 +29,10 @@ object GraftConf {
     b.config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       sys.env.getOrElse("SPARK_GRAFT_OBJAGG_FALLBACK",
         ObjAggFallbackGroups.toString))
+      // The events table carries INT64 TIMESTAMP(NANOS); reading it
+      // requires this legacy flag (Tables.t also sets it defensively,
+      // but setting it at session build makes the policy uniform from
+      // the first read instead of order-dependent on which table
+      // loaded first).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 }

@@ -28,6 +28,12 @@ object Tables {
     // etc. in TextOps fragments) resolve in any session. Idempotent.
     functions.GraftFunctions.register(spark)
     if (name == "events") {
+      // SESSION-WIDE side effect, deliberate and documented: after the
+      // first events load, any later parquet read in this session sees
+      // INT64 TIMESTAMP(NANOS) columns as BIGINT instead of Spark 4's
+      // unsupported-type error. Scoping it per-read is unsafe (the conf
+      // is consulted again at EXECUTION, which may happen after a
+      // restore), so the policy is session-global by design.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts",
@@ -72,9 +78,13 @@ object Tables {
   )
 
   /** The same dim as a VALUES clause for the DuckDB oracle. */
-  val eventTypeDimSql: String =
-    eventTypeDimRows
-      .map { case (et, w, c) => s"('$et', CAST($w AS BIGINT), '$c')" }
+  val eventTypeDimSql: String = dimSql(eventTypeDimRows)
+
+  /** One VALUES-clause builder for both dim variants — a dim schema
+    * change edits one template.
+    */
+  private def dimSql(rows: Seq[(String, Long, String)]): String =
+    rows.map { case (et, w, c) => s"('$et', CAST($w AS BIGINT), '$c')" }
       .mkString("(VALUES ", ", ", ") AS dim(event_type, weight, category)")
 
   /** Left-join variant: dim with one key deliberately absent ('view'), to
@@ -84,10 +94,7 @@ object Tables {
   val eventTypeDimPartialRows: Seq[(String, Long, String)] =
     eventTypeDimRows.filterNot(_._1 == "view")
 
-  val eventTypeDimPartialSql: String =
-    eventTypeDimPartialRows
-      .map { case (et, w, c) => s"('$et', CAST($w AS BIGINT), '$c')" }
-      .mkString("(VALUES ", ", ", ") AS dim(event_type, weight, category)")
+  val eventTypeDimPartialSql: String = dimSql(eventTypeDimPartialRows)
 
   def eventTypeDim(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -24,7 +24,7 @@ object AnalyticQueries {
         |                          ORDER BY ts, event_id) AS rn,
         |       lag(value) OVER (PARTITION BY user_id
         |                        ORDER BY ts, event_id) AS prev_value,
-        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+        |       CAST(SUM(TRY_CAST(value AS DECIMAL(12,2))) OVER (
         |              PARTITION BY user_id ORDER BY ts, event_id
         |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         |            AS DOUBLE) AS moving_sum
@@ -36,7 +36,7 @@ object AnalyticQueries {
         row_number().over(w).as("rn"),
         lag(col("value"), 1).over(w).as("prev_value"),
         // decimal-exact 4-row sum surfaced as DOUBLE (trailing-zero trap)
-        sum(col("value").cast(DecimalType(12, 2)))
+        sum(expr("try_cast(value as decimal(12,2))"))
           .over(w.rowsBetween(-3, 0))
           .cast(DoubleType).as("moving_sum"))
         .orderBy("event_id")
@@ -49,7 +49,7 @@ object AnalyticQueries {
         |       COALESCE(l_linestatus, 'ALL') AS ls,
         |       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
         |       SUM(l_quantity) AS sum_qty,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |       CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(12,2)))
         |            AS DOUBLE) AS sum_price,
         |       COUNT(*) AS n
         |FROM lineitem
@@ -61,7 +61,7 @@ object AnalyticQueries {
           sum(col("l_quantity")).as("sum_qty"),
           // exact decimal sum surfaced as DOUBLE (trailing-zero trap —
           // '...23.60' vs '...23.6' at sf0.1's grand total)
-          sum(col("l_extendedprice").cast(DecimalType(12, 2)))
+          sum(expr("try_cast(l_extendedprice as decimal(12,2))"))
             .cast(DoubleType).as("sum_price"),
           count(lit(1)).as("n"),
           (grouping(col("l_returnflag")) * 2 +
@@ -100,7 +100,7 @@ object AnalyticQueries {
     QuerySpec("sql_tpch_q1",
       """SELECT l_returnflag, l_linestatus,
         |       SUM(l_quantity) AS sum_qty,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |       CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(12,2)))
         |            AS DOUBLE) AS sum_base_price,
         |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
         |                     AS DECIMAL(18,6))) AS DOUBLE)
@@ -114,7 +114,7 @@ object AnalyticQueries {
       s.sql(
         """SELECT l_returnflag, l_linestatus,
           |       SUM(l_quantity) AS sum_qty,
-          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+          |       CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(12,2)))
           |            AS DOUBLE) AS sum_base_price,
           |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
           |                     AS DECIMAL(18,6))) AS DOUBLE)

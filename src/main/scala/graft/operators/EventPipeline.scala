@@ -46,8 +46,13 @@ object EventPipeline {
   /** Exact, order-independent sum of a 2-decimal double metric: cast each
     * value to DECIMAL(12,2) first so partial-aggregate ordering cannot
     * perturb the result (float-sum associativity trap, SURVEY.md §7.4.2).
+    * try_cast, not cast: under ANSI (the library default) a hard cast
+    * THROWS on any |value| ≥ 1e10 — one corrupt row would kill the
+    * whole batch job or streaming query; try_cast nulls it out of the
+    * sum instead (DuckDB oracle mirrors with TRY_CAST).
     */
-  private def decSum(c: Column): Column = sum(c.cast(DecimalType(12, 2)))
+  private def decSum(colName: String): Column =
+    sum(expr(s"try_cast($colName as decimal(12,2))"))
 
   /** 1-minute tumbling-window multi-aggregate keyed by event_type — the
     * analog of the 5-aggregate single-pass agg of
@@ -58,7 +63,7 @@ object EventPipeline {
   def windowAgg(df: DataFrame): DataFrame =
     df.groupBy(window(col("ts"), "1 minute"), col("event_type"))
       .agg(
-        decSum(col("value")).as("total_value_dec"),
+        decSum("value").as("total_value_dec"),
         max(col("value")).as("max_value"),
         sum(col("k")).as("total_k"),
         count(lit(1)).as("n_events"))
@@ -100,7 +105,7 @@ object EventPipeline {
         // differently across engines (Spark rounds the binary value,
         // DuckDB the shortest decimal repr) — the Decimal(20,4) capability
         // is exercised where well-defined by `decimal_cast`.
-        col("total_value").cast(DoubleType) * lit(1000000.0) /
+        col("total_value") * lit(1000000.0) /
           col("weight"))
 
   /** Full batch flagship: events parquet → parse → filter → window agg →

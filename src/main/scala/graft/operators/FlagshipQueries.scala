@@ -24,7 +24,7 @@ object FlagshipQueries {
       |), agg AS (
       |  SELECT time_bucket(INTERVAL 1 minute, ts) AS window_start,
       |         event_type,
-      |         SUM(CAST(value AS DECIMAL(12,2))) AS tv,
+      |         SUM(TRY_CAST(value AS DECIMAL(12,2))) AS tv,
       |         MAX(value) AS max_value,
       |         CAST(SUM(k) AS BIGINT) AS total_k,
       |         COUNT(*) AS n_events
@@ -84,7 +84,7 @@ object FlagshipQueries {
         |SELECT ws AS window_start,
         |       ws + INTERVAL 2 minutes AS window_end,
         |       event_type,
-        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        |       CAST(SUM(TRY_CAST(value AS DECIMAL(12,2))) AS DOUBLE)
         |         AS total_value,
         |       COUNT(*) AS n_events
         |FROM x GROUP BY ws, event_type
@@ -93,8 +93,7 @@ object FlagshipQueries {
         .groupBy(window(col("ts"), "2 minutes", "1 minute"),
           col("event_type"))
         .agg(
-          sum(col("value").cast(org.apache.spark.sql.types
-            .DecimalType(12, 2)))
+          sum(expr("try_cast(value as decimal(12,2))"))
             .cast(org.apache.spark.sql.types.DoubleType)
             .as("total_value"),
           count(lit(1)).as("n_events"))

@@ -92,6 +92,13 @@ private[graft] object Memo {
     hooked.clear()
   }
 
+  /** Per-(cache, session, key) build locks — transient (removed after
+    * each build completes), so no strong session references accumulate.
+    */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, SparkSession, String), Object]()
+
   /** Build-or-reuse under `(cacheName, session, key)`. An empty key
     * disables memoization (the frame is still persisted when
     * `persistIt` — ownership passes to the caller, who unpersists;
@@ -101,37 +108,67 @@ private[graft] object Memo {
     * semantic parameter (thresholds p/q, corpus identity) into it —
     * two calls with the same key but different inputs would silently
     * return the first result.
+    *
+    * Concurrency: `build` runs OUTSIDE the process-global monitor —
+    * some builds are minutes of eager Spark jobs (connected
+    * components), and holding the global lock through them would
+    * serialize every memoized operator in the JVM, including cache
+    * hits for unrelated sessions. A per-key lock serializes concurrent
+    * builders of the SAME key (second one reuses the first's result);
+    * recursive builds (clusters → pairs → bands → shingles) acquire
+    * key locks in one consistent order, so no cycles. Eviction of the
+    * session's previous key happens only AFTER the new build
+    * succeeds — a throwing build must not destroy the old cached
+    * entry (or the checkpoint-backed frames callers still hold).
     */
   def memo(cacheName: String, spark: SparkSession, key: String,
-      persistIt: Boolean)(build: => DataFrame): DataFrame = synchronized {
-    installHook(spark)
+      persistIt: Boolean)(build: => DataFrame): DataFrame = {
+    synchronized { installHook(spark) }
     if (key.isEmpty) {
       if (persistIt) {
-        // Bound the tracking set: entries the caller already unpersisted
-        // (per the ownership contract) report StorageLevel.NONE — drop
-        // them here so a long-lived service calling keyless operators
-        // per batch does not accumulate one strong DataFrame reference
-        // per call forever. Genuinely leaked (still-persisted) frames
-        // stay tracked for clearCaches.
-        keyless.filterInPlace(
-          _.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-        val df = build.persist(); keyless += df; df
+        val df = build.persist()
+        synchronized {
+          // Bound the tracking set: entries the caller already
+          // unpersisted (per the ownership contract) report
+          // StorageLevel.NONE — drop them so a long-lived service
+          // calling keyless operators per batch does not accumulate
+          // one strong DataFrame reference per call forever. Genuinely
+          // leaked (still-persisted) frames stay tracked for
+          // clearCaches.
+          keyless.filterInPlace(
+            _.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          keyless += df
+        }
+        df
       }
       else build
     } else {
-      val cache = caches.getOrElseUpdate(cacheName, mutable.Map.empty)
-      cache.getOrElse((spark, key), {
-        // Bound the cache: evict (and unpersist) other keys of this
-        // session before inserting — only one corpus dir is live at a
-        // time, and persisted storage would otherwise leak for the
-        // life of the session.
-        cache.keys.filter(k => k._1 == spark && k._2 != key).toList
-          .foreach(k =>
-            cache.remove(k).foreach(release(_, blocking = false)))
-        val df = if (persistIt) build.persist() else build
-        cache((spark, key)) = df
-        df
-      })
+      def lookup(): Option[DataFrame] = synchronized {
+        caches.getOrElseUpdate(cacheName, mutable.Map.empty)
+          .get((spark, key))
+      }
+      lookup().getOrElse {
+        val lockKey = (cacheName, spark, key)
+        val lock = buildLocks.computeIfAbsent(lockKey, _ => new Object)
+        try lock.synchronized {
+          lookup().getOrElse {
+            val df = if (persistIt) build.persist() else build
+            synchronized {
+              val cache = caches.getOrElseUpdate(cacheName,
+                mutable.Map.empty)
+              // Bound the cache AFTER the successful build: evict (and
+              // unpersist) the session's other keys — only one corpus
+              // dir is live at a time, and persisted storage would
+              // otherwise leak for the life of the session.
+              cache.keys.filter(k => k._1 == spark && k._2 != key)
+                .toList.foreach(k =>
+                  cache.remove(k).foreach(release(_, blocking = false)))
+              cache((spark, key)) = df
+            }
+            df
+          }
+        } finally buildLocks.remove(lockKey): Unit
+      }
     }
   }
 

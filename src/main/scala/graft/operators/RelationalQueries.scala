@@ -234,14 +234,14 @@ object RelationalQueries {
     // partial sums order-independent.
     QuerySpec("salted_agg",
       """SELECT event_type,
-        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |       CAST(SUM(TRY_CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
         |       COUNT(*) AS n
         |FROM events WHERE value IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin) {
       (s, dir) =>
         ScaleOps.saltedSumCount(
           t(s, dir, "events").filter(col("value").isNotNull),
-          col("event_type"), col("value").cast(DecimalType(12, 2)),
+          col("event_type"), expr("try_cast(value as decimal(12,2))"),
           salts = 8)
           .select(col("k").as("event_type"),
             col("total").cast(DoubleType).as("total"), col("n"))

@@ -11,6 +11,14 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, DataFrameWriter, Row, S
   */
 object Connectors {
 
+  /** One connection-option map shared by reader and writer — a
+    * connection-level change (driver class, timeouts) edits one place.
+    */
+  private def jdbcOptions(url: String, table: String, user: String,
+      password: String): Map[String, String] = Map(
+    "url" -> url, "dbtable" -> table, "user" -> user,
+    "password" -> password, "driver" -> "com.mysql.cj.jdbc.Driver")
+
   /** JDBC batch source for the dimension table
     * (reference: spark_consumer_kafka.py:28-35).
     */
@@ -18,11 +26,7 @@ object Connectors {
       user: String, password: String): DataFrameReader =
     spark.read
       .format("jdbc")
-      .option("url", url)
-      .option("dbtable", table)
-      .option("user", user)
-      .option("password", password)
-      .option("driver", "com.mysql.cj.jdbc.Driver")
+      .options(jdbcOptions(url, table, user, password))
 
   /** JDBC batch sink for per-micro-batch writes
     * (reference: spark_consumer_kafka.py:138-146). The reference uses
@@ -36,11 +40,7 @@ object Connectors {
       user: String, password: String): DataFrameWriter[Row] =
     df.write
       .format("jdbc")
-      .option("url", url)
-      .option("dbtable", table)
-      .option("user", user)
-      .option("password", password)
-      .option("driver", "com.mysql.cj.jdbc.Driver")
+      .options(jdbcOptions(url, table, user, password))
       .mode("append")
 
   /** Kafka value sink for the producer path

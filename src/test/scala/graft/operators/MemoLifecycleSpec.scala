@@ -70,6 +70,28 @@ class MemoLifecycleSpec extends AnyFunSuite {
     Memo.clearCaches(spark)
   }
 
+  test("a THROWING build leaves the previous key's cached entry intact " +
+    "(eviction happens only after a successful build)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val good = Memo.memo("lifecycle-evict", spark, "kA",
+      persistIt = true) { Seq(1, 2).toDF("x") }
+    assert(good.count() == 2)
+    intercept[RuntimeException] {
+      Memo.memo("lifecycle-evict", spark, "kB", persistIt = true) {
+        throw new RuntimeException("build failed")
+      }
+    }
+    // kA must still be cached AND still persisted — the old behavior
+    // evicted/unpersisted it BEFORE running kB's build.
+    assert(good.storageLevel.useMemory,
+      "previous entry was unpersisted by a failed build")
+    val again = Memo.memo("lifecycle-evict", spark, "kA",
+      persistIt = true) { fail("kA should still be cached"); null }
+    assert(again.count() == 2)
+    Memo.clearCaches(spark)
+  }
+
   test("a discarded child session's memo entries release with " +
     "clearCaches: Memo retains nothing for the session") {
     val spark = TestSpark.spark
