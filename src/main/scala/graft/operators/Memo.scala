@@ -156,16 +156,29 @@ private[graft] object Memo {
             synchronized {
               val cache = caches.getOrElseUpdate(cacheName,
                 mutable.Map.empty)
-              // Bound the cache AFTER the successful build: evict (and
-              // unpersist) the session's other keys — only one corpus
-              // dir is live at a time, and persisted storage would
-              // otherwise leak for the life of the session.
-              cache.keys.filter(k => k._1 == spark && k._2 != key)
-                .toList.foreach(k =>
-                  cache.remove(k).foreach(release(_, blocking = false)))
-              cache((spark, key)) = df
+              // Put-if-absent, not overwrite: after a FAILED build the
+              // lock entry is gone while a blocked builder still holds
+              // the old lock object, so two builders can race past the
+              // miss on different lock objects. Whoever inserts second
+              // must not displace (and thereby leak the persist of)
+              // the winner — release the duplicate and reuse.
+              cache.get((spark, key)) match {
+                case Some(winner) =>
+                  if (persistIt) release(df, blocking = false)
+                  winner
+                case None =>
+                  // Bound the cache AFTER the successful build: evict
+                  // (and unpersist) the session's other keys — only
+                  // one corpus dir is live at a time, and persisted
+                  // storage would otherwise leak for the life of the
+                  // session.
+                  cache.keys.filter(k => k._1 == spark && k._2 != key)
+                    .toList.foreach(k =>
+                      cache.remove(k).foreach(release(_, blocking = false)))
+                  cache((spark, key)) = df
+                  df
+              }
             }
-            df
           }
         } finally buildLocks.remove(lockKey): Unit
       }

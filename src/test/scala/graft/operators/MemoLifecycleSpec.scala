@@ -92,6 +92,56 @@ class MemoLifecycleSpec extends AnyFunSuite {
     Memo.clearCaches(spark)
   }
 
+  test("concurrent same-key builders after a FAILED build converge on " +
+    "one cached entry and leak no persisted duplicate") {
+    // The race this pins: a failed build removes its transient lock
+    // entry while a blocked second builder still holds the OLD lock
+    // object, so a third builder can acquire a FRESH lock and build
+    // the same key concurrently — the insert must be put-if-absent
+    // (loser released), never an overwrite (winner's persist leaked).
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t1InBuild = new java.util.concurrent.CountDownLatch(1)
+    val t1Go = new java.util.concurrent.CountDownLatch(1)
+    val built =
+      java.util.Collections.synchronizedList(
+        new java.util.ArrayList[DataFrame]())
+    val t1 = new Thread(() => {
+      intercept[RuntimeException] {
+        Memo.memo("lifecycle-race", spark, "k", persistIt = true) {
+          t1InBuild.countDown(); t1Go.await()
+          throw new RuntimeException("t1 fails")
+        }
+      }: Unit
+    })
+    t1.start(); t1InBuild.await()
+    // t2 queues on t1's lock object while t1 is still inside build.
+    val t2 = new Thread(() => {
+      val df = Memo.memo("lifecycle-race", spark, "k",
+        persistIt = true) {
+        val d = Seq(2).toDF("x"); built.add(d): Unit; d
+      }
+      assert(df.count() == 1)
+    })
+    t2.start(); Thread.sleep(100)
+    // t1 fails → lock entry removed while t2 still holds the old lock;
+    // t3 (this thread) races t2 on a fresh lock object.
+    t1Go.countDown(); t1.join()
+    val df3 = Memo.memo("lifecycle-race", spark, "k",
+      persistIt = true) {
+      val d = Seq(3).toDF("x"); built.add(d): Unit; d
+    }
+    t2.join()
+    assert(df3.count() == 1)
+    // Exactly one built frame may remain persisted (the cache winner);
+    // any racing loser must have been released, not leaked.
+    val persisted = built.toArray(Array.empty[DataFrame])
+      .filter(_.storageLevel.useMemory)
+    assert(persisted.length <= 1,
+      s"a losing duplicate build stayed persisted (${built.size} built)")
+    Memo.clearCaches(spark)
+  }
+
   test("a discarded child session's memo entries release with " +
     "clearCaches: Memo retains nothing for the session") {
     val spark = TestSpark.spark
