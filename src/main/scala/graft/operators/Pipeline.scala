@@ -232,6 +232,109 @@ object Pipeline {
     * vocabulary-sized table and BROADCAST, scalar N broadcast, top-k
     * via ranked window (WindowGroupLimit prunes pre-exchange).
     */
+  /** PII detection/redaction patterns — deliberately backslash-free
+    * (char-class digits, `[.]` instead of `\.`) so the same literal
+    * string is a valid, identically-matching regex in Java regex
+    * (Spark), RE2 (DuckDB oracle), and a SQL single-quoted literal
+    * with no escaping layer to get wrong. The usual PII first pass of
+    * a web-corpus pipeline: emails, E.164-ish phone numbers, IPv4s.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val PhoneRe = "[+][0-9]{7,15}"
+  val Ipv4Re = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+  /** PII scrub — per-document match counts (from the ORIGINAL text)
+    * plus the redacted text with every email/phone/IPv4 replaced by a
+    * type tag. Pure per-row codegen'd expressions: no shuffle, no UDF,
+    * embarrassingly parallel at any scale — the cost model is one
+    * regex pass per pattern over the text bytes, exactly what a 100 TB
+    * scrub pays no matter the engine. Replacement order (email →
+    * phone → IPv4) is fixed and collision-free: the email pattern
+    * consumes its dotted domain before the IPv4 pass, and no pattern
+    * matches inside another's replacement tag. Null text propagates
+    * null counts and null redaction.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_email",
+        expr(s"size(regexp_extract_all($textCol, '$EmailRe', 0))"))
+      .withColumn("n_phone",
+        expr(s"size(regexp_extract_all($textCol, '$PhoneRe', 0))"))
+      .withColumn("n_ip",
+        expr(s"size(regexp_extract_all($textCol, '$Ipv4Re', 0))"))
+      .withColumn("red", expr(
+        s"regexp_replace(regexp_replace(regexp_replace($textCol, " +
+          s"'$EmailRe', '<EMAIL>'), '$PhoneRe', '<PHONE>'), " +
+          s"'$Ipv4Re', '<IP>')"))
+
+  /** Token-budget corpus selection — per language, admit documents in
+    * quality order (here: `n_chars` DESC, doc_id tiebreak — swap in
+    * any per-row score) until the cumulative character budget is
+    * exhausted; a document is kept iff it FITS ENTIRELY within the
+    * remaining budget (exclusive running sum + own size ≤ budget).
+    * This is the data-mixing primitive that caps each language (or
+    * source, or quality band) at a token target before training.
+    *
+    * Scale shape: the running sum reuses packSequences' TWO-STAGE
+    * prefix-sum trick, but banded on the ORDER VALUE instead of
+    * doc_id — `band = -(n_chars div bandWidth)` is order-preserving
+    * for the (n_chars DESC, doc_id) sort (band strictly increases as
+    * n_chars div decreases; n_chars ties land in one band, where the
+    * local window applies the doc_id tiebreak). Per-(lang, band)
+    * totals reduce to a tiny table, take their own per-lang exclusive
+    * cumulative, and BROADCAST back — no task ever windows a whole
+    * language (`Window.partitionBy(lang)` would put every 'en' doc
+    * through ONE reducer at 100 TB). Lang joins NULL-SAFE: null-lang
+    * documents form their own budget pool, like the oracle's
+    * PARTITION BY lang (the r5 null-drop bug class). Output is
+    * row-identical to the single-window formulation (PipelineSpec
+    * asserts it, null-lang row included).
+    */
+  def budgetSelect(docs: DataFrame, budgetChars: Long,
+      bandWidth: Long = 64): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("band", -expr(s"n_chars div ${bandWidth}L"))
+    val wLocal = Window.partitionBy(col("lang"), col("band"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBand = Window.partitionBy(col("lang")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bandOffsets = d.groupBy(col("lang"), col("band"))
+      .agg(sum(col("n_chars")).as("tot"))
+      .withColumn("band_off", coalesce(sum(col("tot")).over(wBand), lit(0L)))
+      .select(col("lang").as("o_lang"), col("band").as("o_band"),
+        col("band_off"))
+    d.withColumn("local_off",
+        coalesce(sum(col("n_chars")).over(wLocal), lit(0L)))
+      .join(broadcast(bandOffsets),
+        col("lang") <=> col("o_lang") && col("band") === col("o_band"))
+      .withColumn("cum_before", col("band_off") + col("local_off"))
+      .filter(col("cum_before") + col("n_chars") <= budgetChars)
+      .select("doc_id", "lang", "n_chars")
+  }
+
+  /** Source-mixture re-weighting — per-source corpus share and the
+    * sampling weight that rebalances to a UNIFORM target mixture:
+    * `weight = (total_chars / n_sources) / source_chars`, reported in
+    * exact integer micros (floor — `round` rounds half-up in Spark
+    * but half-away in some engines; floor is engine-portable). The
+    * standard report a pipeline derives before temperature-sampling
+    * sources into a training mix; a non-uniform target is one extra
+    * broadcast column. One shuffle (the groupBy); the window runs over
+    * the sources-sized aggregate, not the corpus.
+    */
+  def mixWeights(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy()
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars_tot"))
+      .withColumn("tot_all", sum(col("chars_tot")).over(w))
+      .withColumn("n_src", count(lit(1)).over(w))
+      .withColumn("weight_micro",
+        floor(lit(1000000.0) * col("tot_all") /
+          (col("n_src") * col("chars_tot"))).cast("long"))
+      .select("source", "n_docs", "chars_tot", "weight_micro")
+  }
+
   def tfIdfTopK(docs: DataFrame, k: Int, cacheKey: String = ""): DataFrame = {
     val tf = docTerms(docs, cacheKey)
     val dfTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))

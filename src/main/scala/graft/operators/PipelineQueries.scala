@@ -166,6 +166,79 @@ object PipelineQueries {
           sum(col("c")).as("n_tokens"),
           count(when(col("c") === 1, lit(1))).as("n_hapax"))
         .orderBy("lang")
+    },
+
+    // PII scrub: counts + tag-redaction of emails / E.164 phones /
+    // IPv4s. The synthetic corpus contains no natural PII (word-salad
+    // text), so the query appends a DETERMINISTIC doc_id-derived PII
+    // suffix before scrubbing — the redaction then provably fires on
+    // every row (n_email = n_phone = n_ip = 1 + natural matches)
+    // instead of vacuously matching an all-zero oracle.
+    QuerySpec("pii_redact",
+      s"""WITH x AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |  '@mail.example.com or +1555' ||
+         |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |  ' ip 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.77' AS txt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(txt, '${Pipeline.EmailRe}'))
+         |    AS INTEGER) AS n_email,
+         |  CAST(len(regexp_extract_all(txt, '${Pipeline.PhoneRe}'))
+         |    AS INTEGER) AS n_phone,
+         |  CAST(len(regexp_extract_all(txt, '${Pipeline.Ipv4Re}'))
+         |    AS INTEGER) AS n_ip,
+         |  regexp_replace(regexp_replace(regexp_replace(txt,
+         |    '${Pipeline.EmailRe}', '<EMAIL>', 'g'),
+         |    '${Pipeline.PhoneRe}', '<PHONE>', 'g'),
+         |    '${Pipeline.Ipv4Re}', '<IP>', 'g') AS red
+         |FROM x ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Pipeline.redactPii(
+        t(s, dir, "documents").withColumn("txt", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or +1555"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ip 10.2."), (col("doc_id") % 256).cast("string"),
+          lit(".77"))),
+        textCol = "txt")
+        .select("doc_id", "n_email", "n_phone", "n_ip", "red")
+        .orderBy("doc_id")
+    },
+
+    // Token-budget selection: per-language greedy admission in
+    // (n_chars DESC, doc_id) order under a 20k-char budget. The
+    // oracle states the intent as the plain one-window-per-language
+    // SQL; the operator computes the identical rows with the banded
+    // two-stage prefix sum (no whole-language reducer — see
+    // Pipeline.budgetSelect).
+    QuerySpec("token_budget",
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         COALESCE(SUM(n_chars) OVER (PARTITION BY lang
+        |           ORDER BY n_chars DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS cum
+        |  FROM documents)
+        |WHERE cum + n_chars <= 20000 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        Pipeline.budgetSelect(t(s, dir, "documents"), budgetChars = 20000L)
+          .orderBy("doc_id")
+    },
+
+    // Source-mixture report: per-source share + uniform-rebalance
+    // sampling weight in integer micros (floor — portable; see
+    // Pipeline.mixWeights).
+    QuerySpec("mix_weights",
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+        |                  CAST(SUM(n_chars) AS BIGINT) AS chars_tot
+        |           FROM documents GROUP BY source)
+        |SELECT source, n_docs, chars_tot,
+        |       CAST(floor(1000000.0 * (SELECT SUM(chars_tot) FROM s)
+        |         / ((SELECT COUNT(*) FROM s) * chars_tot)) AS BIGINT)
+        |         AS weight_micro
+        |FROM s ORDER BY source""".stripMargin) { (s, dir) =>
+      Pipeline.mixWeights(t(s, dir, "documents"))
+        .orderBy("source")
     }
   )
 }

@@ -181,4 +181,96 @@ class PipelineSpec extends AnyFunSuite {
       .select("rks").as[Seq[Int]].collect()
     ranks.foreach(rks => assert(rks.sorted == (1 to rks.size).toList))
   }
+
+  test("redactPii counts and redacts emails/phones/IPv4s; clean and " +
+    "null text pass through") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "mail a.b+c@sub.example.org and x@y.io here"),
+      (2L, "call +4915512345678 or +1234567 now"),
+      (3L, "hosts 192.168.0.1 and 10.0.0.255"),
+      (4L, "mixed bob@ex.com +7700900123 172.16.254.3"),
+      (5L, "no pii at all, just words and 42 numbers"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Pipeline.redactPii(fixture)
+      .select("doc_id", "n_email", "n_phone", "n_ip", "red")
+      .as[(Long, Integer, Integer, Integer, String)]
+      .collect().sortBy(_._1)
+    assert(out(0) == ((1L, 2, 0, 0,
+      "mail <EMAIL> and <EMAIL> here")))
+    assert(out(1) == ((2L, 0, 2, 0, "call <PHONE> or <PHONE> now")))
+    assert(out(2) == ((3L, 0, 0, 2, "hosts <IP> and <IP>")))
+    assert(out(3) == ((4L, 1, 1, 1, "mixed <EMAIL> <PHONE> <IP>")))
+    assert(out(4) == ((5L, 0, 0, 0,
+      "no pii at all, just words and 42 numbers")))
+    assert(out(5) == ((6L, null, null, null, null)))
+    // Per-row only: no exchange in the plan.
+    val plan = Pipeline.redactPii(fixture)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"PII scrub must not shuffle:\n$plan")
+  }
+
+  test("budgetSelect two-stage prefix sum: (lang, band)-partitioned " +
+    "window, output identical to the single-window formulation " +
+    "(null-lang rows included)") {
+    val spark = TestSpark.spark
+    val base = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang", "n_chars")
+    val nulled = base.limit(40)
+      .select(col("doc_id") + 100000L, lit(null: String).as("lang"),
+        col("n_chars"))
+      .toDF("doc_id", "lang", "n_chars")
+    val docs = base.union(nulled)
+    // bandWidth=16 so the fixture's n_chars range spans many bands.
+    val twoStage = Pipeline.budgetSelect(docs, 20000L, bandWidth = 16)
+    val plan = twoStage.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(lang#\\d+, band#\\d+".r
+      .findFirstIn(plan).isDefined,
+      s"expected a (lang, band)-partitioned window, got:\n$plan")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Long.MinValue, -1)
+    val naive = docs
+      .withColumn("cum", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+      .filter(col("cum") + col("n_chars") <= 20000L)
+      .select("doc_id", "lang", "n_chars")
+    assert(twoStage.orderBy("doc_id").collect().toSeq ==
+      naive.orderBy("doc_id").collect().toSeq)
+    assert(twoStage.filter(col("lang").isNull).count() > 0,
+      "null-lang docs must form their own budget pool, not vanish")
+  }
+
+  test("budgetSelect admits a doc iff it fits entirely in the " +
+    "remaining budget") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq((1L, "x", 50L), (2L, "x", 30L), (3L, "x", 20L))
+      .toDF("doc_id", "lang", "n_chars")
+    // Greedy order is n_chars DESC: 50, 30, 20 with exclusive sums
+    // 0, 50, 80. Budget 100 fits all three (80+20 = 100 exactly);
+    // budget 99 drops only the last.
+    def ids(b: Long) = Pipeline.budgetSelect(docs, b, bandWidth = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids(100L) == Set(1L, 2L, 3L))
+    assert(ids(99L) == Set(1L, 2L))
+    assert(ids(49L) == Set.empty[Long])
+  }
+
+  test("mixWeights: uniform-target weights are exact integer micros " +
+    "of total/(n_src*source)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", 60L), (2L, "a", 40L),        // a: 100 chars
+      (3L, "b", 200L), (4L, "b", 100L))      // b: 300 chars
+      .toDF("doc_id", "source", "n_chars")
+    val out = Pipeline.mixWeights(docs)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    // total 400, 2 sources → target 200/source: a upweights 2.0,
+    // b downweights 2/3 (floored micros).
+    assert(out.toSeq == Seq(("a", 2L, 100L, 2000000L),
+      ("b", 2L, 300L, 666666L)))
+  }
 }
