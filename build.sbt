@@ -27,4 +27,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Local-harness JIT tuning. The oracle/bench suite runs ~85 distinct
+  // queries over small SFs: almost every generated class executes a few
+  // thousand rows and dies — far below HotSpot's default C2 thresholds —
+  // so with defaults most of the suite runs interpreted/C1 while 30 of
+  // 32 cores idle. Lowering the tier thresholds makes the (otherwise
+  // idle) compiler threads promote code orders of magnitude sooner:
+  // measured on the sf0.1 driver protocol this cut the 85-query cold
+  // total from ~54 s to ~38 s with no query regressing beyond noise.
+  // This tunes the LOCAL single-JVM harness only — a long-lived cluster
+  // executor processing billions of rows reaches C2 regardless and
+  // should keep JVM defaults (do not copy into executor extraJavaOptions).
+  "-XX:Tier3InvocationThreshold=100",
+  "-XX:Tier3BackEdgeThreshold=2000",
+  "-XX:Tier4InvocationThreshold=1000",
+  "-XX:Tier4BackEdgeThreshold=8000",
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
@@ -146,11 +148,22 @@ object Bench {
     val wq = j(results.collect { case (k, _, Some(w)) => (k, w) })
     val warmPart = s""","warm_total":${f3(warmTotal)},"queries_warm":$wq"""
     val warmTotalOnly = s""","warm_total":${f3(warmTotal)}"""
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"queries":$qs$warmPart,"sf":"$sfDir"}""")
+    // Host-load forensics baked into the record: totals on this suite
+    // swing >2x with neighbor load (same-day 34-73 s observed at loads
+    // 2-9 on 32 cores; r3-r5 gate adjudication repeatedly had to
+    // reconstruct load windows after the fact). loadavg at suite end
+    // (1- and 5-minute) rides along so every recorded bench carries
+    // its own noise evidence. Non-Linux hosts just omit the field.
+    val loadPart = scala.util.Try {
+      val l = Files.readString(Paths.get("/proc/loadavg"))
+        .split(" ").take(2).map(_.toDouble)
+      s""","load1":${f3(l(0))},"load5":${f3(l(1))}"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"queries":$qs$warmPart,"sf":"$sfDir"$loadPart}""")
     // Compact headline LAST: whatever byte window the driver tails,
     // the final line always fits whole, so the total survives even if
     // the per-query line above gets clipped.
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"sf":"$sfDir"$warmTotalOnly}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"sf":"$sfDir"$warmTotalOnly$loadPart}""")
     operators.Dedup.clearCaches(spark)
     spark.stop()
   }
