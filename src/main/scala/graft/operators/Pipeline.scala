@@ -232,6 +232,22 @@ object Pipeline {
     * vocabulary-sized table and BROADCAST, scalar N broadcast, top-k
     * via ranked window (WindowGroupLimit prunes pre-exchange).
     */
+  def tfIdfTopK(docs: DataFrame, k: Int, cacheKey: String = ""): DataFrame = {
+    val tf = docTerms(docs, cacheKey)
+    val dfTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = tf.select("doc_id").distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfTerm), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * (col("n_docs").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("doc_id", "term", "tf", "df", "rk", "score")
+  }
+
   /** PII detection/redaction patterns — deliberately backslash-free
     * (char-class digits, `[.]` instead of `\.`) so the same literal
     * string is a valid, identically-matching regex in Java regex
@@ -271,57 +287,108 @@ object Pipeline {
     * quality order (here: `n_chars` DESC, doc_id tiebreak — swap in
     * any per-row score) until the cumulative character budget is
     * exhausted; a document is kept iff it FITS ENTIRELY within the
-    * remaining budget (exclusive running sum + own size ≤ budget).
-    * This is the data-mixing primitive that caps each language (or
-    * source, or quality band) at a token target before training.
+    * remaining budget (exclusive running sum + own size ≤ budget) —
+    * the data-mixing primitive that caps each language (or source, or
+    * quality band) at a token target before training.
     *
-    * Scale shape: the running sum reuses packSequences' TWO-STAGE
-    * prefix-sum trick, but banded on the ORDER VALUE instead of
-    * doc_id — `band = -(n_chars div bandWidth)` is order-preserving
-    * for the (n_chars DESC, doc_id) sort (band strictly increases as
-    * n_chars div decreases; n_chars ties land in one band, where the
-    * local window applies the doc_id tiebreak). Per-(lang, band)
-    * totals reduce to a tiny table, take their own per-lang exclusive
-    * cumulative, and BROADCAST back — no task ever windows a whole
-    * language (`Window.partitionBy(lang)` would put every 'en' doc
-    * through ONE reducer at 100 TB). Lang joins NULL-SAFE: null-lang
-    * documents form their own budget pool, like the oracle's
-    * PARTITION BY lang (the r5 null-drop bug class). Output is
-    * row-identical to the single-window formulation (PipelineSpec
-    * asserts it, null-lang row included).
+    * Scale shape: threshold-then-boundary, NOT a per-document running
+    * sum. (A banded value prefix sum — the first formulation here —
+    * degenerates when lengths tie: a fixed-length corpus puts a whole
+    * language in one band and recreates the single-reducer window.)
+    *
+    *  1. VALUE TABLE: aggregate to one row per (lang, n_chars) — at
+    *     most one row per distinct length, corpus-size-independent.
+    *     Its per-lang exclusive cumulative (ordered by n_chars DESC)
+    *     gives S(v) = chars admitted before group v; a plain window
+    *     over this TINY table, never over documents.
+    *  2. Classify each value group: fully admitted (S(v) + total(v) ≤
+    *     B), fully dropped (S(v) + v > B — the group's FIRST doc
+    *     already does not fit), or THE boundary group (≤ 1 per lang),
+    *     whose admitted-doc count is k_max = (B − S(v)) div v (every
+    *     doc in the group has the same size, so no per-doc sum is
+    *     needed — only a rank).
+    *  3. Fully-admitted groups join back by (lang, n_chars) — a
+    *     broadcast of the value table, the corpus never shuffles.
+    *     The boundary group takes its first k_max docs by doc_id via
+    *     a doc_id-BUCKETED two-stage rank (bounded local windows on
+    *     (lang, bkt) + a broadcast bucket-count cumulative, the
+    *     packSequences trick) — correct and uniform even when every
+    *     document in the language has the identical length.
+    *
+    * Lang comparisons are NULL-SAFE throughout: null-lang documents
+    * form their own budget pool, like the oracle's PARTITION BY lang
+    * (the r5 null-drop bug class). A null `n_chars` row is excluded
+    * on BOTH paths — here by the explicit filter, in the oracle's
+    * plain-window SQL by `cum + NULL <= budget` being NULL.
+    * PipelineSpec asserts row-identity to the single-window
+    * formulation, null-lang rows and all-tied corpora included.
     */
   def budgetSelect(docs: DataFrame, budgetChars: Long,
-      bandWidth: Long = 64): DataFrame = {
+      tieBucketWidth: Long = 4096): DataFrame = {
     val d = docs.select(col("doc_id"), col("lang"), col("n_chars"))
-      .withColumn("band", -expr(s"n_chars div ${bandWidth}L"))
-    val wLocal = Window.partitionBy(col("lang"), col("band"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
+      .filter(col("n_chars").isNotNull)
+    val wVal = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wBand = Window.partitionBy(col("lang")).orderBy(col("band"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bandOffsets = d.groupBy(col("lang"), col("band"))
-      .agg(sum(col("n_chars")).as("tot"))
-      .withColumn("band_off", coalesce(sum(col("tot")).over(wBand), lit(0L)))
-      .select(col("lang").as("o_lang"), col("band").as("o_band"),
-        col("band_off"))
-    d.withColumn("local_off",
-        coalesce(sum(col("n_chars")).over(wLocal), lit(0L)))
-      .join(broadcast(bandOffsets),
-        col("lang") <=> col("o_lang") && col("band") === col("o_band"))
-      .withColumn("cum_before", col("band_off") + col("local_off"))
-      .filter(col("cum_before") + col("n_chars") <= budgetChars)
+    val vals = d.groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("t", col("n_chars") * col("cnt"))
+      .withColumn("s_before", coalesce(sum(col("t")).over(wVal), lit(0L)))
+      // k_max = docs admitted from this group (doc_id order). The div
+      // in the boundary branch is guarded: v = 0 always lands in the
+      // first two branches (t = 0), so no division by zero under ANSI.
+      .withColumn("k_max",
+        when(col("s_before") + col("t") <= budgetChars, col("cnt"))
+          .when(col("s_before") + col("n_chars") > budgetChars, lit(0L))
+          .otherwise(expr(s"($budgetChars - s_before) div n_chars")))
+    val full = vals.filter(col("k_max") === col("cnt"))
+      .select(col("lang").as("f_lang"), col("n_chars").as("f_v"))
+    val bnd = vals.filter(col("k_max") > 0 && col("k_max") < col("cnt"))
+      .select(col("lang").as("b_lang"), col("n_chars").as("b_v"),
+        col("k_max"))
+    val fullRows = d.join(broadcast(full),
+      col("lang") <=> col("f_lang") && col("n_chars") === col("f_v"))
       .select("doc_id", "lang", "n_chars")
+    // Boundary group (≤ 1 value per lang): rank docs by doc_id with
+    // bounded windows — local rank within (lang, doc_id-bucket), plus
+    // a broadcast exclusive cumulative of per-bucket counts.
+    val bd = d.join(broadcast(bnd),
+      col("lang") <=> col("b_lang") && col("n_chars") === col("b_v"))
+      .withColumn("bkt", expr(s"doc_id div ${tieBucketWidth}L"))
+    val wBkt = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktOff = bd.groupBy(col("lang"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rk_off", coalesce(sum(col("c")).over(wBkt), lit(0L)))
+      .select(col("lang").as("o_lang"), col("bkt").as("o_bkt"),
+        col("rk_off"))
+    val wLoc = Window.partitionBy(col("lang"), col("bkt"))
+      .orderBy(col("doc_id"))
+    val bndRows = bd
+      .withColumn("rk_loc", row_number().over(wLoc))
+      .join(broadcast(bktOff),
+        col("lang") <=> col("o_lang") && col("bkt") === col("o_bkt"))
+      .filter(col("rk_off") + col("rk_loc") <= col("k_max"))
+      .select("doc_id", "lang", "n_chars")
+    fullRows.unionByName(bndRows)
   }
 
   /** Source-mixture re-weighting — per-source corpus share and the
     * sampling weight that rebalances to a UNIFORM target mixture:
     * `weight = (total_chars / n_sources) / source_chars`, reported in
-    * exact integer micros (floor — `round` rounds half-up in Spark
-    * but half-away in some engines; floor is engine-portable). The
+    * exact integer micros. The arithmetic is INTEGER end-to-end —
+    * `(1e6 · total) div (n_src · source_chars)` over decimal(38,0) —
+    * because a double-precision formulation diverges from an
+    * exact-decimal engine once 1e6·total passes 2^53 (≈9×10^15, i.e.
+    * a few-TB corpus: floor(999999.9999999999) = 999999 vs the exact
+    * 1000000), and `floor(double)` near-integer results would make
+    * the oracle comparison scale-dependent. A zero-char source yields
+    * a NULL weight on both engines (nullif denominator) rather than
+    * Spark's floor(Infinity) = Long.MaxValue vs DuckDB's NULL. The
     * standard report a pipeline derives before temperature-sampling
     * sources into a training mix; a non-uniform target is one extra
-    * broadcast column. One shuffle (the groupBy); the window runs over
-    * the sources-sized aggregate, not the corpus.
+    * broadcast column. One shuffle (the groupBy); the window runs
+    * over the sources-sized aggregate, not the corpus.
     */
   def mixWeights(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy()
@@ -329,25 +396,9 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars_tot"))
       .withColumn("tot_all", sum(col("chars_tot")).over(w))
       .withColumn("n_src", count(lit(1)).over(w))
-      .withColumn("weight_micro",
-        floor(lit(1000000.0) * col("tot_all") /
-          (col("n_src") * col("chars_tot"))).cast("long"))
+      .withColumn("weight_micro", expr(
+        "cast(cast(tot_all as decimal(38,0)) * 1000000 div " +
+          "nullif(cast(n_src as decimal(38,0)) * chars_tot, 0) as bigint)"))
       .select("source", "n_docs", "chars_tot", "weight_micro")
-  }
-
-  def tfIdfTopK(docs: DataFrame, k: Int, cacheKey: String = ""): DataFrame = {
-    val tf = docTerms(docs, cacheKey)
-    val dfTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val nDocs = tf.select("doc_id").distinct()
-      .agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(dfTerm), "term")
-      .crossJoin(broadcast(nDocs))
-      .withColumn("score",
-        col("tf") * (col("n_docs").cast("double") / col("df")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("doc_id", "term", "tf", "df", "rk", "score")
   }
 }

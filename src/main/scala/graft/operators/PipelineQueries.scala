@@ -226,16 +226,20 @@ object PipelineQueries {
     },
 
     // Source-mixture report: per-source share + uniform-rebalance
-    // sampling weight in integer micros (floor — portable; see
+    // sampling weight in integer micros. Integer arithmetic on BOTH
+    // sides (HUGEINT // here, decimal(38,0) div in Spark) — a double
+    // formulation diverges from exact decimal once 1e6·total passes
+    // 2^53; zero-char sources get NULL weights on both engines (see
     // Pipeline.mixWeights).
     QuerySpec("mix_weights",
       """WITH s AS (SELECT source, COUNT(*) AS n_docs,
         |                  CAST(SUM(n_chars) AS BIGINT) AS chars_tot
         |           FROM documents GROUP BY source)
         |SELECT source, n_docs, chars_tot,
-        |       CAST(floor(1000000.0 * (SELECT SUM(chars_tot) FROM s)
-        |         / ((SELECT COUNT(*) FROM s) * chars_tot)) AS BIGINT)
-        |         AS weight_micro
+        |  CAST((1000000 * CAST((SELECT SUM(chars_tot) FROM s) AS HUGEINT))
+        |    // NULLIF(CAST((SELECT COUNT(*) FROM s) AS HUGEINT)
+        |         * chars_tot, 0)
+        |    AS BIGINT) AS weight_micro
         |FROM s ORDER BY source""".stripMargin) { (s, dir) =>
       Pipeline.mixWeights(t(s, dir, "documents"))
         .orderBy("source")
