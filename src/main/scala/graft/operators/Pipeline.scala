@@ -270,18 +270,22 @@ object Pipeline {
     * matches inside another's replacement tag. Null text propagates
     * null counts and null redaction.
     */
-  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // Typed Column API throughout — no SQL-string splicing, so a column
+    // name needing backticks or a future pattern containing a quote
+    // cannot corrupt the expression (escaping lives in one place).
+    val t = col("`" + textCol.replace("`", "``") + "`")
     docs
       .withColumn("n_email",
-        expr(s"size(regexp_extract_all($textCol, '$EmailRe', 0))"))
+        size(regexp_extract_all(t, lit(EmailRe), lit(0))))
       .withColumn("n_phone",
-        expr(s"size(regexp_extract_all($textCol, '$PhoneRe', 0))"))
+        size(regexp_extract_all(t, lit(PhoneRe), lit(0))))
       .withColumn("n_ip",
-        expr(s"size(regexp_extract_all($textCol, '$Ipv4Re', 0))"))
-      .withColumn("red", expr(
-        s"regexp_replace(regexp_replace(regexp_replace($textCol, " +
-          s"'$EmailRe', '<EMAIL>'), '$PhoneRe', '<PHONE>'), " +
-          s"'$Ipv4Re', '<IP>')"))
+        size(regexp_extract_all(t, lit(Ipv4Re), lit(0))))
+      .withColumn("red",
+        regexp_replace(regexp_replace(regexp_replace(t,
+          EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>"))
+  }
 
   /** Token-budget corpus selection — per language, admit documents in
     * quality order (here: `n_chars` DESC, doc_id tiebreak — swap in

@@ -211,9 +211,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"PII scrub must not shuffle:\n$plan")
   }
 
-  test("budgetSelect two-stage prefix sum: (lang, band)-partitioned " +
-    "window, output identical to the single-window formulation " +
-    "(null-lang rows included)") {
+  test("budgetSelect threshold-then-boundary: bounded (lang, bkt) " +
+    "window + broadcast joins, output identical to the single-window " +
+    "formulation (null-lang rows included)") {
     val spark = TestSpark.spark
     val base = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "lang", "n_chars")
@@ -222,24 +222,46 @@ class PipelineSpec extends AnyFunSuite {
         col("n_chars"))
       .toDF("doc_id", "lang", "n_chars")
     val docs = base.union(nulled)
-    // bandWidth=16 so the fixture's n_chars range spans many bands.
-    val twoStage = Pipeline.budgetSelect(docs, 20000L, bandWidth = 16)
+    // tieBucketWidth=16 so the boundary group spans many buckets.
+    val twoStage = Pipeline.budgetSelect(docs, 20000L, tieBucketWidth = 16)
     val plan = twoStage.queryExecution.executedPlan.toString
-    assert("hashpartitioning\\(lang#\\d+, band#\\d+".r
+    // Boundary ranking must be the bounded two-stage shape: the only
+    // per-document window partitions on (lang, bkt) — never a
+    // corpus-wide hashpartitioning(lang) window like the naive form.
+    assert("hashpartitioning\\(lang#\\d+, bkt#\\d+".r
       .findFirstIn(plan).isDefined,
-      s"expected a (lang, band)-partitioned window, got:\n$plan")
+      s"expected a (lang, bkt)-partitioned boundary window, got:\n$plan")
+    // The corpus side joins the tiny value-table slices broadcast —
+    // no shuffled join anywhere in the operator.
+    assert(plan.contains("BroadcastHashJoin"),
+      s"full/boundary joins must broadcast the value table, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for a join:\n$plan")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("n_chars").desc, col("doc_id"))
       .rowsBetween(Long.MinValue, -1)
-    val naive = docs
+    def naive(in: org.apache.spark.sql.DataFrame, b: Long) = in
       .withColumn("cum", coalesce(sum(col("n_chars")).over(w), lit(0L)))
-      .filter(col("cum") + col("n_chars") <= 20000L)
+      .filter(col("cum") + col("n_chars") <= b)
       .select("doc_id", "lang", "n_chars")
     assert(twoStage.orderBy("doc_id").collect().toSeq ==
-      naive.orderBy("doc_id").collect().toSeq)
+      naive(docs, 20000L).orderBy("doc_id").collect().toSeq)
     assert(twoStage.filter(col("lang").isNull).count() > 0,
       "null-lang docs must form their own budget pool, not vanish")
+    // Degenerate all-tied corpus — the case the rewrite exists for:
+    // every doc the same length puts a whole language in ONE value
+    // group; admission must still be the first k_max docs by doc_id.
+    import spark.implicits._
+    val tied = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "de", 10L))
+      .toDF("doc_id", "lang", "n_chars")
+    val tiedOut = Pipeline.budgetSelect(tied, 255L, tieBucketWidth = 16)
+    assert(tiedOut.orderBy("doc_id").collect().toSeq ==
+      naive(tied, 255L).orderBy("doc_id").collect().toSeq,
+      "all-tied-length corpus must match the single-window formulation")
+    // 255 div 10 = 25 docs per lang, lowest doc_ids first.
+    assert(tiedOut.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap == Map("en" -> 25L, "de" -> 25L))
   }
 
   test("budgetSelect admits a doc iff it fits entirely in the " +
@@ -251,7 +273,7 @@ class PipelineSpec extends AnyFunSuite {
     // Greedy order is n_chars DESC: 50, 30, 20 with exclusive sums
     // 0, 50, 80. Budget 100 fits all three (80+20 = 100 exactly);
     // budget 99 drops only the last.
-    def ids(b: Long) = Pipeline.budgetSelect(docs, b, bandWidth = 16)
+    def ids(b: Long) = Pipeline.budgetSelect(docs, b, tieBucketWidth = 16)
       .select("doc_id").as[Long].collect().toSet
     assert(ids(100L) == Set(1L, 2L, 3L))
     assert(ids(99L) == Set(1L, 2L))
