@@ -288,91 +288,105 @@ object Pipeline {
   }
 
   /** Token-budget corpus selection — per language, admit documents in
-    * quality order (here: `n_chars` DESC, doc_id tiebreak — swap in
-    * any per-row score) until the cumulative character budget is
-    * exhausted; a document is kept iff it FITS ENTIRELY within the
-    * remaining budget (exclusive running sum + own size ≤ budget) —
-    * the data-mixing primitive that caps each language (or source, or
-    * quality band) at a token target before training.
+    * quality order (`scoreCol` DESC, doc_id tiebreak; default
+    * `n_chars`, i.e. longest-first) until the cumulative character
+    * budget is exhausted; a document is kept iff it FITS ENTIRELY
+    * within the remaining budget (exclusive running sum + own size ≤
+    * budget) — the data-mixing primitive that caps each language (or
+    * source, or quality band) at a token target before training.
     *
     * Scale shape: threshold-then-boundary, NOT a per-document running
     * sum. (A banded value prefix sum — the first formulation here —
-    * degenerates when lengths tie: a fixed-length corpus puts a whole
-    * language in one band and recreates the single-reducer window.)
+    * degenerates when scores tie: a constant-score corpus puts a
+    * whole language in one band and recreates the single-reducer
+    * window.)
     *
-    *  1. VALUE TABLE: aggregate to one row per (lang, n_chars) — at
-    *     most one row per distinct length, corpus-size-independent.
-    *     Its per-lang exclusive cumulative (ordered by n_chars DESC)
-    *     gives S(v) = chars admitted before group v; a plain window
-    *     over this TINY table, never over documents.
-    *  2. Classify each value group: fully admitted (S(v) + total(v) ≤
-    *     B), fully dropped (S(v) + v > B — the group's FIRST doc
-    *     already does not fit), or THE boundary group (≤ 1 per lang),
-    *     whose admitted-doc count is k_max = (B − S(v)) div v (every
-    *     doc in the group has the same size, so no per-doc sum is
-    *     needed — only a rank).
-    *  3. Fully-admitted groups join back by (lang, n_chars) — a
+    *  1. VALUE TABLE: aggregate to one row per (lang, score). Its
+    *     per-lang exclusive cumulative of group char-mass (ordered by
+    *     score DESC) gives S(v) = chars ahead of group v; a plain
+    *     window over this table, never over documents. SCALE
+    *     CONTRACT: the table's size is the number of DISTINCT scores,
+    *     so pass a QUANTIZED score — the default `n_chars` is bounded
+    *     by max doc length, and a quality score should be integer
+    *     micros (≤ 1e6 + 1 distinct values), keeping the value table
+    *     corpus-size-independent at any corpus scale. A raw
+    *     near-distinct double score would grow this table to corpus
+    *     size — quantize first (score bands ARE the curation
+    *     semantics anyway).
+    *  2. Classify each value group: fully admitted (S(v) + mass(v) ≤
+    *     B), fully dropped (S(v) ≥ B — groups after the boundary; the
+    *     greedy running sum counts skipped docs too, so admission
+    *     never resumes), or THE boundary group (< 1 per lang: the
+    *     unique group straddling B).
+    *  3. Fully-admitted groups join back by (lang, score) — a
     *     broadcast of the value table, the corpus never shuffles.
-    *     The boundary group takes its first k_max docs by doc_id via
-    *     a doc_id-BUCKETED two-stage rank (bounded local windows on
-    *     (lang, bkt) + a broadcast bucket-count cumulative, the
+    *     Within the boundary group the admitted docs are a PREFIX in
+    *     doc_id order (its exclusive prefix sums are increasing), so
+    *     it takes docs while S(v) + prefix ≤ B via a doc_id-BUCKETED
+    *     two-stage prefix SUM (bounded local windows on (lang, bkt)
+    *     + a broadcast per-bucket char-mass cumulative, the
     *     packSequences trick) — correct and uniform even when every
-    *     document in the language has the identical length.
+    *     document in the language has the identical score.
     *
     * Lang comparisons are NULL-SAFE throughout: null-lang documents
     * form their own budget pool, like the oracle's PARTITION BY lang
-    * (the r5 null-drop bug class). A null `n_chars` row is excluded
-    * on BOTH paths — here by the explicit filter, in the oracle's
-    * plain-window SQL by `cum + NULL <= budget` being NULL.
+    * (the r5 null-drop bug class). A null `n_chars` or null score row
+    * is excluded on BOTH paths — here by the explicit filter, in the
+    * oracle's plain-window SQL by `cum + NULL <= budget` being NULL.
     * PipelineSpec asserts row-identity to the single-window
-    * formulation, null-lang rows and all-tied corpora included.
+    * formulation, null-lang rows and all-tied corpora included; the
+    * `token_budget` (size-ordered) and `token_budget_score`
+    * (quality-ordered) oracle queries pin both orderings.
     */
   def budgetSelect(docs: DataFrame, budgetChars: Long,
-      tieBucketWidth: Long = 4096): DataFrame = {
-    val d = docs.select(col("doc_id"), col("lang"), col("n_chars"))
-      .filter(col("n_chars").isNotNull)
+      tieBucketWidth: Long = 4096,
+      scoreCol: String = "n_chars"): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("`" + scoreCol.replace("`", "``") + "`").as("g_score"))
+      .filter(col("n_chars").isNotNull && col("g_score").isNotNull)
     val wVal = Window.partitionBy(col("lang"))
-      .orderBy(col("n_chars").desc)
+      .orderBy(col("g_score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val vals = d.groupBy(col("lang"), col("n_chars"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("t", col("n_chars") * col("cnt"))
+    val vals = d.groupBy(col("lang"), col("g_score"))
+      .agg(sum(col("n_chars")).as("t"))
       .withColumn("s_before", coalesce(sum(col("t")).over(wVal), lit(0L)))
-      // k_max = docs admitted from this group (doc_id order). The div
-      // in the boundary branch is guarded: v = 0 always lands in the
-      // first two branches (t = 0), so no division by zero under ANSI.
-      .withColumn("k_max",
-        when(col("s_before") + col("t") <= budgetChars, col("cnt"))
-          .when(col("s_before") + col("n_chars") > budgetChars, lit(0L))
-          .otherwise(expr(s"($budgetChars - s_before) div n_chars")))
-    val full = vals.filter(col("k_max") === col("cnt"))
-      .select(col("lang").as("f_lang"), col("n_chars").as("f_v"))
-    val bnd = vals.filter(col("k_max") > 0 && col("k_max") < col("cnt"))
-      .select(col("lang").as("b_lang"), col("n_chars").as("b_v"),
-        col("k_max"))
+    val full = vals.filter(col("s_before") + col("t") <= budgetChars)
+      .select(col("lang").as("f_lang"), col("g_score").as("f_v"))
+    // The (unique-per-lang) straddling group; its docs may still all
+    // miss (first doc alone overflows) — the prefix filter below
+    // admits zero rows then, which is exactly the greedy semantics.
+    val bnd = vals
+      .filter(col("s_before") + col("t") > budgetChars &&
+        col("s_before") < budgetChars)
+      .select(col("lang").as("b_lang"), col("g_score").as("b_v"),
+        col("s_before"))
     val fullRows = d.join(broadcast(full),
-      col("lang") <=> col("f_lang") && col("n_chars") === col("f_v"))
+      col("lang") <=> col("f_lang") && col("g_score") === col("f_v"))
       .select("doc_id", "lang", "n_chars")
-    // Boundary group (≤ 1 value per lang): rank docs by doc_id with
-    // bounded windows — local rank within (lang, doc_id-bucket), plus
-    // a broadcast exclusive cumulative of per-bucket counts.
+    // Boundary group: per-doc prefix char sums in doc_id order with
+    // bounded windows — local inclusive prefix within (lang,
+    // doc_id-bucket), plus a broadcast exclusive cumulative of
+    // per-bucket char mass.
     val bd = d.join(broadcast(bnd),
-      col("lang") <=> col("b_lang") && col("n_chars") === col("b_v"))
+      col("lang") <=> col("b_lang") && col("g_score") === col("b_v"))
       .withColumn("bkt", expr(s"doc_id div ${tieBucketWidth}L"))
     val wBkt = Window.partitionBy(col("lang")).orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val bktOff = bd.groupBy(col("lang"), col("bkt"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("rk_off", coalesce(sum(col("c")).over(wBkt), lit(0L)))
+      .agg(sum(col("n_chars")).as("c"))
+      .withColumn("chars_off", coalesce(sum(col("c")).over(wBkt), lit(0L)))
       .select(col("lang").as("o_lang"), col("bkt").as("o_bkt"),
-        col("rk_off"))
+        col("chars_off"))
     val wLoc = Window.partitionBy(col("lang"), col("bkt"))
       .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
     val bndRows = bd
-      .withColumn("rk_loc", row_number().over(wLoc))
+      .withColumn("p_loc", sum(col("n_chars")).over(wLoc))
       .join(broadcast(bktOff),
         col("lang") <=> col("o_lang") && col("bkt") === col("o_bkt"))
-      .filter(col("rk_off") + col("rk_loc") <= col("k_max"))
+      .filter(col("s_before") + col("chars_off") + col("p_loc")
+        <= budgetChars)
       .select("doc_id", "lang", "n_chars")
     fullRows.unionByName(bndRows)
   }

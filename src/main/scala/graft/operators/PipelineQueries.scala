@@ -225,6 +225,62 @@ object PipelineQueries {
           .orderBy("doc_id")
     },
 
+    // Token-budget selection ordered by a MODEL-QUALITY-style score
+    // instead of size: admission order is (score_micro DESC, doc_id)
+    // — the quality_score query's quantized integer-micro signal —
+    // while the budget is still counted in chars. Integer micros keep
+    // the value table bounded (≤ 1e6 + 1 distinct scores per lang,
+    // corpus-size-independent) AND make cross-engine ordering exact
+    // (the raw double weighted sum is FMA-sensitive). The oracle
+    // states the intent as the plain one-window-per-language SQL; the
+    // operator computes the identical rows with the
+    // threshold-then-boundary shape (see Pipeline.budgetSelect).
+    QuerySpec("token_budget_score",
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(round((0.5 * stop_ratio
+         |      + 0.3 * least(n_tokens / 100.0, 1.0)
+         |      + 0.2 * least(avg_token_len / 8.0, 1.0)) * 1000000)
+         |      AS BIGINT) AS score
+         |  FROM (
+         |    SELECT doc_id, lang, n_chars,
+         |      CAST(len(toks) AS INTEGER) AS n_tokens,
+         |      CAST(list_reduce(list_prepend(0, list_transform(toks,
+         |        x -> length(x))), (a, b) -> a + b) AS DOUBLE)
+         |        / greatest(len(toks), 1) AS avg_token_len,
+         |      CAST(len(list_filter(toks, x -> list_contains(
+         |        ${TextOps.arrD(TextOps.stopEn)}, x))) AS DOUBLE)
+         |        / greatest(len(toks), 1) AS stop_ratio
+         |    FROM (SELECT doc_id, lang, n_chars, ${TextOps.toksD} AS toks
+         |          FROM documents)))
+         |SELECT doc_id, lang, n_chars FROM (
+         |  SELECT doc_id, lang, n_chars,
+         |    COALESCE(SUM(n_chars) OVER (PARTITION BY lang
+         |      ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS cum
+         |  FROM q)
+         |WHERE cum + n_chars <= 20000 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val scored = t(s, dir, "documents")
+          .withColumn("toks", expr(TextOps.toksS))
+          .withColumn("n_tokens", expr("size(toks)"))
+          .withColumn("avg_token_len", expr(
+            "cast(aggregate(toks, 0, (a, x) -> a + length(x)) as double)" +
+              " / greatest(size(toks), 1)"))
+          .withColumn("stop_ratio", expr(
+            s"cast(size(filter(toks, x -> array_contains(" +
+              s"${TextOps.arrS(TextOps.stopEn)}, x))) as double)" +
+              " / greatest(size(toks), 1)"))
+          .withColumn("score_micro", expr(
+            "cast(round((0.5 * stop_ratio " +
+              "+ 0.3 * least(n_tokens / 100.0, 1.0) " +
+              "+ 0.2 * least(avg_token_len / 8.0, 1.0)) * 1000000) as bigint)"))
+        Pipeline.budgetSelect(scored, budgetChars = 20000L,
+          scoreCol = "score_micro")
+          .orderBy("doc_id")
+    },
+
     // Source-mixture report: per-source share + uniform-rebalance
     // sampling weight in integer micros. Integer arithmetic on BOTH
     // sides (HUGEINT // here, decimal(38,0) div in Spark) — a double

@@ -280,6 +280,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids(49L) == Set.empty[Long])
   }
 
+  test("budgetSelect with a custom score column: admission ordered by " +
+    "score DESC (doc_id tiebreak) while budgeting chars — score ties " +
+    "across varying sizes take the boundary prefix-SUM path") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // en: doc2 (score 9) admits first; the score-5 tie group (docs
+    // 1, 3, 4 — sizes 40, 25, 30) straddles the budget, so admission
+    // within it is a per-doc char prefix in doc_id order — a rank
+    // would admit the wrong docs here.
+    val docs = Seq(
+      (1L, "en", 40L, 5L), (2L, "en", 10L, 9L), (3L, "en", 25L, 5L),
+      (4L, "en", 30L, 5L), (5L, "en", 15L, 2L), (6L, "de", 50L, 1L),
+      (7L, "de", 60L, 3L)).toDF("doc_id", "lang", "n_chars", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Long.MinValue, -1)
+    val naive = docs
+      .withColumn("cum", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+      .filter(col("cum") + col("n_chars") <= 70L)
+      .select("doc_id", "lang", "n_chars")
+    // tieBucketWidth=2 spreads the tie group over several buckets.
+    val out = Pipeline.budgetSelect(docs, 70L, tieBucketWidth = 2,
+      scoreCol = "score")
+    assert(out.orderBy("doc_id").collect().toSeq ==
+      naive.orderBy("doc_id").collect().toSeq)
+    assert(out.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 7L))
+  }
+
   test("mixWeights: uniform-target weights are exact integer micros " +
     "of total/(n_src*source)") {
     val spark = TestSpark.spark
