@@ -271,6 +271,23 @@ object Dedup {
     * is what makes the guard enforced rather than caller discipline;
     * pass Some(...) to pin the plan and skip the count job.
     *
+    * Hot-bucket guard (`probeCap > 0`): a boilerplate (band, sig)
+    * bucket with B corpus members matched by M intake docs emits
+    * B × M candidates — quadratic exactly where the corpus is most
+    * skewed. With the cap, each bucket exposes only its `probeCap`
+    * SMALLEST corpus doc_ids to the probe, so candidates are ≤
+    * probeCap × M per bucket and the bucket's minimum (the canonical
+    * cluster representative) ALWAYS survives — an intake near-dup
+    * still links to the keeper, the same bounded-star trade-off as
+    * BandCap (recall loss is possible only when the true match hides
+    * past `probeCap` hash-colliding-but-dissimilar smaller ids).
+    * Over a (band, sig)-BUCKETED signature store the cap's window
+    * needs no exchange (the bucketed layout already satisfies its
+    * distribution; at most a local sort), so the one-sided-exchange
+    * probe plan is preserved — DedupStoreSpec pins connectivity
+    * through a >BandCap bucket. Default 0 = uncapped (exact parity
+    * with the exhaustive oracle on fixture-sized buckets).
+    *
     * Input frames are (doc_id, sh) as produced by docShingles; pass
     * `corpusBands`/`incomingBands` (filtered slices of a memoized
     * bandSignatures table) to skip re-banding. Output:
@@ -279,7 +296,8 @@ object Dedup {
   def incrementalNearDupPairs(corpus: DataFrame, incoming: DataFrame,
       p: Int, q: Int, broadcastIncoming: Option[Boolean] = None,
       corpusBands: DataFrame = null,
-      incomingBands: DataFrame = null): DataFrame = {
+      incomingBands: DataFrame = null,
+      probeCap: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val nb0 = Option(incomingBands).getOrElse(bandSignatures(incoming))
       .withColumnRenamed("doc_id", "new_id")
@@ -288,7 +306,14 @@ object Dedup {
       thr > 0 && incoming.count() * 16L * 48L <= thr
     }
     val nb = if (doBroadcast) broadcast(nb0) else nb0
-    val cand = Option(corpusBands).getOrElse(bandSignatures(corpus))
+    val cb0 = Option(corpusBands).getOrElse(bandSignatures(corpus))
+    val cb = if (probeCap > 0) {
+      val wB = Window.partitionBy(col("band"), col("sig"))
+        .orderBy(col("doc_id"))
+      cb0.withColumn("pr", row_number().over(wB))
+        .filter(col("pr") <= probeCap).drop("pr")
+    } else cb0
+    val cand = cb
       .join(nb, Seq("band", "sig"))
       .select(col("new_id"), col("doc_id").as("corpus_id"))
       .distinct()

@@ -77,6 +77,53 @@ class DedupStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("store probe through a >BandCap bucket: every intake member " +
+    "links to the canonical min; probeCap bounds candidates without " +
+    "breaking connectivity") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-sighot").toString
+    // 150 identical docs (> BandCap = 100): every band has ONE hot
+    // (band, sig) bucket holding the whole corpus. Corpus-internal
+    // pairs therefore take the bounded-star fallback; this pins that
+    // the STORE PROBE path composes with that star into a single
+    // cluster labeled by the canonical min.
+    val sh = (1 to 10).map(i => 0xFEED0000L + i)
+    val corpus = (0L until 150L).map((_, sh)).toDF("doc_id", "sh")
+    val incoming = (1000L until 1010L).map((_, sh)).toDF("doc_id", "sh")
+    Dedup.writeSignatureStore(corpus, s"$wh/sig_hot", "sig_hot")
+    try {
+      val store = Dedup.signatureStore(spark, "sig_hot")
+      // Uncapped probe: every intake doc matches all 150 members.
+      val probe = Dedup.incrementalNearDupPairs(corpus, incoming, 4, 5,
+        corpusBands = store)
+      assert(probe.count() == 10L * 150L)
+      // Capped probe: ≤ probeCap matches per intake doc, and the
+      // bucket MIN (doc 0, the canonical keeper) always among them.
+      val capped = Dedup.incrementalNearDupPairs(corpus, incoming, 4, 5,
+        corpusBands = store, probeCap = 20)
+        .select("new_id", "corpus_id").as[(Long, Long)].collect()
+      assert(capped.groupBy(_._1).forall { case (_, ms) =>
+        ms.length <= 20 && ms.exists(_._2 == 0L)
+      }, "each intake doc: bounded matches, canonical min included")
+      assert(capped.map(_._1).distinct.length == 10)
+      // Connectivity loop: corpus-internal star pairs (BandCap
+      // fallback) + capped probe pairs cluster into ONE component
+      // labeled 0 covering all 160 docs.
+      val internal = Dedup.minhashNearDupPairs(corpus, 4, 5)
+        .select("da", "db")
+      assert(internal.count() == 149, "star fallback engaged")
+      val probePairs = Dedup.incrementalNearDupPairs(corpus, incoming,
+        4, 5, corpusBands = store, probeCap = 20)
+        .select(col("new_id").as("da"), col("corpus_id").as("db"))
+      val clusters = Dedup.nearDupClusters(internal.union(probePairs))
+      assert(clusters.count() == 160)
+      assert(clusters.select("cluster_id").distinct()
+        .as[Long].collect().toSeq == Seq(0L),
+        "intake + star corpus must form one cluster under the min")
+    } finally spark.sql("DROP TABLE IF EXISTS sig_hot")
+  }
+
   test("streaming intake probes the store: streamingNearDup with " +
     "corpusBands = signatureStore equals the in-memory-banded run") {
     val spark = graft.TestSpark.spark
