@@ -8,30 +8,41 @@ class StatefulOpsSpec extends AnyFunSuite {
 
   import StatefulOps._
 
-  test("mapGroupsWithState accumulates running totals across batches") {
+  // Drives a runningTotals variant through two triggers and returns the
+  // last emission per key.
+  private def drive(name: String,
+      f: org.apache.spark.sql.Dataset[KeyedValue] =>
+        org.apache.spark.sql.Dataset[RunningTotal])
+      : Map[String, RunningTotal] = {
     val spark = TestSpark.spark
     import spark.implicits._
-
     val source = MemoryStream[KeyedValue](spark)
-    val query = runningTotals(source.toDS())
+    val query = f(source.toDS())
       .writeStream
       .outputMode("update")
       .format("memory")
-      .queryName("running_totals")
+      .queryName(name)
       .start()
-
     source.addData(KeyedValue("a", 1.0), KeyedValue("a", 2.0),
       KeyedValue("b", 10.0))
     query.processAllAvailable()
     source.addData(KeyedValue("a", 3.0))
     query.processAllAvailable()
     query.stop()
-
     // Memory sink in update mode appends each emission; the LAST row per
     // key is the current state.
-    val rows = spark.table("running_totals")
-      .as[RunningTotal].collect()
-    val last = rows.groupBy(_.key).map { case (k, v) => k -> v.maxBy(_.n) }
+    spark.table(name).as[RunningTotal].collect()
+      .groupBy(_.key).map { case (k, v) => k -> v.maxBy(_.n) }
+  }
+
+  test("transformWithState accumulates running totals across batches") {
+    val last = drive("running_totals_tws", runningTotals)
+    assert(last("a") == RunningTotal("a", 3L, 6.0))
+    assert(last("b") == RunningTotal("b", 1L, 10.0))
+  }
+
+  test("mapGroupsWithState fallback is behavior-identical") {
+    val last = drive("running_totals_mgws", runningTotalsMgws)
     assert(last("a") == RunningTotal("a", 3L, 6.0))
     assert(last("b") == RunningTotal("b", 1L, 10.0))
   }
