@@ -40,7 +40,7 @@ object Soak {
     val soakDir = java.nio.file.Files
       .createTempDirectory("graft-soak").toString
     val base = Tables.t(spark, srcDir, "documents")
-      .select("doc_id", "text")
+      .select("doc_id", "text", "lang", "n_chars", "source")
     (0 until n).map(k => base.withColumn("doc_id",
         col("doc_id") + lit(k * 10000000L)))
       .reduce(_ unionByName _)
@@ -98,6 +98,53 @@ object Soak {
       s""""probe_pairs_store":$nProbeStore,"probe_pairs_mem":$nProbeMem,""" +
       s""""sec_store_write":$tStoreWrite,"sec_probe_store":$tProbeStore,""" +
       s""""sec_probe_mem":$tProbeMem}""")
+
+    // Curation-trio soak: pii_redact → token_budget → mix_weights
+    // CHAINED on the amplified corpus — the per-row/one-shuffle claims
+    // must hold composed, not just per-operator. Invariants asserted
+    // on the executed plans: the scrub never exchanges; the chained
+    // selection never sort-merge-joins the corpus and windows only the
+    // value table / (lang, bkt)-bounded boundary slices (3 windows
+    // total — never a per-language window over documents); the mix
+    // groupBy is the chain's one corpus shuffle.
+    val redacted = operators.Pipeline.redactPii(docs)
+    val (nRed, tPii) = timed { redacted.count() }
+    val piiPlan = redacted.queryExecution.executedPlan.toString
+    require(!piiPlan.contains("Exchange"),
+      s"pii_redact must stay per-row at soak scale:\n$piiPlan")
+    // Budget scales with amplification so the boundary machinery
+    // engages per language instead of admitting everything.
+    val selected = operators.Pipeline.budgetSelectDocs(
+      redacted, budgetChars = 20000L * n)
+    // Execute THIS QueryExecution (count() would plan a fresh one and
+    // leave this plan un-finalized under AQE), then read the final plan.
+    val selQe = selected.queryExecution
+    val (nSel, tBudget) = timed { selQe.toRdd.count() }
+    val selPlan = selQe.executedPlan.toString
+      .split("== Initial Plan ==").head
+    require(!selPlan.contains("SortMergeJoin"),
+      s"budget selection must not shuffle-join the corpus:\n$selPlan")
+    // No per-language window at DOCUMENT granularity: the naive
+    // single-reducer formulation would show as a Window partitioned
+    // [lang] alone with doc_id in its sort spec. The legitimate
+    // windows either order the value table by score only (lang-only
+    // partition, no doc_id) or rank boundary docs under a (lang, bkt)
+    // partition — both bounded.
+    require("Window \\[[^\\]]*\\], \\[lang#\\d+\\], \\[[^\\]]*doc_id".r
+      .findFirstIn(selPlan).isEmpty,
+      s"corpus-wide per-language window detected:\n$selPlan")
+    val mixed = operators.Pipeline.mixWeights(selected)
+    val mixQe = mixed.queryExecution
+    val (nSrc, tMix) = timed { mixQe.toRdd.count() }
+    val mixPlan = mixQe.executedPlan.toString
+      .split("== Initial Plan ==").head
+    require(
+      "Exchange hashpartitioning\\(source".r.findAllIn(mixPlan).size >= 1
+        && !mixPlan.contains("SortMergeJoin"),
+      s"mix expects exactly the source groupBy shuffle:\n$mixPlan")
+    println(s"""{"metric":"soak_curation","n_copies":$n,"docs":$nRed,""" +
+      s""""selected":$nSel,"sources":$nSrc,"sec_pii":$tPii,""" +
+      s""""sec_budget":$tBudget,"sec_mix":$tMix}""")
 
     // ANN soak: amplify the embedding corpus the same way (vec_id
     // offsets; queries = the original vec_id < 500) and compare exact

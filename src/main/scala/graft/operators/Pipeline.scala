@@ -341,6 +341,60 @@ object Pipeline {
   def budgetSelect(docs: DataFrame, budgetChars: Long,
       tieBucketWidth: Long = 4096,
       scoreCol: String = "n_chars"): DataFrame = {
+    val (d, full, bndRows) =
+      budgetParts(docs, budgetChars, tieBucketWidth, scoreCol)
+    val fullRows = d.join(broadcast(full),
+      col("lang") <=> col("f_lang") && col("g_score") === col("f_v"))
+      .select("doc_id", "lang", "n_chars")
+    fullRows.unionByName(bndRows.select("doc_id", "lang", "n_chars"))
+  }
+
+  /** [[budgetSelect]] preserving EVERY column of `docs` — the variant a
+    * chained curation pipeline uses (the admitted documents flow on to
+    * mixing/packing with text, source, and metadata intact; re-joining
+    * a narrow id list against the corpus would cost the corpus-wide
+    * shuffle this operator exists to avoid). Same admission semantics:
+    *
+    *  - fully-admitted score groups attach by a BROADCAST (lang, score)
+    *    membership join — the corpus never shuffles;
+    *  - boundary admits attach by doc_id against the narrow boundary
+    *    id set, which is bounded by the straddling score group (the
+    *    quantization contract) and by budget/min-doc-size — small
+    *    enough that AQE picks a broadcast join on its own; no hint is
+    *    forced, so an adversarial distribution degrades to a shuffle
+    *    of the BOUNDARY docs only, never the corpus.
+    */
+  def budgetSelectDocs(docs: DataFrame, budgetChars: Long,
+      tieBucketWidth: Long = 4096,
+      scoreCol: String = "n_chars"): DataFrame = {
+    val (_, full, bndRows) =
+      budgetParts(docs, budgetChars, tieBucketWidth, scoreCol)
+    val sc = col("`" + scoreCol.replace("`", "``") + "`")
+    val outCols = docs.columns.toSeq.map(c => col("`" + c + "`"))
+    // Same null exclusion as the narrow path: a null-cost or
+    // null-score doc is never admitted.
+    val base = docs.filter(col("n_chars").isNotNull && sc.isNotNull)
+    // ONE wide corpus pass: two left probes (both build sides small)
+    // then an admit filter — a union of two joins would scan the wide
+    // corpus twice. Neither probe duplicates rows: a doc matches at
+    // most one (lang, score) value group and boundary ids are unique.
+    base
+      .join(broadcast(full),
+        col("lang") <=> col("f_lang") && sc === col("f_v"), "left")
+      .join(bndRows.select(col("doc_id").as("b_id")),
+        col("doc_id") === col("b_id"), "left")
+      .filter(col("f_v").isNotNull || col("b_id").isNotNull)
+      .select(outCols: _*)
+  }
+
+  /** Shared internals of [[budgetSelect]]/[[budgetSelectDocs]]:
+    * the narrow projection `d`, the fully-admitted (lang, score) value
+    * groups `full` (broadcast membership), and the admitted boundary
+    * rows (narrow). See budgetSelect's scaladoc for the algorithm.
+    */
+  private def budgetParts(docs: DataFrame, budgetChars: Long,
+      tieBucketWidth: Long, scoreCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val d = docs
       .select(col("doc_id"), col("lang"), col("n_chars"),
         col("`" + scoreCol.replace("`", "``") + "`").as("g_score"))
@@ -361,9 +415,6 @@ object Pipeline {
         col("s_before") < budgetChars)
       .select(col("lang").as("b_lang"), col("g_score").as("b_v"),
         col("s_before"))
-    val fullRows = d.join(broadcast(full),
-      col("lang") <=> col("f_lang") && col("g_score") === col("f_v"))
-      .select("doc_id", "lang", "n_chars")
     // Boundary group: per-doc prefix char sums in doc_id order with
     // bounded windows — local inclusive prefix within (lang,
     // doc_id-bucket), plus a broadcast exclusive cumulative of
@@ -388,7 +439,7 @@ object Pipeline {
       .filter(col("s_before") + col("chars_off") + col("p_loc")
         <= budgetChars)
       .select("doc_id", "lang", "n_chars")
-    fullRows.unionByName(bndRows)
+    (d, full, bndRows)
   }
 
   /** Source-mixture re-weighting — per-source corpus share and the

@@ -310,6 +310,35 @@ class PipelineSpec extends AnyFunSuite {
       Set(1L, 2L, 7L))
   }
 
+  test("budgetSelectDocs preserves every column and admits exactly " +
+    "budgetSelect's doc set (boundary + full paths, no corpus shuffle " +
+    "join)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val narrow = Pipeline.budgetSelect(docs, 20000L)
+      .select("doc_id").as[Long].collect().toSet
+    val wide = Pipeline.budgetSelectDocs(docs, 20000L)
+    assert(wide.columns.toSeq == docs.columns.toSeq,
+      "document-preserving variant must keep the input schema")
+    assert(wide.select("doc_id").as[Long].collect().toSet == narrow)
+    // Null-cost docs are never admitted (same exclusion as narrow).
+    val withNull = docs.unionByName(
+      docs.limit(3).withColumn("doc_id", col("doc_id") + 500000L)
+        .withColumn("n_chars", lit(null: java.lang.Long)))
+    assert(Pipeline.budgetSelectDocs(withNull, 20000L)
+      .filter(col("doc_id") >= 500000L).count() == 0)
+    // The corpus attaches via broadcast joins only — never a
+    // corpus-wide shuffled join (the boundary id list is small enough
+    // that AQE broadcasts it here; adversarial cases degrade to
+    // shuffling boundary docs only, never the full corpus).
+    wide.collect()
+    val plan = wide.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for a join:\n$plan")
+  }
+
   test("mixWeights: uniform-target weights are exact integer micros " +
     "of total/(n_src*source)") {
     val spark = TestSpark.spark
