@@ -57,7 +57,13 @@ object Pipeline {
     * IDENTICAL bucket for every Long key, overflowing or not
     * (PropertySpec asserts both, ANSI on, keys > 2³²).
     */
-  def splitBucket(key: Column): Column = {
+  def splitBucket(key: Column): Column = hashBucket(key, 1000L)
+
+  /** The same ANSI-proof Knuth multiplicative hash into an arbitrary
+    * bucket count — `buckets = 1e6` gives the micro-granularity
+    * sampling rates [[mixtureSample]] needs.
+    */
+  def hashBucket(key: Column, buckets: Long): Column = {
     val m32 = lit(4294967296L)
     val k = pmod(key.cast("long"), m32)
     val hi = shiftrightunsigned(k, 16) // < 2^16
@@ -65,7 +71,7 @@ object Pipeline {
     // k·C mod 2³² = ((hi·C mod 2¹⁶) << 16 + lo·C) mod 2³²; every
     // intermediate ≤ 2¹⁶·C ≈ 1.74e14.
     val c = lit(2654435761L)
-    pmod(shiftleft(pmod(hi * c, lit(65536L)), 16) + lo * c, m32) % 1000
+    pmod(shiftleft(pmod(hi * c, lit(65536L)), 16) + lo * c, m32) % buckets
   }
 
   def splitName(bucket: Column): Column =
@@ -469,5 +475,31 @@ object Pipeline {
         "cast(cast(tot_all as decimal(38,0)) * 1000000 div " +
           "nullif(cast(n_src as decimal(38,0)) * chars_tot, 0) as bigint)"))
       .select("source", "n_docs", "chars_tot", "weight_micro")
+  }
+
+  /** Materialize [[mixWeights]] into an actual sampled corpus: each
+    * source is kept at rate `min(1, weight)` — over-represented
+    * sources downsample toward the uniform char target; sources with
+    * weight ≥ 1 pass through WHOLE (upsampling is epoch repetition at
+    * training time, not row duplication here — the repetition factor
+    * is exactly `weight_micro` from the report). The keep decision is
+    * the deterministic multiplicative hash of doc_id at micro
+    * granularity, so the sample is reproducible row-by-row, stable
+    * under repartitioning, and engine-portable (rand() is none of
+    * these). A zero-char source has a NULL weight and is dropped on
+    * both engines.
+    *
+    * Scale shape: the weights aggregate is sources-sized and
+    * BROADCASTS back onto the corpus (null-safe on source); the keep
+    * filter is per-row. One corpus shuffle total (the groupBy inside
+    * mixWeights) and one corpus pass for the filter.
+    */
+  def mixtureSample(docs: DataFrame): DataFrame = {
+    val w = mixWeights(docs)
+      .select(col("source").as("w_source"),
+        least(col("weight_micro"), lit(1000000L)).as("keep_micro"))
+    docs.join(broadcast(w), col("source") <=> col("w_source"))
+      .filter(hashBucket(col("doc_id"), 1000000L) < col("keep_micro"))
+      .drop("w_source", "keep_micro")
   }
 }

@@ -299,6 +299,33 @@ object PipelineQueries {
         |FROM s ORDER BY source""".stripMargin) { (s, dir) =>
       Pipeline.mixWeights(t(s, dir, "documents"))
         .orderBy("source")
+    },
+
+    // Mixture sampling: materialize the mix_weights report into the
+    // sampled corpus — keep rate min(1, weight) per source via the
+    // deterministic micro-granularity multiplicative hash (portable:
+    // the oracle's naive (id*C) % 2^32 product equals Spark's
+    // ANSI-safe halved form for every key; upweighted sources pass
+    // through whole, their repetition factor being the report's
+    // weight_micro).
+    QuerySpec("mix_sample",
+      """WITH s AS (SELECT source, CAST(SUM(n_chars) AS BIGINT)
+        |             AS chars_tot
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source,
+        |  CAST((1000000 * CAST((SELECT SUM(chars_tot) FROM s) AS HUGEINT))
+        |    // NULLIF(CAST((SELECT COUNT(*) FROM s) AS HUGEINT)
+        |         * chars_tot, 0)
+        |    AS BIGINT) AS weight_micro
+        |      FROM s)
+        |SELECT doc_id, d.source AS source, n_chars
+        |FROM documents d JOIN w ON d.source IS NOT DISTINCT FROM w.source
+        |WHERE ((doc_id * 2654435761) % 4294967296) % 1000000
+        |      < least(weight_micro, 1000000)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Pipeline.mixtureSample(t(s, dir, "documents"))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
     }
   )
 }

@@ -339,6 +339,38 @@ class PipelineSpec extends AnyFunSuite {
       s"corpus must not shuffle for a join:\n$plan")
   }
 
+  test("mixtureSample: min(1, weight) keep rate per source, " +
+    "deterministic and repartition-stable, null sources form a pool") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // big: 900 chars of 1000 over 2 sources → weight 500/900 ≈ 0.5556
+    // (sampled); small: weight 5.0 (passes whole, repetition factor
+    // reported by mixWeights, not duplicated here).
+    val docs = ((1L to 900L).map((_, "big", 1L)) ++
+      (1001L to 1100L).map((_, "small", 1L)))
+      .toDF("doc_id", "source", "n_chars")
+    val kept = Pipeline.mixtureSample(docs)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val bigKept = kept.filter(_._2 == "big").map(_._1).toSet
+    assert(kept.count(_._2 == "small") == 100,
+      "weight ≥ 1 source must pass through whole")
+    assert(bigKept.nonEmpty && bigKept.size < 900,
+      s"downweighted source must actually sample (kept ${bigKept.size})")
+    // ~55.6% target rate; the multiplicative hash is uniform enough
+    // that 900 keys land well inside ±10 points.
+    assert(math.abs(bigKept.size / 900.0 - 0.5556) < 0.1)
+    // Deterministic + partitioning-independent (the rand() failure).
+    val again = Pipeline.mixtureSample(docs.repartition(13))
+      .filter(col("source") === "big")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == bigKept)
+    // Null sources are their own pool, not dropped.
+    val withNull = docs.withColumn("source",
+      when(col("doc_id") % 10 === 0, null: String).otherwise(col("source")))
+    assert(Pipeline.mixtureSample(withNull)
+      .filter(col("source").isNull).count() > 0)
+  }
+
   test("mixWeights: uniform-target weights are exact integer micros " +
     "of total/(n_src*source)") {
     val spark = TestSpark.spark
