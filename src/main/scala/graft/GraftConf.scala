@@ -33,12 +33,14 @@ object GraftConf {
       // arbitrary-stateful operator StatefulOps builds on) and the
       // recommended provider for production streaming state anyway —
       // off-heap (state size no longer bounded by executor heap) with
-      // incremental changelog checkpointing. The HDFS-backed default
-      // remains usable by unsetting this; StatefulOps keeps a
-      // mapGroupsWithState fallback for that configuration.
+      // incremental changelog checkpointing. SPARK_GRAFT_STATESTORE
+      // overrides (e.g. the HDFS-backed default for deployments that
+      // cannot run RocksDB — pair it with StatefulOps'
+      // mapGroupsWithState fallback).
       .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
+        sys.env.getOrElse("SPARK_GRAFT_STATESTORE",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider"))
       // The events table carries INT64 TIMESTAMP(NANOS); reading it
       // requires this legacy flag (Tables.t also sets it defensively,
       // but setting it at session build makes the policy uniform from

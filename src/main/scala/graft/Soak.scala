@@ -108,8 +108,13 @@ object Soak {
     // total — never a per-language window over documents); the mix
     // groupBy is the chain's one corpus shuffle.
     val redacted = operators.Pipeline.redactPii(docs)
-    val (nRed, tPii) = timed { redacted.count() }
-    val piiPlan = redacted.queryExecution.executedPlan.toString
+    // Time the scrub's OWN QueryExecution via toRdd: count() would
+    // column-prune every regex projection and measure a bare parquet
+    // row count (the r7 review caught exactly that — the published
+    // numbers had the scrub cost silently landing in the next stage).
+    val redQe = redacted.queryExecution
+    val (nRed, tPii) = timed { redQe.toRdd.count() }
+    val piiPlan = redQe.executedPlan.toString
     require(!piiPlan.contains("Exchange"),
       s"pii_redact must stay per-row at soak scale:\n$piiPlan")
     // Budget scales with amplification so the boundary machinery
@@ -133,7 +138,11 @@ object Soak {
     require("Window \\[[^\\]]*\\], \\[lang#\\d+\\], \\[[^\\]]*doc_id".r
       .findFirstIn(selPlan).isEmpty,
       s"corpus-wide per-language window detected:\n$selPlan")
-    val mixed = operators.Pipeline.mixWeights(selected)
+    // Persist the selection so tMix times the mix stage alone, not a
+    // re-execution of the whole scrub+selection chain.
+    val selCached = selected.persist()
+    selCached.count()
+    val mixed = operators.Pipeline.mixWeights(selCached)
     val mixQe = mixed.queryExecution
     val (nSrc, tMix) = timed { mixQe.toRdd.count() }
     val mixPlan = mixQe.executedPlan.toString
@@ -142,6 +151,7 @@ object Soak {
       "Exchange hashpartitioning\\(source".r.findAllIn(mixPlan).size >= 1
         && !mixPlan.contains("SortMergeJoin"),
       s"mix expects exactly the source groupBy shuffle:\n$mixPlan")
+    selCached.unpersist(blocking = false)
     println(s"""{"metric":"soak_curation","n_copies":$n,"docs":$nRed,""" +
       s""""selected":$nSel,"sources":$nSrc,"sec_pii":$tPii,""" +
       s""""sec_budget":$tBudget,"sec_mix":$tMix}""")

@@ -6,9 +6,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // Extra args = query names for a targeted run (like check.py);
-    // no extras = full dump, the driver protocol.
+    // no extras = full dump, the driver protocol. Unknown names fail
+    // fast — a typo would otherwise filter to nothing and exit 0,
+    // a vacuous green.
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftConf.tune(SparkSession.builder())
       .master(s"local[$cpus]")

@@ -16,6 +16,12 @@ object Pipeline {
 
   import TextOps._
 
+  /** Backtick-quote a column name for the parsed-name Column API
+    * (embedded backticks doubled) — the one place escaping lives.
+    */
+  private def bq(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   /** Benchmark decontamination — flag corpus documents whose 3-gram
     * shingle overlap with a held-out evaluation set reaches
     * `minOverlap` (the n-gram-collision method used to scrub training
@@ -280,7 +286,7 @@ object Pipeline {
     // Typed Column API throughout — no SQL-string splicing, so a column
     // name needing backticks or a future pattern containing a quote
     // cannot corrupt the expression (escaping lives in one place).
-    val t = col("`" + textCol.replace("`", "``") + "`")
+    val t = bq(textCol)
     docs
       .withColumn("n_email",
         size(regexp_extract_all(t, lit(EmailRe), lit(0))))
@@ -365,18 +371,23 @@ object Pipeline {
     *    membership join — the corpus never shuffles;
     *  - boundary admits attach by doc_id against the narrow boundary
     *    id set, which is bounded by the straddling score group (the
-    *    quantization contract) and by budget/min-doc-size — small
-    *    enough that AQE picks a broadcast join on its own; no hint is
-    *    forced, so an adversarial distribution degrades to a shuffle
-    *    of the BOUNDARY docs only, never the corpus.
+    *    quantization contract) — small enough that AQE picks a
+    *    broadcast join on its own. No hint is forced: if an
+    *    adversarial distribution (a near-corpus-sized tie group
+    *    under a huge budget) pushes the id list past the broadcast
+    *    threshold, the planner falls back to a shuffled join — which
+    *    DOES exchange the wide corpus; Soak's plan invariant treats
+    *    that as a failure rather than hiding it, and the mitigation
+    *    is the documented score-quantization contract (it caps the
+    *    straddling group, hence the id list).
     */
   def budgetSelectDocs(docs: DataFrame, budgetChars: Long,
       tieBucketWidth: Long = 4096,
       scoreCol: String = "n_chars"): DataFrame = {
     val (_, full, bndRows) =
       budgetParts(docs, budgetChars, tieBucketWidth, scoreCol)
-    val sc = col("`" + scoreCol.replace("`", "``") + "`")
-    val outCols = docs.columns.toSeq.map(c => col("`" + c + "`"))
+    val sc = bq(scoreCol)
+    val outCols = docs.columns.toSeq.map(bq)
     // Same null exclusion as the narrow path: a null-cost or
     // null-score doc is never admitted.
     val base = docs.filter(col("n_chars").isNotNull && sc.isNotNull)
@@ -403,7 +414,7 @@ object Pipeline {
       : (DataFrame, DataFrame, DataFrame) = {
     val d = docs
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        col("`" + scoreCol.replace("`", "``") + "`").as("g_score"))
+        bq(scoreCol).as("g_score"))
       .filter(col("n_chars").isNotNull && col("g_score").isNotNull)
     val wVal = Window.partitionBy(col("lang"))
       .orderBy(col("g_score").desc)
@@ -416,9 +427,15 @@ object Pipeline {
     // The (unique-per-lang) straddling group; its docs may still all
     // miss (first doc alone overflows) — the prefix filter below
     // admits zero rows then, which is exactly the greedy semantics.
+    // `<=` (not `<`): at s_before == B the remaining budget is 0, yet
+    // the naive window still admits the group's LEADING ZERO-CHAR
+    // docs (cum + 0 ≤ B) — the prefix filter reproduces exactly that.
+    // Uniqueness per lang holds either way: a bnd group has t > 0
+    // (t = 0 would classify full), so the next group's s_before
+    // strictly exceeds B.
     val bnd = vals
       .filter(col("s_before") + col("t") > budgetChars &&
-        col("s_before") < budgetChars)
+        col("s_before") <= budgetChars)
       .select(col("lang").as("b_lang"), col("g_score").as("b_v"),
         col("s_before"))
     // Boundary group: per-doc prefix char sums in doc_id order with
@@ -495,9 +512,13 @@ object Pipeline {
     * mixWeights) and one corpus pass for the filter.
     */
   def mixtureSample(docs: DataFrame): DataFrame = {
+    // least() SKIPS nulls in both Spark and DuckDB, so a bare
+    // least(weight, 1e6) would keep a NULL-weight (zero-char) source
+    // WHOLE — the guard keeps keep_micro NULL so the filter drops it.
     val w = mixWeights(docs)
       .select(col("source").as("w_source"),
-        least(col("weight_micro"), lit(1000000L)).as("keep_micro"))
+        when(col("weight_micro").isNotNull,
+          least(col("weight_micro"), lit(1000000L))).as("keep_micro"))
     docs.join(broadcast(w), col("source") <=> col("w_source"))
       .filter(hashBucket(col("doc_id"), 1000000L) < col("keep_micro"))
       .drop("w_source", "keep_micro")

@@ -259,7 +259,7 @@ object PipelineQueries {
          |      ORDER BY score DESC, doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
          |      0) AS cum
-         |  FROM q)
+         |  FROM q WHERE score IS NOT NULL AND n_chars IS NOT NULL)
          |WHERE cum + n_chars <= 20000 ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
         val scored = t(s, dir, "documents")
@@ -303,11 +303,15 @@ object PipelineQueries {
 
     // Mixture sampling: materialize the mix_weights report into the
     // sampled corpus — keep rate min(1, weight) per source via the
-    // deterministic micro-granularity multiplicative hash (portable:
-    // the oracle's naive (id*C) % 2^32 product equals Spark's
-    // ANSI-safe halved form for every key; upweighted sources pass
-    // through whole, their repetition factor being the report's
-    // weight_micro).
+    // deterministic micro-granularity multiplicative hash. The
+    // oracle's naive (id*C) % 2^32 product equals Spark's ANSI-safe
+    // halved form on the corpus' NON-NEGATIVE doc_id domain (same
+    // contract as hash_split/downsample/packSequences; DuckDB's %
+    // keeps the dividend's sign and the naive product overflows
+    // BIGINT past id ≈ 3.47e9, both oracle-side-only limits — the
+    // Spark side pmods first and never overflows). Upweighted
+    // sources pass through whole, their repetition factor being the
+    // report's weight_micro.
     QuerySpec("mix_sample",
       """WITH s AS (SELECT source, CAST(SUM(n_chars) AS BIGINT)
         |             AS chars_tot
@@ -321,7 +325,8 @@ object PipelineQueries {
         |SELECT doc_id, d.source AS source, n_chars
         |FROM documents d JOIN w ON d.source IS NOT DISTINCT FROM w.source
         |WHERE ((doc_id * 2654435761) % 4294967296) % 1000000
-        |      < least(weight_micro, 1000000)
+        |      < CASE WHEN weight_micro IS NULL THEN NULL
+        |             ELSE least(weight_micro, 1000000) END
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Pipeline.mixtureSample(t(s, dir, "documents"))
         .select("doc_id", "source", "n_chars")

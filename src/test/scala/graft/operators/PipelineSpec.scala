@@ -308,6 +308,19 @@ class PipelineSpec extends AnyFunSuite {
       naive.orderBy("doc_id").collect().toSeq)
     assert(out.select("doc_id").as[Long].collect().toSet ==
       Set(1L, 2L, 7L))
+    // Exact-exhaustion edge (r7 review): budget consumed exactly by
+    // prior groups, next score group led (in doc_id order) by a
+    // ZERO-char doc — the naive window still admits it (cum + 0 ≤ B),
+    // so the boundary classification must use s_before ≤ B, not <.
+    val edge = Seq((1L, "x", 100L, 9L), (2L, "x", 0L, 5L),
+      (3L, "x", 10L, 5L)).toDF("doc_id", "lang", "n_chars", "score")
+    val edgeOut = Pipeline.budgetSelect(edge, 100L, scoreCol = "score")
+      .select("doc_id").as[Long].collect().toSet
+    val edgeNaive = edge
+      .withColumn("cum", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+      .filter(col("cum") + col("n_chars") <= 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(edgeOut == edgeNaive && edgeOut == Set(1L, 2L))
   }
 
   test("budgetSelectDocs preserves every column and admits exactly " +
