@@ -299,6 +299,32 @@ object Pipeline {
           EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>"))
   }
 
+  /** Memoized per-doc quality features + the quantized micro score —
+    * `quality_score` and `token_budget_score` both consume this table,
+    * and tokenization is the CPU-dominant stage, so without
+    * memoization each declared query re-tokenizes the corpus (the
+    * docTerms rationale; same Memo contract: keyed per session+corpus,
+    * released by clearCaches). The score quantizes to integer micros
+    * for cross-engine exactness (the raw weighted sum is
+    * FMA-sensitive) and value-table boundedness in budgetSelect.
+    */
+  def docQuality(docs: DataFrame, cacheKey: String = ""): DataFrame =
+    Memo.memo("quality", docs.sparkSession, cacheKey, persistIt = true) {
+      docs.withColumn("toks", expr(toksS))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("size(toks)").as("n_tokens"),
+          expr("cast(aggregate(toks, 0, (a, x) -> a + length(x)) " +
+            "as double) / greatest(size(toks), 1)").as("avg_token_len"),
+          expr(s"cast(size(filter(toks, x -> array_contains(" +
+            s"${arrS(stopEn)}, x))) as double) / greatest(size(toks), 1)")
+            .as("stop_ratio"))
+        .withColumn("score_micro", expr(
+          "cast(round((0.5 * stop_ratio " +
+            "+ 0.3 * least(n_tokens / 100.0, 1.0) " +
+            "+ 0.2 * least(avg_token_len / 8.0, 1.0)) * 1000000) " +
+            "as bigint)"))
+    }
+
   /** Token-budget corpus selection — per language, admit documents in
     * quality order (`scoreCol` DESC, doc_id tiebreak; default
     * `n_chars`, i.e. longest-first) until the cumulative character

@@ -262,22 +262,11 @@ object PipelineQueries {
          |  FROM q WHERE score IS NOT NULL AND n_chars IS NOT NULL)
          |WHERE cum + n_chars <= 20000 ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
-        val scored = t(s, dir, "documents")
-          .withColumn("toks", expr(TextOps.toksS))
-          .withColumn("n_tokens", expr("size(toks)"))
-          .withColumn("avg_token_len", expr(
-            "cast(aggregate(toks, 0, (a, x) -> a + length(x)) as double)" +
-              " / greatest(size(toks), 1)"))
-          .withColumn("stop_ratio", expr(
-            s"cast(size(filter(toks, x -> array_contains(" +
-              s"${TextOps.arrS(TextOps.stopEn)}, x))) as double)" +
-              " / greatest(size(toks), 1)"))
-          .withColumn("score_micro", expr(
-            "cast(round((0.5 * stop_ratio " +
-              "+ 0.3 * least(n_tokens / 100.0, 1.0) " +
-              "+ 0.2 * least(avg_token_len / 8.0, 1.0)) * 1000000) as bigint)"))
-        Pipeline.budgetSelect(scored, budgetChars = 20000L,
-          scoreCol = "score_micro")
+        // Memoized quality table — one tokenize pass per session
+        // shared with quality_score (see Pipeline.docQuality).
+        Pipeline.budgetSelect(
+          Pipeline.docQuality(t(s, dir, "documents"), cacheKey = dir),
+          budgetChars = 20000L, scoreCol = "score_micro")
           .orderBy("doc_id")
     },
 

@@ -126,22 +126,13 @@ object TextQueries {
          |      / greatest(len(toks), 1) AS stop_ratio
          |  FROM (SELECT doc_id, $toksD AS toks FROM documents)
          |) ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      t(s, dir, "documents")
-        .withColumn("toks", expr(toksS))
-        .select(
-          col("doc_id"),
-          expr("size(toks)").as("n_tokens"),
-          expr("cast(aggregate(toks, 0, (a, x) -> a + length(x)) as double)" +
-            " / greatest(size(toks), 1)").as("avg_token_len"),
-          expr(s"cast(size(filter(toks, x -> array_contains(" +
-            s"${arrS(stopEn)}, x))) as double) / greatest(size(toks), 1)")
-            .as("stop_ratio"))
-        // Quantized to an integer micro-score: the raw weighted sum is
-        // FMA-sensitive (DuckDB fuses a*b+c, Spark doesn't → 1-ulp skew).
-        .withColumn("score_micro", expr(
-          "cast(round((0.5 * stop_ratio " +
-            "+ 0.3 * least(n_tokens / 100.0, 1.0) " +
-            "+ 0.2 * least(avg_token_len / 8.0, 1.0)) * 1000000) as bigint)"))
+      // Memoized quality table (Pipeline.docQuality) — one tokenize
+      // pass per session shared with token_budget_score. The micro
+      // quantization lives there: the raw weighted sum is
+      // FMA-sensitive (DuckDB fuses a*b+c, Spark doesn't → 1-ulp skew).
+      Pipeline.docQuality(t(s, dir, "documents"), cacheKey = dir)
+        .select("doc_id", "n_tokens", "avg_token_len", "stop_ratio",
+          "score_micro")
         .orderBy("doc_id")
     },
 
