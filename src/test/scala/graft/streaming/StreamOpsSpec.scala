@@ -33,6 +33,37 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(keys == Seq("a", "b", "c"))
   }
 
+  test("redactPii is stream-safe: per-row scrub over a stream equals " +
+    "the batch result") {
+    // The scrub is pure per-row codegen (no shuffle — PipelineSpec
+    // pins the plan), so the SAME operator runs unchanged on a
+    // streaming frame; this pins batch parity through the streaming
+    // runtime, the shape a live intake pipeline scrubs in.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail a@b.co and c@d.org"),
+      (2L, "call +4915512345678 at 10.0.0.1"),
+      (3L, "no pii here"),
+      (4L, null.asInstanceOf[String]))
+    val src = MemoryStream[(Long, String)](spark)
+    val out = graft.operators.Pipeline.redactPii(
+      src.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    src.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("pii_stream")
+      .select("doc_id", "n_email", "n_phone", "n_ip", "red")
+      .collect().sortBy(_.getLong(0)).toSeq
+    val batch = graft.operators.Pipeline.redactPii(
+      rows.toDF("doc_id", "text"))
+      .select("doc_id", "n_email", "n_phone", "n_ip", "red")
+      .collect().sortBy(_.getLong(0)).toSeq
+    assert(streamed == batch && streamed.size == 4)
+  }
+
   test("stream-stream interval join matches right rows within the window " +
     "and only those") {
     val spark = TestSpark.spark
