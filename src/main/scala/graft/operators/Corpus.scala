@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-governance operators — the source-level and snapshot-level
+  * bookkeeping a large-scale training-data pipeline runs around the
+  * per-document stages in [[Pipeline]]: domain (source) reputation
+  * stats and filtering, snapshot diffing between corpus versions, a
+  * corpus-derived stopword scrub, and an n-gram language-model score
+  * (the KenLM-style quality filter, re-expressed without
+  * transcendentals so any engine computes bit-identical results).
+  *
+  * Shared scale discipline: every corpus-sized side streams through
+  * exactly one pass; every model/vocabulary side reduces to a bounded
+  * table and BROADCASTS; no window ever partitions over the corpus.
+  */
+object Corpus {
+
+  /** Per-source (domain) corpus stats: document count, char volume,
+    * mean length, language spread. The reputation table a pipeline
+    * derives before deciding which sources to keep, downweight, or
+    * recrawl.
+    *
+    * Plan: one hash-aggregate with map-side partials; output is
+    * sources-sized (bounded — domains, not documents). `avg_chars` is
+    * BIGINT-sum / BIGINT-count — exact IEEE division, so engines agree
+    * bit-for-bit without quantization. `n_langs` is exact distinct:
+    * the Expand it plans stays proportional to the corpus × 1 extra
+    * grouping column, still a single shuffle.
+    */
+  def domainStats(docs: DataFrame): DataFrame =
+    docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("sum_chars"),
+      (sum(col("n_chars")).cast("double") / count(lit(1)))
+        .as("avg_chars"),
+      countDistinct(col("lang")).as("n_langs"))
+
+  /** Reputation filter: keep documents whose source's mean length sits
+    * in [loAvg, hiAvg] — the "drop boilerplate farms and truncation
+    * mills" stage. The passing-source table is domains-sized and
+    * BROADCASTS; the corpus streams once through the broadcast hash
+    * join and never shuffles.
+    */
+  def domainFilter(docs: DataFrame, loAvg: Double,
+      hiAvg: Double): DataFrame = {
+    val ok = domainStats(docs)
+      .filter(col("avg_chars") >= loAvg && col("avg_chars") <= hiAvg)
+      .select("source", "avg_chars")
+    docs.join(broadcast(ok), Seq("source"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("avg_chars").as("source_avg_chars"))
+  }
+
+  /** Snapshot diff between two corpus versions keyed by `doc_id`,
+    * comparing md5 content digests (md5 is identical across engines —
+    * the portable-digest contract established by `dedup_content`).
+    * Returns the per-document change log:
+    * (doc_id, status ∈ added|removed|changed|unchanged).
+    *
+    * Scale shape: ONE full-outer shuffle join on doc_id over
+    * digest-only projections (16-byte digests, not payloads). On a
+    * 100 TB corpus both snapshots are written bucketed by doc_id
+    * (ScaleOps bucketed-layout pattern), which turns this into a
+    * zero-shuffle sort-merge over co-located buckets; the digest
+    * projection also means a snapshot with wide media columns never
+    * moves its payloads.
+    */
+  def corpusDiff(prev: DataFrame, next: DataFrame): DataFrame = {
+    val a = prev.select(col("doc_id"), md5(col("text")).as("h_prev"))
+    val b = next.select(col("doc_id"), md5(col("text")).as("h_next"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_prev").isNull, lit("added"))
+          .when(col("h_next").isNull, lit("removed"))
+          .when(col("h_prev") =!= col("h_next"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
+  /** corpusDiff rolled up to per-status counts — the summary a
+    * pipeline logs per snapshot promotion. Second stage is a
+    * 4-row aggregate.
+    */
+  def corpusDiffCounts(prev: DataFrame, next: DataFrame): DataFrame =
+    corpusDiff(prev, next)
+      .groupBy("status").agg(count(lit(1)).as("n_docs"))
+
+  /** Corpus-derived stopword scrub: tokens whose document frequency
+    * reaches `dfFrac` of the corpus (capped at the `cap` highest-df
+    * tokens, ties broken by token) are removed from every document —
+    * the corpus-adaptive analog of a fixed stoplist, and the
+    * token-granularity analog of C4's "remove lines repeated across
+    * the corpus" boilerplate pass.
+    *
+    * Plan: document frequencies come off the memoized
+    * [[Pipeline.docTerms]] table (one tokenize pass per session,
+    * shared with tfidf/token_freq/vocab_stats); the stoplist reduces
+    * to ≤ cap rows via TakeOrderedAndProject (never a corpus
+    * window), collapses to ONE array row, and BROADCASTS; the scrub
+    * itself is a per-row filter+rejoin over that broadcast array —
+    * the corpus never shuffles. `toks` and `stops` are materialized
+    * attributes before the HOF so the lambda touches only
+    * BoundReferences (TextOps eval-cost note: HOFs are interpreted;
+    * a non-attribute subtree referenced per-element re-evaluates
+    * per element).
+    *
+    * Output: (doc_id, n_tokens, n_removed, text_scrubbed).
+    */
+  def stopwordScrub(docs: DataFrame, dfFrac: Double, cap: Int,
+      cacheKey: String = ""): DataFrame = {
+    val terms = Pipeline.docTerms(docs, cacheKey)
+    val dfTerm = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val stops = dfTerm.crossJoin(broadcast(nDocs))
+      .filter(col("df").cast("double") >= lit(dfFrac) * col("n_docs"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(cap)
+      .agg(coalesce(sort_array(collect_list(col("term"))),
+        array()).as("stops"))
+    docs.crossJoin(broadcast(stops))
+      .withColumn("toks", expr(TextOps.toksS))
+      .withColumn("kept",
+        expr("filter(toks, x -> NOT array_contains(stops, x))"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).as("n_removed"),
+        array_join(col("kept"), " ").as("text_scrubbed"))
+  }
+
+  /** Per-document bigram language-model score — the KenLM-filter
+    * analog ("drop documents improbable under a reference LM"),
+    * re-expressed in exact integer arithmetic so Spark and any oracle
+    * engine agree bit-for-bit:
+    *
+    *   p_micro(a→b) = floor(c(a,b) · 10⁶ / c(a))
+    *
+    * over corpus-trained bigram counts c(a,b) (capped at the `topV`
+    * most frequent bigrams — ties by (a, b) — the bounded-model
+    * contract; out-of-model bigrams score 0, the floor-smoothing a
+    * filter needs, since an unseen transition is exactly the signal)
+    * and uncapped unigram counts c(a). No log/exp: the score is
+    * rank-equivalent to average transition probability, every
+    * intermediate is a BIGINT < 2⁵³, and the one double division
+    * (avg = sum/n) is exact-int IEEE. [[Pipeline.tfIdfTopK]] sets the
+    * same precedent for dropping the monotone log.
+    *
+    * Plan: bigram expansion is a slice/zip_with over a materialized
+    * token attribute (same shape as Shingles3's HOF baseline) →
+    * explode_outer, so zero/one-token documents stay in-band as one
+    * null-pair row (the degenerate docs a filter must still see —
+    * no join-back against the doc list); the model (top-V bigrams +
+    * unigram counts) reduces to vocabulary-sized tables and
+    * BROADCASTS — the cap's ranking window runs over the *model*
+    * table, never the corpus; scoring is the corpus streaming once
+    * through two broadcast joins into one per-doc hash-aggregate.
+    *
+    * Output: (doc_id, n_bigrams, sum_pmicro — 0 for docs with no
+    * bigram, avg_pmicro — null for docs with no bigram).
+    */
+  def lmScore(docs: DataFrame, topV: Int,
+      cacheKey: String = ""): DataFrame = {
+    val bigrams = docBigrams(docs, cacheKey)
+    val cab = bigrams.filter(col("a").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val capped = cab
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c_ab").desc, col("a"), col("b"))))
+      .filter(col("rk") <= topV).drop("rk")
+    // c(a) = Σ_b c(a,b) off the (vocabulary-sized) uncapped bigram
+    // counts — an exact identity with bigram-position counting, so
+    // per-prefix probabilities sum to 10⁶ before capping.
+    val ca = cab.groupBy("a").agg(sum(col("c_ab")).as("c_a"))
+    bigrams
+      .join(broadcast(capped), Seq("a", "b"), "left")
+      .join(broadcast(ca), Seq("a"), "left")
+      .withColumn("p_micro",
+        when(col("a").isNotNull,
+          floor(coalesce(col("c_ab"), lit(0L)) * lit(1000000L)
+            / col("c_a")).cast("long")))
+      .groupBy("doc_id").agg(
+        count(col("a")).cast("int").as("n_bigrams"),
+        coalesce(sum(col("p_micro")), lit(0L)).as("sum_pmicro"))
+      .withColumn("avg_pmicro",
+        when(col("n_bigrams") > 0,
+          col("sum_pmicro").cast("double") / col("n_bigrams")))
+  }
+
+  /** (doc_id, a, b) adjacent-token pairs, memoized per session (the
+    * docTerms pattern — corpus LM training and per-doc scoring both
+    * consume it, one tokenize pass). Documents with < 2 tokens emit
+    * exactly one (doc_id, null, null) row (explode_outer over an
+    * empty pair array) so downstream per-doc aggregates see every
+    * document; consumers counting bigrams must filter/count on
+    * `a IS NOT NULL`.
+    */
+  def docBigrams(docs: DataFrame, cacheKey: String = ""): DataFrame =
+    Memo.memo("bigrams", docs.sparkSession, cacheKey,
+      persistIt = true) {
+      graft.functions.GraftFunctions.register(docs.sparkSession)
+      val p = docs.sparkSession.sparkContext.defaultParallelism
+      docs
+        .repartition(p, col("doc_id"))
+        .withColumn("toks", expr(TextOps.toksS))
+        .withColumn("m", greatest(size(col("toks")) - 1, lit(0)))
+        .withColumn("bi", expr(
+          "zip_with(slice(toks, 1, m), slice(toks, 2, m), " +
+            "(x, y) -> struct(x AS a, y AS b))"))
+        .select(col("doc_id"), explode_outer(col("bi")).as("ab"))
+        .select(col("doc_id"), col("ab.a").as("a"), col("ab.b").as("b"))
+    }
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Declared corpus-governance queries — oracle-checked wrappers over
+  * [[Corpus]]: domain reputation stats/filtering, snapshot diffing,
+  * the corpus-derived stopword scrub, and the integer bigram-LM
+  * quality score.
+  */
+object CorpusQueries {
+
+  import Tables.t
+  import TextOps.toksD
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // Source (domain) reputation table: one bounded hash-aggregate.
+    // avg_chars is BIGINT-sum / BIGINT-count — exact IEEE division,
+    // bit-identical across engines without quantization.
+    QuerySpec("domain_stats",
+      """SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |       COUNT(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        Corpus.domainStats(t(s, dir, "documents")).orderBy("source")
+    },
+
+    // Reputation filter: documents from sources whose mean length
+    // clears 280 chars (drops ~a third of the 251–343 source-average
+    // band at every SF, so the filter genuinely bites). Passing-source
+    // table broadcasts; the corpus never shuffles.
+    QuerySpec("domain_filter",
+      """WITH s AS (
+        |  SELECT source,
+        |         CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, d.lang, d.n_chars,
+        |       s.avg_chars AS source_avg_chars
+        |FROM documents d JOIN s USING (source)
+        |WHERE s.avg_chars >= 280.0 AND s.avg_chars <= 1000000.0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Corpus.domainFilter(t(s, dir, "documents"),
+        loAvg = 280.0, hiAvg = 1000000.0)
+        .orderBy("doc_id")
+    },
+
+    // Snapshot promotion diff: current documents vs a deterministic
+    // next snapshot (doc_id % 11 = 0 deleted, % 7 = 0 revised,
+    // % 13 = 0 re-ingested under a shifted id), rolled up to
+    // per-status counts. One full-outer shuffle over md5-digest
+    // projections — bucketed-by-doc_id snapshots make it
+    // zero-shuffle at scale.
+    QuerySpec("corpus_diff",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |a AS (SELECT doc_id, md5(text) AS h_prev FROM documents),
+        |bh AS (SELECT doc_id, md5(text) AS h_next FROM b)
+        |SELECT status, COUNT(*) AS n_docs FROM (
+        |  SELECT CASE WHEN h_prev IS NULL THEN 'added'
+        |              WHEN h_next IS NULL THEN 'removed'
+        |              WHEN h_prev != h_next THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM a FULL OUTER JOIN bh USING (doc_id))
+        |GROUP BY status ORDER BY status""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val next = d.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+      Corpus.corpusDiffCounts(d, next).orderBy("status")
+    },
+
+    // Corpus-derived stopword scrub: the 8 highest-df tokens at
+    // ≥ 50% document frequency (30 of 31 vocab tokens qualify, so
+    // the cap's (df DESC, term) tie-break genuinely bites) removed
+    // from every document. Stoplist broadcasts as ONE array row;
+    // the corpus never shuffles.
+    QuerySpec("stopword_scrub",
+      s"""WITH tq AS (SELECT doc_id, unnest($toksD) AS term
+         |            FROM documents),
+         |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+         |        FROM tq GROUP BY term),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |st AS (SELECT term FROM dfq CROSS JOIN nd
+         |       WHERE CAST(df AS DOUBLE) >= 0.5 * n_docs
+         |       ORDER BY df DESC, term LIMIT 8),
+         |sl AS (SELECT coalesce(list(term ORDER BY term), []) AS stops
+         |       FROM st)
+         |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+         |       CAST(len(toks) - len(kept) AS INTEGER) AS n_removed,
+         |       array_to_string(kept, ' ') AS text_scrubbed
+         |FROM (
+         |  SELECT doc_id, toks, list_filter(toks,
+         |           x -> NOT list_contains(sl.stops, x)) AS kept
+         |  FROM (SELECT doc_id, $toksD AS toks FROM documents)
+         |  CROSS JOIN sl)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Corpus.stopwordScrub(t(s, dir, "documents"),
+        dfFrac = 0.5, cap = 8, cacheKey = dir)
+        .orderBy("doc_id")
+    },
+
+    // Bigram-LM quality score over a top-512 model (bigram vocabulary
+    // is 916, so capping bites and out-of-model transitions exercise
+    // the floor-smoothing path). All-integer probabilities — see
+    // Corpus.lmScore for the exactness argument.
+    QuerySpec("lm_score",
+      s"""WITH tk AS (SELECT doc_id, $toksD AS toks FROM documents),
+         |ix AS (SELECT doc_id, toks,
+         |         unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
+         |       FROM tk),
+         |bi AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b FROM ix),
+         |cab AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY a, b),
+         |capped AS (
+         |  SELECT a, b, c_ab FROM (
+         |    SELECT a, b, c_ab,
+         |           row_number() OVER (ORDER BY c_ab DESC, a, b) AS rk
+         |    FROM cab)
+         |  WHERE rk <= 512),
+         |ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a
+         |       FROM cab GROUP BY a),
+         |sc AS (
+         |  SELECT bi.doc_id,
+         |         CAST(floor(coalesce(capped.c_ab, 0) * 1000000
+         |           / ca.c_a) AS BIGINT) AS p_micro
+         |  FROM bi LEFT JOIN capped USING (a, b) JOIN ca USING (a)),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+         |         CAST(SUM(p_micro) AS BIGINT) AS sum_pmicro
+         |  FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+         |       coalesce(agg.sum_pmicro, 0) AS sum_pmicro,
+         |       CASE WHEN agg.n_bigrams > 0
+         |            THEN CAST(agg.sum_pmicro AS DOUBLE) / agg.n_bigrams
+         |       END AS avg_pmicro
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Corpus.lmScore(t(s, dir, "documents"), topV = 512,
+        cacheKey = dir)
+        .orderBy("doc_id")
+    }
+  )
+}

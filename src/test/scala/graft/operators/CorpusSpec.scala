@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of the corpus-governance operators beyond the oracle
+  * gate: plan shapes (what must broadcast, what must never shuffle or
+  * window over the corpus), degenerate-input behavior the fixture
+  * corpus cannot reach (sub-2-token docs, empty stoplists), and diff
+  * classification edges.
+  */
+class CorpusSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private def docs =
+    graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+
+  // ---- domain stats / filter ----
+
+  test("domainFilter broadcasts the source table; corpus never " +
+    "shuffles or sort-merge-joins") {
+    val out = Corpus.domainFilter(docs, 280.0, 1000000.0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "passing-source table must broadcast")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"))
+    // Every surviving doc's source average really clears the band.
+    val bad = out.filter(col("source_avg_chars") < 280.0).count()
+    assert(bad == 0L)
+  }
+
+  test("domainStats avg is exactly sum/count per source") {
+    val rows = Corpus.domainStats(docs)
+      .select("sum_chars", "n_docs", "avg_chars").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) == r.getLong(0).toDouble / r.getLong(1))
+    }
+  }
+
+  // ---- corpus diff ----
+
+  test("corpusDiff classifies added/removed/changed/unchanged " +
+    "and payload-identical revisions as unchanged") {
+    val sp = spark
+    import sp.implicits._
+    val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"),
+      (4L, "delta")).toDF("doc_id", "text")
+    val next = Seq((1L, "alpha"), (2L, "beta CHANGED"),
+      (4L, "delta"), (5L, "epsilon")).toDF("doc_id", "text")
+    val m = Corpus.corpusDiff(prev, next)
+      .as[(Long, String)].collect().toMap
+    assert(m == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "unchanged", 5L -> "added"))
+    // Counts roll up consistently.
+    val c = Corpus.corpusDiffCounts(prev, next)
+      .as[(String, Long)].collect().toMap
+    assert(c == Map("unchanged" -> 2L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("corpusDiff moves digests, not payloads: the join reads " +
+    "16-byte md5 projections") {
+    val out = Corpus.corpusDiff(docs, docs.limit(100))
+    val plan = out.queryExecution.executedPlan.toString
+    // Both scan projections are pruned to (doc_id, text) before the
+    // digest Project; the joined schema carries only digests.
+    assert(plan.contains("md5"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  // ---- stopword scrub ----
+
+  test("stopwordScrub: stoplist broadcasts, corpus side has no " +
+    "shuffle, and the scrub only removes stoplisted tokens") {
+    Memo.clearCaches(spark)
+    val out = Corpus.stopwordScrub(docs, dfFrac = 0.5, cap = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "single-row stoplist must broadcast")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"))
+    val rows = out.select("n_tokens", "n_removed").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(1) >= 0 &&
+      r.getInt(1) <= r.getInt(0)))
+    // The fixture's ubiquitous filler token is stoplisted, so some
+    // document really shrinks (the scrub is not a no-op).
+    assert(rows.exists(_.getInt(1) > 0))
+  }
+
+  test("stopwordScrub with an unreachable df threshold is an exact " +
+    "token-stream no-op (empty stoplist edge)") {
+    Memo.clearCaches(spark)
+    val out = Corpus.stopwordScrub(docs, dfFrac = 2.0, cap = 8)
+    assert(out.filter(col("n_removed") =!= 0).count() == 0L)
+    // text_scrubbed equals the normalized token stream verbatim.
+    val diff = out.join(docs, "doc_id")
+      .filter(col("text_scrubbed") =!=
+        array_join(expr(TextOps.toksS), " "))
+      .count()
+    assert(diff == 0L)
+  }
+
+  // ---- bigram LM score ----
+
+  test("lmScore keeps degenerate (<2-token) docs in-band with " +
+    "n_bigrams = 0 and null avg") {
+    val sp = spark
+    import sp.implicits._
+    val tiny = Seq((1L, "hello world hello world"), (2L, "single"),
+      (3L, ""), (4L, "hello world")).toDF("doc_id", "text")
+    Memo.clearCaches(spark)
+    val m = Corpus.lmScore(tiny, topV = 100)
+      .select("doc_id", "n_bigrams", "sum_pmicro").as[(Long, Int, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: 3 bigrams; hello->world twice + world->hello once.
+    // c(hello,world)=3, c(world,hello)=1, c(hello)=3, c(world)=1.
+    // p(hello->world)=1e6, p(world->hello)=1e6 → sum 3e6.
+    assert(m(1L) == ((3, 3000000L)))
+    assert(m(2L) == ((0, 0L)) && m(3L) == ((0, 0L)))
+    assert(m(4L) == ((1, 1000000L)))
+    val avgs = Corpus.lmScore(tiny, topV = 100)
+      .select("doc_id", "avg_pmicro").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toMap
+    assert(avgs(2L).isEmpty && avgs(3L).isEmpty)
+    assert(avgs(1L).contains(1000000.0))
+    Memo.clearCaches(spark)
+  }
+
+  test("lmScore top-V cap zeroes out-of-model transitions " +
+    "deterministically (count-then-lexicographic tie-break)") {
+    val sp = spark
+    import sp.implicits._
+    // Four distinct bigrams, all count 1: cap=2 keeps (a,b),(b,c) by
+    // the (c_ab DESC, a, b) order; (c,d),(d,e) score 0.
+    val tiny = Seq((1L, "a b c"), (2L, "c d e")).toDF("doc_id", "text")
+    Memo.clearCaches(spark)
+    val m = Corpus.lmScore(tiny, topV = 2)
+      .select("doc_id", "sum_pmicro").as[(Long, Long)].collect().toMap
+    assert(m(1L) == 2000000L, "in-model doc keeps full probability")
+    assert(m(2L) == 0L, "out-of-model doc floors to 0")
+    Memo.clearCaches(spark)
+  }
+
+  test("lmScore plan: model sides broadcast; the only corpus " +
+    "shuffles are the bigram aggregates; the ranking window runs " +
+    "over the model table, never the corpus") {
+    Memo.clearCaches(spark)
+    val out = Corpus.lmScore(docs, topV = 512)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "capped model and unigram tables must broadcast")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"))
+    // The global row_number window must sit above an aggregate of the
+    // model (a,b,c_ab) shape, not above any document-id-bearing frame:
+    // every Window operator's child output must not carry doc_id.
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(!w.child.output.exists(_.name == "doc_id"),
+        s"ranking window must not run over a corpus frame: $w")
+    }
+    Memo.clearCaches(spark)
+  }
+}
