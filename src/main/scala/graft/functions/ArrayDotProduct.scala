@@ -114,6 +114,10 @@ object GraftFunctions {
         exprs => NormText(exprs.head),
         "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "winnow_fps",
+        exprs => WinnowFps(exprs.head),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "norm_tokens",
         exprs => NormTokens(exprs.head),
         "built-in")

@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("minhash_bands16x2")(es => MinHashBands(es.head, 16, 2))
     inject("shingles3")(es => Shingles3(es.head))
     inject("norm_text")(es => NormText(es.head))
+    inject("winnow_fps")(es => WinnowFps(es.head))
     inject("norm_tokens")(es => NormTokens(es.head))
     inject("pair_expand_sz")(es => PairExpandSz(es.head,
       GraftFunctions.litIntArg(es(1), "pair_expand_sz p"),

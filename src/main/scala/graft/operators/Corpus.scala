@@ -187,6 +187,48 @@ object Corpus {
           col("sum_pmicro").cast("double") / col("n_bigrams")))
   }
 
+  /** Per-document duplicated-span rate — the exact-substring-dedup
+    * measure ("what fraction of this document's content appears
+    * verbatim elsewhere in the corpus"): each document's
+    * winnowing-selected fingerprints (min md5 char-8-gram per window
+    * of 4 — the identical selection `doc_fingerprint` folds into one
+    * digest) are counted across the corpus, and a span is duplicated
+    * iff its fingerprint occurs in ≥ 2 documents. Deduplication
+    * pipelines drop or trim documents above a dup_rate threshold.
+    *
+    * Scale shape: the fingerprint-frequency table is CORPUS-sized
+    * (spans, not vocabulary), so the count join back is an honest
+    * shuffle on fp — the ngram_jaccard precedent — with map-side
+    * partial aggregation; the join itself is 1:1 per (doc, fp) row
+    * (each row picks up one count), so a boilerplate span shared by
+    * millions of documents amplifies nothing. Per-doc distinct
+    * fingerprints bound both stages. Fingerprint selection is the
+    * native single-pass [[graft.functions.WinnowFps]] (the interpreted
+    * HOF chain it replaces is O(chars²) per document AND got inlined
+    * into a pre-Generate predicate — see the expression's scaladoc);
+    * `repartition(p, doc_id)` spreads the CPU-bound selection across
+    * executors (the docShingles pattern — a local fixture is one
+    * parquet split; a real corpus scan is already split, and the
+    * shuffle it adds is corpus-sized exactly once). Output:
+    * (doc_id, n_fps, n_dup, dup_rate — exact int/int division).
+    */
+  def spanDupRate(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val fps = docs
+      .repartition(p, col("doc_id"))
+      .select(col("doc_id"),
+        explode(expr(s"winnow_fps(${TextOps.normS})")).as("fp"))
+    val freq = fps.groupBy("fp").agg(count(lit(1)).as("n_docs_fp"))
+    fps.join(freq, "fp")
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast("int").as("n_fps"),
+        count(when(col("n_docs_fp") >= 2, lit(1))).cast("int")
+          .as("n_dup"))
+      .withColumn("dup_rate",
+        col("n_dup").cast("double") / col("n_fps"))
+  }
+
   /** (doc_id, a, b) adjacent-token pairs, memoized per session (the
     * docTerms pattern — corpus LM training and per-doc scoring both
     * consume it, one tokenize pass). Documents with < 2 tokens emit

@@ -112,6 +112,39 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // Exact-substring duplication rate: the winnowing fingerprint
+    // selection of doc_fingerprint, un-folded, counted across the
+    // corpus; a span is duplicated iff its fingerprint is in ≥ 2
+    // docs. The frequency join is an honest corpus-sized shuffle
+    // on fp (the ngram_jaccard precedent) — see Corpus.spanDupRate.
+    QuerySpec("span_dup_rate",
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(norm) >= 8 THEN
+         |      list_transform(range(1, length(norm) - 6),
+         |        i -> md5(substring(norm, i, 8)))
+         |    ELSE [md5(norm)] END AS grams
+         |  FROM (SELECT doc_id, ${TextOps.normD} AS norm
+         |        FROM documents)),
+         |f AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(grams) >= 4 THEN
+         |      list_transform(range(1, len(grams) - 2),
+         |        j -> list_min(grams[j:j+3]))
+         |    ELSE [list_min(grams)] END) AS fps
+         |  FROM g),
+         |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         |dfc AS (SELECT fp, COUNT(*) AS n_docs_fp FROM e GROUP BY fp)
+         |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_fps,
+         |       CAST(COUNT(*) FILTER (WHERE n_docs_fp >= 2)
+         |         AS INTEGER) AS n_dup,
+         |       CAST(COUNT(*) FILTER (WHERE n_docs_fp >= 2)
+         |         AS DOUBLE) / COUNT(*) AS dup_rate
+         |FROM e JOIN dfc USING (fp)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Corpus.spanDupRate(t(s, dir, "documents")).orderBy("doc_id")
+    },
+
     // Bigram-LM quality score over a top-512 model (bigram vocabulary
     // is 916, so capping bites and out-of-model transitions exercise
     // the floor-smoothing path). All-integer probabilities — see

@@ -229,7 +229,12 @@ object TextQueries {
 
     // Winnowing-style fingerprint: md5 over char 8-grams, min per window
     // of 4, distinct-sorted, folded into one digest. md5 is portable, so
-    // the whole fingerprint hash-matches across engines.
+    // the whole fingerprint hash-matches across engines. Selection runs
+    // in the native single-pass winnow_fps (WinnowFpsSpec pins it to
+    // the HOF chain the oracle spells out, which is O(chars²) per doc —
+    // interpreted ArrayTransform + per-position UTF8String seeks — and
+    // would not survive real document lengths); n_grams is arithmetic,
+    // not a materialized gram array.
     QuerySpec("doc_fingerprint",
       s"""SELECT doc_id,
          |  CAST(len(grams) AS INTEGER) AS n_grams,
@@ -248,20 +253,12 @@ object TextQueries {
          |) ORDER BY doc_id""".stripMargin) { (s, dir) =>
       t(s, dir, "documents")
         .withColumn("norm", expr(normS))
-        .withColumn("grams", expr(
-          """if(length(norm) >= 8,
-            |   transform(sequence(1, length(norm) - 7),
-            |     i -> md5(substring(norm, i, 8))),
-            |   array(md5(norm)))""".stripMargin))
         .select(
           col("doc_id"),
-          expr("size(grams)").as("n_grams"),
-          expr(
-            """md5(concat_ws('', array_sort(array_distinct(
-              |  if(size(grams) >= 4,
-              |     transform(sequence(1, size(grams) - 3),
-              |       j -> array_min(slice(grams, j, 4))),
-              |     array(array_min(grams)))))))""".stripMargin).as("fp"))
+          expr("cast(if(length(norm) >= 8, length(norm) - 7, 1) as int)")
+            .as("n_grams"),
+          expr("md5(concat_ws('', array_sort(winnow_fps(norm))))")
+            .as("fp"))
         .orderBy("doc_id")
     }
   )
