@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -187,14 +187,37 @@ object Corpus {
           col("sum_pmicro").cast("double") / col("n_bigrams")))
   }
 
+  /** (doc_id, fp) winnowing-selected span fingerprints (min md5 char
+    * 8-gram per window of 4 — the identical selection `doc_fingerprint`
+    * folds into one digest), distinct per doc, memoized per (session,
+    * cache key): the selection is CPU-bound and both span operators
+    * below consume the same table ([[spanDupRate]] twice, in a
+    * self-join). Runs the native single-pass
+    * [[graft.functions.WinnowFps]] (the interpreted HOF chain it
+    * replaces is O(chars²) per document AND got inlined by
+    * InferFiltersFromGenerate into a pre-Generate predicate — see the
+    * expression's scaladoc); `repartition(p, doc_id)` spreads the
+    * selection across executors (the docShingles pattern — a local
+    * fixture is one parquet split; a real corpus scan is already
+    * split, and the shuffle it adds is corpus-sized exactly once).
+    */
+  def docFps(docs: DataFrame, cacheKey: String = ""): DataFrame =
+    Memo.memo("span_fps", docs.sparkSession, cacheKey,
+      persistIt = true) {
+      graft.functions.GraftFunctions.register(docs.sparkSession)
+      val p = docs.sparkSession.sparkContext.defaultParallelism
+      docs.repartition(p, col("doc_id"))
+        .select(col("doc_id"),
+          explode(expr(s"winnow_fps(${TextOps.normS})")).as("fp"))
+    }
+
   /** Per-document duplicated-span rate — the exact-substring-dedup
     * measure ("what fraction of this document's content appears
-    * verbatim elsewhere in the corpus"): each document's
-    * winnowing-selected fingerprints (min md5 char-8-gram per window
-    * of 4 — the identical selection `doc_fingerprint` folds into one
-    * digest) are counted across the corpus, and a span is duplicated
-    * iff its fingerprint occurs in ≥ 2 documents. Deduplication
-    * pipelines drop or trim documents above a dup_rate threshold.
+    * verbatim elsewhere in the corpus"): each document's selected
+    * fingerprints are counted across the corpus, and a span is
+    * duplicated iff its fingerprint occurs in ≥ 2 documents.
+    * Deduplication pipelines drop or trim documents above a dup_rate
+    * threshold. Input is the [[docFps]] table.
     *
     * Scale shape: the fingerprint-frequency table is CORPUS-sized
     * (spans, not vocabulary), so the count join back is an honest
@@ -202,23 +225,10 @@ object Corpus {
     * partial aggregation; the join itself is 1:1 per (doc, fp) row
     * (each row picks up one count), so a boilerplate span shared by
     * millions of documents amplifies nothing. Per-doc distinct
-    * fingerprints bound both stages. Fingerprint selection is the
-    * native single-pass [[graft.functions.WinnowFps]] (the interpreted
-    * HOF chain it replaces is O(chars²) per document AND got inlined
-    * into a pre-Generate predicate — see the expression's scaladoc);
-    * `repartition(p, doc_id)` spreads the CPU-bound selection across
-    * executors (the docShingles pattern — a local fixture is one
-    * parquet split; a real corpus scan is already split, and the
-    * shuffle it adds is corpus-sized exactly once). Output:
+    * fingerprints bound both stages. Output:
     * (doc_id, n_fps, n_dup, dup_rate — exact int/int division).
     */
-  def spanDupRate(docs: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val p = docs.sparkSession.sparkContext.defaultParallelism
-    val fps = docs
-      .repartition(p, col("doc_id"))
-      .select(col("doc_id"),
-        explode(expr(s"winnow_fps(${TextOps.normS})")).as("fp"))
+  def spanDupRate(fps: DataFrame): DataFrame = {
     val freq = fps.groupBy("fp").agg(count(lit(1)).as("n_docs_fp"))
     fps.join(freq, "fp")
       .groupBy("doc_id").agg(
@@ -227,6 +237,37 @@ object Corpus {
           .as("n_dup"))
       .withColumn("dup_rate",
         col("n_dup").cast("double") / col("n_fps"))
+  }
+
+  /** Span-level benchmark decontamination — the verbatim-overlap
+    * complement of the token-shingle [[Pipeline.decontaminate]]: a
+    * corpus document is contaminated when the fraction of its selected
+    * span fingerprints that also occur in the benchmark slice reaches
+    * `minFrac` (character-level verbatim matches survive tokenization
+    * differences that dodge token shingles). Input is the [[docFps]]
+    * table; `isBench` marks the benchmark rows.
+    *
+    * Scale shape: the benchmark side (an eval suite — thousands of
+    * docs) collapses to a distinct fingerprint set and BROADCASTS; the
+    * corpus side streams once through the broadcast left-outer join
+    * and one per-doc aggregate — no corpus shuffle beyond it. Output:
+    * every corpus doc with (n_fps, n_bench, bench_frac, contaminated)
+    * — totals are reported (unlike decontaminate's overlap-only rows)
+    * because the fraction needs them.
+    */
+  def spanDecontaminate(fps: DataFrame, isBench: Column,
+      minFrac: Double): DataFrame = {
+    val bench = fps.filter(isBench)
+      .select(col("fp")).distinct()
+      .withColumn("hit", lit(1))
+    fps.filter(!isBench)
+      .join(broadcast(bench), Seq("fp"), "left_outer")
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast("int").as("n_fps"),
+        count(col("hit")).cast("int").as("n_bench"))
+      .withColumn("bench_frac",
+        col("n_bench").cast("double") / col("n_fps"))
+      .withColumn("contaminated", col("bench_frac") >= lit(minFrac))
   }
 
   /** (doc_id, a, b) adjacent-token pairs, memoized per session (the

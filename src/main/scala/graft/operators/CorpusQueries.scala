@@ -118,22 +118,7 @@ object CorpusQueries {
     // docs. The frequency join is an honest corpus-sized shuffle
     // on fp (the ngram_jaccard precedent) — see Corpus.spanDupRate.
     QuerySpec("span_dup_rate",
-      s"""WITH g AS (
-         |  SELECT doc_id,
-         |    CASE WHEN length(norm) >= 8 THEN
-         |      list_transform(range(1, length(norm) - 6),
-         |        i -> md5(substring(norm, i, 8)))
-         |    ELSE [md5(norm)] END AS grams
-         |  FROM (SELECT doc_id, ${TextOps.normD} AS norm
-         |        FROM documents)),
-         |f AS (
-         |  SELECT doc_id, list_distinct(
-         |    CASE WHEN len(grams) >= 4 THEN
-         |      list_transform(range(1, len(grams) - 2),
-         |        j -> list_min(grams[j:j+3]))
-         |    ELSE [list_min(grams)] END) AS fps
-         |  FROM g),
-         |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+      s"""WITH ${TextOps.spanFpsCteD},
          |dfc AS (SELECT fp, COUNT(*) AS n_docs_fp FROM e GROUP BY fp)
          |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_fps,
          |       CAST(COUNT(*) FILTER (WHERE n_docs_fp >= 2)
@@ -142,7 +127,32 @@ object CorpusQueries {
          |         AS DOUBLE) / COUNT(*) AS dup_rate
          |FROM e JOIN dfc USING (fp)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Corpus.spanDupRate(t(s, dir, "documents")).orderBy("doc_id")
+      Corpus.spanDupRate(
+        Corpus.docFps(t(s, dir, "documents"), cacheKey = dir))
+        .orderBy("doc_id")
+    },
+
+    // Span-level benchmark decontamination: verbatim-overlap complement
+    // of the token-shingle `decontaminate` (same deterministic
+    // doc_id % 97 eval slice); a corpus doc is contaminated when ≥ 20%
+    // of its winnowing fingerprints occur in the benchmark slice. The
+    // benchmark fingerprint set broadcasts; the corpus streams once —
+    // see Corpus.spanDecontaminate.
+    QuerySpec("span_decontaminate",
+      s"""WITH ${TextOps.spanFpsCteD},
+         |bench AS (SELECT DISTINCT fp FROM e WHERE doc_id % 97 = 0)
+         |SELECT e.doc_id, CAST(COUNT(*) AS INTEGER) AS n_fps,
+         |       CAST(COUNT(b.fp) AS INTEGER) AS n_bench,
+         |       CAST(COUNT(b.fp) AS DOUBLE) / COUNT(*) AS bench_frac,
+         |       CAST(COUNT(b.fp) AS DOUBLE) / COUNT(*) >= 0.2
+         |         AS contaminated
+         |FROM e LEFT JOIN bench b ON e.fp = b.fp
+         |WHERE e.doc_id % 97 != 0
+         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin) { (s, dir) =>
+      Corpus.spanDecontaminate(
+        Corpus.docFps(t(s, dir, "documents"), cacheKey = dir),
+        col("doc_id") % 97 === 0, minFrac = 0.2)
+        .orderBy("doc_id")
     },
 
     // Bigram-LM quality score over a top-512 model (bigram vocabulary

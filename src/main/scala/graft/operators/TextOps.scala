@@ -107,6 +107,30 @@ object TextOps {
        |  WHERE len(th) >= 3
        |)""".stripMargin
 
+  /** DuckDB CTE producing (doc_id, fp) winnowing-selected span
+    * fingerprints — the mirror of Corpus.docFps over the native
+    * WinnowFps expression (md5 char 8-grams, min per window of 4,
+    * distinct; WinnowFpsSpec pins the Spark side to this exact
+    * formulation).
+    */
+  val spanFpsCteD: String =
+    s"""e AS (
+       |  SELECT doc_id, unnest(fps) AS fp FROM (
+       |    SELECT doc_id, list_distinct(
+       |      CASE WHEN len(grams) >= 4 THEN
+       |        list_transform(range(1, len(grams) - 2),
+       |          j -> list_min(grams[j:j+3]))
+       |      ELSE [list_min(grams)] END) AS fps
+       |    FROM (
+       |      SELECT doc_id,
+       |        CASE WHEN length(norm) >= 8 THEN
+       |          list_transform(range(1, length(norm) - 6),
+       |            i -> md5(substring(norm, i, 8)))
+       |        ELSE [md5(norm)] END AS grams
+       |      FROM (SELECT doc_id, $normD AS norm
+       |            FROM documents)))
+       |)""".stripMargin
+
   // ---- Stopword lists for language-ID / quality heuristics ----
 
   val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for",

@@ -147,6 +147,34 @@ class CorpusSpec extends AnyFunSuite {
     Memo.clearCaches(spark)
   }
 
+  test("spanDecontaminate: bench fingerprint set broadcasts; every " +
+    "corpus doc is reported; fraction edge sits exactly at minFrac") {
+    val sp = spark
+    import sp.implicits._
+    Memo.clearCaches(spark)
+    // doc 0 = bench {A}, via identical text. doc 1 identical to bench
+    // (frac 1.0); doc 2 shares nothing (frac 0.0). Short texts take
+    // the single-fingerprint path, making fractions exact.
+    val tiny = Seq(
+      (0L, "shared span"), (1L, "shared span"), (2L, "different!"))
+      .toDF("doc_id", "text")
+    val out = Corpus.spanDecontaminate(
+      Corpus.docFps(tiny), col("doc_id") === 0L, minFrac = 1.0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "bench fingerprint set must broadcast")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"))
+    val rows = out.select("doc_id", "n_bench", "contaminated")
+      .as[(Long, Int, Boolean)].collect()
+      .map { case (k, b, c) => k -> ((b, c)) }.toMap
+    assert(rows.keySet == Set(1L, 2L),
+      "all non-bench docs reported, bench rows excluded")
+    assert(rows(1L) == ((1, true)), "frac == minFrac is contaminated")
+    assert(rows(2L) == ((0, false)))
+    Memo.clearCaches(spark)
+  }
+
   test("lmScore plan: model sides broadcast; the only corpus " +
     "shuffles are the bigram aggregates; the ranking window runs " +
     "over the model table, never the corpus") {
