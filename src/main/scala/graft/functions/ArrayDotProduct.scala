@@ -118,6 +118,10 @@ object GraftFunctions {
         exprs => WinnowFps(exprs.head),
         "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "winnow_fps64",
+        exprs => WinnowFps64(exprs.head),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "norm_tokens",
         exprs => NormTokens(exprs.head),
         "built-in")

@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("shingles3")(es => Shingles3(es.head))
     inject("norm_text")(es => NormText(es.head))
     inject("winnow_fps")(es => WinnowFps(es.head))
+    inject("winnow_fps64")(es => WinnowFps64(es.head))
     inject("norm_tokens")(es => NormTokens(es.head))
     inject("pair_expand_sz")(es => PairExpandSz(es.head,
       GraftFunctions.litIntArg(es(1), "pair_expand_sz p"),

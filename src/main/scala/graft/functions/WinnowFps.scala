@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing fingerprint selection — the distinct set of
@@ -72,16 +72,34 @@ case class WinnowFps(child: Expression) extends UnaryExpression {
 
 object WinnowFps {
 
-  private val GramChars = 8
-  private val WindowSize = 4
+  private[functions] val GramChars = 8
+  private[functions] val WindowSize = 4
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
   // MessageDigest is stateful and not thread-safe; one per executor
   // thread, reset per gram (getInstance per call measured ~3× the md5
   // itself on 8-byte inputs).
-  private val tlMd5 = ThreadLocal.withInitial[MessageDigest](() =>
+  private[functions] val tlMd5 = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
+
+  /** Byte offset of each character (code point) start in `bytes`, plus
+    * an end sentinel; returns (offsets, nChars).
+    */
+  private[functions] def charOffsets(
+      bytes: Array[Byte]): (Array[Int], Int) = {
+    val nBytes = bytes.length
+    val offs = new Array[Int](nBytes + 1)
+    var nChars = 0
+    var i = 0
+    while (i < nBytes) {
+      offs(nChars) = i
+      nChars += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    offs(nChars) = nBytes
+    (offs, nChars)
+  }
 
   private def md5hex(md: MessageDigest, bytes: Array[Byte], off: Int,
       len: Int): String = {
@@ -105,18 +123,9 @@ object WinnowFps {
     val bytes = s.getBytes
     val nBytes = bytes.length
     val md = tlMd5.get()
-    // Byte offset of each character (code point) start, plus an end
-    // sentinel: window i (1-based char position) spans
+    // Window i (1-based char position) spans
     // bytes[offs(i-1), offs(i-1+GramChars)).
-    val offs = new Array[Int](nBytes + 1)
-    var nChars = 0
-    var i = 0
-    while (i < nBytes) {
-      offs(nChars) = i
-      nChars += 1
-      i += UTF8String.numBytesForFirstByte(bytes(i))
-    }
-    offs(nChars) = nBytes
+    val (offs, nChars) = charOffsets(bytes)
     val grams: Array[String] =
       if (nChars >= GramChars) {
         val m = nChars - (GramChars - 1)
@@ -157,6 +166,125 @@ object WinnowFps {
     var o = 0
     while (it.hasNext) {
       out(o) = UTF8String.fromString(it.next())
+      o += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** [[WinnowFps]] emitting 60-bit integer fingerprints (the first 15
+  * hex chars of each selected md5 parsed base-16 — always positive in
+  * a signed long) instead of 32-char hex strings. The shuffle-heavy
+  * consumers ([[graft.operators.Corpus.docFps]] feeding the span
+  * operators) group/join on the fingerprint, and an 8-byte long
+  * shuffles, hashes, and compares several times cheaper than a 32-byte
+  * UTF8String — the same win as the round-6 int64 pre-hashed shingles.
+  *
+  * Parity contract: selection compares grams by their UNSIGNED 64-bit
+  * md5 prefix, which orders identically to the lexicographic hex
+  * compare wherever the prefixes differ; on a 64-bit prefix tie the
+  * full-hex min and the prefix min can disagree about WHICH gram is
+  * selected, but both truncate to the same 60-bit value, so the
+  * emitted set is identical to `transform(winnow_fps(s), x ->
+  * conv(substring(x, 1, 15), 16, 10))` element-for-element
+  * (WinnowFpsSpec pins this; DuckDB mirrors it as
+  * `CAST('0x' || substring(fp, 1, 15) AS BIGINT)`). 60-bit collision
+  * bound: distinct spans collide at the 2^30-span birthday scale —
+  * acceptable for the dup-RATE measure (winnowing sampling is already
+  * an approximation), identical in both engines by construction.
+  */
+case class WinnowFps64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "winnow_fps64"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFps64.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WinnowFps64.compute($a);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowFps64 = copy(child = newChild)
+}
+
+object WinnowFps64 {
+
+  import WinnowFps.{GramChars, WindowSize, charOffsets, tlMd5}
+
+  /** Unsigned big-endian 64-bit prefix of md5(bytes[off, off+len)). */
+  private def md5Prefix(md: java.security.MessageDigest,
+      bytes: Array[Byte], off: Int, len: Int): Long = {
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (d(i) & 0xffL)
+      i += 1
+    }
+    v
+  }
+
+  /** Distinct winnowing-selected 60-bit fingerprints of `s`. Public so
+    * generated code can call it.
+    */
+  def compute(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val nBytes = bytes.length
+    val md = tlMd5.get()
+    val (offs, nChars) = charOffsets(bytes)
+    val grams: Array[Long] =
+      if (nChars >= GramChars) {
+        val m = nChars - (GramChars - 1)
+        val g = new Array[Long](m)
+        var j = 0
+        while (j < m) {
+          g(j) = md5Prefix(md, bytes, offs(j), offs(j + GramChars) - offs(j))
+          j += 1
+        }
+        g
+      } else Array(md5Prefix(md, bytes, 0, nBytes))
+    val m = grams.length
+    // LinkedHashSet preserves first-occurrence order = array_distinct
+    // over the truncated values.
+    val selected = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m >= WindowSize) {
+      var j = 0
+      while (j + WindowSize <= m) {
+        var mn = grams(j)
+        var k = j + 1
+        while (k < j + WindowSize) {
+          if (java.lang.Long.compareUnsigned(grams(k), mn) < 0) mn = grams(k)
+          k += 1
+        }
+        selected.add(mn >>> 4)
+        j += 1
+      }
+    } else {
+      var mn = grams(0)
+      var k = 1
+      while (k < m) {
+        if (java.lang.Long.compareUnsigned(grams(k), mn) < 0) mn = grams(k)
+        k += 1
+      }
+      selected.add(mn >>> 4)
+    }
+    val out = new Array[Long](selected.size)
+    val it = selected.iterator()
+    var o = 0
+    while (it.hasNext) {
+      out(o) = it.next()
       o += 1
     }
     ArrayData.toArrayData(out)

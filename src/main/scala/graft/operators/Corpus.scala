@@ -188,18 +188,21 @@ object Corpus {
   }
 
   /** (doc_id, fp) winnowing-selected span fingerprints (min md5 char
-    * 8-gram per window of 4 — the identical selection `doc_fingerprint`
-    * folds into one digest), distinct per doc, memoized per (session,
-    * cache key): the selection is CPU-bound and both span operators
-    * below consume the same table ([[spanDupRate]] twice, in a
-    * self-join). Runs the native single-pass
-    * [[graft.functions.WinnowFps]] (the interpreted HOF chain it
-    * replaces is O(chars²) per document AND got inlined by
-    * InferFiltersFromGenerate into a pre-Generate predicate — see the
-    * expression's scaladoc); `repartition(p, doc_id)` spreads the
-    * selection across executors (the docShingles pattern — a local
-    * fixture is one parquet split; a real corpus scan is already
-    * split, and the shuffle it adds is corpus-sized exactly once).
+    * 8-gram per window of 4, truncated to 60-bit int64 — the identical
+    * SELECTION `doc_fingerprint` folds into one digest), distinct per
+    * doc, memoized per (session, cache key): the selection is CPU-bound
+    * and both span operators below consume the same table
+    * ([[spanDupRate]] twice, in a self-join). Runs the native
+    * single-pass [[graft.functions.WinnowFps64]] (the interpreted HOF
+    * chain it replaces is O(chars²) per document AND got inlined by
+    * InferFiltersFromGenerate into a pre-Generate predicate; the int64
+    * emission makes the downstream fp-keyed shuffles 8-byte, the
+    * round-6 pre-hashed-shingle win — see the expression's scaladoc
+    * for the parity and collision contracts);
+    * `repartition(p, doc_id)` spreads the selection across executors
+    * (the docShingles pattern — a local fixture is one parquet split;
+    * a real corpus scan is already split, and the shuffle it adds is
+    * corpus-sized exactly once).
     */
   def docFps(docs: DataFrame, cacheKey: String = ""): DataFrame =
     Memo.memo("span_fps", docs.sparkSession, cacheKey,
@@ -208,7 +211,7 @@ object Corpus {
       val p = docs.sparkSession.sparkContext.defaultParallelism
       docs.repartition(p, col("doc_id"))
         .select(col("doc_id"),
-          explode(expr(s"winnow_fps(${TextOps.normS})")).as("fp"))
+          explode(expr(s"winnow_fps64(${TextOps.normS})")).as("fp"))
     }
 
   /** Per-document duplicated-span rate — the exact-substring-dedup

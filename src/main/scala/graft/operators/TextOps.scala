@@ -109,13 +109,18 @@ object TextOps {
 
   /** DuckDB CTE producing (doc_id, fp) winnowing-selected span
     * fingerprints — the mirror of Corpus.docFps over the native
-    * WinnowFps expression (md5 char 8-grams, min per window of 4,
-    * distinct; WinnowFpsSpec pins the Spark side to this exact
-    * formulation).
+    * WinnowFps64 expression (md5 char 8-grams, min per window of 4,
+    * distinct, truncated to the first 15 hex chars as a 60-bit
+    * BIGINT; WinnowFpsSpec pins the Spark side to this exact
+    * formulation, tie cases included — see WinnowFps64's parity
+    * contract).
     */
   val spanFpsCteD: String =
     s"""e AS (
-       |  SELECT doc_id, unnest(fps) AS fp FROM (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(fph, 1, 15)) AS BIGINT) AS fp
+       |  FROM (
+       |  SELECT doc_id, unnest(fps) AS fph FROM (
        |    SELECT doc_id, list_distinct(
        |      CASE WHEN len(grams) >= 4 THEN
        |        list_transform(range(1, len(grams) - 2),
@@ -128,7 +133,7 @@ object TextOps {
        |            i -> md5(substring(norm, i, 8)))
        |        ELSE [md5(norm)] END AS grams
        |      FROM (SELECT doc_id, $normD AS norm
-       |            FROM documents)))
+       |            FROM documents))))
        |)""".stripMargin
 
   // ---- Stopword lists for language-ID / quality heuristics ----

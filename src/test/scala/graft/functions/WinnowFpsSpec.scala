@@ -56,6 +56,35 @@ class WinnowFpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow_fps64 ≡ 60-bit truncation of winnow_fps (set equality " +
+    "— selection ties can reorder but never change the value set)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val cases = Seq(
+      "",
+      "short",
+      "exactly8",
+      "elevenchars",
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+      "abab" * 12,
+      "héllo wörld ünïcode — ™ é" * 3,
+      "日本語のテキストで八文字窓を確認する")
+    val out = cases.toDF("s")
+      .select(
+        expr("winnow_fps64(s)").as("native64"),
+        expr("transform(winnow_fps(s), " +
+          "x -> cast(conv(substring(x, 1, 15), 16, 10) as bigint))")
+          .as("truncated"))
+      .as[(Seq[Long], Seq[Long])]
+      .collect()
+    out.zip(cases).foreach { case ((native64, truncated), s) =>
+      assert(native64.sorted == truncated.distinct.sorted, s"input: '$s'")
+      assert(native64.forall(_ >= 0L), s"60-bit values are positive: '$s'")
+    }
+  }
+
   test("winnow_fps is null-preserving and rejects non-string input") {
     val spark = TestSpark.spark
     GraftFunctions.register(spark)
