@@ -235,6 +235,79 @@ object Similarity {
       .select("q_id", "n_id", "rn", "cos")
   }
 
+  /** Product-quantization ANN (IVF-PQ's refinement half): the corpus is
+    * ENCODED once — each vector split into `nSub` subvectors, each
+    * subvector replaced by the id of its nearest sub-codebook entry
+    * (squared-L2, ties to the lowest code) — and searched via
+    * asymmetric distance computation (ADC): a query precomputes its
+    * distance to every (subspace, code) cell, and a corpus vector's
+    * approximate distance is the sum of `nSub` table lookups. This is
+    * the canonical billion-scale design (Jégou et al., IVF-ADC): a
+    * 64-dim float vector (256 B) compresses to `nSub` byte codes, so
+    * the scan is memory-bandwidth-bound on codes, not vectors.
+    *
+    * Scale shape: the sub-codebook (nSub × nCode subvectors) broadcasts
+    * to both stages. Encoding is a broadcast join + payload-free
+    * per-(vector, subspace) min aggregation (the ivfTopKWith lesson:
+    * only (sqdist, code) rides the agg buffer, and partial aggregation
+    * collapses the ×nCode expansion before the shuffle); at scale the
+    * codes are written once and reused per query batch. ADC joins the
+    * codes against a broadcast (query × subspace × code) lookup table
+    * and sums per (query, vector) — distances ride as integer micros
+    * (the labelCentroids pattern) so the sum is order-independent and
+    * bit-equal to the oracle regardless of partial-agg order; the
+    * final top-k is the WindowGroupLimit-pruned window. The codebook
+    * here is the deterministic first-`nCode` stand-in (see
+    * firstNCodebook; production trains per-subspace k-means offline —
+    * lloydRefine shows the trained shape).
+    *
+    * Squared L2 uses `dot(a,a) - 2·dot(a,b) + dot(b,b)` over the native
+    * array_dot fold, left-associated — the oracle mirrors the exact
+    * arithmetic, so doubles are bit-identical. Output: (q_id, n_id, rn,
+    * adist) — approximate distance, k rows per query, ascending.
+    */
+  def pqTopK(e: DataFrame, nQueries: Int, nSub: Int, nCode: Int,
+      k: Int): DataFrame = {
+    val dim = 64
+    val sub = dim / nSub
+    val subspaces = s"explode(sequence(0, ${nSub - 1}))"
+    def slicedSub(v: String): String = s"slice($v, m * $sub + 1, $sub)"
+    def sq(a: String, b: String): String =
+      s"array_dot($a, $a) - 2 * array_dot($a, $b) + array_dot($b, $b)"
+    val cb = e
+      .filter(col("vec_id") >= nQueries &&
+        col("vec_id") < nQueries + nCode)
+      .select((col("vec_id") - nQueries).cast("int").as("code"),
+        col("v"))
+      .withColumn("m", expr(subspaces))
+      .select(col("m"), col("code"), expr(slicedSub("v")).as("cbv"))
+    val enc = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("n_id"), col("v"))
+      .withColumn("m", expr(subspaces))
+      .select(col("n_id"), col("m"), expr(slicedSub("v")).as("sv"))
+      .join(broadcast(cb), "m")
+      .select(col("n_id"), col("m"),
+        struct(expr(sq("sv", "cbv")).as("sq"), col("code")).as("sc"))
+      .groupBy("n_id", "m")
+      .agg(min(col("sc")).as("mn"))
+      .select(col("n_id"), col("m"), col("mn.code").as("code"))
+    val lut = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v"))
+      .withColumn("m", expr(subspaces))
+      .select(col("q_id"), col("m"), expr(slicedSub("v")).as("qsv"))
+      .join(cb, "m")
+      .select(col("q_id"), col("m"), col("code"),
+        round(expr(sq("qsv", "cbv")) * 1000000).cast("long").as("qm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist"), col("n_id"))
+    enc.join(broadcast(lut), Seq("m", "code"))
+      .groupBy("q_id", "n_id")
+      .agg((sum(col("qm")).cast("double") / 1000000.0).as("adist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id", "rn", "adist")
+  }
+
   /** Blocked near-dup pairs: cosine ≥ threshold within a blocking-key
     * partition (label here; the LSH bucket is the unblocked scale path).
     */

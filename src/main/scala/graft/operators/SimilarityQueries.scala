@@ -149,6 +149,52 @@ object SimilarityQueries {
         .orderBy("q_id", "rn")
     },
 
+    // Product-quantization ADC search: corpus encoded to 4 sub-codes
+    // (16-dim subspaces, 16 codewords = corpus vecs NQ..NQ+15, the
+    // deterministic first-N codebook), queries scan codes via a
+    // lookup-table sum in integer micros. The oracle replicates
+    // encode (row_number argmin per (vector, subspace), tie to the
+    // lowest code) and the ADC sum with identical arithmetic — see
+    // Similarity.pqTopK for the scale shape.
+    QuerySpec("pq_ann", {
+      def sqD(a: String, b: String): String =
+        s"(${dotD(a, a)} - 2 * ${dotD(a, b)}) + ${dotD(b, b)}"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |cb AS (SELECT CAST(vec_id - $NQ AS INTEGER) AS code, m,
+         |              v[(m * 16) + 1:(m * 16) + 16] AS cbv
+         |       FROM e, range(0, 4) t(m)
+         |       WHERE vec_id >= $NQ AND vec_id < $NQ + 16),
+         |sv AS (SELECT vec_id AS n_id, m,
+         |              v[(m * 16) + 1:(m * 16) + 16] AS sv
+         |       FROM e, range(0, 4) t(m) WHERE vec_id >= $NQ),
+         |enc AS (
+         |  SELECT n_id, m, code FROM (
+         |    SELECT n_id, sv.m, code, row_number() OVER (
+         |      PARTITION BY n_id, sv.m
+         |      ORDER BY ${sqD("sv", "cbv")}, code) AS arn
+         |    FROM sv JOIN cb USING (m)) WHERE arn = 1),
+         |lut AS (
+         |  SELECT vec_id AS q_id, m, code,
+         |         CAST(round((${sqD("qsv", "cbv")}) * 1000000) AS BIGINT)
+         |           AS qm
+         |  FROM (SELECT vec_id, m, v[(m * 16) + 1:(m * 16) + 16] AS qsv
+         |        FROM e, range(0, 4) t(m) WHERE vec_id < $NQ)
+         |  JOIN cb USING (m)),
+         |s AS (SELECT q_id, n_id,
+         |             CAST(SUM(qm) AS DOUBLE) / 1000000.0 AS adist
+         |      FROM enc JOIN lut USING (m, code)
+         |      GROUP BY q_id, n_id)
+         |SELECT q_id, n_id, rn, adist FROM (
+         |  SELECT q_id, n_id, adist, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adist, n_id) AS rn FROM s)
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+    }) { (s, dir) =>
+      Similarity.pqTopK(
+        Similarity.prepared(t(s, dir, "embeddings")), NQ, 4, 16, 10)
+        .orderBy("q_id", "rn")
+    },
+
     QuerySpec("embedding_centroid",
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v
         |           FROM embeddings),

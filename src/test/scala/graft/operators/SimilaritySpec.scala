@@ -77,4 +77,35 @@ class SimilaritySpec extends AnyFunSuite {
       assert(brute((r.getLong(0), r.getLong(1))) == r.getDouble(3))
     }
   }
+
+  test("pqTopK: codebook joins broadcast, codebook vectors encode to " +
+    "themselves, and their ADC distance is the exact squared L2") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val e = Similarity.prepared(Tables.t(spark, dir, "embeddings"))
+    val out = Similarity.pqTopK(e, 5, 4, 16, k = 2000)
+    val plan = out.queryExecution.executedPlan.toString
+    // Both stages probe a broadcast codebook/LUT — the corpus side
+    // never sort-merge-joins and there is no cartesian product.
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"))
+    // A codebook vector (vec_id NQ..NQ+15) is its own nearest codeword
+    // in every subspace (self-distance 0), so its PQ reconstruction is
+    // exact and its ADC distance to any query equals the true squared
+    // L2 — up to 4 × the 1e-6 micro rounding.
+    val vecs = e.select("vec_id", "v").as[(Long, Seq[Double])]
+      .collect().toMap
+    val adist = out.filter($"n_id" >= 5 && $"n_id" < 21)
+      .select("q_id", "n_id", "adist").as[(Long, Long, Double)]
+      .collect()
+    assert(adist.map(_._2).distinct.length == 16,
+      "all 16 codebook vectors must appear in a full-k result")
+    adist.foreach { case (q, n, d) =>
+      val exact = vecs(q).zip(vecs(n))
+        .map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(d - exact) < 1e-5,
+        s"q=$q n=$n adist=$d exact=$exact")
+    }
+  }
 }
