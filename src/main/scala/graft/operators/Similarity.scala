@@ -308,6 +308,56 @@ object Similarity {
       .select("q_id", "n_id", "rn", "adist")
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    * embeddings and dropping near-identical members WITHIN each cluster —
+    * the published recipe for pruning web-scale corpora where exact /
+    * n-gram dedup misses paraphrases. Pipeline: (1) every vector is
+    * assigned to its nearest codebook centroid (cosine, ties to the
+    * lowest cid — the ivfTopKWith argmax shape: broadcast codebook,
+    * payload-free partial-agg, shuffle volume = one row per vector);
+    * (2) candidate pairs are generated only within a cluster (the
+    * cluster id is the blocking key — no corpus-wide pairing); (3) a
+    * vector is dropped iff SOME lower-id vector in its cluster has
+    * cosine ≥ threshold with it. The min-id rule is deterministic,
+    * closed-form (no iterative peeling), and yields a kept set that is
+    * provably pairwise-below-threshold within clusters: if kept a &lt; b
+    * had cos ≥ t, b would have a lower-id ≥ t neighbor and be dropped.
+    *
+    * Scale shape: SemDeDup at 100 TB runs with ~100k centroids so each
+    * cluster holds ~corpus/100k vectors and the per-cluster pairing is
+    * tiny; the cluster-id blocking key hash-partitions the corpus, so
+    * the quadratic term is bounded per partition and never global. The
+    * codebook is the deterministic first-`nCentroids` stand-in (train
+    * with lloydRefine offline at scale); assignment + drop-marking are
+    * two shuffles total. Output: (vec_id, cid, kept) for every vector.
+    */
+  def semDedup(df: DataFrame, nCentroids: Int,
+      threshold: Double): DataFrame = {
+    val e = prepared(df)
+    val cent = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("centv"),
+        col("nrm").as("centn"))
+    // Payload-free argmax (see ivfTopKWith): only (csim, -cid) rides
+    // the aggregation buffer; vectors re-attach by joining on vec_id.
+    val bestCid = e.crossJoin(broadcast(cent))
+      .withColumn("csim", expr("array_dot(v, centv) / (nrm * centn)"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cid"))
+    val assigned = e.join(bestCid, "vec_id")
+    val a = assigned.select(col("vec_id").as("va"), col("cid"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val b = assigned.select(col("vec_id").as("vb"), col("cid"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("va") < col("vb") && cosCol >= threshold)
+      .select(col("vb").as("vec_id")).distinct()
+    assigned.join(dropped.withColumn("drp", lit(true)),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(!col("drp"), lit(true)).as("kept"))
+  }
+
   /** Blocked near-dup pairs: cosine ≥ threshold within a blocking-key
     * partition (label here; the LSH bucket is the unblocked scale path).
     */

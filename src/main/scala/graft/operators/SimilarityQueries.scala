@@ -195,6 +195,39 @@ object SimilarityQueries {
         .orderBy("q_id", "rn")
     },
 
+    // SemDeDup: 8-centroid assignment (first-8 codebook), then drop any
+    // vector with a lower-id same-cluster neighbor at cosine >= 0.35
+    // (threshold calibrated like embedding_neardup's: 89 / ~1.5k
+    // within-cluster pairs clear it at sf0.01 / 0.1 — non-vacuous at
+    // every tested SF). The oracle replicates assignment (row_number
+    // argmax, tie to lowest cid) and the min-id drop rule; see
+    // Similarity.semDedup for the scale shape.
+    QuerySpec("semdedup",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, ${normD("v")} AS nrm FROM e),
+         |cent AS (SELECT vec_id AS cid, v AS centv, nrm AS centn
+         |         FROM n WHERE vec_id < 8),
+         |asg AS (
+         |  SELECT vec_id, v, nrm, cid FROM (
+         |    SELECT n.vec_id, n.v, n.nrm, cent.cid, row_number() OVER (
+         |      PARTITION BY n.vec_id
+         |      ORDER BY ${dotD("n.v", "centv")} / (n.nrm * centn) DESC,
+         |               cid) AS arn
+         |    FROM n CROSS JOIN cent) WHERE arn = 1),
+         |drp AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ${dotD("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35)
+         |SELECT asg.vec_id, cid,
+         |       (drp.vec_id IS NULL) AS kept
+         |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id
+         |ORDER BY asg.vec_id""".stripMargin) { (s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), 8, 0.35)
+        .orderBy("vec_id")
+    },
+
     QuerySpec("embedding_centroid",
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v
         |           FROM embeddings),

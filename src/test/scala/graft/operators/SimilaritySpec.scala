@@ -78,6 +78,46 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup: kept set is pairwise below threshold within clusters " +
+    "and every dropped vector has a lower-id near neighbor") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val raw = Tables.t(spark, dir, "embeddings")
+    val out = Similarity.semDedup(raw, 8, 0.35)
+    val plan = out.queryExecution.executedPlan.toString
+    // Codebook assignment broadcasts; the only pairing join is keyed on
+    // the cluster id (blocked quadratic), never a corpus-wide cartesian.
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    val rows = out.select("vec_id", "cid", "kept")
+      .as[(Long, Long, Boolean)].collect()
+    assert(rows.length == raw.count().toInt,
+      "one output row per input vector")
+    assert(rows.exists(!_._3) && rows.count(_._3) > 8,
+      "threshold must be non-vacuous: some dropped, most kept")
+    val e = Similarity.prepared(raw)
+      .select("vec_id", "v").as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (e(a), e(b))
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(p => p * p).sum) *
+        math.sqrt(y.map(p => p * p).sum))
+    }
+    val byCluster = rows.groupBy(_._2)
+    byCluster.values.foreach { members =>
+      val kept = members.filter(_._3).map(_._1).sorted
+      for (i <- kept.indices; j <- i + 1 until kept.length)
+        assert(cos(kept(i), kept(j)) < 0.35 + 1e-12,
+          s"kept pair ${kept(i)},${kept(j)} above threshold")
+      members.filterNot(_._3).foreach { case (v, _, _) =>
+        assert(members.map(_._1).filter(_ < v).exists(a =>
+          cos(a, v) >= 0.35),
+          s"dropped $v has no lower-id near neighbor in its cluster")
+      }
+    }
+  }
+
   test("pqTopK: codebook joins broadcast, codebook vectors encode to " +
     "themselves, and their ADC distance is the exact squared L2") {
     val spark = TestSpark.spark
