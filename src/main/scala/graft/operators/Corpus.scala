@@ -273,6 +273,74 @@ object Corpus {
       .withColumn("contaminated", col("bench_frac") >= lit(minFrac))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * via Importance Resampling"): score every raw document by how much
+    * more probable its hashed n-gram features are under a TARGET
+    * distribution (the curated/domain slice you want more of) than
+    * under the RAW corpus distribution — the published recipe for
+    * selecting pre-training data that matches a target domain.
+    * Features are hashed bigrams: fid = (60-bit md5 of "a b") mod
+    * `nBuckets` — the fixed-dimension hashed bag-of-ngrams DSIR uses,
+    * portable across engines (md5-hex-prefix-to-int64 is the
+    * winnow_fps64 contract). Both feature models are integer
+    * micro-probabilities (the [[lmScore]] exactness contract):
+    * p_micro(f) = floor(c(f)·10⁶ / total), and a document's weight is
+    * the mean per-feature difference p_target − p_raw — the
+    * transcendental-free surrogate of DSIR's log-likelihood-ratio
+    * (monotone in each feature's ratio direction; no log/exp anywhere,
+    * every intermediate BIGINT < 2⁵³, final averages exact-int IEEE
+    * division — so any engine reproduces it bit-for-bit).
+    *
+    * Plan: bigrams come off the memoized [[docBigrams]] table (one
+    * tokenize pass per session, shared with lmScore); the target
+    * slice's doc ids BROADCAST (a curated target is benchmark-sized —
+    * the spanDecontaminate precedent); both models reduce to
+    * ≤ nBuckets rows and BROADCAST; scoring is the corpus streaming
+    * once through two broadcast joins into one per-doc
+    * hash-aggregate. No window and no shuffle ever spans the corpus —
+    * the only corpus-sized exchange is docBigrams' one-time
+    * repartition. Zero/one-token documents ride docBigrams'
+    * null-pair row: n_feats = 0, sum_dw_micro = 0, avg null.
+    *
+    * Output: (doc_id, n_feats, sum_dw_micro, avg_dw_micro); resample
+    * by thresholding avg_dw_micro or feeding it to
+    * [[Pipeline.budgetSelect]]'s quality-ordered admission.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column, nBuckets: Int,
+      cacheKey: String = ""): DataFrame = {
+    val feats = docBigrams(docs, cacheKey)
+      .select(col("doc_id"),
+        when(col("a").isNotNull,
+          expr("cast(conv(substring(md5(concat(a, ' ', b)), 1, 15), " +
+            "16, 10) as bigint)") % nBuckets).as("fid"))
+    val tgtIds = docs.filter(isTarget).select("doc_id")
+    val tFeats = feats.filter(col("fid").isNotNull)
+      .join(broadcast(tgtIds), "doc_id")
+    val pT = tFeats.groupBy("fid").agg(count(lit(1)).as("c_t"))
+      .crossJoin(broadcast(tFeats.agg(count(lit(1)).as("t_t"))))
+      .select(col("fid"),
+        floor(col("c_t") * lit(1000000L) / col("t_t")).cast("long")
+          .as("pt_micro"))
+    val rFeats = feats.filter(col("fid").isNotNull)
+    val pR = rFeats.groupBy("fid").agg(count(lit(1)).as("c_r"))
+      .crossJoin(broadcast(rFeats.agg(count(lit(1)).as("t_r"))))
+      .select(col("fid"),
+        floor(col("c_r") * lit(1000000L) / col("t_r")).cast("long")
+          .as("pr_micro"))
+    feats
+      .join(broadcast(pT), Seq("fid"), "left")
+      .join(broadcast(pR), Seq("fid"), "left")
+      .withColumn("dw", when(col("fid").isNotNull,
+        coalesce(col("pt_micro"), lit(0L)) -
+          coalesce(col("pr_micro"), lit(0L))))
+      .groupBy("doc_id").agg(
+        count(col("fid")).cast("int").as("n_feats"),
+        coalesce(sum(col("dw")), lit(0L)).as("sum_dw_micro"))
+      .withColumn("avg_dw_micro",
+        when(col("n_feats") > 0,
+          col("sum_dw_micro").cast("double") / col("n_feats")))
+  }
+
   /** (doc_id, a, b) adjacent-token pairs, memoized per session (the
     * docTerms pattern — corpus LM training and per-doc scoring both
     * consume it, one tokenize pass). Documents with < 2 tokens emit

@@ -155,6 +155,51 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // DSIR importance weights: target slice = the 'en' documents,
+    // features = bigrams hashed into 256 buckets (bigram vocabulary is
+    // 916, so feature collisions are genuinely exercised), weight =
+    // mean per-feature p_target − p_raw in integer micros. The oracle
+    // replicates the hash (md5-hex-prefix-to-int64, the winnow_fps64
+    // contract), both micro-models, and the scoring joins — see
+    // Corpus.dsirWeights for the broadcast-everything scale shape.
+    QuerySpec("dsir_weights",
+      s"""WITH tk AS (SELECT doc_id, $toksD AS toks FROM documents),
+         |ix AS (SELECT doc_id, toks,
+         |         unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
+         |       FROM tk),
+         |bi AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b FROM ix),
+         |f AS (SELECT doc_id,
+         |        CAST(('0x' || substring(md5(a || ' ' || b), 1, 15))
+         |          AS BIGINT) % 256 AS fid
+         |      FROM bi),
+         |tf AS (SELECT f.fid FROM f JOIN documents d USING (doc_id)
+         |       WHERE d.lang = 'en'),
+         |pt AS (SELECT fid, CAST(floor(COUNT(*) * 1000000
+         |         / (SELECT COUNT(*) FROM tf)) AS BIGINT) AS pt_micro
+         |       FROM tf GROUP BY fid),
+         |pr AS (SELECT fid, CAST(floor(COUNT(*) * 1000000
+         |         / (SELECT COUNT(*) FROM f)) AS BIGINT) AS pr_micro
+         |       FROM f GROUP BY fid),
+         |sc AS (SELECT f.doc_id,
+         |         coalesce(pt_micro, 0) - coalesce(pr_micro, 0) AS dw
+         |       FROM f LEFT JOIN pt USING (fid)
+         |       LEFT JOIN pr USING (fid)),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_feats,
+         |          CAST(SUM(dw) AS BIGINT) AS sum_dw_micro
+         |        FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(agg.n_feats, 0) AS n_feats,
+         |       coalesce(agg.sum_dw_micro, 0) AS sum_dw_micro,
+         |       CASE WHEN agg.n_feats > 0
+         |            THEN CAST(agg.sum_dw_micro AS DOUBLE)
+         |                 / agg.n_feats
+         |       END AS avg_dw_micro
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      Corpus.dsirWeights(t(s, dir, "documents"),
+        col("lang") === "en", nBuckets = 256, cacheKey = dir)
+        .orderBy("doc_id")
+    },
+
     // Bigram-LM quality score over a top-512 model (bigram vocabulary
     // is 916, so capping bites and out-of-model transitions exercise
     // the floor-smoothing path). All-integer probabilities — see

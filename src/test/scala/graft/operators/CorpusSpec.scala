@@ -175,6 +175,48 @@ class CorpusSpec extends AnyFunSuite {
     Memo.clearCaches(spark)
   }
 
+  test("dsirWeights: target-heavy features score positive, models " +
+    "broadcast, degenerate docs stay in-band, and weights respond " +
+    "to the target slice") {
+    Memo.clearCaches(spark)
+    val sp = spark
+    import sp.implicits._
+    // 3 target docs repeating "aa bb", 3 raw-only docs repeating
+    // "cc dd", one 1-token doc (no bigram) — the aa→bb feature is
+    // 100% of the target model but 50% of the raw, so target docs
+    // must score positive and raw-only docs negative.
+    val d = Seq(
+      (1L, "aa bb aa bb aa bb", "en"), (2L, "aa bb aa bb", "en"),
+      (3L, "aa bb", "en"), (4L, "cc dd cc dd cc dd", "de"),
+      (5L, "cc dd cc dd", "de"), (6L, "cc dd", "de"),
+      (7L, "solo", "en")).toDF("doc_id", "text", "lang")
+    val out = Corpus.dsirWeights(d, col("lang") === "en", 256)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "target ids and both micro-models must broadcast")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"))
+    val rows = out.select("doc_id", "n_feats", "avg_dw_micro")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), Option(r.get(2)).map(_.toString.toDouble))))
+      .toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L),
+      "every document reported, bigram-less ones included")
+    assert(rows(7L) == ((0, None)), "degenerate doc: 0 feats, null avg")
+    Seq(1L, 2L, 3L).foreach(id => assert(rows(id)._2.get > 0,
+      s"target doc $id must weigh positive"))
+    Seq(4L, 5L, 6L).foreach(id => assert(rows(id)._2.get < 0,
+      s"raw-only doc $id must weigh negative"))
+    // Widening the target to every doc makes p_t ≈ p_r: with all
+    // langs targeted both models are the same counts, so every
+    // weight collapses to 0 (floor rounding is shared).
+    val flat = Corpus.dsirWeights(d, lit(true), 256)
+      .filter(col("n_feats") > 0)
+      .agg(sum(abs(col("sum_dw_micro")))).collect()(0).getLong(0)
+    assert(flat == 0L, s"identical target/raw models must zero out")
+    Memo.clearCaches(spark)
+  }
+
   test("lmScore plan: model sides broadcast; the only corpus " +
     "shuffles are the bigram aggregates; the ranking window runs " +
     "over the model table, never the corpus") {
