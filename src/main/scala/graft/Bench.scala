@@ -34,40 +34,60 @@ object Bench {
     // evaluator classes, window exec, and the native graft expressions —
     // never a timed query itself (measured: first-run codegen otherwise
     // adds 2-4 s to whichever query hits each code path first).
+    // Each warmup statement is fault-isolated: round 7's events-loader
+    // analysis error escaped the (then-unguarded) warmup block and killed
+    // the whole bench run before a single query was timed (BENCH_r07 rc=1).
+    // A broken loader must degrade ONE warm path, not zero the round's
+    // bench signal — the query loop below already survives per-query
+    // failures; the warmup gets the same treatment.
+    def warm(label: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warmup '$label' failed: ${e.getMessage}")
+      }
     locally {
       import org.apache.spark.sql.functions._
       graft.functions.GraftFunctions.register(spark)
-      spark.range(1000000).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/nation.parquet").count()
-      Tables.t(spark, sfDir, "events").limit(100).count()
-      val wdocs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
+      warm("shuffle")(spark.range(1000000).selectExpr("sum(id)").collect())
+      warm("parquet")(spark.read.parquet(s"$sfDir/nation.parquet").count())
+      warm("events")(Tables.t(spark, sfDir, "events").limit(100).count())
+      // lazy: spark.read.parquet reads the footer eagerly, so a broken
+      // documents table should surface inside the first warm block that
+      // uses it, not escape the fault isolation at definition time.
+      lazy val wdocs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .limit(20)
         .withColumn("toks", expr(graft.operators.TextOps.toksS))
-      wdocs.select(explode_outer(col("toks")).as("tok"))
-        .groupBy("tok").count()
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("tok")).orderBy(col("count"))))
-        .count()
-      wdocs
-        .withColumn("sh", expr("shingles3(toks)"))
-        .selectExpr("size(minhash_bands16x2(sh)) AS n")
-        .agg(sum(col("n"))).collect()
+      warm("tokenize+window")(
+        wdocs.select(explode_outer(col("toks")).as("tok"))
+          .groupBy("tok").count()
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("tok")).orderBy(col("count"))))
+          .count())
+      warm("minhash")(
+        wdocs
+          .withColumn("sh", expr("shingles3(toks)"))
+          .selectExpr("size(minhash_bands16x2(sh)) AS n")
+          .agg(sum(col("n"))).collect())
       // Warm the native pair-expansion generators + ObjectHashAggregate
       // (collect_list) path the dedup chain runs on.
-      wdocs.withColumn("sh", expr("shingles3(toks)"))
-        .select(col("doc_id"), size(col("sh")).as("sz"),
-          explode(col("sh")).as("h"))
-        .groupBy("h")
-        .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ids"))
-        .filter(size(col("ids")) >= 1)
-        .select(expr("pair_expand_sz(ids, 3, 10)"))
-        .count()
-      spark.range(5).agg(collect_list(col("id")).as("ids"))
-        .select(expr("pair_expand_cap(ids, 100)")).count()
-      spark.read.parquet(s"$sfDir/embeddings.parquet").limit(20)
-        .selectExpr("cast(embedding as array<double>) as v")
-        .selectExpr("array_dot(v, v) as d", "simhash63(array(1L, 2L)) as s")
-        .count()
+      warm("pair_expand")(
+        wdocs.withColumn("sh", expr("shingles3(toks)"))
+          .select(col("doc_id"), size(col("sh")).as("sz"),
+            explode(col("sh")).as("h"))
+          .groupBy("h")
+          .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ids"))
+          .filter(size(col("ids")) >= 1)
+          .select(expr("pair_expand_sz(ids, 3, 10)"))
+          .count())
+      warm("pair_expand_cap")(
+        spark.range(5).agg(collect_list(col("id")).as("ids"))
+          .select(expr("pair_expand_cap(ids, 100)")).count())
+      warm("embeddings")(
+        spark.read.parquet(s"$sfDir/embeddings.parquet").limit(20)
+          .selectExpr("cast(embedding as array<double>) as v")
+          .selectExpr("array_dot(v, v) as d", "simhash63(array(1L, 2L)) as s")
+          .count())
     }
     // Arg order (and repeats) honored: "q q q" times a query three times
     // in one session — the way to see steady-state past first-run codegen.

@@ -15,12 +15,20 @@ object Tables {
 
   /** Parquet loader for a driver-generated testdata table.
     *
-    * `events.ts` is written as INT64 TIMESTAMP(NANOS) which Spark 4 cannot
-    * read as a timestamp; read it as raw nanos (legacy conf) and truncate to
-    * microseconds with *integer* division (`div` — a double division would
-    * lose precision above 2^53, and epoch-nanos are ~1.7e18). DuckDB
-    * truncates TIMESTAMP_NS → TIMESTAMP(µs) the same way, so the oracle
-    * agrees.
+    * `events.ts` has shipped in two physical encodings across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark 4 can only read as
+    * raw nanos via the legacy conf) and plain `timestamp[us]`
+    * (isAdjustedToUTC=false → TIMESTAMP_NTZ). The loader reads the schema
+    * it is actually handed and normalizes either encoding to a session-TZ
+    * TimestampType column:
+    *   - LongType (nanos fixture): truncate to micros with *integer*
+    *     division (`div` — double division loses precision above 2^53,
+    *     and epoch-nanos are ~1.7e18), matching DuckDB's TIMESTAMP_NS →
+    *     TIMESTAMP(µs) truncation.
+    *   - TimestampNTZType: cast to TimestampType. All graft sessions pin
+    *     spark.sql.session.timeZone=UTC, so the cast preserves the wall
+    *     clock and the DuckDB oracle's naive-UTC comparison holds.
+    *   - TimestampType: pass through.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Every declared query loads through here, so this is the one
@@ -28,17 +36,24 @@ object Tables {
     // etc. in TextOps fragments) resolve in any session. Idempotent.
     functions.GraftFunctions.register(spark)
     if (name == "events") {
-      // SESSION-WIDE side effect, deliberate and documented: after the
-      // first events load, any later parquet read in this session sees
-      // INT64 TIMESTAMP(NANOS) columns as BIGINT instead of Spark 4's
-      // unsupported-type error. Scoping it per-read is unsafe (the conf
-      // is consulted again at EXECUTION, which may happen after a
-      // restore), so the policy is session-global by design.
+      // SESSION-WIDE side effect, deliberate: with the conf set, INT64
+      // TIMESTAMP(NANOS) columns load as BIGINT instead of Spark 4's
+      // unsupported-type error. Harmless for micros data (the conf only
+      // affects nanos-annotated columns), and it must be set BEFORE the
+      // read — dtype detection requires a successful schema load, and
+      // reading a nanos file without it throws. Scoping it per-read is
+      // unsafe (the conf is consulted again at EXECUTION, which may
+      // happen after a restore), so the policy is session-global.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val F = org.apache.spark.sql.functions
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        case _: TimestampNTZType =>
+          raw.withColumn("ts", F.col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

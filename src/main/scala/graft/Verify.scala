@@ -31,6 +31,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query must be a VISIBLE red row, not a silent absence:
+    // round 7's 23 loader-broken queries surfaced in the driver's
+    // correctness JSON only as missing keys (Verify printed to stderr and
+    // wrote nothing). Collect failures and dump them as _errors.json next
+    // to oracle_sql.json so the artifact itself records what broke.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -38,6 +44,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -55,6 +62,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} quer${
+        if (errors.size == 1) "y" else "ies"} FAILED: ${
+        errors.keys.mkString(", ")}")
     // Release memoized dedup intermediates (persisted DataFrames) —
     // CacheLifecycleSpec asserts no persistent RDDs survive this.
     operators.Dedup.clearCaches(spark)
