@@ -156,6 +156,51 @@ object Soak {
       s""""selected":$nSel,"sources":$nSrc,"sec_pii":$tPii,""" +
       s""""sec_budget":$tBudget,"sec_mix":$tMix}""")
 
+    // Span/DSIR soak: the round-7 operators (span_dup_rate,
+    // span_decontaminate, dsir_weights) CHAINED on the amplified corpus
+    // — fixture-tested individually, this is their at-scale evidence.
+    // Invariants asserted on executed plans: docFps materializes ONCE
+    // (both span consumers read the memoized cache, never re-winnow);
+    // the decontaminate bench side broadcasts (no corpus-vs-corpus
+    // shuffle join); DSIR never windows or shuffle-joins the corpus —
+    // its models are ≤ nBuckets rows and broadcast. The amplified
+    // corpus is the span worst case: every fp occurs in ≥ N docs, so
+    // the fp-frequency table is maximal relative to corpus size.
+    def cached(plan: String): Boolean =
+      plan.contains("InMemoryTableScan") ||
+        plan.contains("TableCacheQueryStage")
+    val fps = operators.Corpus.docFps(docs, cacheKey = soakDir)
+    val (nFps, tFps) = timed { fps.count() }
+    val sdrQe = operators.Corpus.spanDupRate(fps).queryExecution
+    val (nSdr, tSdr) = timed { sdrQe.toRdd.count() }
+    val sdrPlan = sdrQe.executedPlan.toString
+      .split("== Initial Plan ==").head
+    require(cached(sdrPlan),
+      s"span_dup_rate must read the memoized docFps, not re-winnow:\n" +
+        sdrPlan)
+    val sdecQe = operators.Corpus.spanDecontaminate(fps,
+      col("doc_id") % 97 === 0, minFrac = 0.2).queryExecution
+    val (nSdec, tSdec) = timed { sdecQe.toRdd.count() }
+    val sdecPlan = sdecQe.executedPlan.toString
+      .split("== Initial Plan ==").head
+    require(cached(sdecPlan) && !sdecPlan.contains("SortMergeJoin"),
+      s"span_decontaminate: bench fps must broadcast against the " +
+        s"memoized corpus scan:\n$sdecPlan")
+    val dsirQe = operators.Corpus.dsirWeights(docs,
+      col("lang") === "en", nBuckets = 256, cacheKey = soakDir)
+      .queryExecution
+    val (nDsir, tDsir) = timed { dsirQe.toRdd.count() }
+    val dsirPlan = dsirQe.executedPlan.toString
+      .split("== Initial Plan ==").head
+    require(!dsirPlan.contains("SortMergeJoin"),
+      s"dsir_weights must broadcast its micro-models:\n$dsirPlan")
+    require("Window \\[".r.findFirstIn(dsirPlan).isEmpty,
+      s"dsir_weights must not window the corpus:\n$dsirPlan")
+    println(s"""{"metric":"soak_span","n_copies":$n,"fps":$nFps,""" +
+      s""""dup_rate_docs":$nSdr,"decon_docs":$nSdec,""" +
+      s""""dsir_docs":$nDsir,"sec_fps":$tFps,"sec_dup_rate":$tSdr,""" +
+      s""""sec_decon":$tSdec,"sec_dsir":$tDsir}""")
+
     // ANN soak: amplify the embedding corpus the same way (vec_id
     // offsets; queries = the original vec_id < 500) and compare exact
     // brute-force top-k against IVF at a realistic query-batch size.
@@ -225,6 +270,63 @@ object Soak {
     println(s"""{"metric":"soak_ivf_codebook","n_centroids":32,""" +
       s""""n_probe":4,"recall_first_n":$rIvf0,"recall_lloyd":$rIvfL,""" +
       s""""sec_lloyd_train":$tTrain,"sec_ivf_lloyd":$tIvfL}""")
+    // PQ-ADC, two measurements with two different corpora BY DESIGN:
+    // THROUGHPUT on the amplified corpus (where the 150k-vector scan is
+    // the work), QUALITY on the base corpus (the standard ANN-benchmark
+    // shape — the amplified corpus is 100 identical copies of every
+    // vector, so its "recall@10" degenerates to 1-NN accuracy under
+    // massive distance ties and measures tie-breaking, not
+    // quantization). Ground truth is exact L2 (pqTopK's own metric —
+    // judging it against cosine truth would conflate metric
+    // disagreement with quantization error); both the fixture config
+    // (4×16, what the pq_ann oracle pins) and a production-shaped
+    // budget (8 subspaces × 64 codes) are reported, untrained vs
+    // per-subspace-Lloyd-trained.
+    val (nPq, tPq) = timed {
+      operators.Similarity.pqTopK(e, NQ, 4, 16, 10).count()
+    }
+    println(s"""{"metric":"soak_pq_speed","n_sub":4,"n_code":16,""" +
+      s""""pq_rows":$nPq,"sec_pq":$tPq,"sec_brute":$tBrute}""")
+    val e0 = operators.Similarity.prepared(
+      Tables.t(spark, srcDir, "embeddings"))
+    val ql2 = e0.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val cl2 = e0.filter(col("vec_id") >= NQ)
+      .select(col("vec_id").as("n_id"), col("v").as("cv"))
+    val wl2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("l2"), col("n_id"))
+    val bruteL2 = cl2.crossJoin(broadcast(ql2))
+      .select(col("q_id"), col("n_id"),
+        expr("array_dot(qv, qv) - 2 * array_dot(qv, cv) + " +
+          "array_dot(cv, cv)").as("l2"))
+      .withColumn("rn", row_number().over(wl2))
+      .filter(col("rn") <= 10).persist()
+    val nBruteL2 = bruteL2.count()
+    def recallPq(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("q_id", "n_id")
+        .join(bruteL2.select("q_id", "n_id"), Seq("q_id", "n_id"))
+        .count().toDouble / nBruteL2
+    def pqQuality(ns: Int, nc: Int): (Double, Double, Double) = {
+      val cb0 = operators.Similarity.pqSubCodebook(e0, NQ, ns, nc)
+      val r0 = recallPq(
+        operators.Similarity.pqTopKWith(e0, cb0, NQ, ns, nc, 10))
+      val (cbL, tTrain) = timed {
+        val cb = operators.Similarity.pqLloydRefine(e0, cb0, NQ, ns,
+          iters = 3)
+        cb.count(); cb
+      }
+      val rL = recallPq(
+        operators.Similarity.pqTopKWith(e0, cbL, NQ, ns, nc, 10))
+      (r0, rL, tTrain)
+    }
+    val (rFix0, rFixL, tFixTrain) = pqQuality(4, 16)
+    val (rProd0, rProdL, tProdTrain) = pqQuality(8, 64)
+    println(s"""{"metric":"soak_pq_recall","truth":"exact_l2_base",""" +
+      s""""fixture_4x16":{"first_n":$rFix0,"lloyd":$rFixL,""" +
+      s""""sec_train":$tFixTrain},""" +
+      s""""prod_8x64":{"first_n":$rProd0,"lloyd":$rProdL,""" +
+      s""""sec_train":$tProdTrain}}""")
+    bruteL2.unpersist()
     bruteDf.unpersist()
     operators.Dedup.clearCaches(spark)
     spark.stop()

@@ -251,15 +251,25 @@ object Similarity {
     * per-(vector, subspace) min aggregation (the ivfTopKWith lesson:
     * only (sqdist, code) rides the agg buffer, and partial aggregation
     * collapses the ×nCode expansion before the shuffle); at scale the
-    * codes are written once and reused per query batch. ADC joins the
-    * codes against a broadcast (query × subspace × code) lookup table
-    * and sums per (query, vector) — distances ride as integer micros
-    * (the labelCentroids pattern) so the sum is order-independent and
-    * bit-equal to the oracle regardless of partial-agg order; the
-    * final top-k is the WindowGroupLimit-pruned window. The codebook
-    * here is the deterministic first-`nCode` stand-in (see
-    * firstNCodebook; production trains per-subspace k-means offline —
-    * lloydRefine shows the trained shape).
+    * codes are written once and reused per query batch. ADC then
+    * collapses each vector's codes to ONE array row and each query's
+    * lookup table to ONE flattened (nSub·nCode)-long array that
+    * BROADCASTS — the approximate distance is `nSub` 0-based array
+    * subscripts summed in a fixed m-order, one codegen'd projection
+    * per (vector, query) row with top-k pruned by WindowGroupLimit
+    * before any exchange. (The first implementation instead JOINED the
+    * per-(vector, subspace) code rows against a (query × subspace ×
+    * code) table and re-aggregated per (query, vector): that
+    * re-expands the corpus ×nSub and shuffles the (query × vector ×
+    * subspace) product — measured 6× SLOWER than brute force at 150k
+    * vectors × 500 queries. ADC's whole point is that scoring is
+    * lookups into a query-local table, not a shuffle.) Distances ride
+    * as integer micros (the labelCentroids pattern): a fixed-order sum
+    * of longs is exact, so results stay bit-equal to the oracle's
+    * order-independent SUM. The codebook here is the deterministic
+    * first-`nCode` stand-in (see firstNCodebook; production trains
+    * per-subspace k-means offline — pqLloydRefine is that shape, and
+    * Soak reports recall@10 for both).
     *
     * Squared L2 uses `dot(a,a) - 2·dot(a,b) + dot(b,b)` over the native
     * array_dot fold, left-associated — the oracle mirrors the exact
@@ -267,20 +277,38 @@ object Similarity {
     * adist) — approximate distance, k rows per query, ascending.
     */
   def pqTopK(e: DataFrame, nQueries: Int, nSub: Int, nCode: Int,
-      k: Int): DataFrame = {
-    val dim = 64
-    val sub = dim / nSub
+      k: Int): DataFrame =
+    pqTopKWith(e, pqSubCodebook(e, nQueries, nSub, nCode), nQueries,
+      nSub, nCode, k)
+
+  /** Deterministic first-`nCode` sub-codebook: corpus vectors
+    * nQueries..nQueries+nCode−1 sliced per subspace → (m, code, cbv).
+    */
+  def pqSubCodebook(e: DataFrame, nQueries: Int, nSub: Int,
+      nCode: Int): DataFrame = {
+    val sub = 64 / nSub
+    e.filter(col("vec_id") >= nQueries &&
+        col("vec_id") < nQueries + nCode)
+      .select((col("vec_id") - nQueries).cast("int").as("code"),
+        col("v"))
+      .withColumn("m", expr(s"explode(sequence(0, ${nSub - 1}))"))
+      .select(col("m"), col("code"),
+        expr(s"slice(v, m * $sub + 1, $sub)").as("cbv"))
+  }
+
+  /** PQ-ADC search against a supplied sub-codebook frame
+    * (m, code, cbv) — see pqTopK for the scale shape.
+    */
+  def pqTopKWith(e: DataFrame, subCodebook: DataFrame, nQueries: Int,
+      nSub: Int, nCode: Int, k: Int): DataFrame = {
+    val sub = 64 / nSub
     val subspaces = s"explode(sequence(0, ${nSub - 1}))"
     def slicedSub(v: String): String = s"slice($v, m * $sub + 1, $sub)"
     def sq(a: String, b: String): String =
       s"array_dot($a, $a) - 2 * array_dot($a, $b) + array_dot($b, $b)"
-    val cb = e
-      .filter(col("vec_id") >= nQueries &&
-        col("vec_id") < nQueries + nCode)
-      .select((col("vec_id") - nQueries).cast("int").as("code"),
-        col("v"))
-      .withColumn("m", expr(subspaces))
-      .select(col("m"), col("code"), expr(slicedSub("v")).as("cbv"))
+    val cb = subCodebook
+    // Encode: nearest sub-code per (vector, subspace), then ONE row per
+    // vector carrying its code array (sorted by m — struct sort order).
     val enc = e.filter(col("vec_id") >= nQueries)
       .select(col("vec_id").as("n_id"), col("v"))
       .withColumn("m", expr(subspaces))
@@ -290,22 +318,97 @@ object Similarity {
         struct(expr(sq("sv", "cbv")).as("sq"), col("code")).as("sc"))
       .groupBy("n_id", "m")
       .agg(min(col("sc")).as("mn"))
-      .select(col("n_id"), col("m"), col("mn.code").as("code"))
+      .groupBy("n_id")
+      .agg(array_sort(collect_list(struct(col("m"),
+        col("mn.code").as("code")))).as("mc"))
+      .select(col("n_id"), expr("transform(mc, x -> x.code)").as("codes"))
+      // The code table is BYTES per vector, so AQE happily coalesces it
+      // to one partition — which would serialize the ×nQueries ADC scan
+      // below (measured 4× slower inside a busy session). Pin the scan
+      // width explicitly: the expansion factor lives downstream of this
+      // exchange, invisible to AQE's input-size heuristic.
+      .repartition(e.sparkSession.sparkContext.defaultParallelism)
+    // Query LUT: micro-quantized distance to every (m, code) cell,
+    // flattened to one (nSub·nCode)-long array per query, index
+    // m·nCode + code (struct sort by (m, code) makes the order).
     val lut = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v"))
       .withColumn("m", expr(subspaces))
       .select(col("q_id"), col("m"), expr(slicedSub("v")).as("qsv"))
       .join(cb, "m")
-      .select(col("q_id"), col("m"), col("code"),
+      .select(col("q_id"), struct(col("m"), col("code"),
         round(expr(sq("qsv", "cbv")) * 1000000).cast("long").as("qm"))
+        .as("mcq"))
+      .groupBy("q_id")
+      .agg(array_sort(collect_list(col("mcq"))).as("l"))
+      .select(col("q_id"), expr("transform(l, x -> x.qm)").as("luts"))
+    // ADC: fixed m-order sum of nSub subscripts (0-based [] operator).
+    val adcMicro = (0 until nSub)
+      .map(m => s"luts[$m * $nCode + codes[$m]]").mkString(" + ")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adist"), col("n_id"))
-    enc.join(broadcast(lut), Seq("m", "code"))
-      .groupBy("q_id", "n_id")
-      .agg((sum(col("qm")).cast("double") / 1000000.0).as("adist"))
+    enc.crossJoin(broadcast(lut))
+      .select(col("q_id"), col("n_id"),
+        (expr(adcMicro).cast("double") / 1000000.0).as("adist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("q_id", "n_id", "rn", "adist")
+  }
+
+  /** Deterministic per-subspace Lloyd refinement of a PQ sub-codebook —
+    * the offline k-means a production PQ index trains per subspace
+    * (Jégou et al. §III): each iteration re-encodes every corpus
+    * subvector to its nearest sub-code (same min-struct tie-break as
+    * encoding) and replaces each (m, code) cell with its members' mean.
+    * Means use the lloydRefine integer-micro pattern so the refinement
+    * is bit-deterministic; a cell that loses all members keeps its
+    * position. Per-iteration collect is nSub×nCode×(64/nSub) doubles —
+    * KBs. Soak-only quality lever: the declared `pq_ann` oracle keeps
+    * the untrained first-N sub-codebook (oracle-replicable); Soak
+    * reports recall@10 for both.
+    */
+  def pqLloydRefine(e: DataFrame, subCodebook: DataFrame, nQueries: Int,
+      nSub: Int, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    val sub = 64 / nSub
+    def sq(a: String, b: String): String =
+      s"array_dot($a, $a) - 2 * array_dot($a, $b) + array_dot($b, $b)"
+    val sv = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("n_id"), col("v"))
+      .withColumn("m", expr(s"explode(sequence(0, ${nSub - 1}))"))
+      .select(col("n_id"), col("m"),
+        expr(s"slice(v, m * $sub + 1, $sub)").as("sv"))
+    var cb = subCodebook
+    for (_ <- 0 until iters) {
+      val assigned = sv.join(broadcast(cb), "m")
+        .select(col("n_id"), col("m"), col("sv"),
+          struct(expr(sq("sv", "cbv")).as("sq"), col("code")).as("sc"))
+        .groupBy("n_id", "m")
+        .agg(min(col("sc")).as("mn"), first(col("sv")).as("sv"))
+        .select(col("m"), col("mn.code").as("code"), col("sv"))
+      val means = assigned
+        .select(col("m"), col("code"),
+          posexplode(col("sv")).as(Seq("p", "comp")))
+        .select(col("m"), col("code"), col("p"),
+          round(col("comp") * 1000000).cast("long").as("q"))
+        .groupBy("m", "code", "p")
+        .agg((sum(col("q")).cast("double") /
+          (lit(1000000.0) * count(lit(1)))).as("mean"))
+        .groupBy("m", "code")
+        .agg(array_sort(collect_list(struct(col("p"), col("mean"))))
+          .as("pm"))
+        .select(col("m"), col("code"),
+          expr("transform(pm, x -> x.mean)").as("cbv"))
+      val updated = cb.select(col("m"), col("code"),
+          col("cbv").as("oldv"))
+        .join(means, Seq("m", "code"), "left")
+        .select(col("m"), col("code"),
+          coalesce(col("cbv"), col("oldv")).as("cbv"))
+      val rows = updated.collect().toSeq
+      cb = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), updated.schema)
+    }
+    cb
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
