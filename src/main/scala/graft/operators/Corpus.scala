@@ -341,6 +341,60 @@ object Corpus {
           col("sum_dw_micro").cast("double") / col("n_feats")))
   }
 
+  /** Per-source distinctive terms by exact integer-micro LIFT —
+    * lift(t, s) = p(t | source s) / p(t) — the transcendental-free
+    * surrogate of PMI (log lift) used for corpus analysis ("what is
+    * source X actually about"): monotone in PMI per term, so top-k by
+    * lift_micro is top-k by PMI, with every intermediate an exact
+    * BIGINT (c_st·T·10⁶ < 2⁶³ for corpora up to ~10¹² tokens per
+    * aggregate — rescale the micro factor beyond that) and the final
+    * ranking bit-portable across engines (the lmScore contract).
+    *
+    * lift_micro = floor(c_st · T · 10⁶ / (c_t · T_s)) where c_st =
+    * term count within the source, T_s = source token mass, c_t =
+    * global term count, T = global mass. `minCount` guards the
+    * small-sample blowup (a hapax unique to a source has unbounded
+    * lift); ties break by term.
+    *
+    * Plan: one pass off the MEMOIZED docTerms table (shared with
+    * tfidf_topk / token_freq / vocab_stats — one tokenize per session)
+    * joined to the corpus' (doc_id, source) projection, then a
+    * (source × term)-bounded aggregate; the global term model
+    * re-aggregates THAT table (never the corpus), source masses and
+    * the scalar total broadcast back, and the final window ranks the
+    * filtered (source × term) table partitioned by source — every
+    * post-corpus stage is vocabulary-sized, not corpus-sized.
+    */
+  def termLift(docs: DataFrame, minCount: Long, k: Int,
+      cacheKey: String = ""): DataFrame = {
+    // The (source × term) table is consumed FOUR times (itself + the
+    // three derived models) — unpersisted, each consumer re-scans the
+    // corpus-sized docTerms cache. Memoize the bounded table so the
+    // corpus contributes exactly one pass (the docTerms pattern, one
+    // level up).
+    val st = Memo.memo("source_terms", docs.sparkSession, cacheKey,
+      persistIt = true) {
+      Pipeline.docTerms(docs, cacheKey)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "term")
+        .agg(sum(col("tf")).as("c_st"))
+    }
+    val gt = st.groupBy("term").agg(sum(col("c_st")).as("c_t"))
+    val ts = st.groupBy("source").agg(sum(col("c_st")).as("t_s"))
+    val tot = st.agg(sum(col("c_st")).as("t"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("lift_micro").desc, col("term"))
+    st.filter(col("c_st") >= minCount)
+      .join(gt, "term")
+      .join(broadcast(ts), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_micro",
+        expr("c_st * t * 1000000L div (c_t * t_s)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("source", "term", "c_st", "lift_micro", "rk")
+  }
+
   /** (doc_id, a, b) adjacent-token pairs, memoized per session (the
     * docTerms pattern — corpus LM training and per-doc scoring both
     * consume it, one tokenize pass). Documents with < 2 tokens emit

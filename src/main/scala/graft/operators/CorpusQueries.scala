@@ -155,6 +155,45 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // Per-source distinctive terms by exact integer-micro lift —
+    // PMI's transcendental-free monotone surrogate (top-k by lift IS
+    // top-k by PMI). Min support 5 guards the hapax blowup; the term
+    // table is the memoized docTerms (one tokenize per session). All
+    // arithmetic BIGINT-exact, floor division in both engines.
+    QuerySpec("term_lift",
+      s"""WITH tq AS (SELECT doc_id, unnest($toksD) AS term
+         |            FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tq
+         |       GROUP BY doc_id, term),
+         |st AS (SELECT d.source, tf.term,
+         |              CAST(SUM(tf.tf) AS BIGINT) AS c_st
+         |       FROM tf JOIN documents d USING (doc_id)
+         |       GROUP BY d.source, tf.term),
+         |gt AS (SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t
+         |       FROM st GROUP BY term),
+         |ts AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS t_s
+         |       FROM st GROUP BY source),
+         |tot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS t FROM st),
+         |scored AS (
+         |  SELECT st.source, st.term, st.c_st,
+         |         CAST(st.c_st * tot.t * 1000000
+         |              // (gt.c_t * ts.t_s) AS BIGINT) AS lift_micro
+         |  FROM st JOIN gt USING (term) JOIN ts USING (source)
+         |  CROSS JOIN tot
+         |  WHERE st.c_st >= 5)
+         |SELECT source, term, c_st, lift_micro,
+         |       CAST(rk AS INTEGER) AS rk
+         |FROM (
+         |  SELECT source, term, c_st, lift_micro, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY lift_micro DESC, term) AS rk
+         |  FROM scored)
+         |WHERE rk <= 3 ORDER BY source, rk""".stripMargin) { (s, dir) =>
+      Corpus.termLift(t(s, dir, "documents"), minCount = 5, k = 3,
+        cacheKey = dir)
+        .orderBy("source", "rk")
+    },
+
     // DSIR importance weights: target slice = the 'en' documents,
     // features = bigrams hashed into 256 buckets (bigram vocabulary is
     // 916, so feature collisions are genuinely exercised), weight =

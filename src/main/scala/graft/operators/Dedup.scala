@@ -493,6 +493,39 @@ object Dedup {
       nearDupClusters(minhashNearDupPairs(docs, p, q, cacheKey))
     }
 
+  /** Cluster-size histogram over a (doc_id, cluster_id) labeling — the
+    * dedup REPORT a pipeline operator reads before choosing thresholds
+    * ("how much of the corpus sits in 2-member vs 100-member groups").
+    * Two bounded hash aggregations: clusters-sized, then
+    * distinct-sizes-sized — nothing here scales with corpus rows
+    * beyond the labeling input itself.
+    */
+  def clusterStats(clusters: DataFrame): DataFrame =
+    clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+
+  /** Per-source duplication governance: for every source, how many of
+    * its documents are NON-CANONICAL near-dup cluster members (the
+    * rows `dedupKeep` would drop — doc_id != cluster_id). The corpus
+    * streams once through a left join against the clusters labeling
+    * (clusters-sized — at most the near-dup docs, typically a small
+    * corpus fraction; a broadcast at real scale when the dup set fits,
+    * AQE's call here) into a sources-sized aggregate. The fraction is
+    * exact-int IEEE division, bit-portable.
+    */
+  def sourceDupStats(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.select("doc_id", "source")
+      .join(clusters, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("cluster_id").isNotNull &&
+          col("doc_id") =!= col("cluster_id"), lit(1))).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_docs"))
+
   /** Portable 63-bit SimHash fingerprints per doc — one native
     * codegen'd expression from tokens to fingerprint (SimHash63 hashes
     * token chars in-loop with the same polynomial the oracle computes;

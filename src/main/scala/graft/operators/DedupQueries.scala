@@ -37,6 +37,43 @@ object DedupQueries {
        |SELECT da, db, jaccard FROM j WHERE jaccard >= $minJ
        |ORDER BY da, db""".stripMargin
 
+  /** Shared oracle CTE for the clustering family (dedup_clusters,
+    * dedup_cluster_stats, source_dup_stats): recursive-CTE transitive
+    * closure over the verified minhash pair graph, each clustered doc
+    * labeled with its component's min doc_id. The Spark side computes
+    * the same fixpoint by distributed min-label propagation — two
+    * independent algorithms, one answer.
+    */
+  private def clustersCte: String =
+    s"""WITH RECURSIVE ${TextOps.docShinglesCteD},
+       |inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
+       |rare AS (SELECT s FROM inv GROUP BY s
+       |         HAVING COUNT(*) <= ${Dedup.DfCap}),
+       |pruned AS (SELECT doc_id, s FROM inv
+       |           WHERE s IN (SELECT s FROM rare)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM pruned a JOIN pruned b
+       |    ON a.s = b.s AND a.doc_id < b.doc_id
+       |), p AS (
+       |  SELECT da, db FROM (
+       |    SELECT da, db,
+       |           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |             / len(list_distinct(x.sh || y.sh)) AS jaccard
+       |    FROM cand JOIN d x ON x.doc_id = da JOIN d y ON y.doc_id = db
+       |  ) WHERE jaccard >= 0.8
+       |), edges AS (
+       |  SELECT da AS a, db AS b FROM p
+       |  UNION SELECT db, da FROM p
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), clusters AS (
+       |  SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+       |  FROM reach GROUP BY a
+       |)""".stripMargin
+
   /** Oracle for the incremental split (incoming = doc_id % mod == 0):
     * cross-split restriction of the exhaustive blocked pair scan.
     */
@@ -171,38 +208,53 @@ object DedupQueries {
     // propagation; oracle: recursive-CTE transitive closure — two
     // independent algorithms, same fixpoint.
     QuerySpec("dedup_clusters",
-      s"""WITH RECURSIVE ${TextOps.docShinglesCteD},
-         |inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
-         |rare AS (SELECT s FROM inv GROUP BY s
-         |         HAVING COUNT(*) <= ${Dedup.DfCap}),
-         |pruned AS (SELECT doc_id, s FROM inv
-         |           WHERE s IN (SELECT s FROM rare)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |  FROM pruned a JOIN pruned b
-         |    ON a.s = b.s AND a.doc_id < b.doc_id
-         |), p AS (
-         |  SELECT da, db FROM (
-         |    SELECT da, db,
-         |           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-         |             / len(list_distinct(x.sh || y.sh)) AS jaccard
-         |    FROM cand JOIN d x ON x.doc_id = da JOIN d y ON y.doc_id = db
-         |  ) WHERE jaccard >= 0.8
-         |), edges AS (
-         |  SELECT da AS a, db AS b FROM p
-         |  UNION SELECT db, da FROM p
-         |), reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-         |)
-         |SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
-         |FROM reach GROUP BY a
+      s"""$clustersCte
+         |SELECT doc_id, cluster_id FROM clusters
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Dedup.clusters(
         Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir), 4, 5,
         cacheKey = dir)
         .orderBy("doc_id")
+    },
+
+    // Cluster-size histogram — the dedup report read before picking
+    // thresholds. Two bounded aggregations over the memoized labeling
+    // (the clustering itself is shared with dedup_clusters/dedup_keep —
+    // no re-banding).
+    QuerySpec("dedup_cluster_stats",
+      s"""$clustersCte,
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT)
+         |         AS cluster_size
+         |       FROM clusters GROUP BY cluster_id)
+         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+         |FROM sz GROUP BY cluster_size
+         |ORDER BY cluster_size""".stripMargin) { (s, dir) =>
+      Dedup.clusterStats(
+        Dedup.clusters(
+          Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir),
+          4, 5, cacheKey = dir))
+        .orderBy("cluster_size")
+    },
+
+    // Per-source duplication governance: which sources contribute the
+    // near-dup mass (the rows dedup_keep drops). One corpus pass left-
+    // joined against the shared memoized labeling, sources-sized agg.
+    QuerySpec("source_dup_stats",
+      s"""$clustersCte
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(*) FILTER (WHERE c.doc_id IS NOT NULL
+         |              AND c.doc_id != c.cluster_id) AS BIGINT) AS n_dup,
+         |       CAST(COUNT(*) FILTER (WHERE c.doc_id IS NOT NULL
+         |              AND c.doc_id != c.cluster_id) AS DOUBLE)
+         |         / COUNT(*) AS dup_frac
+         |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+      Dedup.sourceDupStats(
+        t(s, dir, "documents"),
+        Dedup.clusters(
+          Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir),
+          4, 5, cacheKey = dir))
+        .orderBy("source")
     },
 
     // Incremental dedup — the production shape: a "new batch" (docs

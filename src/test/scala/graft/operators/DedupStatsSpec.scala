@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Internal-consistency contracts for the dedup-reporting and
+  * corpus-analysis aggregates (their values are oracle-checked by the
+  * driver gate; these pin the invariants a REPORT consumer relies on).
+  */
+class DedupStatsSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("clusterStats histogram reconciles with the labeling") {
+    val spark = TestSpark.spark
+    val cl = Dedup.clusters(
+      Dedup.docShingles(Tables.t(spark, dir, "documents"),
+        cacheKey = dir), 4, 5, cacheKey = dir)
+    val stats = Dedup.clusterStats(cl)
+    val total = stats
+      .agg(sum(col("cluster_size") * col("n_clusters"))).head().getLong(0)
+    assert(total == cl.count(),
+      "histogram mass must equal labeled docs")
+    assert(stats.agg(min("cluster_size")).head().getLong(0) >= 2,
+      "a near-dup cluster has at least two members")
+  }
+
+  test("sourceDupStats totals reconcile with corpus and labeling") {
+    val spark = TestSpark.spark
+    val docs = Tables.t(spark, dir, "documents")
+    val cl = Dedup.clusters(
+      Dedup.docShingles(docs, cacheKey = dir), 4, 5, cacheKey = dir)
+    val stats = Dedup.sourceDupStats(docs, cl)
+    assert(stats.agg(sum("n_docs")).head().getLong(0) == docs.count())
+    val nonCanonical = cl.count() -
+      cl.select("cluster_id").distinct().count()
+    assert(stats.agg(sum("n_dup")).head().getLong(0) == nonCanonical,
+      "per-source dup counts must sum to the non-canonical member count")
+  }
+
+  test("termLift respects support, k, and per-source rank order") {
+    val spark = TestSpark.spark
+    val lift = Corpus.termLift(Tables.t(spark, dir, "documents"),
+      minCount = 5, k = 3, cacheKey = dir)
+    assert(lift.filter(col("c_st") < 5).isEmpty)
+    assert(lift.filter(col("rk") > 3 || col("rk") < 1).isEmpty)
+    assert(lift.filter(col("lift_micro") < 0).isEmpty)
+    // rk must follow (lift_micro DESC, term) within each source.
+    val misordered = lift.as("a").join(lift.as("b"),
+      col("a.source") === col("b.source") &&
+        col("a.rk") < col("b.rk") &&
+        (col("a.lift_micro") < col("b.lift_micro") ||
+          (col("a.lift_micro") === col("b.lift_micro") &&
+            col("a.term") > col("b.term"))))
+    assert(misordered.isEmpty)
+  }
+}
