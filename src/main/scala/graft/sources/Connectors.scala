@@ -3,30 +3,41 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, DataFrameReader, DataFrameWriter, Row, SparkSession}
 
 /** Production connector surfaces mirroring the reference's I/O config.
-  * Construct-only in this offline environment (no Kafka connector jar, no
-  * JDBC driver on the classpath): each helper returns the fully-configured
-  * reader/writer; the terminal `.load()`/`.save()` needs the connector at
-  * runtime. The test harness substitutes parquet (batch) and MemoryStream
-  * (streaming) behind the same plans.
+  * The Kafka surfaces are construct-only in this offline environment (no
+  * Kafka connector jar); the JDBC surfaces are EXECUTABLE — the driver
+  * class is a parameter (production default: MySQL, the reference's
+  * database), and JdbcRoundTripSpec drives the same reader/writer
+  * end-to-end against embedded Derby (`/opt/spark/jars` ships it), so
+  * the dim-load → flagship-join → aggregate-writeback path the
+  * reference runs against MySQL executes for real here.
   */
 object Connectors {
+
+  /** The reference's production driver (spark_consumer_kafka.py:28-35). */
+  val MysqlDriver = "com.mysql.cj.jdbc.Driver"
+
+  /** Embedded Derby — the offline-executable stand-in shipped with
+    * Spark's own jars; used by the round-trip spec.
+    */
+  val DerbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
 
   /** One connection-option map shared by reader and writer — a
     * connection-level change (driver class, timeouts) edits one place.
     */
   private def jdbcOptions(url: String, table: String, user: String,
-      password: String): Map[String, String] = Map(
+      password: String, driver: String): Map[String, String] = Map(
     "url" -> url, "dbtable" -> table, "user" -> user,
-    "password" -> password, "driver" -> "com.mysql.cj.jdbc.Driver")
+    "password" -> password, "driver" -> driver)
 
   /** JDBC batch source for the dimension table
     * (reference: spark_consumer_kafka.py:28-35).
     */
   def jdbcDimReader(spark: SparkSession, url: String, table: String,
-      user: String, password: String): DataFrameReader =
+      user: String, password: String,
+      driver: String = MysqlDriver): DataFrameReader =
     spark.read
       .format("jdbc")
-      .options(jdbcOptions(url, table, user, password))
+      .options(jdbcOptions(url, table, user, password, driver))
 
   /** JDBC batch sink for per-micro-batch writes
     * (reference: spark_consumer_kafka.py:138-146). The reference uses
@@ -37,10 +48,11 @@ object Connectors {
     * because update output mode re-emits keys (SURVEY.md §4.4.2).
     */
   def jdbcSinkWriter(df: DataFrame, url: String, table: String,
-      user: String, password: String): DataFrameWriter[Row] =
+      user: String, password: String,
+      driver: String = MysqlDriver): DataFrameWriter[Row] =
     df.write
       .format("jdbc")
-      .options(jdbcOptions(url, table, user, password))
+      .options(jdbcOptions(url, table, user, password, driver))
       .mode("append")
 
   /** Kafka value sink for the producer path
