@@ -87,6 +87,39 @@ object Corpus {
     corpusDiff(prev, next)
       .groupBy("status").agg(count(lit(1)).as("n_docs"))
 
+  /** Term-level vocabulary churn between two corpus snapshots — the
+    * TERM complement of [[corpusDiff]]'s per-document change log: for
+    * every term in either snapshot, its total token mass before and
+    * after, the delta, and a status (gained / lost / kept). The drift
+    * report a pipeline logs at snapshot promotion ("which vocabulary
+    * did this crawl add or lose") and the input to tokenizer-refresh
+    * decisions.
+    *
+    * Scale shape: each snapshot streams ONCE through the un-memoized
+    * tokenize+count plan (Pipeline.docTermsPlan — snapshot promotion
+    * is a one-shot job; memoizing under the session's one live terms
+    * key would evict the main corpus table mid-session) and reduces
+    * to a vocabulary-sized (term, mass) table; the comparison is one
+    * full-outer join of the two vocab tables co-partitioned on term —
+    * corpus payloads never move, exactly the corpusDiff digest
+    * pattern one level down.
+    */
+  def vocabChurn(prev: DataFrame, next: DataFrame): DataFrame = {
+    val a = Pipeline.docTermsPlan(prev)
+      .groupBy("term").agg(sum(col("tf")).as("c_prev"))
+    val b = Pipeline.docTermsPlan(next)
+      .groupBy("term").agg(sum(col("tf")).as("c_next"))
+    a.join(b, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("c_prev"), lit(0L)).as("c_prev"),
+        coalesce(col("c_next"), lit(0L)).as("c_next"))
+      .withColumn("delta", col("c_next") - col("c_prev"))
+      .withColumn("status",
+        when(col("c_prev") === 0, lit("gained"))
+          .when(col("c_next") === 0, lit("lost"))
+          .otherwise(lit("kept")))
+  }
+
   /** Corpus-derived stopword scrub: tokens whose document frequency
     * reaches `dfFrac` of the corpus (capped at the `cap` highest-df
     * tokens, ties broken by token) are removed from every document —

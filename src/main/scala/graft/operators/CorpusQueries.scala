@@ -82,6 +82,45 @@ object CorpusQueries {
       Corpus.corpusDiffCounts(d, next).orderBy("status")
     },
 
+    // Term-level vocabulary churn across the SAME snapshot fixture as
+    // corpus_diff: per-term token mass before/after, delta, and
+    // gained/lost/kept status. Each snapshot reduces to a vocab-sized
+    // mass table; one full-outer join on term compares them — corpus
+    // payloads never move (the corpusDiff digest pattern, term-level).
+    QuerySpec("vocab_churn",
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+         |              ELSE text END AS text
+         |  FROM documents WHERE doc_id % 11 != 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000 AS doc_id, text
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |pa AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c_prev
+         |       FROM (SELECT unnest($toksD) AS term FROM documents)
+         |       GROUP BY term),
+         |pb AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c_next
+         |       FROM (SELECT unnest($toksD) AS term FROM b)
+         |       GROUP BY term)
+         |SELECT term, coalesce(c_prev, 0) AS c_prev,
+         |       coalesce(c_next, 0) AS c_next,
+         |       coalesce(c_next, 0) - coalesce(c_prev, 0) AS delta,
+         |       CASE WHEN coalesce(c_prev, 0) = 0 THEN 'gained'
+         |            WHEN coalesce(c_next, 0) = 0 THEN 'lost'
+         |            ELSE 'kept' END AS status
+         |FROM pa FULL OUTER JOIN pb USING (term)
+         |ORDER BY term""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val next = d.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+      Corpus.vocabChurn(d, next).orderBy("term")
+    },
+
     // Corpus-derived stopword scrub: the 8 highest-df tokens at
     // ≥ 50% document frequency (30 of 31 vocab tokens qualify, so
     // the cap's (df DESC, term) tie-break genuinely bites) removed
