@@ -40,9 +40,11 @@ object Bench {
     // A broken loader must degrade ONE warm path, not zero the round's
     // bench signal — the query loop below already survives per-query
     // failures; the warmup gets the same treatment.
+    // NonFatal: an OOM/StackOverflow must kill the run visibly (rc!=0),
+    // not let a heap-corrupted session publish garbage timings as rc=0.
     def warm(label: String)(body: => Unit): Unit =
       try body catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] warmup '$label' failed: ${e.getMessage}")
       }
     locally {
@@ -106,7 +108,7 @@ object Bench {
       val t0 = System.nanoTime()
       try { spec.fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] ${spec.name} FAILED: ${e.getMessage}")
           -1.0
       }

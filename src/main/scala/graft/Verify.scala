@@ -62,9 +62,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val errJson = errors
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // Only a FULL run owns _errors.json: a targeted re-run of one query
+    // would otherwise clobber the full run's failure record with "{}"
+    // while the other failures' outputs are still stale — recreating
+    // the silent-absence failure mode this file exists to fix.
+    if (only.isEmpty) {
+      val errJson = errors
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    }
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} quer${
         if (errors.size == 1) "y" else "ies"} FAILED: ${

@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.sql.DriverManager
+import java.util.Properties
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -14,28 +15,41 @@ import org.apache.spark.sql.functions.{col, row_number}
   *
   * Production shape: the batch bulk-loads into a staging table through
   * the EXECUTORS (Spark's JDBC writer — never a driver-side row loop),
-  * then ONE server-side `MERGE INTO target USING stage` statement
-  * applies insert-or-update atomically on the database. Driver-side
-  * work is O(1) in batch size. On MySQL the merge statement becomes
-  * `INSERT … ON DUPLICATE KEY UPDATE`; the MERGE here is ANSI/Derby
-  * syntax, executed for real by JdbcStreamSinkSpec against the
-  * embedded Derby in /opt/spark/jars.
+  * then ONE server-side statement applies insert-or-update atomically
+  * on the database; driver-side work is O(1) in batch size. The
+  * statement is dialect-routed on the driver class: MySQL (the
+  * reference's database and this sink's default) gets
+  * `INSERT … SELECT … ON DUPLICATE KEY UPDATE`, everything else gets
+  * ANSI `MERGE INTO` — JdbcStreamSinkSpec executes the MERGE branch
+  * for real against the embedded Derby in /opt/spark/jars (the MySQL
+  * branch is construct-only offline, like the Kafka surfaces).
   *
-  * Mirrors ParquetUpsertSink's contract: empty-batch short-circuit
-  * (reference A7), intra-batch PK dedup (deterministic greatest
-  * non-key struct wins), batch persisted across its multiple actions.
+  * Concurrency contract: ONE writer per target table — foreachBatch
+  * invocations of a single streaming query are already serialized;
+  * two queries upserting the same target would race each other's
+  * staging table (same as two appenders racing the reference's sink).
+  * The staging table is dropped after each merge.
+  *
+  * Mirrors ParquetUpsertSink's other guards: empty-batch
+  * short-circuit (reference A7), intra-batch PK dedup (deterministic
+  * greatest non-key struct wins), batch persisted across its multiple
+  * actions.
   *
   * `createTableColumnTypes` feeds Spark's option of the same name on
   * the staging write (e.g. "location VARCHAR(64)") — needed on Derby,
   * whose dialect maps StringType to CLOB, and CLOB columns cannot be
-  * compared in a MERGE ON clause; the target table inherits the
-  * corrected types via CREATE TABLE … AS … WITH NO DATA.
+  * compared in a MERGE ON clause (on MySQL the same option picks
+  * index-friendly key types); the target table inherits the corrected
+  * types from the staging table at creation.
   */
 final class JdbcUpsertSink(url: String, table: String,
-    keyCols: Seq[String], driver: String = Connectors.MysqlDriver,
+    keyCols: Seq[String], user: String = "", password: String = "",
+    driver: String = Connectors.MysqlDriver,
     createTableColumnTypes: Option[String] = None) {
 
   private def q(id: String): String = "\"" + id + "\""
+
+  private val isMysql = driver == Connectors.MysqlDriver
 
   def upsert(batch: DataFrame, batchId: Long): Unit = synchronized {
     batch.persist()
@@ -54,38 +68,72 @@ final class JdbcUpsertSink(url: String, table: String,
         .filter(col("__rn") === 1).drop("__rn")
     }
     val stage = table + "_stage"
-    var writer = batch.write.format("jdbc")
-      .option("url", url).option("dbtable", stage)
-      .option("driver", driver).mode("overwrite")
+    // Stage write goes through the SAME option map as every Connectors
+    // surface (credentials included — hand-assembled options are how
+    // user/password get dropped).
+    var writer = Connectors.jdbcSinkWriter(batch, url, stage, user,
+      password, driver).mode("overwrite")
     createTableColumnTypes.foreach(t =>
       writer = writer.option("createTableColumnTypes", t))
     writer.save()
-    // Server-side DDL + merge. Unquoted table names fold the same way
-    // on both the Spark write and this statement; COLUMN identifiers
-    // are written quoted by Spark's dialect, so quote them here too.
     Class.forName(driver)
-    val conn = DriverManager.getConnection(url)
+    val props = new Properties()
+    if (user.nonEmpty) props.setProperty("user", user)
+    if (password.nonEmpty) props.setProperty("password", password)
+    val conn = DriverManager.getConnection(url, props)
     try {
-      val rs = conn.getMetaData.getTables(null, null,
-        table.toUpperCase, null)
-      val exists = rs.next(); rs.close()
       val st = conn.createStatement()
       try {
+        // Dialect-free existence probe: a zero-row SELECT succeeds iff
+        // the target exists, regardless of how the engine folds
+        // unquoted identifiers (getTables needs the folded name and
+        // broke on case-folding differences).
+        val exists =
+          try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0")
+            .close(); true }
+          catch { case _: java.sql.SQLException => false }
         if (!exists)
           st.executeUpdate(
-            s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+            if (isMysql) s"CREATE TABLE $table LIKE $stage"
+            else
+              s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
         val cols = batch0.columns.toSeq
-        val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}")
-          .mkString(" AND ")
-        val insert = s"WHEN NOT MATCHED THEN INSERT " +
-          s"(${cols.map(q).mkString(", ")}) " +
-          s"VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
-        val update = if (nonKey.isEmpty) ""
-        else "WHEN MATCHED THEN UPDATE SET " +
-          nonKey.map(c => s"${q(c)} = s.${q(c)}").mkString(", ") + " "
         st.executeUpdate(
-          s"MERGE INTO $table t USING $stage s ON ($on) $update$insert")
+          if (isMysql) mysqlUpsert(stage, cols, nonKey)
+          else ansiMerge(stage, cols, nonKey))
+        st.executeUpdate(s"DROP TABLE $stage")
       } finally st.close()
     } finally conn.close()
+  }
+
+  /** ANSI/Derby MERGE (executed by JdbcStreamSinkSpec). Column
+    * identifiers are quoted because Spark's dialects write them
+    * quoted; table names stay unquoted so both sides fold identically.
+    */
+  private def ansiMerge(stage: String, cols: Seq[String],
+      nonKey: Seq[String]): String = {
+    val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val insert = s"WHEN NOT MATCHED THEN INSERT " +
+      s"(${cols.map(q).mkString(", ")}) " +
+      s"VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
+    val update = if (nonKey.isEmpty) ""
+    else "WHEN MATCHED THEN UPDATE SET " +
+      nonKey.map(c => s"${q(c)} = s.${q(c)}").mkString(", ") + " "
+    s"MERGE INTO $table t USING $stage s ON ($on) $update$insert"
+  }
+
+  /** MySQL upsert — requires the PRIMARY KEY/UNIQUE index on keyCols
+    * that the reference's covid_aggregates DDL declares
+    * (README.md:74-82); ON DUPLICATE KEY fires on exactly that index.
+    * MySQL quotes identifiers with backticks.
+    */
+  private def mysqlUpsert(stage: String, cols: Seq[String],
+      nonKey: Seq[String]): String = {
+    def bq(id: String) = s"`$id`"
+    val dup = if (nonKey.isEmpty) keyCols.take(1) else nonKey
+    s"INSERT INTO $table (${cols.map(bq).mkString(", ")}) " +
+      s"SELECT ${cols.map(bq).mkString(", ")} FROM $stage " +
+      s"ON DUPLICATE KEY UPDATE " +
+      dup.map(c => s"${bq(c)} = VALUES(${bq(c)})").mkString(", ")
   }
 }

@@ -19,17 +19,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class JdbcRoundTripSpec extends AnyFunSuite {
 
-  private def derbyUrl(name: String): String = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-derby").toString
-    // Keep Derby's engine log out of the repo working tree.
-    System.setProperty("derby.system.home", dir)
-    s"jdbc:derby:$dir/$name;create=true"
-  }
-
   test("dim write → read round-trips and feeds the flagship join") {
     val spark = TestSpark.spark
-    val url = derbyUrl("dims")
+    val url = DerbyTest.url("dims")
     val dim = Tables.eventTypeDim(spark)
     Connectors.jdbcSinkWriter(dim, url, "event_dim", "app", "app",
       driver = Connectors.DerbyDriver).save()
@@ -53,7 +45,7 @@ class JdbcRoundTripSpec extends AnyFunSuite {
 
   test("aggregate append write-back reads back exactly (reference sink shape)") {
     val spark = TestSpark.spark
-    val url = derbyUrl("aggs")
+    val url = DerbyTest.url("aggs")
     val agg = Tables.t(spark, "/root/testdata/sf0.001", "events")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))

@@ -29,19 +29,13 @@ class JdbcStreamSinkSpec extends AnyFunSuite {
       total: Int): String =
     s"""{"date": "$date", "location": "$loc", "new_cases": $newCases, "total_cases": $total}"""
 
-  private def derbyUrl(name: String): String = {
-    val dir = Files.createTempDirectory("graft-derby").toString
-    System.setProperty("derby.system.home", dir)
-    s"jdbc:derby:$dir/$name;create=true"
-  }
-
   private val varchars = "location VARCHAR(64), continent VARCHAR(32)"
 
   test("reference-exact append sink re-emits duplicate keys (§4.4.2 wart, executed)") {
     val spark = TestSpark.spark
     import spark.implicits._
     val source = MemoryStream[String](spark)
-    val url = derbyUrl("append")
+    val url = DerbyTest.url("append")
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
     val query = CovidStreamPipeline
       .transform(CovidStreamPipeline.countriesDim(spark))(source.toDF())
@@ -76,7 +70,7 @@ class JdbcStreamSinkSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     import spark.implicits._
     val source = MemoryStream[String](spark)
-    val url = derbyUrl("upsert")
+    val url = DerbyTest.url("upsert")
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
     val sink = new JdbcUpsertSink(url, "covid_aggregates",
       Seq("window_start", "location"),
