@@ -549,4 +549,84 @@ object Pipeline {
       .filter(hashBucket(col("doc_id"), 1000000L) < col("keep_micro"))
       .drop("w_source", "keep_micro")
   }
+
+  /** Packing-layout report over [[packSequences]]: per language, corpus
+    * token mass, the number of `cap`-token bins the continuous layout
+    * consumes, and — the number a training run actually cares about —
+    * how many documents get SPLIT across a sequence boundary (offset
+    * packing is continuous, so there is no padding waste; the cost of
+    * this layout is boundary-truncated context). All counts are exact
+    * integers; split_share is exact-int ÷ exact-int. Scale: inherits
+    * packSequences' banded prefix sum; the report is one bounded
+    * hash-aggregate over the layout table.
+    */
+  def packStats(docs: DataFrame, cap: Int,
+      cacheKey: String = ""): DataFrame =
+    packSequences(docs, cap, cacheKey = cacheKey)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tok"),
+        count(when(
+          expr(s"n_tok > 0 and (tok_offset + n_tok - 1) div $cap " +
+            s"> tok_offset div $cap"), lit(1))).as("n_split"))
+      .select(col("lang"), col("n_docs"), col("total_tok"),
+        expr(s"cast((total_tok + ${cap - 1}) div $cap as bigint)")
+          .as("n_bins"),
+        col("n_split"),
+        expr("cast(n_split as double) / n_docs").as("split_share"))
+
+  /** Per-document token-distribution Shannon entropy (nats) from the
+    * memoized [[docTerms]] table — the gibberish/keyword-stuffing
+    * signal a distinct-token ratio can't see (it ignores HOW skewed
+    * the repeated mass is). Identity: H = ln n − (Σ tf·ln tf)/n, so
+    * the only per-term float is tf·ln(tf), quantized to integer
+    * micros BEFORE the sum — the aggregate is order-independent (the
+    * embedding_centroid trick; a raw double Σ is summation-order-
+    * sensitive across partitions and engines). tf=1 terms contribute
+    * exactly 0. Empty documents have no term rows and drop out.
+    */
+  def tokenEntropy(docs: DataFrame, cacheKey: String = ""): DataFrame =
+    docTerms(docs, cacheKey)
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).as("n"),
+        count(lit(1)).as("nd"),
+        sum(expr("cast(round(tf * ln(cast(tf as double)) * 1000000) " +
+          "as bigint)")).as("sq"))
+      .select(
+        col("doc_id"),
+        expr("cast(n as int)").as("n_tokens"),
+        expr("cast(nd as int)").as("n_distinct"),
+        expr("cast(round((ln(cast(n as double)) " +
+          "- (cast(sq as double) / 1000000.0) / cast(n as double)) " +
+          "* 1000000) as bigint)").as("entropy_micro"))
+
+  /** Quality-calibration governance report: duplicate share per quality
+    * band — the "is my dedup biased against good documents?" check run
+    * before shipping a curation config. Buckets the quantized
+    * [[docQuality]] score into 10 FIXED bands (floor(score_micro /
+    * 100000), NOT ntile — a global ntile is a single-partition sort at
+    * corpus scale; fixed bands need no window at all) and joins the
+    * content-exact duplicate flag (md5(norm) digest, keeper = lowest
+    * doc_id — dedup_content's rn_full). Shuffles digests and 16-byte
+    * rows only; the result is ≤ 10 rows.
+    */
+  def qualityDupCalib(docs: DataFrame, cacheKey: String = ""): DataFrame = {
+    val q = docQuality(docs, cacheKey)
+      .select(col("doc_id"),
+        expr("cast(least(score_micro div 100000, 9) as bigint)")
+          .as("bucket"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val dflag = docs
+      .select(col("doc_id"), expr(s"md5($normS)").as("h"))
+      .withColumn("rn", row_number().over(w))
+      .select("doc_id", "rn")
+    q.join(dflag, "doc_id")
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("rn") > 1, lit(1))).as("n_dup"))
+      .withColumn("dup_share", expr("cast(n_dup as double) / n_docs"))
+  }
 }

@@ -320,6 +320,82 @@ object PipelineQueries {
       Pipeline.mixtureSample(t(s, dir, "documents"))
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
+    },
+
+    // Packing-layout report over seq_pack: per language, token mass,
+    // bins consumed, and the number a training run actually budgets
+    // against — documents SPLIT across a sequence boundary (offset
+    // packing is continuous, so there is no padding waste; the cost of
+    // this layout is boundary-truncated context). Counts are exact
+    // ints; split_share is exact-int ÷ exact-int — no quantization.
+    // Scale: inherits packSequences' banded prefix sum; the report is
+    // one bounded hash-aggregate over the layout table.
+    QuerySpec("pack_stats",
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+         |       CAST((CAST(SUM(n_tok) AS BIGINT) + 2047) // 2048
+         |         AS BIGINT) AS n_bins,
+         |       CAST(COUNT(*) FILTER (WHERE n_tok > 0
+         |         AND (tok_offset + n_tok - 1) // 2048
+         |             > tok_offset // 2048) AS BIGINT) AS n_split,
+         |       CAST(COUNT(*) FILTER (WHERE n_tok > 0
+         |         AND (tok_offset + n_tok - 1) // 2048
+         |             > tok_offset // 2048) AS DOUBLE)
+         |         / COUNT(*) AS split_share
+         |FROM (
+         |  SELECT doc_id, lang, CAST(len(toks) AS INTEGER) AS n_tok,
+         |         CAST(COALESCE(SUM(len(toks)) OVER (
+         |           PARTITION BY lang ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS BIGINT) AS tok_offset
+         |  FROM (SELECT doc_id, lang, ${TextOps.toksD} AS toks
+         |        FROM documents)
+         |) GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Pipeline.packStats(t(s, dir, "documents"), cap = 2048,
+        cacheKey = dir)
+        .orderBy("lang")
+    },
+
+    // Quality-calibration governance report: are low-quality documents
+    // more duplicated? Buckets the quantized quality score into 10
+    // fixed bands (floor(score_micro / 100000), NOT ntile — a global
+    // ntile is a single-partition sort at corpus scale; fixed bands
+    // need no window at all) and joins the content-exact duplicate
+    // flag (md5(norm) digest, keeper = lowest doc_id — dedup_content's
+    // rn_full). Shuffles digests and 16-byte rows only; result is ≤ 10
+    // rows; dup_share is exact-int ÷ exact-int.
+    QuerySpec("quality_dup_calib",
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |         CAST(round((0.5 * stop_ratio
+         |           + 0.3 * least(n_tokens / 100.0, 1.0)
+         |           + 0.2 * least(avg_token_len / 8.0, 1.0)) * 1000000)
+         |           AS BIGINT) AS score_micro
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(toks) AS INTEGER) AS n_tokens,
+         |      CAST(list_reduce(list_prepend(0, list_transform(toks,
+         |        x -> length(x))), (a, b) -> a + b) AS DOUBLE)
+         |        / greatest(len(toks), 1) AS avg_token_len,
+         |      CAST(len(list_filter(toks, x -> list_contains(
+         |        ${TextOps.arrD(TextOps.stopEn)}, x))) AS DOUBLE)
+         |        / greatest(len(toks), 1) AS stop_ratio
+         |    FROM (SELECT doc_id, ${TextOps.toksD} AS toks
+         |          FROM documents))),
+         |d AS (
+         |  SELECT doc_id,
+         |         row_number() OVER (PARTITION BY md5(${TextOps.normD})
+         |                            ORDER BY doc_id) AS rn
+         |  FROM documents)
+         |SELECT CAST(least(score_micro // 100000, 9) AS BIGINT) AS bucket,
+         |       COUNT(*) AS n_docs,
+         |       CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dup,
+         |       CAST(COUNT(*) FILTER (WHERE rn > 1) AS DOUBLE)
+         |         / COUNT(*) AS dup_share
+         |FROM q JOIN d USING (doc_id)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Pipeline.qualityDupCalib(t(s, dir, "documents"), cacheKey = dir)
+        .orderBy("bucket")
     }
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew- and shuffle-management building blocks for 100 TB operation.
@@ -70,4 +71,41 @@ object ScaleOps {
   def broadcastEnrich(fact: DataFrame, dim: DataFrame,
       keys: Seq[String]): DataFrame =
     fact.join(broadcast(dim), keys)
+
+  /** Rolling z-score anomaly detection over an event stream — flag
+    * events whose value deviates from the per-key rolling baseline.
+    * Cross-engine exactness via the agg_stats moment trick: quantize
+    * value to integer MILLIS, keep the rolling sums (S, SS) in exact
+    * int64, and derive z = (n·x − S) / sqrt(n·SS − S²) from those
+    * integers — the remaining double ops (−, ×, /, sqrt) are
+    * IEEE-correctly-rounded from identical inputs, so any engine
+    * produces identical bits. No stddev_samp (whose Welford vs
+    * sum-of-squares internals differ across engines). Headroom: with
+    * |x| ≤ ~3e6 millis and frame ≤ 32, n·SS stays well under int64.
+    * Scale: one shuffle on user_id; O(1)-per-row rolling integer sums
+    * in the frame; no global window. z is NULL while the baseline is
+    * thin (n < minN) or flat (zero variance).
+    */
+  def rollingZScore(events: DataFrame, frame: Int = 20,
+      minN: Int = 5, threshMicro: Long = 2000000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(frame - 1), 0)
+    events
+      .withColumn("x", expr("cast(round(value * 1000) as bigint)"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sw", sum(col("x")).over(w))
+      .withColumn("ssw", sum(expr("x * x")).over(w))
+      .select(
+        col("event_id"), col("user_id"),
+        expr("cast(n as int)").as("n_w"),
+        expr(
+          s"""case when n >= $minN and n*ssw - sw*sw > 0
+             |     then cast(round(cast(n*x - sw as double)
+             |            / sqrt(cast(n*ssw - sw*sw as double))
+             |            * 1000000) as bigint)
+             |     else null end""".stripMargin).as("z_micro"))
+      .withColumn("is_anomaly",
+        expr(s"z_micro is not null and abs(z_micro) >= $threshMicro"))
+  }
 }
