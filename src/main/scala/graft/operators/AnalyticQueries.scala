@@ -327,6 +327,77 @@ object AnalyticQueries {
       ScaleOps.rollingZScore(t(s, dir, "events"),
         frame = 20, minN = 5, threshMicro = 2000000L)
         .orderBy("event_id")
+    },
+
+    // Ordered conversion funnel (view → click after it → purchase after
+    // that), the product-analytics staple. Each step is a per-user MIN
+    // aggregate joined to the previous step's timestamp — all three
+    // shuffles key on user_id (co-partitioned, AQE-reusable), never a
+    // per-user sequence sort or collect_list. Strict `>` ordering makes
+    // ties engine-independent.
+    QuerySpec("funnel_steps",
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3
+        |      FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |      GROUP BY e.user_id)
+        |SELECT CAST(ord AS INTEGER) AS ord, step, n_users FROM (
+        |  SELECT 1 AS ord, 'view' AS step, COUNT(*) AS n_users FROM v
+        |  UNION ALL
+        |  SELECT 2, 'view>click', COUNT(*) FROM c
+        |  UNION ALL
+        |  SELECT 3, 'view>click>purchase', COUNT(*) FROM p)
+        |ORDER BY ord""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      def step(df: org.apache.spark.sql.DataFrame, ord: Int,
+          name: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(ord).as("ord"), lit(name).as("step"),
+            col("n_users"))
+      step(v, 1, "view")
+        .unionByName(step(c, 2, "view>click"))
+        .unionByName(step(p, 3, "view>click>purchase"))
+        .orderBy("ord")
+    },
+
+    // Cohort retention matrix: users grouped by first-seen day, counted
+    // on each later active day offset — the engagement-decay table.
+    // Distinct (user, day) first (one user-keyed shuffle), first-seen
+    // MIN on the same key, then a day-granular aggregate; the heavy
+    // per-event table collapses before anything joins.
+    QuerySpec("cohort_retention",
+      """WITH a AS (SELECT DISTINCT user_id,
+        |                  date_trunc('day', ts) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS d0 FROM a GROUP BY user_id)
+        |SELECT CAST(d0 AS TIMESTAMP) AS cohort_day,
+        |       CAST(date_diff('day', d0, d) AS INTEGER) AS day_offset,
+        |       COUNT(*) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY d0, date_diff('day', d0, d)
+        |ORDER BY cohort_day, day_offset""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .distinct()
+      val f = a.groupBy("user_id").agg(min("d").as("d0"))
+      a.join(f, "user_id")
+        .select(col("d0").as("cohort_day"),
+          datediff(col("d"), col("d0")).as("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
     }
   )
 }
