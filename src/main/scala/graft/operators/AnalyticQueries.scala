@@ -398,6 +398,33 @@ object AnalyticQueries {
         .groupBy("cohort_day", "day_offset")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_day", "day_offset")
+    },
+
+    // Behavioral path mining: top event-type trigrams along each user's
+    // timeline (lead ×2 over the per-user window, then a bounded
+    // |types|³ aggregate + top-k). One shuffle on user_id; no sequence
+    // collection — the window emits trigrams row-by-row.
+    QuerySpec("event_paths",
+      """SELECT e1, e2, e3, COUNT(*) AS n FROM (
+        |  SELECT event_type AS e1,
+        |         lead(event_type, 1) OVER w AS e2,
+        |         lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 25""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy("e1", "e2", "e3")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(25)
     }
   )
 }

@@ -451,4 +451,42 @@ object Corpus {
         .select(col("doc_id"), explode_outer(col("bi")).as("ab"))
         .select(col("doc_id"), col("ab.a").as("a"), col("ab.b").as("b"))
     }
+
+  /** Top-k most-duplicated spans — the "what boilerplate infests this
+    * corpus" report read before tuning a span-dedup threshold: the
+    * winnowing fingerprints ([[docFps]]) occurring in the most
+    * documents, with the lowest doc_id as an inspectable example.
+    * Scale: one fp-keyed int64 aggregate (map-side partial) and a
+    * TakeOrdered top-k — never a global sort; per-doc distinct
+    * fingerprints bound the input like spanDupRate.
+    */
+  def topDupSpans(fps: DataFrame, k: Int): DataFrame =
+    fps.groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("fp"))
+      .limit(k)
+
+  /** Cross-source verbatim-overlap matrix — which sources carry
+    * identical content under `keyExpr` (mirror detection, the input to
+    * a source-level dedup order): per content digest, the distinct
+    * sources holding it, paired. Callers pick the digest granularity —
+    * dedup_content's full md5(norm) for byte mirrors, its 60-char
+    * normalized prefix for shared boilerplate. Scale: the corpus
+    * collapses to DISTINCT (digest, source) rows first (≤ n_sources
+    * per digest), so the digest-keyed self-join expands at most
+    * sources² per digest — the bounded pair-expansion contract from
+    * the LSH bucket join; the result is sources²-sized. `src_a <
+    * src_b` keeps one deterministic orientation per pair.
+    */
+  def sourceOverlap(docs: DataFrame,
+      keyExpr: String = s"md5(${TextOps.normS})"): DataFrame = {
+    val hs = docs
+      .select(expr(keyExpr).as("h"), col("source"))
+      .distinct()
+    hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -316,6 +316,53 @@ object CorpusQueries {
       Corpus.lmScore(t(s, dir, "documents"), topV = 512,
         cacheKey = dir)
         .orderBy("doc_id")
+    },
+
+    // Top-duplicated spans: the boilerplate leaderboard over the
+    // memoized winnowing-fingerprint table (Corpus.topDupSpans — one
+    // fp-keyed aggregate + top-k, shared docFps pass with the other
+    // span operators).
+    QuerySpec("top_dup_spans",
+      s"""WITH ${TextOps.spanFpsCteD}
+         |SELECT fp, COUNT(*) AS n_docs,
+         |       CAST(MIN(doc_id) AS BIGINT) AS example_doc
+         |FROM e GROUP BY fp HAVING COUNT(*) >= 2
+         |ORDER BY n_docs DESC, fp LIMIT 50""".stripMargin) { (s, dir) =>
+      Corpus.topDupSpans(
+        Corpus.docFps(t(s, dir, "documents"), cacheKey = dir), k = 50)
+    },
+
+    // Cross-source verbatim-overlap matrix (Corpus.sourceOverlap —
+    // distinct (digest, source) collapse before the bounded digest
+    // self-join; result is sources²-sized per key kind). Both
+    // dedup_content keys are reported: the full md5(norm) byte-mirror
+    // digest (empty until sf0.1's 8 cross-source dups) and the 60-char
+    // normalized-prefix boilerplate digest (23 pairs at the sf0.01
+    // gate, so the pairing logic is genuinely differentiated there).
+    QuerySpec("source_overlap",
+      s"""WITH n AS (SELECT ${TextOps.normD} AS norm, source
+         |           FROM documents),
+         |hf AS (SELECT DISTINCT md5(norm) AS h, source FROM n),
+         |hp AS (SELECT DISTINCT md5(substring(norm, 1, 60)) AS h,
+         |              source FROM n)
+         |SELECT 'full' AS key_kind, a.source AS src_a,
+         |       b.source AS src_b, COUNT(*) AS n_shared
+         |FROM hf a JOIN hf b ON a.h = b.h AND a.source < b.source
+         |GROUP BY 2, 3
+         |UNION ALL
+         |SELECT 'prefix', a.source, b.source, COUNT(*)
+         |FROM hp a JOIN hp b ON a.h = b.h AND a.source < b.source
+         |GROUP BY 2, 3
+         |ORDER BY key_kind, src_a, src_b""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Corpus.sourceOverlap(docs)
+        .withColumn("key_kind", lit("full"))
+        .unionByName(
+          Corpus.sourceOverlap(docs,
+            s"md5(substring(${TextOps.normS}, 1, 60))")
+            .withColumn("key_kind", lit("prefix")))
+        .select("key_kind", "src_a", "src_b", "n_shared")
+        .orderBy("key_kind", "src_a", "src_b")
     }
   )
 }
