@@ -85,4 +85,89 @@ object StatefulOps {
       .mapGroupsWithState[RunningTotal, RunningTotal](
         GroupStateTimeout.NoTimeout)(update)
   }
+
+  // ---- Streaming rolling z-score (batch analog: ScaleOps.rollingZScore) --
+
+  /** Streaming input row: ts pre-converted to epoch micros (a Long
+    * keeps the state encoder and cross-engine semantics trivial). */
+  final case class ZEvent(eventId: Long, userId: Long, tsUs: Long,
+      value: Double)
+
+  /** Output contract — column-for-column the batch operator's row. */
+  final case class ZScore(eventId: Long, userId: Long, nW: Int,
+      zMicro: Option[Long], isAnomaly: Boolean)
+
+  /** Per-key ring of the last frame−1 quantized values, oldest first. */
+  final case class ZRing(xs: List[Long])
+
+  /** The exact integer-moment math of ScaleOps.rollingZScore, one row
+    * at a time: quantize to millis via BigDecimal HALF_UP (bit-matching
+    * Spark SQL `round`, which diverges from math.round on negative
+    * .5 boundaries), keep S/SS as exact Longs, and z =
+    * (n·x − S)/sqrt(n·SS − S²) from those integers.
+    */
+  private def zStep(window: List[Long], minN: Int,
+      threshMicro: Long): (Int, Option[Long], Boolean) = {
+    val n = window.size.toLong
+    val x = window.last
+    val s = window.sum
+    val ss = window.map(v => v * v).sum
+    val varN = n * ss - s * s
+    if (n >= minN && varN > 0) {
+      val z = (n * x - s).toDouble / math.sqrt(varN.toDouble)
+      val zMicro = java.math.BigDecimal.valueOf(z * 1000000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      (n.toInt, Some(zMicro), math.abs(zMicro) >= threshMicro)
+    } else (n.toInt, None, false)
+  }
+
+  private def quantMillis(value: Double): Long =
+    java.math.BigDecimal.valueOf(value * 1000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  private final class ZScoreProcessor(frame: Int, minN: Int,
+      threshMicro: Long)
+      extends StatefulProcessor[Long, ZEvent, ZScore] {
+    @transient private var ring: ValueState[ZRing] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ring = getHandle.getValueState[ZRing]("zring",
+        Encoders.product[ZRing], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ZEvent],
+        timerValues: TimerValues): Iterator[ZScore] = {
+      // In-batch determinism: process a key's rows in event-time order
+      // (the shuffled iterator order is not stable). CROSS-batch order
+      // is arrival order by construction — stream/batch parity holds
+      // for in-order feeds; late rows get the baseline as of arrival
+      // (the streaming-native semantics).
+      val sorted = rows.toSeq.sortBy(e => (e.tsUs, e.eventId))
+      var prev = if (ring.exists()) ring.get().xs else Nil
+      val out = sorted.map { e =>
+        val x = quantMillis(e.value)
+        val window = (prev :+ x).takeRight(frame)
+        prev = window.takeRight(frame - 1)
+        val (nW, zMicro, anom) = zStep(window, minN, threshMicro)
+        ZScore(e.eventId, e.userId, nW, zMicro, anom)
+      }
+      ring.update(ZRing(prev))
+      out.iterator
+    }
+  }
+
+  /** Streaming rolling z-score anomaly detection — the per-event
+    * [[graft.operators.ScaleOps.rollingZScore]] contract (same window,
+    * same integer-moment math, same NULL-while-thin/flat rule) as a
+    * `transformWithState` stream: one ValueState ring of ≤ frame−1
+    * Longs per user, so state size is bounded and key-sharded across
+    * executors. StreamingZScoreSpec pins exact row parity against the
+    * batch operator on an in-order feed split across microbatches.
+    */
+  def zScores(ds: Dataset[ZEvent], frame: Int = 20, minN: Int = 5,
+      threshMicro: Long = 2000000L): Dataset[ZScore] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.userId)
+      .transformWithState(new ZScoreProcessor(frame, minN, threshMicro),
+        TimeMode.None(), OutputMode.Update())
+  }
 }
