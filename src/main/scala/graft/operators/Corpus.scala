@@ -480,13 +480,36 @@ object Corpus {
     * src_b` keeps one deterministic orientation per pair.
     */
   def sourceOverlap(docs: DataFrame,
-      keyExpr: String = s"md5(${TextOps.normS})"): DataFrame = {
-    val hs = docs
-      .select(expr(keyExpr).as("h"), col("source"))
-      .distinct()
+      keyExpr: String = s"md5(${TextOps.normS})"): DataFrame =
+    sourceOverlapPairs(
+      docs.select(expr(keyExpr).as("h"), col("source")))
+
+  /** [[sourceOverlap]] over a pre-built (h, source) digest frame —
+    * callers comparing several digest granularities feed slices of
+    * ONE [[sourceDigests]] pass instead of re-normalizing the corpus
+    * per key kind.
+    */
+  def sourceOverlapPairs(hs0: DataFrame): DataFrame = {
+    val hs = hs0.distinct()
     hs.as("a").join(hs.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Memoized (hf, hp, source) digest table — norm_text (the
+    * CPU-dominant stage) runs ONCE per row for both source_overlap
+    * key kinds (full md5(norm) and the 60-char-prefix boilerplate
+    * digest; two plan branches off an unpersisted projection would
+    * each re-normalize the corpus — ReuseExchange can't collapse
+    * them, the docTerms rationale).
+    */
+  def sourceDigests(docs: DataFrame, cacheKey: String = ""): DataFrame =
+    Memo.memo("src_digests", docs.sparkSession, cacheKey,
+      persistIt = true) {
+      docs.select(expr(TextOps.normS).as("norm"), col("source"))
+        .select(expr("md5(norm)").as("hf"),
+          expr("md5(substring(norm, 1, 60))").as("hp"),
+          col("source"))
+    }
 }

@@ -23,7 +23,7 @@ object CorpusQueries {
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
         |       COUNT(DISTINCT lang) AS n_langs
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
+        |FROM documents GROUP BY source ORDER BY source NULLS FIRST""".stripMargin) {
       (s, dir) =>
         Corpus.domainStats(t(s, dir, "documents")).orderBy("source")
     },
@@ -227,7 +227,7 @@ object CorpusQueries {
          |    PARTITION BY source
          |    ORDER BY lift_micro DESC, term) AS rk
          |  FROM scored)
-         |WHERE rk <= 3 ORDER BY source, rk""".stripMargin) { (s, dir) =>
+         |WHERE rk <= 3 ORDER BY source NULLS FIRST, rk""".stripMargin) { (s, dir) =>
       Corpus.termLift(t(s, dir, "documents"), minCount = 5, k = 3,
         cacheKey = dir)
         .orderBy("source", "rk")
@@ -354,12 +354,15 @@ object CorpusQueries {
          |FROM hp a JOIN hp b ON a.h = b.h AND a.source < b.source
          |GROUP BY 2, 3
          |ORDER BY key_kind, src_a, src_b""".stripMargin) { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      Corpus.sourceOverlap(docs)
+      // One memoized normalization+digest pass feeds both key kinds.
+      val hd = Corpus.sourceDigests(t(s, dir, "documents"),
+        cacheKey = dir)
+      Corpus.sourceOverlapPairs(
+          hd.select(col("hf").as("h"), col("source")))
         .withColumn("key_kind", lit("full"))
         .unionByName(
-          Corpus.sourceOverlap(docs,
-            s"md5(substring(${TextOps.normS}, 1, 60))")
+          Corpus.sourceOverlapPairs(
+            hd.select(col("hp").as("h"), col("source")))
             .withColumn("key_kind", lit("prefix")))
         .select("key_kind", "src_a", "src_b", "n_shared")
         .orderBy("key_kind", "src_a", "src_b")

@@ -580,11 +580,20 @@ object Pipeline {
     * memoized [[docTerms]] table — the gibberish/keyword-stuffing
     * signal a distinct-token ratio can't see (it ignores HOW skewed
     * the repeated mass is). Identity: H = ln n − (Σ tf·ln tf)/n, so
-    * the only per-term float is tf·ln(tf), quantized to integer
-    * micros BEFORE the sum — the aggregate is order-independent (the
+    * the only per-term float is tf·ln(tf), quantized to an integer
+    * BEFORE the sum — the aggregate is order-independent (the
     * embedding_centroid trick; a raw double Σ is summation-order-
     * sensitive across partitions and engines). tf=1 terms contribute
     * exactly 0. Empty documents have no term rows and drop out.
+    *
+    * This is the one quantized oracle depending on a TRANSCENDENTAL
+    * (ln is not IEEE-correctly-rounded-guaranteed; the integer-ratio
+    * operators deliberately avoid it), so a 1-ulp cross-engine ln
+    * discrepancy near a rounding boundary could flip a quantum. The
+    * quantum is therefore MILLI, not micro: flip probability scales
+    * with ulp/quantum, and 3 decimals of a [0, ~10]-nat signal is
+    * ample resolution. Residual risk ≈ ulp(tf·ln tf)/1e-3 ≈ 1e-10
+    * per distinct value — negligible across any fixture.
     */
   def tokenEntropy(docs: DataFrame, cacheKey: String = ""): DataFrame =
     docTerms(docs, cacheKey)
@@ -592,15 +601,15 @@ object Pipeline {
       .agg(
         sum(col("tf")).as("n"),
         count(lit(1)).as("nd"),
-        sum(expr("cast(round(tf * ln(cast(tf as double)) * 1000000) " +
+        sum(expr("cast(round(tf * ln(cast(tf as double)) * 1000) " +
           "as bigint)")).as("sq"))
       .select(
         col("doc_id"),
         expr("cast(n as int)").as("n_tokens"),
         expr("cast(nd as int)").as("n_distinct"),
         expr("cast(round((ln(cast(n as double)) " +
-          "- (cast(sq as double) / 1000000.0) / cast(n as double)) " +
-          "* 1000000) as bigint)").as("entropy_micro"))
+          "- (cast(sq as double) / 1000.0) / cast(n as double)) " +
+          "* 1000) as bigint)").as("entropy_milli"))
 
   /** Quality-calibration governance report: duplicate share per quality
     * band — the "is my dedup biased against good documents?" check run

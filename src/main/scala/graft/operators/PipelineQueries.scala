@@ -44,7 +44,7 @@ object PipelineQueries {
         |  FROM (SELECT ((doc_id * 2654435761) % 4294967296) % 1000 AS b,
         |               lang
         |        FROM documents))
-        |GROUP BY split, lang ORDER BY split, lang""".stripMargin) {
+        |GROUP BY split, lang ORDER BY split, lang NULLS FIRST""".stripMargin) {
       (s, dir) =>
         t(s, dir, "documents")
           .select(
@@ -85,7 +85,7 @@ object PipelineQueries {
         |         ((doc_id * 2654435761) % 4294967296) % 1000 AS b
         |  FROM documents)
         |WHERE b < (CASE WHEN lang = 'en' THEN 500 ELSE 1000 END)
-        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+        |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin) { (s, dir) =>
       t(s, dir, "documents")
         .withColumn("b", Pipeline.splitBucket(col("doc_id")))
         .filter(col("b") <
@@ -157,7 +157,7 @@ object PipelineQueries {
          |SELECT lang, COUNT(*) AS n_vocab,
          |       CAST(SUM(c) AS BIGINT) AS n_tokens,
          |       COUNT(*) FILTER (WHERE c = 1) AS n_hapax
-         |FROM j GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+         |FROM j GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin) { (s, dir) =>
       Pipeline.docTerms(t(s, dir, "documents"), cacheKey = dir)
         .join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
         .groupBy("lang", "term").agg(sum(col("tf")).as("c"))
@@ -285,7 +285,7 @@ object PipelineQueries {
         |    // NULLIF(CAST((SELECT COUNT(*) FROM s) AS HUGEINT)
         |         * chars_tot, 0)
         |    AS BIGINT) AS weight_micro
-        |FROM s ORDER BY source""".stripMargin) { (s, dir) =>
+        |FROM s ORDER BY source NULLS FIRST""".stripMargin) { (s, dir) =>
       Pipeline.mixWeights(t(s, dir, "documents"))
         .orderBy("source")
     },
@@ -350,7 +350,7 @@ object PipelineQueries {
          |           0) AS BIGINT) AS tok_offset
          |  FROM (SELECT doc_id, lang, ${TextOps.toksD} AS toks
          |        FROM documents)
-         |) GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+         |) GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin) { (s, dir) =>
       Pipeline.packStats(t(s, dir, "documents"), cap = 2048,
         cacheKey = dir)
         .orderBy("lang")

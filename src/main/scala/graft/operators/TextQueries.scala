@@ -266,24 +266,24 @@ object TextQueries {
     // gibberish/keyword-stuffing signal distinct_ratio can't see (it
     // ignores HOW skewed the repeated mass is). Identity used:
     // H = ln n − (Σ tf·ln tf)/n over per-doc term counts, so the only
-    // per-term float is tf·ln(tf) — quantized to integer micros BEFORE
+    // per-term float is tf·ln(tf) — quantized to an integer BEFORE
     // the sum, making the aggregate order-independent (the
     // embedding_centroid trick; a raw double Σ would be
     // summation-order-sensitive across engines and partitions). tf=1
-    // terms contribute exactly 0, so the quantization lottery only
-    // touches the few distinct tf ≥ 2 values. Reads the memoized
-    // docTerms table — no extra tokenize pass. Empty docs have no term
-    // rows in either engine and drop out identically.
+    // terms contribute exactly 0. Reads the memoized docTerms table —
+    // no extra tokenize pass. Empty docs have no term rows in either
+    // engine and drop out identically. MILLI quantum by design — see
+    // Pipeline.tokenEntropy for the transcendental-rounding rationale.
     QuerySpec("token_entropy",
       s"""SELECT doc_id,
          |       CAST(n AS INTEGER) AS n_tokens,
          |       CAST(nd AS INTEGER) AS n_distinct,
          |       CAST(round((ln(CAST(n AS DOUBLE))
-         |         - (CAST(sq AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE))
-         |         * 1000000) AS BIGINT) AS entropy_micro
+         |         - (CAST(sq AS DOUBLE) / 1000.0) / CAST(n AS DOUBLE))
+         |         * 1000) AS BIGINT) AS entropy_milli
          |FROM (
          |  SELECT doc_id, SUM(tf) AS n, COUNT(*) AS nd,
-         |         SUM(CAST(round(tf * ln(CAST(tf AS DOUBLE)) * 1000000)
+         |         SUM(CAST(round(tf * ln(CAST(tf AS DOUBLE)) * 1000)
          |             AS BIGINT)) AS sq
          |  FROM (SELECT doc_id, term, COUNT(*) AS tf
          |        FROM (SELECT doc_id, unnest($toksD) AS term

@@ -100,18 +100,13 @@ object StatefulOps {
   /** Per-key ring of the last frame−1 quantized values, oldest first. */
   final case class ZRing(xs: List[Long])
 
-  /** The exact integer-moment math of ScaleOps.rollingZScore, one row
-    * at a time: quantize to millis via BigDecimal HALF_UP (bit-matching
-    * Spark SQL `round`, which diverges from math.round on negative
-    * .5 boundaries), keep S/SS as exact Longs, and z =
-    * (n·x − S)/sqrt(n·SS − S²) from those integers.
+  /** z = (n·x − S)/sqrt(n·SS − S²) from exact integer rolling moments:
+    * quantization and the final round use BigDecimal HALF_UP
+    * (bit-matching Spark SQL `round`, which diverges from math.round
+    * on negative .5 boundaries).
     */
-  private def zStep(window: List[Long], minN: Int,
+  private def zFrom(n: Long, x: Long, s: Long, ss: Long, minN: Int,
       threshMicro: Long): (Int, Option[Long], Boolean) = {
-    val n = window.size.toLong
-    val x = window.last
-    val s = window.sum
-    val ss = window.map(v => v * v).sum
     val varN = n * ss - s * s
     if (n >= minN && varN > 0) {
       val z = (n * x - s).toDouble / math.sqrt(varN.toDouble)
@@ -142,15 +137,26 @@ object StatefulOps {
       // for in-order feeds; late rows get the baseline as of arrival
       // (the streaming-native semantics).
       val sorted = rows.toSeq.sortBy(e => (e.tsUs, e.eventId))
-      var prev = if (ring.exists()) ring.get().xs else Nil
+      // Rolling S/SS maintained incrementally: O(frame) rebuild once
+      // per (key, batch) from the ≤ frame−1 restored ring values,
+      // then O(1) add/evict per event — integer sums, so the rolling
+      // update is exact (no FP cancellation drift).
+      val buf = scala.collection.mutable.ArrayDeque.from(
+        if (ring.exists()) ring.get().xs else Nil)
+      var s = 0L; var ss = 0L
+      buf.foreach { v => s += v; ss += v * v }
       val out = sorted.map { e =>
         val x = quantMillis(e.value)
-        val window = (prev :+ x).takeRight(frame)
-        prev = window.takeRight(frame - 1)
-        val (nW, zMicro, anom) = zStep(window, minN, threshMicro)
+        buf.append(x); s += x; ss += x * x
+        if (buf.size > frame) {
+          val old = buf.removeHead(); s -= old; ss -= old * old
+        }
+        val (nW, zMicro, anom) =
+          zFrom(buf.size.toLong, x, s, ss, minN, threshMicro)
         ZScore(e.eventId, e.userId, nW, zMicro, anom)
       }
-      ring.update(ZRing(prev))
+      if (buf.size > frame - 1) buf.removeHead()
+      ring.update(ZRing(buf.toList))
       out.iterator
     }
   }

@@ -25,16 +25,16 @@ class GovernanceSignalsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L),
       "empty doc must drop out (no term rows)")
     val h1 = math.log(8) - (4 * math.log(4) + 2 * math.log(2)) / 8
-    assert(math.abs(out(0).getLong(3) - math.round(h1 * 1e6)) <= 2,
-      s"entropy_micro ${out(0).getLong(3)} != expected ${h1 * 1e6}")
+    assert(math.abs(out(0).getLong(3) - math.round(h1 * 1e3)) <= 2,
+      s"entropy_milli ${out(0).getLong(3)} != expected ${h1 * 1e3}")
     assert(out(1).getLong(3) == 0L, "constant doc has zero entropy")
-    // Corpus-wide bounds: 0 ≤ H ≤ ln(n_distinct) (+2 micro tolerance
+    // Corpus-wide bounds: 0 ≤ H ≤ ln(n_distinct) (+2 milli tolerance
     // for the per-term quantization).
     val viol = Pipeline.tokenEntropy(
       Tables.t(spark, dir, "documents"), cacheKey = dir)
-      .filter(col("entropy_micro") < -2 ||
-        col("entropy_micro") >
-          round(log(col("n_distinct").cast("double")) * 1e6) + 2)
+      .filter(col("entropy_milli") < -2 ||
+        col("entropy_milli") >
+          round(log(col("n_distinct").cast("double")) * 1e3) + 2)
     assert(viol.isEmpty, "entropy outside [0, ln(n_distinct)]")
   }
 
