@@ -425,6 +425,75 @@ object AnalyticQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
         .limit(25)
+    },
+
+    // Funnel latency distribution: time-to-convert (first view → the
+    // funnel's ordered purchase) for converting users. The diff is
+    // exact integer MICROS (date_diff('microsecond') ≡ unix_micros
+    // subtraction), quantiles via the percentile_agg-established
+    // quantile_cont ≡ percentile parity. Same co-partitioned per-user
+    // aggregate chain as funnel_steps; the final aggregate is one row.
+    QuerySpec("funnel_latency",
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3
+        |      FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |      GROUP BY e.user_id),
+        |d AS (SELECT p.user_id,
+        |             date_diff('microsecond', v.t1, p.t3) AS dt_us
+        |      FROM p JOIN v USING (user_id))
+        |SELECT COUNT(*) AS n_users,
+        |       CAST(MIN(dt_us) AS BIGINT) AS min_us,
+        |       quantile_cont(dt_us, 0.5) AS p50_us,
+        |       quantile_cont(dt_us, 0.9) AS p90_us,
+        |       CAST(MAX(dt_us) AS BIGINT) AS max_us
+        |FROM d""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      p.join(v, "user_id")
+        .select((unix_micros(col("t3")) - unix_micros(col("t1")))
+          .as("dt_us"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          min(col("dt_us")).as("min_us"),
+          expr("percentile(dt_us, 0.5)").as("p50_us"),
+          expr("percentile(dt_us, 0.9)").as("p90_us"),
+          max(col("dt_us")).as("max_us"))
+    },
+
+    // Key-skew diagnostic: the hottest shuffle keys and their share of
+    // the table — the report read before choosing salting / AQE skew
+    // handling. One hash-aggregate + top-k; the scalar total broadcasts
+    // back (never a window over the table). share is exact-int ÷
+    // exact-int.
+    QuerySpec("skew_report",
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(COUNT(*) AS DOUBLE)
+        |         / (SELECT COUNT(*) FROM events) AS share
+        |FROM events GROUP BY user_id
+        |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        val e = t(s, dir, "events")
+        val tot = e.agg(count(lit(1)).as("n_total"))
+        e.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+          .crossJoin(broadcast(tot))
+          .withColumn("share",
+            expr("cast(n_events as double) / n_total"))
+          .select("user_id", "n_events", "share")
+          .orderBy(col("n_events").desc, col("user_id"))
+          .limit(10)
     }
   )
 }
