@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
 
 /** Declared similarity queries — thin oracle-checked wrappers over the
   * public graft.operators.Similarity API. The DuckDB fragments below
@@ -259,6 +260,44 @@ object SimilarityQueries {
          |ORDER BY va, vb""".stripMargin) { (s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "label", 0.35)
         .orderBy("va", "vb")
+    },
+
+    // Per-label embedding-norm statistics — the index-health check run
+    // before cosine search (unnormalized vectors silently skew IVF/PQ
+    // residuals). The norm itself is a deterministic sequential fold
+    // (array_dot ≡ the oracle's list_reduce, embedding_neardup's
+    // established parity) + correctly-rounded sqrt, quantized to
+    // integer micros per vector so the per-label SUM is
+    // order-independent; avg is exact-int ÷ exact-int. One bounded
+    // hash-aggregate, labels-sized result.
+    QuerySpec("embedding_norm_stats",
+      s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v
+         |           FROM embeddings)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |       CAST(SUM(norm_micro) AS BIGINT) AS sum_norm_micro,
+         |       CAST(SUM(norm_micro) AS DOUBLE) / COUNT(*)
+         |         AS avg_norm_micro,
+         |       CAST(MIN(norm_micro) AS BIGINT) AS min_norm_micro,
+         |       CAST(MAX(norm_micro) AS BIGINT) AS max_norm_micro
+         |FROM (SELECT label,
+         |        CAST(round(${normD("v")} * 1000000) AS BIGINT)
+         |          AS norm_micro
+         |      FROM e)
+         |GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings")
+        .withColumn("v", expr("cast(embedding as array<double>)"))
+        .select(col("label"),
+          expr("cast(round(sqrt(array_dot(v, v)) " +
+            "* 1000000) as bigint)").as("norm_micro"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(col("norm_micro")).as("sum_norm_micro"),
+          expr("cast(sum(norm_micro) as double) / count(1)")
+            .as("avg_norm_micro"),
+          min(col("norm_micro")).as("min_norm_micro"),
+          max(col("norm_micro")).as("max_norm_micro"))
+        .orderBy("label")
     }
   )
 }

@@ -107,6 +107,57 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Label-vs-heuristic confusion matrix over lang_id's predictor —
+    // the calibration table read before trusting the heuristic as a
+    // filter (which true languages it mislabels, and as what). Same
+    // per-row stopword-hit expressions, then one |langs|²-bounded
+    // aggregate; the corpus never shuffles before the counts.
+    QuerySpec("lang_confusion",
+      s"""SELECT lang, pred_lang, COUNT(*) AS n FROM (
+         |  SELECT lang,
+         |    CASE WHEN n_en = 0 AND n_de = 0 AND n_es = 0 AND n_fr = 0
+         |           THEN 'und'
+         |         WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr
+         |           THEN 'en'
+         |         WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
+         |         WHEN n_es >= n_fr THEN 'es'
+         |         ELSE 'fr' END AS pred_lang
+         |  FROM (
+         |    SELECT lang,
+         |      len(list_filter(toks, x -> list_contains(
+         |        ${arrD(stopEn)}, x))) AS n_en,
+         |      len(list_filter(toks, x -> list_contains(
+         |        ${arrD(stopDe)}, x))) AS n_de,
+         |      len(list_filter(toks, x -> list_contains(
+         |        ${arrD(stopEs)}, x))) AS n_es,
+         |      len(list_filter(toks, x -> list_contains(
+         |        ${arrD(stopFr)}, x))) AS n_fr
+         |    FROM (SELECT lang, $toksD AS toks FROM documents)))
+         |GROUP BY lang, pred_lang
+         |ORDER BY lang NULLS FIRST, pred_lang""".stripMargin) { (s, dir) =>
+      def hits(arr: String) =
+        s"size(filter(toks, x -> array_contains($arr, x)))"
+      t(s, dir, "documents")
+        .withColumn("toks", expr(toksS))
+        .select(
+          col("lang"),
+          expr(hits(arrS(stopEn))).as("n_en"),
+          expr(hits(arrS(stopDe))).as("n_de"),
+          expr(hits(arrS(stopEs))).as("n_es"),
+          expr(hits(arrS(stopFr))).as("n_fr"))
+        .withColumn("pred_lang", expr(
+          """CASE WHEN n_en = 0 AND n_de = 0 AND n_es = 0 AND n_fr = 0
+            |       THEN 'und'
+            |     WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr
+            |       THEN 'en'
+            |     WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
+            |     WHEN n_es >= n_fr THEN 'es'
+            |     ELSE 'fr' END""".stripMargin))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    },
+
     // Quality scoring: length / stopword-density / token-shape features
     // combined into one deterministic per-row double score.
     QuerySpec("quality_score",
