@@ -15,14 +15,46 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class TestdataSchemaSpec extends AnyFunSuite {
 
-  for (sf <- Seq("0.001", "0.01", "0.1")) {
-    test(s"events.ts loads as TimestampType and counts at sf$sf") {
+  import org.apache.spark.sql.types._
+
+  /** Load-bearing columns per table: every dtype a declared query or memo
+    * table depends on. A driver-side re-encode of any of these fails HERE,
+    * as one named test per (table, sf), before any query sees it.
+    */
+  private val contract: Map[String, Map[String, DataType]] = Map(
+    "events" -> Map(
+      "event_id" -> LongType, "ts" -> TimestampType, "user_id" -> LongType,
+      "event_type" -> StringType, "value" -> DoubleType,
+      "props" -> StringType),
+    "documents" -> Map(
+      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+      "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Map(
+      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+      "label" -> IntegerType),
+    "lineitem" -> Map(
+      "l_orderkey" -> LongType, "l_quantity" -> DoubleType,
+      "l_extendedprice" -> DoubleType, "l_discount" -> DoubleType,
+      "l_returnflag" -> StringType,
+      // No loader normalization for lineitem: consumers see the NTZ
+      // timestamp the parquet carries, and every declared query + the
+      // DuckDB oracle agree on that wall-clock semantics.
+      "l_shipdate" -> TimestampNTZType)
+  )
+
+  for (sf <- Seq("0.001", "0.01", "0.1"); (table, cols) <- contract) {
+    test(s"$table load-bearing dtypes hold and table counts at sf$sf") {
       val spark = TestSpark.spark
-      val ev = Tables.t(spark, s"/root/testdata/sf$sf", "events")
-      assert(ev.schema("ts").dataType == TimestampType,
-        s"loader must normalize ts to TimestampType, got ${
-          ev.schema("ts").dataType}")
-      assert(ev.count() > 0)
+      val df = Tables.t(spark, s"/root/testdata/sf$sf", table)
+      for ((name, expected) <- cols) {
+        // containsNull varies by writer; compare modulo nullability.
+        val got = df.schema(name).dataType
+        assert(DataType.equalsIgnoreNullability(got, expected),
+          s"$table.$name at sf$sf: loader must hand consumers $expected, " +
+            s"got $got — driver likely regenerated /root/testdata " +
+            "(see graft-testdata-regen)")
+      }
+      assert(df.count() > 0)
     }
   }
 
