@@ -248,7 +248,8 @@ object DedupQueries {
          |              AND c.doc_id != c.cluster_id) AS DOUBLE)
          |         / COUNT(*) AS dup_frac
          |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
-         |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+         |GROUP BY d.source ORDER BY d.source NULLS FIRST""".stripMargin) {
+      (s, dir) =>
       Dedup.sourceDupStats(
         t(s, dir, "documents"),
         Dedup.clusters(

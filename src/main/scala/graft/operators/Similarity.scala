@@ -301,6 +301,12 @@ object Similarity {
     */
   def pqTopKWith(e: DataFrame, subCodebook: DataFrame, nQueries: Int,
       nSub: Int, nCode: Int, k: Int): DataFrame = {
+    // The flattened ADC index m·nCode + code is only valid when the
+    // subspace slicing is exact and EVERY (m, code) cell exists —
+    // array_sort positions shift on any absent cell and every later
+    // lookup silently reads the wrong distance. Fail loudly instead.
+    require(64 % nSub == 0,
+      s"nSub must divide the 64-dim embedding exactly, got $nSub")
     val sub = 64 / nSub
     val subspaces = s"explode(sequence(0, ${nSub - 1}))"
     def slicedSub(v: String): String = s"slice($v, m * $sub + 1, $sub)"
@@ -342,6 +348,16 @@ object Similarity {
       .groupBy("q_id")
       .agg(array_sort(collect_list(col("mcq"))).as("l"))
       .select(col("q_id"), expr("transform(l, x -> x.qm)").as("luts"))
+      // In-plan completeness gate (costs no extra job: luts feeds the
+      // broadcast anyway). A codebook built from a corpus slice that
+      // lacks some vec_id would produce a short LUT here — raise at
+      // scoring time rather than return silently wrong distances.
+      .withColumn("luts",
+        when(size(col("luts")) === nSub * nCode, col("luts"))
+          .otherwise(raise_error(concat(
+            lit(s"pq sub-codebook incomplete: expected ${nSub * nCode}" +
+              " (m, code) cells, got "),
+            size(col("luts")).cast("string")))))
     // ADC: fixed m-order sum of nSub subscripts (0-based [] operator).
     val adcMicro = (0 until nSub)
       .map(m => s"luts[$m * $nCode + codes[$m]]").mkString(" + ")

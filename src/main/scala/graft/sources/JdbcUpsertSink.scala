@@ -92,11 +92,20 @@ final class JdbcUpsertSink(url: String, table: String,
           try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0")
             .close(); true }
           catch { case _: java.sql.SQLException => false }
-        if (!exists)
-          st.executeUpdate(
-            if (isMysql) s"CREATE TABLE $table LIKE $stage"
-            else
+        if (!exists) {
+          if (isMysql) {
+            // The Spark-written staging table carries NO index, so a
+            // bare CREATE TABLE LIKE would leave the target unkeyed and
+            // ON DUPLICATE KEY UPDATE would never fire — the sink would
+            // silently degrade to the reference's append bug. Install
+            // the key the upsert contract requires at creation time.
+            st.executeUpdate(s"CREATE TABLE $table LIKE $stage")
+            st.executeUpdate(s"ALTER TABLE $table ADD PRIMARY KEY " +
+              keyCols.map(k => s"`$k`").mkString("(", ", ", ")"))
+          } else
+            st.executeUpdate(
               s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+        }
         val cols = batch0.columns.toSeq
         st.executeUpdate(
           if (isMysql) mysqlUpsert(stage, cols, nonKey)
