@@ -342,7 +342,7 @@ object Dedup {
     * partial aggregation; the join input is where hub skew lands).
     */
   def propagateStep(edges: DataFrame, labels: DataFrame,
-      saltBuckets: Int = 0): DataFrame = {
+      saltBuckets: Int = 0, width: Int = 0): DataFrame = {
     val viaEdges =
       if (saltBuckets > 0) {
         val saltedLabels = labels
@@ -360,9 +360,19 @@ object Dedup {
             .withColumnRenamed("lbl", "nlbl"), "b")
           .select(col("a").as("id"), col("nlbl").as("lbl"))
       }
-    labels.select(col("id"), col("lbl"))
-      .union(viaEdges)
-      .groupBy("id").agg(min(col("lbl")).as("lbl"))
+    val merged = labels.select(col("id"), col("lbl")).union(viaEdges)
+    // width > 0 pins the min-label aggregation's exchange to the
+    // edge-count-sized loop width (nearDupClusters): union discards
+    // child partitioning, so without the pin this agg inherits the
+    // session shuffle width — parallelism-many near-empty tasks per
+    // iteration on a pair graph orders of magnitude smaller than the
+    // corpus. The explicit exchange trades map-side combine for a
+    // pinned width; at ≤50k rows/partition the full-row shuffle is
+    // noise while the task-count saving is the measured ~30% of CC
+    // time this replaces (formerly a session-global conf write).
+    val pre = if (width > 0) merged.repartition(width, col("id"))
+      else merged
+    pre.groupBy("id").agg(min(col("lbl")).as("lbl"))
   }
 
   /** Connected components over a near-dup pair graph — the step that
@@ -397,87 +407,71 @@ object Dedup {
     // Size the loop's shuffle width from the MATERIALIZED edge count
     // (the count is a cheap scan of the checkpoint) at ~50k edge rows
     // per partition, capped at the session's configured width — at
-    // 100 TB edge counts the cap keeps full parallelism; the conf is
-    // restored on every exit path, and the returned labels frame is
-    // already materialized so later consumption never replans under
-    // the narrow width.
+    // 100 TB edge counts the cap keeps full parallelism.
     //
-    // CONCURRENCY CONTRACT: shuffle width is session-global state, so
-    // the loop (a) serializes CC runs per session via ccLock — two
-    // concurrent calls would otherwise interleave save/set/restore and
-    // could strand the session at the narrow width — and (b) restores
-    // compare-and-set style (only if the conf still holds OUR width),
-    // so an unexpected concurrent writer wins rather than being
-    // clobbered by a stale restore. OTHER queries planned on the same
-    // session while a CC loop runs still see the narrow width (same
-    // documented window as the bloom-filter query's threshold confs);
-    // callers running CC concurrently with latency-sensitive planning
-    // should use a separate SparkSession.
-    val widthKey = "spark.sql.shuffle.partitions"
-    ccLocks.computeIfAbsent(spark, _ => new Object).synchronized {
-    val savedWidth = spark.conf.get(widthKey)
-    val width = math.max(1L, math.min(savedWidth.toLong,
-      edges.count() / 50000L + 1L))
-    spark.conf.set(widthKey, width.toString)
-    try {
-      var labels = edges.select(col("a").as("id")).distinct()
-        .withColumn("lbl", col("id"))
+    // The width is applied with EXPLICIT repartition/partitioning on
+    // the loop frames only — zero session conf writes, so concurrent
+    // queries planned on the same session never see a narrowed width
+    // and no lock/restore machinery is needed. Every loop exchange is
+    // pinned: edges carry HashPartitioning(b, width) into the hop
+    // join; the propagate agg repartitions its union by id (width
+    // param); and the self-join's right side inherits the agg's
+    // id-partitioning, so EnsureRequirements sizes the matching left
+    // exchange to the SAME width rather than the session conf
+    // (co-partitioning matches the satisfying child's partition
+    // count). localCheckpoint preserves outputPartitioning in the
+    // LogicalRDD it returns, so the pinning survives iterations.
+    val width = math.max(1L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong,
+      edges.count() / 50000L + 1L)).toInt
+    val edgesW = edges.repartition(width, col("b")).localCheckpoint()
+    Memo.checkpointRdds(edges).foreach(_.unpersist(blocking = false))
+    var labels = edgesW.select(col("a").as("id"))
+      .repartition(width, col("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // hop feeds both sides of the compression self-join; inlined (not
+      // checkpointed) on purpose — the propagate stage computes twice
+      // inside the ONE checkpoint job below, which is cheaper than a
+      // second eager materialization job per iteration.
+      val hop = propagateStep(edgesW, labels, saltBuckets, width)
+      // Path compression: follow the label pointer one step (labels are
+      // always node ids, so the self-join matches) — halves the
+      // remaining distance to the component minimum each iteration. The
+      // `changed` flag is computed INSIDE the same checkpoint job (a
+      // join against the old labels), so convergence detection is a
+      // plain filter-scan of the checkpointed rows, not a second join.
+      val next = hop
+        .join(hop.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+          "lbl")
+        .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl"))
+        .join(labels.withColumnRenamed("lbl", "old"), "id")
+        .select(col("id"), col("lbl"), (col("lbl") < col("old")).as("chg"))
         .localCheckpoint()
-      var iter = 0
-      var converged = false
-      while (iter < maxIters && !converged) {
-        // hop feeds both sides of the compression self-join; inlined (not
-        // checkpointed) on purpose — the propagate stage computes twice
-        // inside the ONE checkpoint job below, which is cheaper than a
-        // second eager materialization job per iteration.
-        val hop = propagateStep(edges, labels, saltBuckets)
-        // Path compression: follow the label pointer one step (labels are
-        // always node ids, so the self-join matches) — halves the
-        // remaining distance to the component minimum each iteration. The
-        // `changed` flag is computed INSIDE the same checkpoint job (a
-        // join against the old labels), so convergence detection is a
-        // plain filter-scan of the checkpointed rows, not a second join.
-        val next = hop
-          .join(hop.select(col("id").as("lbl"), col("lbl").as("lbl2")),
-            "lbl")
-          .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl"))
-          .join(labels.withColumnRenamed("lbl", "old"), "id")
-          .select(col("id"), col("lbl"), (col("lbl") < col("old")).as("chg"))
-          .localCheckpoint()
-        converged = next.filter(col("chg")).isEmpty
-        // next is eagerly materialized with truncated lineage, so the
-        // previous iteration's checkpoint blocks can be dropped NOW — the
-        // executor-storage footprint stays one generation, not the whole
-        // iteration history. (This is RDD-level block removal; the
-        // CacheManager cascade-invalidation trap does not apply.)
-        Memo.checkpointRdds(labels).foreach(_.unpersist(blocking = false))
-        labels = next.select(col("id"), col("lbl"))
-        iter += 1
-      }
-      Memo.checkpointRdds(edges).foreach(_.unpersist(blocking = false))
-      // Silent-wrong-label guard (ADVICE r3): an unconverged exit would
-      // drop/keep the wrong documents with no signal. Practically
-      // unreachable with pointer jumping (diameter ~2^maxIters).
-      if (!converged) {
-        Memo.checkpointRdds(labels).foreach(_.unpersist(blocking = false))
-        throw new IllegalStateException(
-          s"nearDupClusters did not converge in $maxIters iterations")
-      }
-      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-    } finally {
-      // CAS restore: leave a concurrent writer's value in place.
-      if (spark.conf.get(widthKey) == width.toString)
-        spark.conf.set(widthKey, savedWidth)
+      converged = next.filter(col("chg")).isEmpty
+      // next is eagerly materialized with truncated lineage, so the
+      // previous iteration's checkpoint blocks can be dropped NOW — the
+      // executor-storage footprint stays one generation, not the whole
+      // iteration history. (This is RDD-level block removal; the
+      // CacheManager cascade-invalidation trap does not apply.)
+      Memo.checkpointRdds(labels).foreach(_.unpersist(blocking = false))
+      labels = next.select(col("id"), col("lbl"))
+      iter += 1
     }
+    Memo.checkpointRdds(edgesW).foreach(_.unpersist(blocking = false))
+    // Silent-wrong-label guard (ADVICE r3): an unconverged exit would
+    // drop/keep the wrong documents with no signal. Practically
+    // unreachable with pointer jumping (diameter ~2^maxIters).
+    if (!converged) {
+      Memo.checkpointRdds(labels).foreach(_.unpersist(blocking = false))
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxIters iterations")
     }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
-
-  /** Per-session lock serializing nearDupClusters' shuffle-width
-    * save/set/restore window (weak keys — sessions come and go).
-    */
-  private val ccLocks =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, Object]())
 
   /** Memoized cluster labels for a corpus' verified minhash pair graph
     * — `dedupKeep` and the declared clustering query share this instead

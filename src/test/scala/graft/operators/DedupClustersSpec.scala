@@ -18,21 +18,27 @@ class DedupClustersSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("CC restores the session shuffle width on success and on the " +
-    "non-convergence throw") {
+  test("CC never touches the session shuffle width, and the loop width " +
+    "is pinned by explicit repartition instead") {
     val spark = TestSpark.spark
     import spark.implicits._
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("da", "db")
     Dedup.nearDupClusters(pairs).count()
-    assert(spark.conf.get(key) === before, "width not restored on success")
+    assert(spark.conf.get(key) === before, "conf written on success path")
     // maxIters = 0 exits the loop unconverged → the guard throws; the
-    // finally must still restore the session width.
+    // conf must remain untouched on that path too.
     intercept[IllegalStateException] {
       Dedup.nearDupClusters(pairs, maxIters = 0)
     }
-    assert(spark.conf.get(key) === before, "width not restored on throw")
+    assert(spark.conf.get(key) === before, "conf written on throw path")
+    // The width pin itself: propagateStep(width = w) must end in a
+    // w-wide exchange regardless of the session conf.
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 2L)).toDF("id", "lbl")
+    assert(Dedup.propagateStep(edges, labels, 0, 3)
+      .rdd.getNumPartitions === 3)
   }
 
   test("incremental dedup equals the cross-split restriction of the " +
