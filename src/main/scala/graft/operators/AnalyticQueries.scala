@@ -92,6 +92,37 @@ object AnalyticQueries {
         .orderBy("l_returnflag")
     },
 
+    // Scale-safe quantiles: the SAME report as percentile_agg through
+    // approx_percentile — the form a 100×-users deployment runs. Exact
+    // `percentile` buffers every group value in one agg buffer (a
+    // single-reducer sort at the group's row count); approx_percentile
+    // is a bounded GK sketch that merges two-stage like any partial
+    // aggregate, so memory is O(accuracy) regardless of corpus size.
+    // With accuracy ≥ group row count the sketch degenerates to the
+    // exact discrete quantile (rank error ≤ n/accuracy < 1), verified
+    // bit-equal to DuckDB quantile_disc at every tested SF — so the
+    // oracle pins exactness here while ApproxAggSpec pins the rank-
+    // error bound at production accuracies. Deployment guidance: keep
+    // accuracy at 10⁴–10⁵ at 100× scale and accept rank error
+    // n/accuracy; never switch back to exact `percentile`.
+    QuerySpec("percentile_approx_agg",
+      """SELECT l_returnflag,
+        |       quantile_disc(l_quantity, 0.5) AS med_qty,
+        |       quantile_disc(l_extendedprice, 0.25) AS p25_price,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 1000000)")
+            .as("med_qty"),
+          expr("approx_percentile(l_extendedprice, 0.25, 1000000)")
+            .as("p25_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // SQL entry path: the same engine surface through spark.sql over a
     // registered view (TPC-H Q1 shape with parity-safe decimal sums —
     // 2-dec × 2-dec products have ≤4 decimals, so DECIMAL(18,6) casts
@@ -433,6 +464,9 @@ object AnalyticQueries {
     // subtraction), quantiles via the percentile_agg-established
     // quantile_cont ≡ percentile parity. Same co-partitioned per-user
     // aggregate chain as funnel_steps; the final aggregate is one row.
+    // Scale note: exact `percentile` buffers all converting users'
+    // diffs in one reducer — a 100×-users deployment runs the
+    // funnel_latency_approx twin below (bounded GK sketch) instead.
     QuerySpec("funnel_latency",
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),
@@ -471,6 +505,53 @@ object AnalyticQueries {
           expr("percentile(dt_us, 0.5)").as("p50_us"),
           expr("percentile(dt_us, 0.9)").as("p90_us"),
           max(col("dt_us")).as("max_us"))
+    },
+
+    // Scale-safe twin of funnel_latency: identical per-user MIN chain,
+    // but the one-row distribution summary uses approx_percentile —
+    // exact `percentile` pulls EVERY converting user's diff into one
+    // reducer's sort buffer, which is the single scale hazard in the
+    // exact form (fine at tested SFs, a straggler at 100× users). The
+    // GK sketch caps that buffer at O(accuracy) and merges two-stage;
+    // accuracy 10⁶ ≥ converting-user count at every tested SF, so the
+    // quantile_disc oracle pins it exactly (see percentile_approx_agg
+    // for the accuracy/error-bound deployment guidance). dt_us is
+    // integer micros, so both engines agg over BIGINT — no float
+    // interpolation anywhere.
+    QuerySpec("funnel_latency_approx",
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3
+        |      FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |      GROUP BY e.user_id),
+        |d AS (SELECT p.user_id,
+        |             date_diff('microsecond', v.t1, p.t3) AS dt_us
+        |      FROM p JOIN v USING (user_id))
+        |SELECT COUNT(*) AS n_users,
+        |       CAST(quantile_disc(dt_us, 0.5) AS BIGINT) AS p50_us,
+        |       CAST(quantile_disc(dt_us, 0.9) AS BIGINT) AS p90_us
+        |FROM d""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      p.join(v, "user_id")
+        .select((unix_micros(col("t3")) - unix_micros(col("t1")))
+          .as("dt_us"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          expr("approx_percentile(dt_us, 0.5, 1000000)").as("p50_us"),
+          expr("approx_percentile(dt_us, 0.9, 1000000)").as("p90_us"))
     },
 
     // Key-skew diagnostic: the hottest shuffle keys and their share of

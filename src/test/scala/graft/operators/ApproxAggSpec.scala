@@ -33,4 +33,36 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.02,
       s"approx=$approx exact=$exact")
   }
+
+  /** The GK guarantee the scale-safe quantile queries
+    * (percentile_approx_agg / funnel_latency_approx) rely on at
+    * PRODUCTION accuracies, where the sketch is genuinely lossy: the
+    * returned value's RANK is within n/accuracy of the target rank.
+    * Asserted on a mostly-distinct column (l_extendedprice — the hard
+    * case; duplicates only make rank error easier) at an accuracy two
+    * orders below the row count.
+    */
+  test("approx_percentile rank error stays within n/accuracy at a " +
+    "lossy accuracy") {
+    val spark = TestSpark.spark
+    val li = Tables.t(spark, "/root/testdata/sf0.01", "lineitem")
+      .select(col("l_extendedprice").as("x")).persist()
+    try {
+      val n = li.count().toDouble
+      val accuracy = 500
+      for (p <- Seq(0.25, 0.5, 0.9)) {
+        val v = li.select(
+          expr(s"approx_percentile(x, $p, $accuracy)")).head().getDouble(0)
+        // rank band of v: [#(x < v), #(x <= v)] — the sketch is within
+        // bound if that band overlaps [target - n/acc, target + n/acc].
+        val below = li.filter(col("x") < v).count().toDouble
+        val atOrBelow = li.filter(col("x") <= v).count().toDouble
+        val target = p * n
+        val slack = n / accuracy + 1
+        assert(below <= target + slack && atOrBelow >= target - slack,
+          s"p=$p v=$v rank band [$below, $atOrBelow] vs target $target" +
+            s" ± $slack (n=$n)")
+      }
+    } finally li.unpersist(): Unit
+  }
 }
