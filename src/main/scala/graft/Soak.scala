@@ -289,18 +289,7 @@ object Soak {
       s""""pq_rows":$nPq,"sec_pq":$tPq,"sec_brute":$tBrute}""")
     val e0 = operators.Similarity.prepared(
       Tables.t(spark, srcDir, "embeddings"))
-    val ql2 = e0.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val cl2 = e0.filter(col("vec_id") >= NQ)
-      .select(col("vec_id").as("n_id"), col("v").as("cv"))
-    val wl2 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("l2"), col("n_id"))
-    val bruteL2 = cl2.crossJoin(broadcast(ql2))
-      .select(col("q_id"), col("n_id"),
-        expr("array_dot(qv, qv) - 2 * array_dot(qv, cv) + " +
-          "array_dot(cv, cv)").as("l2"))
-      .withColumn("rn", row_number().over(wl2))
-      .filter(col("rn") <= 10).persist()
+    val bruteL2 = operators.Similarity.l2TopK(e0, NQ, 10).persist()
     val nBruteL2 = bruteL2.count()
     def recallPq(df: org.apache.spark.sql.DataFrame): Double =
       df.select("q_id", "n_id")

@@ -45,6 +45,25 @@ object Similarity {
       .select("q_id", "n_id", "rn", "cos")
   }
 
+  /** Exact squared-L2 top-k over the same split — the ground truth for
+    * the PQ family (pqTopK approximates L2, so judging it against the
+    * cosine truth would conflate metric disagreement with quantization
+    * error). Same brute shape as cosineTopK: broadcast queries, one
+    * corpus stream, WindowGroupLimit top-k.
+    */
+  def l2TopK(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val (q, c) = split(e, nQueries)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("l2"), col("n_id"))
+    c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("n_id"),
+        expr("array_dot(qv, qv) - 2 * array_dot(qv, cv) + " +
+          "array_dot(cv, cv)").as("l2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id", "rn", "l2")
+  }
+
   /** Deterministic LCG hyperplane component — shared with the oracle's
     * SQL formula so both engines build identical planes.
     */
