@@ -35,6 +35,23 @@ import org.apache.spark.sql.functions.{col, row_number}
   * greatest non-key struct wins), batch persisted across its multiple
   * actions.
   *
+  * EXACTLY-ONCE REPLAY (epoch ledger): foreachBatch's delivery
+  * contract is at-least-once — a crash between the sink's commit and
+  * the checkpoint's offset commit replays the same (batchId, data) on
+  * restart (the window the reference's checkpointed append sink,
+  * spark_consumer_kafka.py:155, turns into duplicate PK rows). This
+  * sink records each applied epoch in `<table>_epochs (batch_id
+  * PRIMARY KEY)` IN THE SAME TRANSACTION as the merge: a replayed
+  * epoch hits the ledger's PK violation, rolls back, and is a provable
+  * no-op — the transaction boundary means the merge and its ledger row
+  * are indivisible, so no crash point double-applies or skips. A cheap
+  * pre-staging ledger probe also skips the executor-side staging write
+  * on known replays. DDL (target/ledger/stage create, stage drop)
+  * stays OUTSIDE the transaction — MySQL DDL implicitly commits, so
+  * interleaving it would break atomicity. Ledger scope matches the
+  * concurrency contract below: one logical streaming query per target
+  * table (batchIds are per-query epochs).
+  *
   * `createTableColumnTypes` feeds Spark's option of the same name on
   * the staging write (e.g. "location VARCHAR(64)") — needed on Derby,
   * whose dialect maps StringType to CLOB, and CLOB columns cannot be
@@ -53,11 +70,26 @@ final class JdbcUpsertSink(url: String, table: String,
 
   def upsert(batch: DataFrame, batchId: Long): Unit = synchronized {
     batch.persist()
-    try upsertPersisted(batch)
+    try upsertPersisted(batch, batchId)
     finally batch.unpersist(): Unit
   }
 
-  private def upsertPersisted(batch0: DataFrame): Unit = {
+  private def ledger = table + "_epochs"
+
+  /** True iff `batchId` is already recorded — the cheap driver-side
+    * replay probe (the authoritative guard is the transactional PK
+    * insert in applyTxn). A missing ledger table reads as "not
+    * applied".
+    */
+  private def epochApplied(st: java.sql.Statement,
+      batchId: Long): Boolean =
+    try {
+      val rs = st.executeQuery(
+        s"SELECT 1 FROM $ledger WHERE batch_id = $batchId")
+      try rs.next() finally rs.close()
+    } catch { case _: java.sql.SQLException => false }
+
+  private def upsertPersisted(batch0: DataFrame, batchId: Long): Unit = {
     if (batch0.isEmpty) return
     val nonKey = batch0.columns.filterNot(keyCols.contains).toSeq
     val batch = if (nonKey.isEmpty) batch0.dropDuplicates(keyCols)
@@ -68,14 +100,6 @@ final class JdbcUpsertSink(url: String, table: String,
         .filter(col("__rn") === 1).drop("__rn")
     }
     val stage = table + "_stage"
-    // Stage write goes through the SAME option map as every Connectors
-    // surface (credentials included — hand-assembled options are how
-    // user/password get dropped).
-    var writer = Connectors.jdbcSinkWriter(batch, url, stage, user,
-      password, driver).mode("overwrite")
-    createTableColumnTypes.foreach(t =>
-      writer = writer.option("createTableColumnTypes", t))
-    writer.save()
     Class.forName(driver)
     val props = new Properties()
     if (user.nonEmpty) props.setProperty("user", user)
@@ -84,15 +108,25 @@ final class JdbcUpsertSink(url: String, table: String,
     try {
       val st = conn.createStatement()
       try {
+        // Known replay: skip before the executor-side staging write.
+        if (epochApplied(st, batchId)) return
+        // Stage write goes through the SAME option map as every
+        // Connectors surface (credentials included — hand-assembled
+        // options are how user/password get dropped).
+        var writer = Connectors.jdbcSinkWriter(batch, url, stage, user,
+          password, driver).mode("overwrite")
+        createTableColumnTypes.foreach(t =>
+          writer = writer.option("createTableColumnTypes", t))
+        writer.save()
         // Dialect-free existence probe: a zero-row SELECT succeeds iff
         // the target exists, regardless of how the engine folds
         // unquoted identifiers (getTables needs the folded name and
         // broke on case-folding differences).
-        val exists =
-          try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0")
+        def exists(t: String): Boolean =
+          try { st.executeQuery(s"SELECT 1 FROM $t WHERE 1=0")
             .close(); true }
           catch { case _: java.sql.SQLException => false }
-        if (!exists) {
+        if (!exists(table)) {
           if (isMysql) {
             // The Spark-written staging table carries NO index, so a
             // bare CREATE TABLE LIKE would leave the target unkeyed and
@@ -106,10 +140,36 @@ final class JdbcUpsertSink(url: String, table: String,
             st.executeUpdate(
               s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
         }
-        val cols = batch0.columns.toSeq
-        st.executeUpdate(
-          if (isMysql) mysqlUpsert(stage, cols, nonKey)
-          else ansiMerge(stage, cols, nonKey))
+        if (!exists(ledger))
+          st.executeUpdate(s"CREATE TABLE $ledger " +
+            "(batch_id BIGINT NOT NULL PRIMARY KEY)")
+        // All DDL is done (MySQL DDL implicitly commits, so none may
+        // follow BEGIN). One transaction: ledger insert + merge — a
+        // replayed epoch fails the ledger PK and rolls back untouched.
+        conn.setAutoCommit(false)
+        try {
+          val fresh =
+            try {
+              st.executeUpdate(
+                s"INSERT INTO $ledger (batch_id) VALUES ($batchId)")
+              true
+            } catch {
+              // SQLState class 23 = integrity-constraint violation
+              // (the replay signature) — anything else propagates.
+              case e: java.sql.SQLException
+                  if Option(e.getSQLState).exists(_.startsWith("23"))
+                => false
+            }
+          if (fresh) {
+            val cols = batch0.columns.toSeq
+            st.executeUpdate(
+              if (isMysql) mysqlUpsert(stage, cols, nonKey)
+              else ansiMerge(stage, cols, nonKey))
+            conn.commit()
+          } else conn.rollback()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally conn.setAutoCommit(true)
         st.executeUpdate(s"DROP TABLE $stage")
       } finally st.close()
     } finally conn.close()

@@ -57,4 +57,79 @@ class CheckpointRecoverySpec extends AnyFunSuite {
     assert(out == Map("New Zealand" -> 12L, "Germany" -> 10L,
       "Canada" -> 3L))
   }
+
+  /** The epoch-ledger exactly-once contract (VERDICT r8 directive 3):
+    * foreachBatch is at-least-once — a crash AFTER the sink commits
+    * batch N but BEFORE the checkpoint commits its offsets replays
+    * batch N on restart with the same batchId and data. The injected
+    * throw below lands exactly in that window (upsert returns, then
+    * the epoch fails), so the restarted query re-delivers batch 0; the
+    * ledger transactionally recorded epoch 0 with its merge, so the
+    * replay must roll back as a no-op — zero duplicate rows, values
+    * unchanged, and the ledger ends with one row per committed epoch.
+    */
+  test("JDBC upsert replay after a mid-epoch crash is a ledger no-op " +
+    "(exactly-once through restart)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.sources.{Connectors, DerbyTest, JdbcUpsertSink}
+    import org.apache.spark.sql.functions.col
+
+    val source = MemoryStream[String](spark)
+    val url = DerbyTest.url("ledger")
+    val ckpt = Files.createTempDirectory("graft-ckpt-ledger").toString
+    val sink = new JdbcUpsertSink(url, "covid_aggregates",
+      Seq("window_start", "location"),
+      driver = Connectors.DerbyDriver,
+      createTableColumnTypes =
+        Some("location VARCHAR(64), continent VARCHAR(32)"))
+    val delivered =
+      java.util.Collections.synchronizedList(
+        new java.util.ArrayList[Long]())
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      CovidStreamPipeline
+        .transform(CovidStreamPipeline.countriesDim(spark))(source.toDF())
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          delivered.add(id)
+          sink.upsert(b, id)
+          if (crashOnce.getAndSet(false))
+            throw new RuntimeException("injected crash after sink commit")
+        }
+        .start()
+
+    val q1 = run()
+    source.addData(row("2021-03-01", "New Zealand", 5, 100))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+
+    val q2 = run()
+    source.addData(row("2021-03-01", "New Zealand", 3, 110),
+      row("2021-03-01", "Canada", 2, 40))
+    q2.processAllAvailable()
+    q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    assert(delivered.asScala.count(_ == 0L) == 2,
+      s"batch 0 must be delivered twice (crash + replay), got $delivered")
+    val back = Connectors.jdbcDimReader(spark, url, "covid_aggregates",
+      "app", "app", driver = Connectors.DerbyDriver).load()
+    // Zero duplicate keys, and NZ's value proves the replayed epoch 0
+    // did not re-merge (5 from epoch 0, +3 from epoch 1 — not +5+3).
+    assert(back.count() == 2)
+    val nz = back.filter(col("location") === "New Zealand")
+      .select("total_new_cases_in_window").head().getLong(0)
+    assert(nz == 8L, s"NZ total $nz — a re-applied epoch would inflate it")
+    val epochs = Connectors.jdbcDimReader(spark, url,
+      "covid_aggregates_epochs", "app", "app",
+      driver = Connectors.DerbyDriver).load()
+      .select("batch_id").as[Long].collect().sorted.toSeq
+    assert(epochs == Seq(0L, 1L), s"ledger rows $epochs")
+  }
 }
