@@ -270,6 +270,67 @@ object Soak {
     println(s"""{"metric":"soak_ivf_codebook","n_centroids":32,""" +
       s""""n_probe":4,"recall_first_n":$rIvf0,"recall_lloyd":$rIvfL,""" +
       s""""sec_lloyd_train":$tTrain,"sec_ivf_lloyd":$tIvfL}""")
+
+    // At-rest layout soak (VERDICT r8 directive 2): the amplified
+    // corpus written in its production layouts, probed FROM COLD
+    // STORAGE with executed-plan invariants — intake/query work never
+    // reshuffles the resident corpus.
+    // (a) documents partitioned by source: a source-scoped governance
+    //     read must prune at the scan (PartitionFilters, one source's
+    //     directories only).
+    val docStoreDir = s"$soakDir/doc_store"
+    val (_, tDocWrite) = timed {
+      operators.AtRestStores.writeDocumentsStore(docs, docStoreDir)
+    }
+    val storedDocs = operators.AtRestStores
+      .documentsStore(spark, docStoreDir)
+    val oneSrc = storedDocs.filter(col("source") === "src3")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val (nSrcRows, tDocProbe) = timed { oneSrc.collect().length }
+    val docScan = oneSrc.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("doc_store")).getOrElse("")
+    require(docScan.contains("PartitionFilters") &&
+      docScan.contains("source"),
+      s"documents store scan not partition-pruned: $docScan")
+    // (b) IVF cell-partitioned vectors: write once with the trained
+    //     codebook, probe from disk; the scan carries the probed cells
+    //     as partition filters and every shuffle in the plan is
+    //     q_id-sized (the corpus side streams straight into the
+    //     broadcast probe join).
+    val ivfDir = s"$soakDir/ivf_store"
+    val (_, tIvfWrite) = timed {
+      operators.Similarity.writeIvfStore(e, cbLloyd, NQ, ivfDir)
+    }
+    val storedIvf = operators.Similarity.ivfTopKFromStore(spark, ivfDir,
+      operators.Similarity.querySide(e, NQ), 4, 10)
+    val (storedRows, tIvfProbe) = timed { storedIvf.collect() }
+    val ivfPlan = storedIvf.queryExecution.executedPlan
+    val ivfScan = ivfPlan.collectLeaves().map(_.toString)
+      .find(_.contains("ivf_store")).getOrElse("")
+    require(ivfScan.contains("PartitionFilters") &&
+      ivfScan.contains("cid"),
+      s"ivf store scan not cell-pruned: $ivfScan")
+    val ivfShuffles = ivfPlan.toString
+      .split("== Initial Plan ==").head
+      .linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .toSeq
+    require(ivfShuffles.nonEmpty &&
+      ivfShuffles.forall(_.contains("q_id")),
+      s"corpus-side shuffle leaked into the store probe:\n" +
+        ivfShuffles.mkString("\n"))
+    // Parity: identical rows to the in-memory search over the same
+    // codebook (same tie-breaks) — the layout changes the I/O shape,
+    // never the answer.
+    val memRows = operators.Similarity
+      .ivfTopKWith(e, cbLloyd, NQ, 4, 10).collect()
+    require(storedRows.map(_.toString).sorted.toSeq ==
+      memRows.map(_.toString).sorted.toSeq,
+      "store probe diverged from in-memory IVF")
+    println(s"""{"metric":"soak_at_rest","n_copies":$annN,""" +
+      s""""doc_src_rows":$nSrcRows,"ivf_rows":${storedRows.length},""" +
+      s""""sec_doc_write":$tDocWrite,"sec_doc_probe":$tDocProbe,""" +
+      s""""sec_ivf_write":$tIvfWrite,"sec_ivf_probe":$tIvfProbe,""" +
+      s""""plan":"cell-pruned scan, q_id-only shuffles, parity ok"}""")
     // PQ-ADC, two measurements with two different corpora BY DESIGN:
     // THROUGHPUT on the amplified corpus (where the 150k-vector scan is
     // the work), QUALITY on the base corpus (the standard ANN-benchmark

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -248,6 +248,81 @@ object Similarity {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
     assigned.join(broadcast(probes), "cid")
+      .select(col("q_id"), col("n_id"), cosCol.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id", "rn", "cos")
+  }
+
+  /** Query side of the standard split — public for store probes that
+    * start from cold storage rather than a prepared in-memory frame.
+    */
+  def querySide(e: DataFrame, nQueries: Int): DataFrame =
+    split(e, nQueries)._1
+
+  /** At-rest IVF layout: every corpus vector assigned to its nearest
+    * centroid ONCE, written PARTITIONED BY cell id with the KB-sized
+    * codebook alongside — the layout a 100 TB vector corpus maintains
+    * so query batches never pay assignment (corpus × centroids) again
+    * and, more importantly, never SCAN unprobed cells: the probe's
+    * cell set pushes into the parquet read as a partition filter, so
+    * with nProbe of nCentroids cells probed the scan reads ~nProbe/
+    * nCentroids of the corpus FROM DISK. Cell skew follows data skew
+    * (Lloyd centroids equalize mass roughly); a pathologically hot
+    * cell is bounded the same way ivfTopKWith's scoring is — per-cell
+    * work is (cell size × queries probing it), and splitting hot cells
+    * (training more centroids) is the production lever.
+    */
+  def writeIvfStore(e: DataFrame, codebook: DataFrame, nQueries: Int,
+      path: String): Unit = {
+    val corpus = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("n_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    // Same payload-free argmax as ivfTopKWith (assignment is the one
+    // corpus-wide pass the store amortizes away).
+    val bestCid = corpus.crossJoin(broadcast(codebook))
+      .withColumn("csim", expr("array_dot(cv, centv) / (cn * centn)"))
+      .groupBy(col("n_id"))
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("n_id"), (-col("m.ncid")).cast("int").as("cid"))
+    // cid is cast to int on BOTH write and probe: parquet partition
+    // directories infer back as IntegerType, and a type mismatch on
+    // the partition column would silently disable pruning.
+    corpus.join(bestCid, "n_id")
+      .write.partitionBy("cid").mode("overwrite")
+      .parquet(s"$path/vectors")
+    codebook.write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** ANN search OFF the stored layout: probe cells are chosen against
+    * the stored codebook (collected driver-side — nCentroids rows,
+    * KBs), pushed into the vector scan as `cid IN (...)` — a
+    * PARTITION-PRUNED read touching only probed cell directories —
+    * and the per-(query, cell) restriction applies via a broadcast
+    * join. The corpus side has ZERO exchanges: scan → broadcast join →
+    * WindowGroupLimit top-k; the only shuffle in the plan is the final
+    * q_id-sized window exchange. Bit-identical to ivfTopKWith over the
+    * same codebook (same tie-breaks), AtRestLayoutSpec pins both plan
+    * and parity.
+    */
+  def ivfTopKFromStore(spark: SparkSession, path: String,
+      queries: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    val cent = spark.read.parquet(s"$path/codebook")
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("psim").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(cent))
+      .withColumn("psim", expr("array_dot(qv, centv) / (qn * centn)"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("qn"),
+        col("cid").cast("int").as("cid"))
+    val cells = probes.select("cid").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val store = spark.read.parquet(s"$path/vectors")
+      .filter(col("cid").isin(cells: _*))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    store.join(broadcast(probes), "cid")
       .select(col("q_id"), col("n_id"), cosCol.as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
