@@ -1,0 +1,217 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Sustained streaming soak (VERDICT r8 directive 7): drive the three
+  * stateful pipelines — the flagship covid consumer, the
+  * transformWithState rolling z-score, and the intake near-dup gate —
+  * from MemoryStream feeds for O(100) micro-batches each, recording
+  * per-batch throughput and state-store size from
+  * StreamingQueryProgress. The existing specs prove correctness across
+  * ONE batch split; this proves the operational claim that matters for
+  * a long-running stream: state stays BOUNDED under sustained load
+  * (watermark eviction / fixed-key rings actually hold), and batch
+  * durations stay flat instead of creeping as state accumulates.
+  *
+  * Each pipeline `require`s its flatness invariant:
+  *  - flagship: watermark-evicted window state — last-quarter mean
+  *    state rows ≤ 1.5× second-quarter mean (steady ≈ live windows ×
+  *    locations, independent of batches processed);
+  *  - z-score: state rows == distinct users (one bounded ring per
+  *    key), exactly flat once every user has been seen;
+  *  - near-dup gate: stateless foreachBatch — offsets are the only
+  *    state; per-batch duration must not trend up (last-quarter mean
+  *    ≤ 2× second-quarter mean).
+  *
+  *   SPARK_GRAFT_STREAM_BATCHES=120 sbt "runMain graft.StreamSoak"
+  */
+object StreamSoak {
+
+  final case class Progress(batchId: Long, inputRows: Long,
+      durationMs: Long, stateRows: Long, stateMemBytes: Long)
+
+  /** Drain `query.lastProgress` after a processAllAvailable round into
+    * the per-batch log (multiple micro-batches can fire per round; the
+    * recent-progress buffer holds the intermediate ones).
+    */
+  private def record(query: StreamingQuery,
+      log: mutable.LinkedHashMap[Long, Progress]): Unit =
+    query.recentProgress.foreach { p =>
+      val (sr, sm) = p.stateOperators.headOption
+        .map(s => (s.numRowsTotal, s.memoryUsedBytes)).getOrElse((0L, 0L))
+      log.put(p.batchId, Progress(p.batchId, p.numInputRows,
+        p.durationMs.getOrDefault("triggerExecution", 0L), sr, sm))
+    }
+
+  private def quarterMeans(xs: Seq[Long]): (Double, Double, Double) = {
+    val q = math.max(1, xs.size / 4)
+    def mean(s: Seq[Long]): Double =
+      if (s.isEmpty) 0.0 else s.sum.toDouble / s.size
+    (mean(xs.take(q)), mean(xs.slice(q, 2 * q)), mean(xs.takeRight(q)))
+  }
+
+  private def summarize(name: String,
+      log: mutable.LinkedHashMap[Long, Progress]): (Double, Double) = {
+    val ps = log.values.toSeq.filter(_.inputRows > 0)
+    val rows = ps.map(_.inputRows).sum
+    val secs = ps.map(_.durationMs).sum / 1000.0
+    val (f, m, l) = quarterMeans(ps.map(_.stateRows))
+    val (df, dm, dl) = quarterMeans(ps.map(_.durationMs))
+    println(s"""{"metric":"stream_soak","pipeline":"$name",""" +
+      s""""batches":${ps.size},"rows":$rows,""" +
+      s""""rows_per_sec":${math.round(rows / secs)},""" +
+      s""""state_rows_q1":$f,"state_rows_q2":$m,"state_rows_q4":$l,""" +
+      s""""state_mem_mb_last":${ps.lastOption.map(p =>
+        math.round(p.stateMemBytes / 1024.0 / 1024.0 * 10) / 10.0)
+        .getOrElse(0.0)},""" +
+      s""""batch_ms_q1":$df,"batch_ms_q2":$dm,"batch_ms_q4":$dl}""")
+    (m, l)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "120")
+      .toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftConf.tune(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-stream-soak").toString
+
+    // ---- 1. flagship covid pipeline: parse → watermarked 1-minute
+    // window agg → broadcast-dim enrich, update mode. Event time
+    // advances one day per batch (the wire format carries dates), so
+    // the 10-minute watermark closes each day's windows as the next
+    // day arrives — state must hold only the live day per location.
+    {
+      val dim = streaming.CovidStreamPipeline.countriesDim(spark)
+      val locations = dim.select("country_name").as[String].collect()
+      val source = MemoryStream[String](spark)
+      val query = streaming.CovidStreamPipeline
+        .transform(dim)(source.toDF())
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$tmp/flagship_ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.count(); ()
+        }
+        .start()
+      val log = mutable.LinkedHashMap.empty[Long, Progress]
+      val day0 = java.time.LocalDate.parse("2021-01-01")
+      (0 until nBatches).foreach { i =>
+        val date = day0.plusDays(i.toLong).toString
+        val batch = for {
+          loc <- locations.toSeq
+          r <- 0 until 250
+        } yield s"""{"date":"$date","location":"$loc",""" +
+          s""""new_cases":${(r * 7 + i) % 500},""" +
+          s""""total_cases":${1000 + i * 13 + r}}"""
+        source.addData(batch: _*)
+        query.processAllAvailable()
+        record(query, log)
+      }
+      query.stop()
+      val (mid, last) = summarize("flagship_window_agg", log)
+      require(last <= 1.5 * mid + 1,
+        s"flagship window state grew: mid=$mid last=$last — watermark " +
+          "eviction is not holding")
+    }
+
+    // ---- 2. transformWithState rolling z-score: fixed user
+    // population, unbounded stream — state is one ≤(frame−1)-long ring
+    // per user, so numRowsTotal must equal the user count and stay
+    // EXACTLY flat from the first batch to the last.
+    {
+      val nUsers = 200
+      val source = MemoryStream[streaming.StatefulOps.ZEvent](spark)
+      val query = streaming.StatefulOps.zScores(source.toDS())
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$tmp/zscore_ckpt")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[streaming.StatefulOps.ZScore],
+           _: Long) => b.count(); ()
+        }
+        .start()
+      val log = mutable.LinkedHashMap.empty[Long, Progress]
+      (0 until nBatches).foreach { i =>
+        val batch = (0 until 2000).map { r =>
+          val eid = i.toLong * 2000 + r
+          streaming.StatefulOps.ZEvent(eid, eid % nUsers,
+            1600000000000000L + eid * 1000, (eid * 31 % 97).toDouble)
+        }
+        source.addData(batch: _*)
+        query.processAllAvailable()
+        record(query, log)
+      }
+      query.stop()
+      val (mid, last) = summarize("zscore_rings", log)
+      require(mid == nUsers && last == nUsers,
+        s"z-score state must stay exactly $nUsers rings: mid=$mid " +
+          s"last=$last")
+    }
+
+    // ---- 3. intake near-dup gate: stateless foreachBatch against the
+    // static banded corpus — per-batch wall time must stay flat (a
+    // trend up would mean per-batch corpus work is accumulating).
+    {
+      val corpusDocs = Tables.t(spark, sys.env.getOrElse(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"), "documents")
+      val corpusSh = operators.Dedup.docShingles(corpusDocs,
+        cacheKey = s"$tmp|streamsoak")
+      corpusSh.count()
+      val texts = corpusDocs.select("doc_id", "text")
+        .as[(Long, String)].collect()
+      val matches = new java.util.concurrent.atomic.AtomicLong
+      val source = MemoryStream[(Long, String)](spark)
+      val query = streaming.StreamOps.streamingNearDup(
+        source.toDF().toDF("doc_id", "text"), corpusSh, 4, 5,
+        s"$tmp/neardup_ckpt") { (pairs, _) =>
+        matches.addAndGet(pairs.count()); ()
+      }
+      val log = mutable.LinkedHashMap.empty[Long, Progress]
+      (0 until nBatches).foreach { i =>
+        // 200 docs/batch: half exact copies of corpus docs (must hit),
+        // half salted below the 0.8 Jaccard threshold (must pass) —
+        // fresh ids every batch. The salt is length-proportional
+        // DISTINCT tokens (a repeated token would collapse to ~3
+        // shingles and the copy would still match).
+        val batch = (0 until 200).map { r =>
+          val (cid, ctext) = texts((i * 131 + r * 7) % texts.length)
+          val id = 1000000L + i.toLong * 1000 + r
+          if (r % 2 == 0) (id, ctext)
+          else {
+            val salt = (0 until math.max(12, ctext.length / 12))
+              .map(j => s"zz${cid}x${i}y${r}z$j").mkString(" ")
+            (id, s"$ctext $salt")
+          }
+        }
+        source.addData(batch: _*)
+        query.processAllAvailable()
+        record(query, log)
+      }
+      query.stop()
+      val ps = log.values.toSeq.filter(_.inputRows > 0)
+      val (_, dm, dl) = quarterMeans(ps.map(_.durationMs))
+      summarize("neardup_gate", log)
+      println(s"""{"metric":"stream_soak_neardup_matches",""" +
+        s""""verified_pairs":${matches.get}}""")
+      require(dl <= 2.0 * dm + 50,
+        s"near-dup gate batch time trending up: q2=$dm ms q4=$dl ms")
+    }
+
+    operators.Dedup.clearCaches(spark)
+    spark.stop()
+  }
+}

@@ -179,16 +179,27 @@ object Dedup {
     Memo.memo("pairs", docs.sparkSession,
       if (cacheKey.isEmpty) "" else s"$cacheKey|p=$p|q=$q",
       persistIt = true) {
-      graft.functions.GraftFunctions.register(docs.sparkSession)
-      val cand = bandSignatures(docs, cacheKey)
-        .groupBy("band", "sig")
-        .agg(collect_list(col("doc_id")).as("ids"))
-        .filter(size(col("ids")) >= 2)
-        .select(expr(s"pair_expand_cap(ids, $BandCap)"))
-        .distinct()
-      withJaccard(cand, docs)
-        .filter(col("jaccard") >= lit(p.toDouble) / q)
+      minhashPairsPlan(docs, p, q, cacheKey)
     }
+
+  /** The un-memoized [[minhashNearDupPairs]] frame — same plan, no
+    * persist. Exists for plan audits (ChainSoak): the memoized frame is
+    * cache-substituted by its OWN InMemoryRelation at planning time, so
+    * shape invariants (memoized-shingle reuse, no unbounded joins)
+    * asserted on it would be vacuous.
+    */
+  private[graft] def minhashPairsPlan(docs: DataFrame, p: Int, q: Int,
+      cacheKey: String = ""): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val cand = bandSignatures(docs, cacheKey)
+      .groupBy("band", "sig")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(expr(s"pair_expand_cap(ids, $BandCap)"))
+      .distinct()
+    withJaccard(cand, docs)
+      .filter(col("jaccard") >= lit(p.toDouble) / q)
+  }
 
   /** Banded (doc_id, band, sig) signatures for LSH candidate joins,
     * memoized per (session, cacheKey) — the minhash pass over the
