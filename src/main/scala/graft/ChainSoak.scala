@@ -317,5 +317,13 @@ object ChainSoak {
       .foreach(_.unpersist(blocking = false))
     operators.Dedup.clearCaches(spark)
     spark.stop()
+    deleteRecursively(new java.io.File(soakDir))
+  }
+
+  /** The amplified corpus is GBs at 200× — don't leave it in /tmp. */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

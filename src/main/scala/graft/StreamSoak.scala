@@ -213,5 +213,6 @@ object StreamSoak {
 
     operators.Dedup.clearCaches(spark)
     spark.stop()
+    ChainSoak.deleteRecursively(new java.io.File(tmp))
   }
 }

@@ -271,16 +271,21 @@ object Dedup {
     *
     * Broadcast-size guard: the broadcast side is 16 band rows per
     * incoming doc (~48 bytes each). With `broadcastIncoming = None`
-    * (the default) the operator decides itself: it counts the incoming
-    * docs (one cheap job — incoming is typically a filter over the
-    * persisted shingle cache) and broadcasts only while the estimated
-    * band-row bytes fit spark.sql.autoBroadcastJoinThreshold; past
-    * that it falls back to a shuffle join on (band, sig) — same
-    * output, one extra exchange of the corpus signatures (which a
-    * (band, sig)-bucketed corpus layout avoids entirely). An explicit
-    * broadcast() hint would OVERRIDE the threshold, so the auto path
-    * is what makes the guard enforced rather than caller discipline;
-    * pass Some(...) to pin the plan and skip the count job.
+    * (the default) the operator decides itself, stats-first: if
+    * Catalyst's free size estimate for the incoming frame is
+    * decisively over threshold (> 4× autoBroadcastJoinThreshold — a
+    * backfill-sized intake), it takes the shuffle path with no extra
+    * job at all; only the ambiguous band near the threshold pays one
+    * exact count job (cheap there by construction — the frame is
+    * small, typically a filter over the persisted shingle cache), and
+    * broadcasts only while the counted band-row bytes fit the
+    * threshold. Past that it falls back to a shuffle join on
+    * (band, sig) — same output, one extra exchange of the corpus
+    * signatures (which a (band, sig)-bucketed corpus layout avoids
+    * entirely). An explicit broadcast() hint would OVERRIDE the
+    * threshold, so the auto path is what makes the guard enforced
+    * rather than caller discipline; pass Some(...) to pin the plan
+    * and skip both probes.
     *
     * Hot-bucket guard (`probeCap > 0`): a boilerplate (band, sig)
     * bucket with B corpus members matched by M intake docs emits
@@ -314,7 +319,21 @@ object Dedup {
       .withColumnRenamed("doc_id", "new_id")
     val doBroadcast = broadcastIncoming.getOrElse {
       val thr = autoBroadcastBytes(corpus.sparkSession)
-      thr > 0 && incoming.count() * 16L * 48L <= thr
+      if (thr <= 0) false
+      else {
+        // Stats-first sizing (VERDICT r8): Catalyst's free estimate
+        // settles the common at-scale case — a backfill-sized intake
+        // whose estimate is decisively over threshold goes straight
+        // to the shuffle path with ZERO extra jobs (mis-estimating
+        // here costs a slower join, never a wrong answer or an OOM).
+        // Only the ambiguous band near the threshold — where source
+        // stats (compressed bytes, selectivity guesses) cannot be
+        // trusted either way — pays the exact count job, and there
+        // the frame is small by construction.
+        val est = incoming.queryExecution.optimizedPlan.stats.sizeInBytes
+        est <= BigInt(4L) * BigInt(thr) &&
+          incoming.count() * 16L * 48L <= thr
+      }
     }
     val nb = if (doBroadcast) broadcast(nb0) else nb0
     val cb0 = Option(corpusBands).getOrElse(bandSignatures(corpus))
@@ -397,20 +416,44 @@ object Dedup {
     * so convergence is O(log diameter), not O(diameter). The driver only
     * checks a convergence flag; the data never leaves the cluster.
     */
+  /** Eager lineage truncation for the CC loop. Default is
+    * `localCheckpoint` (executor storage — fastest, but blocks die
+    * with executors, so a lost executor aborts the loop). Set session
+    * conf `spark.graft.reliableCheckpoint=true` (plus
+    * `SparkContext.setCheckpointDir`) to use RELIABLE checkpointing
+    * instead — the production setting for long CC runs on preemptible
+    * fleets: iterations survive executor loss at the cost of one
+    * extra materialization job per checkpoint (RDD checkpoint files
+    * are written by a follow-up job). Both forms return a LogicalRDD
+    * that preserves outputPartitioning, so the loop's width pinning
+    * is unaffected; the block-level unpersist calls are no-ops on
+    * reliable checkpoints (their files are context-lifetime).
+    */
+  private def eagerCheckpoint(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.get("spark.graft.reliableCheckpoint", "false")
+        .toBoolean) {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        "spark.graft.reliableCheckpoint=true requires " +
+          "SparkContext.setCheckpointDir")
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
+
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20,
       saltBuckets: Int = 0): DataFrame = {
     // Iterative lineage discipline: every iteration ends in an EAGER
-    // localCheckpoint, which truncates the plan to the materialized
+    // checkpoint, which truncates the plan to the materialized
     // rows. Plain persist chains are a trap here — unpersisting an old
     // iteration CASCADE-invalidates every cached plan built on it, so
     // later actions silently recompute the entire iteration history
-    // (measured 10× blowup). In production, swap localCheckpoint
-    // (executor-storage) for reliable checkpointing.
+    // (measured 10× blowup). See eagerCheckpoint for the
+    // executor-storage vs reliable trade.
     val spark = pairs.sparkSession
-    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
-      .union(pairs.select(col("db").as("a"), col("da").as("b")))
-      .distinct()
-      .localCheckpoint()
+    val edges = eagerCheckpoint(
+      pairs.select(col("da").as("a"), col("db").as("b"))
+        .union(pairs.select(col("db").as("a"), col("da").as("b")))
+        .distinct())
     // The pair graph is orders of magnitude smaller than the corpus
     // that produced it, so inheriting the corpus-sized shuffle width
     // makes every CC iteration pay parallelism-many near-empty tasks
@@ -435,12 +478,11 @@ object Dedup {
     val width = math.max(1L, math.min(
       spark.conf.get("spark.sql.shuffle.partitions").toLong,
       edges.count() / 50000L + 1L)).toInt
-    val edgesW = edges.repartition(width, col("b")).localCheckpoint()
+    val edgesW = eagerCheckpoint(edges.repartition(width, col("b")))
     Memo.checkpointRdds(edges).foreach(_.unpersist(blocking = false))
-    var labels = edgesW.select(col("a").as("id"))
+    var labels = eagerCheckpoint(edgesW.select(col("a").as("id"))
       .repartition(width, col("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
+      .withColumn("lbl", col("id")))
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -455,13 +497,13 @@ object Dedup {
       // `changed` flag is computed INSIDE the same checkpoint job (a
       // join against the old labels), so convergence detection is a
       // plain filter-scan of the checkpointed rows, not a second join.
-      val next = hop
+      val next = eagerCheckpoint(hop
         .join(hop.select(col("id").as("lbl"), col("lbl").as("lbl2")),
           "lbl")
         .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl"))
         .join(labels.withColumnRenamed("lbl", "old"), "id")
-        .select(col("id"), col("lbl"), (col("lbl") < col("old")).as("chg"))
-        .localCheckpoint()
+        .select(col("id"), col("lbl"),
+          (col("lbl") < col("old")).as("chg")))
       converged = next.filter(col("chg")).isEmpty
       // next is eagerly materialized with truncated lineage, so the
       // previous iteration's checkpoint blocks can be dropped NOW — the

@@ -41,6 +41,30 @@ class DedupClustersSpec extends AnyFunSuite {
       .rdd.getNumPartitions === 3)
   }
 
+  test("reliable-checkpoint mode produces identical labels " +
+    "(spark.graft.reliableCheckpoint)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (20L, 21L)).toDF("da", "db")
+    val local = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    // Missing checkpoint dir must fail loudly, not fall back silently.
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      intercept[IllegalArgumentException] {
+        Dedup.nearDupClusters(pairs).count()
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-cc-ckpt").toString
+      spark.sparkContext.setCheckpointDir(dir)
+      val reliable = Dedup.nearDupClusters(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(reliable == local,
+        "reliable-checkpoint CC diverged from localCheckpoint CC")
+    } finally spark.conf.unset("spark.graft.reliableCheckpoint")
+  }
+
   test("incremental dedup equals the cross-split restriction of the " +
     "full pair scan") {
     val spark = TestSpark.spark
