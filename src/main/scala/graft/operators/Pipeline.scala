@@ -260,6 +260,58 @@ object Pipeline {
       .select("doc_id", "term", "tf", "df", "rk", "score")
   }
 
+  /** BM25 retrieval ranking over the corpus for a fixed query-term set
+    * — the retrieval scorer a curation pipeline uses to surface
+    * benchmark-relevant or topic-relevant documents (targeted
+    * decontamination sweeps, quality-by-relevance sampling, eval-set
+    * mining). Okapi BM25 with k1 = 1.2, b = 0.75.
+    *
+    * Cross-engine exactness follows the repo's quantize-then-sum
+    * contract: idf is the RATIONAL (N − df + 0.5)/(df + 0.5) — no
+    * log, the tfIdfTopK precedent (rank-equivalent per term since log
+    * is monotone, and +,−,×,÷ on doubles are exactly-rounded IEEE ops
+    * that agree bit-for-bit across engines, unlike libm log) — and
+    * each term's contribution is floored to integer MICROS before the
+    * per-document sum, so the aggregate is an order-independent
+    * integer sum.
+    *
+    * Scale shape: one pass over the memoized docTerms table; the
+    * query-term df table is |terms|-sized and broadcasts; corpus
+    * stats are a broadcast scalar; the only corpus-sized join is
+    * contributions ⋈ doc-lengths on doc_id (both sides already
+    * doc-keyed aggregates); top-k is sort+limit
+    * (TakeOrderedAndProject — never a global sort).
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+      cacheKey: String = ""): DataFrame = {
+    val tf = docTerms(docs, cacheKey)
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tok_total"))
+    val dfq = tf.filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    tf.filter(col("term").isin(terms: _*))
+      .join(broadcast(dfq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("tok_total").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("tfn",
+        col("tf").cast("double") * lit(2.2) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / col("avgdl")))))
+      .withColumn("cm",
+        floor(col("idf") * col("tfn") * lit(1000000.0)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum(col("cm")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** PII detection/redaction patterns — deliberately backslash-free
     * (char-class digits, `[.]` instead of `\.`) so the same literal
     * string is a valid, identically-matching regex in Java regex

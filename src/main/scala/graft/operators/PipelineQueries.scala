@@ -138,6 +138,46 @@ object PipelineQueries {
         .orderBy("doc_id", "rk")
     },
 
+    // BM25 retrieval top-k for a fixed query-term set (one rare term,
+    // three mid-frequency — exercises the idf spread). Exactness: the
+    // rational no-log idf and per-term floor-to-micros before the
+    // order-independent integer sum (see Pipeline.bm25TopK); every
+    // double op in both engines is an exactly-rounded IEEE +,−,×,÷
+    // with identical literal constants and association order.
+    QuerySpec("bm25_topk",
+      s"""WITH tq AS (SELECT doc_id, unnest(${TextOps.toksD}) AS term
+         |            FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tq
+         |       GROUP BY doc_id, term),
+         |dlt AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf
+         |        GROUP BY doc_id),
+         |st AS (SELECT COUNT(*) AS n_docs,
+         |              CAST(SUM(dl) AS BIGINT) AS tok_total FROM dlt),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf
+         |        WHERE term IN ('dup', 'vector', 'spark', 'merge')
+         |        GROUP BY term),
+         |c AS (
+         |  SELECT tf.doc_id,
+         |         CAST(FLOOR(
+         |           ((CAST(st.n_docs AS DOUBLE) - dfq.df + 0.5)
+         |             / (CAST(dfq.df AS DOUBLE) + 0.5))
+         |           * (CAST(tf.tf AS DOUBLE) * 2.2
+         |              / (CAST(tf.tf AS DOUBLE) + 1.2
+         |                 * (0.25 + 0.75 * (CAST(dlt.dl AS DOUBLE)
+         |                    / (CAST(st.tok_total AS DOUBLE)
+         |                       / st.n_docs)))))
+         |           * 1000000.0) AS BIGINT) AS cm
+         |  FROM tf JOIN dfq USING (term) JOIN dlt USING (doc_id)
+         |  CROSS JOIN st)
+         |SELECT doc_id, COUNT(*) AS n_hit,
+         |       CAST(SUM(cm) AS BIGINT) AS score_micro
+         |FROM c GROUP BY doc_id
+         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        Pipeline.bm25TopK(t(s, dir, "documents"),
+          Seq("dup", "vector", "spark", "merge"), k = 20, cacheKey = dir)
+    },
+
     // Per-language vocabulary statistics — the tokenizer-training
     // diagnostic (vocab size, token mass, hapax share): a third
     // consumer of the memoized docTerms table (with tfidf_topk and

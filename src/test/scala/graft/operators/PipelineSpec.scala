@@ -399,4 +399,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 2L, 100L, 2000000L),
       ("b", 2L, 300L, 666666L)))
   }
+
+  test("bm25TopK ranks rare-term hits over common-term-only docs and " +
+    "rewards shorter documents at equal tf") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val corpus = (Seq(
+      (1L, "rare common alpha beta"),          // the one rare-term doc
+      (2L, "common alpha beta gamma"),
+      (3L, "common common alpha beta gamma delta eps zeta eta theta")
+    ) ++ (4L to 10L).map(i => (i, "alpha beta gamma delta")))
+      .toDF("doc_id", "text")
+    val out = Pipeline.bm25TopK(corpus, Seq("rare", "common"), k = 10)
+      .as[(Long, Long, Long)].collect()
+    // Top hit is the rare-term doc (idf dominates).
+    assert(out.head._1 == 1L, s"expected doc 1 on top, got ${out.head}")
+    assert(out.head._2 == 2L, "doc 1 hits both query terms")
+    // Among common-only docs, doc 2 (short) outranks doc 3 (long,
+    // higher tf but length-normalized down: tf saturation + b-norm).
+    val rank = out.map(_._1).toSeq
+    assert(rank.indexOf(2L) >= 0 && rank.indexOf(3L) >= 0 &&
+      rank.indexOf(2L) < rank.indexOf(3L),
+      s"length normalization inverted: $rank")
+    // Docs with no query term never appear.
+    assert(!rank.contains(4L))
+  }
 }
