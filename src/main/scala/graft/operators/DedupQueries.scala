@@ -324,33 +324,71 @@ object DedupQueries {
 
     // Portable 63-bit SimHash fingerprints (native SimHash63; oracle
     // computes the identical integer math).
-    QuerySpec("simhash",
-      s"""SELECT doc_id,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse(
-         |    list_transform(
-         |      list_reduce(list_prepend(
-         |          list_transform(range(0, 63), i -> CAST(0 AS BIGINT)),
-         |          list_transform(th, h ->
-         |            list_transform(range(0, 63), i ->
-         |              CASE WHEN ((h * (2 * i + 3) + i) % 1000000007) % 2
-         |                     = 1 THEN CAST(1 AS BIGINT)
-         |                   ELSE CAST(-1 AS BIGINT) END))),
-         |        (acc, w) -> list_transform(range(1, 64),
-         |                      i -> acc[i] + w[i])),
-         |      s -> CASE WHEN s > 0 THEN CAST(1 AS BIGINT)
-         |                ELSE CAST(0 AS BIGINT) END))),
-         |    (a, b) -> a * 2 + b) AS simhash
-         |FROM (
-         |  SELECT doc_id, list_transform(toks, t ->
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(string_split(t, ''), c ->
-         |        CAST(ascii(c) AS BIGINT))),
-         |      (a, c) -> (a * 31 + c) % 1000000007)) AS th
-         |  FROM (SELECT doc_id, ${TextOps.toksD} AS toks FROM documents)
-         |  WHERE len(toks) > 0
-         |) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    QuerySpec("simhash", s"$simhashSelD ORDER BY doc_id") { (s, dir) =>
       Dedup.simhashFingerprints(t(s, dir, "documents"))
         .orderBy("doc_id")
+    },
+
+    // SimHash Hamming near-dup pairs — the Manku-et-al chunk-blocked
+    // fingerprint join (see Dedup.simhashNearDupPairs): 4 aligned
+    // 16-bit chunks block candidates (complete for Hamming ≤ 3 by
+    // pigeonhole among sub-cap chunks), one popcount verifies. The
+    // oracle mirrors the blocking INCLUDING the ChunkCap hot-bucket
+    // prune, so both engines verify the identical candidate set at
+    // every SF (the synthetic corpus' 31-word vocabulary correlates
+    // fingerprints enough that hot chunks appear from sf0.1 up).
+    QuerySpec("simhash_neardup",
+      s"""WITH sh AS ($simhashSelD),
+         |ch AS (SELECT doc_id, i AS chunk_id,
+         |              (simhash >> (CAST(i AS INTEGER) * 16)) & 65535
+         |                AS chunk
+         |       FROM sh, range(0, 4) t(i)),
+         |bkt AS (SELECT chunk_id, chunk FROM ch
+         |        GROUP BY chunk_id, chunk
+         |        HAVING COUNT(*) BETWEEN 2 AND ${Dedup.ChunkCap}),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM bkt
+         |         JOIN ch a USING (chunk_id, chunk)
+         |         JOIN ch b USING (chunk_id, chunk)
+         |         WHERE a.doc_id < b.doc_id)
+         |SELECT da, db,
+         |       CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER)
+         |         AS hamming
+         |FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), maxHamming = 3,
+        cacheKey = dir)
+        .orderBy("da", "db")
     }
   )
+
+  /** The simhash fingerprint SELECT (no ORDER BY) — shared by the
+    * `simhash` spec and as the `sh` CTE of `simhash_neardup`.
+    */
+  private def simhashSelD: String =
+    s"""SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse(
+       |    list_transform(
+       |      list_reduce(list_prepend(
+       |          list_transform(range(0, 63), i -> CAST(0 AS BIGINT)),
+       |          list_transform(th, h ->
+       |            list_transform(range(0, 63), i ->
+       |              CASE WHEN ((h * (2 * i + 3) + i) % 1000000007) % 2
+       |                     = 1 THEN CAST(1 AS BIGINT)
+       |                   ELSE CAST(-1 AS BIGINT) END))),
+       |        (acc, w) -> list_transform(range(1, 64),
+       |                      i -> acc[i] + w[i])),
+       |      s -> CASE WHEN s > 0 THEN CAST(1 AS BIGINT)
+       |                ELSE CAST(0 AS BIGINT) END))),
+       |    (a, b) -> a * 2 + b) AS simhash
+       |FROM (
+       |  SELECT doc_id, list_transform(toks, t ->
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(t, ''), c ->
+       |        CAST(ascii(c) AS BIGINT))),
+       |      (a, c) -> (a * 31 + c) % 1000000007)) AS th
+       |  FROM (SELECT doc_id, ${TextOps.toksD} AS toks FROM documents)
+       |  WHERE len(toks) > 0
+       |)""".stripMargin
 }

@@ -39,6 +39,38 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(clusters.select("cluster_id").distinct().count() == 1)
   }
 
+  test("simhashNearDupPairs: identical docs pair at hamming 0; hot " +
+    "chunk buckets prune (ChunkCap), unrelated docs never pair") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Two identical docs + one unrelated: exactly the identical pair,
+    // hamming 0. (Unrelated-doc chunk collisions are possible in
+    // principle — 16-bit chunks — but these fixed texts don't collide.)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "the quick brown fox jumps over lazy dogs tonight"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhashNearDupPairs(docs).collect()
+    assert(out.length == 1 &&
+      out.head.getLong(0) == 1L && out.head.getLong(1) == 2L &&
+      out.head.getInt(2) == 0, s"got ${out.toSeq}")
+    // ChunkCap prune: >cap identical fingerprints share every chunk
+    // bucket, all four buckets go hot, zero candidates — the
+    // documented contract (a degenerate template group is exact
+    // dedup's job; no star here because a pair report carries no
+    // connectivity obligation).
+    val hot = (0 until Dedup.ChunkCap + 10)
+      .map(i => (i.toLong, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhashNearDupPairs(hot).count() == 0)
+    // Just under the cap: full pairwise expansion.
+    val warm = (0 until 20)
+      .map(i => (i.toLong, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhashNearDupPairs(warm).count() == 190)
+  }
+
   test("oracle fixtures stay under BandCap (star fallback disengaged)") {
     // minhash_lsh's declared oracle (exhaustive blocked pairs) emits
     // ALL verified pairs, but over-BandCap buckets emit only the
