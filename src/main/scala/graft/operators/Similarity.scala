@@ -521,6 +521,134 @@ object Similarity {
     cb
   }
 
+  /** IVF-PQ: the canonical billion-scale composite (Jégou et al.,
+    * IVFADC §IV) — coarse quantization PRUNES (only `nProbe` of
+    * `nCentroids` inverted lists are scanned per query) and product
+    * quantization COMPRESSES (the scanned lists score nSub-byte codes
+    * via lookup tables, not raw vectors). Encoding is over RESIDUALS
+    * r = v − centroid(v): residuals concentrate near the origin, so a
+    * shared sub-codebook quantizes them far better than raw vectors —
+    * the detail that separates IVFADC from naive "IVF then PQ".
+    *
+    * Query path: probe the nProbe nearest cells (cosine, the
+    * ivfTopKWith probe); per probed cell, build the LUT from the
+    * QUERY'S residual against that cell's centroid (each (q, cid)
+    * pair has its own table — the asymmetric distance is to
+    * r_q = q − c, matching how corpus residuals were encoded); score =
+    * nSub array subscripts summed per (query, corpus-code-row), only
+    * over rows whose cell the query probes.
+    *
+    * Scale shape: assignment + residual encode are the one-time corpus
+    * passes a production index persists (cell-partitioned, the
+    * writeIvfStore layout, with nSub bytes per vector instead of
+    * 256 B); the (q_id, cid) LUT table is nQueries·nProbe rows of
+    * (nSub·nCode) longs and BROADCASTS; scoring joins codes to LUTs
+    * on the cell id, so each corpus code row is scored only by the
+    * queries probing its cell — brute-force's queries×corpus product
+    * shrinks by nProbe/nCentroids twice over (scan pruning ×
+    * compressed payload). Exactness: same contracts as pqTopKWith
+    * (exactly-rounded IEEE sq-distance arithmetic, round-to-micros
+    * per cell, fixed m-order integer sum ≡ the oracle's
+    * order-independent SUM; completeness gate on every LUT).
+    */
+  def ivfPqTopK(e: DataFrame, nQueries: Int, nCentroids: Int,
+      nProbe: Int, nSub: Int, nCode: Int, k: Int): DataFrame = {
+    require(64 % nSub == 0,
+      s"nSub must divide the 64-dim embedding exactly, got $nSub")
+    val sub = 64 / nSub
+    val subspaces = s"explode(sequence(0, ${nSub - 1}))"
+    def slicedSub(v: String): String = s"slice($v, m * $sub + 1, $sub)"
+    def sq(a: String, b: String): String =
+      s"array_dot($a, $a) - 2 * array_dot($a, $b) + array_dot($b, $b)"
+    val cent = e.filter(col("vec_id") >= nQueries &&
+        col("vec_id") < nQueries + nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("centv"),
+        col("nrm").as("centn"))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("n_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    // Coarse assignment — the payload-free cosine argmax shared with
+    // ivfTopKWith/writeIvfStore, so cells coincide with the at-rest
+    // layout's partitions.
+    val bestCid = corpus.crossJoin(broadcast(cent))
+      .withColumn("csim", expr("array_dot(cv, centv) / (cn * centn)"))
+      .groupBy(col("n_id"))
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("n_id"), (-col("m.ncid")).as("cid"))
+    val residuals = corpus.join(bestCid, "n_id")
+      .join(broadcast(cent.select(col("cid"), col("centv"))), "cid")
+      .select(col("n_id"), col("cid"),
+        expr("zip_with(cv, centv, (a, b) -> a - b)").as("rv"))
+    // Deterministic first-nCode RESIDUAL sub-codebook (production
+    // trains per-subspace k-means on residuals offline).
+    val cb = residuals
+      .filter(col("n_id") >= nQueries && col("n_id") < nQueries + nCode)
+      .select((col("n_id") - nQueries).cast("int").as("code"), col("rv"))
+      .withColumn("m", expr(subspaces))
+      .select(col("m"), col("code"),
+        expr(slicedSub("rv")).as("cbv"))
+    // Encode: nearest sub-code per (residual, subspace) → one code
+    // array per vector, cid carried for the cell-blocked score join.
+    val enc = residuals
+      .withColumn("m", expr(subspaces))
+      .select(col("n_id"), col("cid"), col("m"),
+        expr(slicedSub("rv")).as("sv"))
+      .join(broadcast(cb), "m")
+      .select(col("n_id"), col("cid"), col("m"),
+        struct(expr(sq("sv", "cbv")).as("sq"), col("code")).as("sc"))
+      .groupBy("n_id", "cid", "m")
+      .agg(min(col("sc")).as("mn"))
+      .groupBy("n_id", "cid")
+      .agg(array_sort(collect_list(struct(col("m"),
+        col("mn.code").as("code")))).as("mc"))
+      .select(col("n_id"), col("cid"),
+        expr("transform(mc, x -> x.code)").as("codes"))
+      // Pin the scan width (the pqTopKWith AQE lesson: the code table
+      // is bytes-sized, the expansion lives downstream).
+      .repartition(e.sparkSession.sparkContext.defaultParallelism)
+    // Probe cells per query, then one LUT per (q_id, cid) from the
+    // query's residual against THAT cell's centroid.
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("psim").desc, col("cid"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      .crossJoin(broadcast(cent))
+      .withColumn("psim", expr("array_dot(qv, centv) / (qn * centn)"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("cid"),
+        expr("zip_with(qv, centv, (a, b) -> a - b)").as("qrv"))
+    val lut = probes
+      .withColumn("m", expr(subspaces))
+      .select(col("q_id"), col("cid"), col("m"),
+        expr(slicedSub("qrv")).as("qsv"))
+      .join(cb, "m")
+      .select(col("q_id"), col("cid"), struct(col("m"), col("code"),
+        round(expr(sq("qsv", "cbv")) * 1000000).cast("long").as("qm"))
+        .as("mcq"))
+      .groupBy("q_id", "cid")
+      .agg(array_sort(collect_list(col("mcq"))).as("l"))
+      .select(col("q_id"), col("cid"),
+        expr("transform(l, x -> x.qm)").as("luts"))
+      .withColumn("luts",
+        when(size(col("luts")) === nSub * nCode, col("luts"))
+          .otherwise(raise_error(concat(
+            lit(s"ivfpq sub-codebook incomplete: expected " +
+              s"${nSub * nCode} (m, code) cells, got "),
+            size(col("luts")).cast("string")))))
+    val adcMicro = (0 until nSub)
+      .map(m => s"luts[$m * $nCode + codes[$m]]").mkString(" + ")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist"), col("n_id"))
+    enc.join(broadcast(lut), "cid")
+      .select(col("q_id"), col("n_id"),
+        (expr(adcMicro).cast("double") / 1000000.0).as("adist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id", "rn", "adist")
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
     * embeddings and dropping near-identical members WITHIN each cluster —
     * the published recipe for pruning web-scale corpora where exact /
