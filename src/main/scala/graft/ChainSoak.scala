@@ -150,16 +150,29 @@ object ChainSoak {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$soakDir/documents.parquet")
 
-    var lastSnap = listener.totals
+    // Deterministic bus drain: waitUntilEmpty blocks until every queued
+    // task-end event is delivered (the fixed sleep it replaces was racy
+    // under load — ADVICE r9). Snapshots are taken at stage ENTRY, after
+    // a drain, so jobs run BETWEEN stage() calls (warm-up counts,
+    // driver-side collects) are excluded from every stage's delta
+    // instead of being silently credited to the next stage.
+    // (listenerBus is private[spark] at the Scala level but public in
+    // bytecode — reflective call, the standard out-of-package access.)
+    def drain(): Unit = {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        .invoke(bus, java.lang.Long.valueOf(30000L)): Unit
+    }
     def stage(name: String)(f: => (Long, Seq[SparkPlan])): Long = {
+      drain()
       listener.resetPeak()
-      val before = lastSnap
+      val before = listener.totals
       val t0 = System.nanoTime()
       val (rows, plans) = f
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // let the listener bus drain this stage's events
+      drain()
       val after = listener.totals
-      lastSnap = after
       plans.foreach { p =>
         val big = broadcastSizes(p).filter(_ > MaxBroadcastBytes)
         require(big.isEmpty,

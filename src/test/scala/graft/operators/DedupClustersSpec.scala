@@ -50,19 +50,26 @@ class DedupClustersSpec extends AnyFunSuite {
     val local = Dedup.nearDupClusters(pairs)
       .as[(Long, Long)].collect().toMap
     // Missing checkpoint dir must fail loudly, not fall back silently.
+    // Guarded: only assertable if no earlier suite in this shared JVM
+    // already set a checkpoint dir (suite-order independence).
     spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt")
     try {
-      intercept[IllegalArgumentException] {
-        Dedup.nearDupClusters(pairs).count()
+      if (spark.sparkContext.getCheckpointDir.isEmpty) {
+        intercept[IllegalArgumentException] {
+          Dedup.nearDupClusters(pairs).count()
+        }
       }
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-cc-ckpt").toString
-      spark.sparkContext.setCheckpointDir(dir)
+      spark.sparkContext.setCheckpointDir(dir.toString)
       val reliable = Dedup.nearDupClusters(pairs)
         .as[(Long, Long)].collect().toMap
       assert(reliable == local,
         "reliable-checkpoint CC diverged from localCheckpoint CC")
-    } finally spark.conf.unset("spark.graft.reliableCheckpoint")
+    } finally {
+      spark.conf.unset("spark.graft.reliableCheckpoint")
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
   }
 
   test("incremental dedup equals the cross-split restriction of the " +
