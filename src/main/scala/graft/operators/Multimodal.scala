@@ -1,68 +1,203 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque binary columns with typed
   * metadata, decoded batch-wise per partition.
   *
-  * The decode itself is a STUB — no image/audio codecs exist in this
-  * container — but everything Spark-side is real: the binary schema, the
-  * typed Dataset boundary, the per-partition batched iteration (the shape
-  * a vectorized decoder needs: amortize codec init across a batch, bound
-  * memory by batch size), and the metadata schema.
+  * The decode is REAL (round 10): payloads are genuine PNG/JPEG byte
+  * streams and every metadata/pixel value is read back through
+  * `javax.imageio` — the JDK's bundled codecs, present offline — not
+  * derived from byte lengths. The only synthetic piece is the payload
+  * GENERATOR (`renderPayload`): the testdata corpus carries no media
+  * column, so fixture images are rendered from a deterministic
+  * per-document rule. That rule is what makes the decode verifiable: a
+  * DuckDB oracle recomputes the expected dimensions/channels/pixel sums
+  * from the same rule in pure SQL, so the Spark answer is only right if
+  * the ImageIO decode actually recovered the real encoded pixels.
+  *
+  * Scale shape: render/encode/decode are per-row CPU work inside
+  * `mapPartitions` — embarrassingly parallel, no shuffle, driver never
+  * sees a payload. `mapPartitions` (not an Expression) is justified
+  * here: no Catalyst expression can host a stateful codec, and batching
+  * amortizes codec setup exactly as a vectorized decoder would.
   */
 object Multimodal {
 
   /** A media payload riding the pipeline as opaque bytes. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
 
-  /** Typed metadata the decode stage emits. */
-  final case class MediaMeta(doc_id: Long, byte_len: Int, width: Int,
-      height: Int, format: String, frames: Int)
+  /** Typed metadata the real decode stage emits. `px_sum` is the sum of
+    * every decoded raster sample across all bands — None for lossy
+    * formats (JPEG), where decoded pixels are codec-dependent.
+    */
+  final case class DecodedMeta(doc_id: Long, width: Int, height: Int,
+      channels: Int, format: String, px_sum: Option[Long])
 
   /** Batch size for per-partition decoding — bounds peak memory per task
     * regardless of partition size.
     */
   val DecodeBatchSize = 64
 
-  /** STUB decoder: a real implementation would hand `bytes` to an image
-    * codec. Deterministic fake so tests are stable: dimensions derived
-    * from payload length, format from the first byte.
+  // ---- deterministic fixture rule (mirrored in the DuckDB oracle) ----
+  // width  = doc_id % 24 + 8            (8..31)
+  // height = doc_id % 16 + 8            (8..23)
+  // channels = 3 if doc_id % 3 == 0 else 1
+  // format = jpeg if doc_id % 4 == 0 else png
+  // gray pixel v(x,y)  = (7x + 13y + doc_id) mod 256
+  // rgb   r = (7x + id) mod 256, g = (13y + id) mod 256,
+  //       b = (x + y + id) mod 256
+  def ruleWidth(id: Long): Int = (id % 24 + 8).toInt
+  def ruleHeight(id: Long): Int = (id % 16 + 8).toInt
+  def ruleChannels(id: Long): Int = if (id % 3 == 0) 3 else 1
+  def ruleFormat(id: Long): String = if (id % 4 == 0) "jpeg" else "png"
+
+  /** Render the fixture image for a doc_id and encode it through the
+    * real ImageIO PNG/JPEG writer — the output is a genuine media byte
+    * stream (magic bytes, IHDR/SOF headers, compressed scanlines).
     */
-  def decodeImageStub(bytes: Array[Byte]): (Int, Int, String) = {
-    val w = bytes.length % 640 + 1
-    val h = bytes.length % 480 + 1
-    val fmt = if (bytes.isEmpty) "empty"
-      else if (bytes(0) % 2 == 0) "png" else "jpeg"
-    (w, h, fmt)
+  def renderPayload(id: Long): Array[Byte] = {
+    val (w, h, ch) = (ruleWidth(id), ruleHeight(id), ruleChannels(id))
+    val img = new BufferedImage(w, h,
+      if (ch == 3) BufferedImage.TYPE_3BYTE_BGR
+      else BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (ch == 3) {
+          raster.setSample(x, y, 0, ((7L * x + id) % 256).toInt)
+          raster.setSample(x, y, 1, ((13L * y + id) % 256).toInt)
+          raster.setSample(x, y, 2, ((x + y + id) % 256).toInt)
+        } else {
+          raster.setSample(x, y, 0, ((7L * x + 13L * y + id) % 256).toInt)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    require(ImageIO.write(img, ruleFormat(id), out),
+      s"no ImageIO writer for ${ruleFormat(id)}")
+    out.toByteArray
   }
 
-  /** Decode metadata for every payload, batched per partition. Runs
-    * entirely on executors; the driver never sees a payload.
+  /** The media table: one real encoded PNG/JPEG payload per document.
+    * Rendering happens on executors inside the narrow doc_id projection
+    * — the driver never materializes a payload, and the column is the
+    * opaque `binary` a real ingest would carry.
     */
-  def extractMeta(ds: Dataset[MediaRow]): Dataset[MediaMeta] = {
+  def mediaTable(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, renderPayload(id))))
+  }
+
+  /** REAL decode: parse the payload with ImageIO, reading format from
+    * the codec that claimed the stream, dimensions/bands from the
+    * decoded raster, and the pixel sum from the decoded samples.
+    * Batched per partition; one stream/reader per row, reader disposed.
+    */
+  def decodeMeta(ds: Dataset[MediaRow]): Dataset[DecodedMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
-      rows.grouped(DecodeBatchSize).flatMap { batch =>
-        // One codec-init per batch in a real decoder.
-        batch.map { r =>
-          val (w, h, fmt) = decodeImageStub(r.payload)
-          MediaMeta(r.doc_id, r.payload.length, w, h, fmt,
-            r.payload.length % 30 + 1)
-        }
-      }
+      rows.grouped(DecodeBatchSize).flatMap(_.map { r =>
+        val (img, fmt) = readImage(r.payload)
+        val lossless = fmt == "png"
+        DecodedMeta(r.doc_id, img.getWidth, img.getHeight,
+          img.getRaster.getNumBands, fmt,
+          if (lossless) Some(rasterSum(img)) else None)
+      })
     }
   }
 
+  /** Decode `bytes` and return (image, normalized format name). */
+  def readImage(bytes: Array[Byte]): (BufferedImage, String) = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no ImageIO reader recognized the payload")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val fmt = reader.getFormatName.toLowerCase match {
+          case "jpg" => "jpeg"
+          case f => f
+        }
+        (reader.read(0), fmt)
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Sum of every sample in every band of a decoded image. */
+  def rasterSum(img: BufferedImage): Long = {
+    val raster = img.getRaster
+    val (w, h, nb) = (img.getWidth, img.getHeight, raster.getNumBands)
+    val line = new Array[Int](w * nb)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      raster.getPixels(0, y, w, 1, line)
+      var i = 0
+      while (i < line.length) { sum += line(i); i += 1 }
+      y += 1
+    }
+    sum
+  }
+
+  /** REAL resize: decode with ImageIO, nearest-neighbor resample with
+    * integer source mapping (srcX = x·srcW div outW — deterministic and
+    * oracle-expressible, unlike Graphics2D interpolation which is
+    * implementation-defined), re-encode PNG. Output rows are again real
+    * PNG payloads, so stages compose: decode(resize(media)) verifies
+    * the resized pixels round-trip.
+    */
+  def resizeNearest(ds: Dataset[MediaRow], outW: Int,
+      outH: Int): Dataset[MediaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val (src, _) = readImage(r.payload)
+      val nb = src.getRaster.getNumBands
+      val dst = new BufferedImage(outW, outH,
+        if (nb == 3) BufferedImage.TYPE_3BYTE_BGR
+        else BufferedImage.TYPE_BYTE_GRAY)
+      val sr = src.getRaster
+      val dr = dst.getRaster
+      val px = new Array[Int](nb)
+      var y = 0
+      while (y < outH) {
+        val sy = y * src.getHeight / outH
+        var x = 0
+        while (x < outW) {
+          val sx = x * src.getWidth / outW
+          sr.getPixel(sx, sy, px)
+          dr.setPixel(x, y, px)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(dst, "png", out)
+      MediaRow(r.doc_id, out.toByteArray)
+    })
+  }
+
   /** Adapt the documents table into media rows (text bytes standing in
-    * for image payloads — the testdata carries no real media).
+    * for opaque payloads — the byte-plumbing path used by frame
+    * sampling, where content is sliced, not decoded).
     */
   def documentsAsMedia(df: DataFrame): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
-    // Null payloads reject here, at the boundary: every downstream
-    // decode stub dereferences payload unguarded (a null-text document
-    // would NPE the task mid-pipeline otherwise).
+    // Null payloads reject here, at the boundary: downstream byte ops
+    // dereference payload unguarded (a null-text document would NPE the
+    // task mid-pipeline otherwise).
     df.select(col("doc_id"), col("text").cast("binary").as("payload"))
       .filter(col("payload").isNotNull)
       .as[MediaRow]
@@ -75,18 +210,11 @@ object Multimodal {
   /** Fixed-width numeric features extracted from a payload. */
   final case class MediaFeatures(doc_id: Long, features: Array[Double])
 
-  /** STUB resize: a real implementation rescales pixels to (w, h); the
-    * stand-in deterministically truncates / zero-pads to w*h bytes so the
-    * output size contract (every row same byte length) is real.
-    */
-  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
-    java.util.Arrays.copyOf(bytes, w * h)
-
   /** Frame sampling as a dataflow op: every `every`-th frame of each
     * payload, one output row per sampled frame (the flatMap/explode
     * shape — downstream stages parallelize over frames, not videos,
     * which is what keeps one long video from pinning one task). Frames
-    * are stubbed as fixed-size byte slices.
+    * are fixed-size byte slices (no container format exists to parse).
     */
   def sampleFrames(ds: Dataset[MediaRow], frameBytes: Int,
       every: Int): Dataset[MediaFrame] = {
@@ -102,24 +230,33 @@ object Multimodal {
     }
   }
 
-  /** Feature extraction: a 16-bin normalized byte histogram per payload —
-    * the embedding-extraction shape (a real model would emit a float
-    * vector; the histogram is a deterministic stand-in with the same
-    * schema). Batched like extractMeta so a vectorized model would
+  /** Feature extraction over DECODED pixels: a 16-bin normalized
+    * intensity histogram per image (all bands pooled) — the
+    * embedding-extraction shape (a real model would emit a learned
+    * float vector; the histogram is a deterministic stand-in with the
+    * same schema). Batched like decodeMeta so a vectorized model would
     * amortize its init per batch, and the output is exactly the
     * `Array[Double]` column the Similarity operators consume.
     */
-  def byteHistogram(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def pixelHistogram(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
-      rows.grouped(DecodeBatchSize).flatMap { batch =>
-        batch.map { r =>
-          val counts = new Array[Double](16)
-          r.payload.foreach(b => counts((b & 0xff) >> 4) += 1.0)
-          val n = math.max(r.payload.length, 1).toDouble
-          MediaFeatures(r.doc_id, counts.map(_ / n))
+      rows.grouped(DecodeBatchSize).flatMap(_.map { r =>
+        val (img, _) = readImage(r.payload)
+        val raster = img.getRaster
+        val (w, h, nb) = (img.getWidth, img.getHeight, raster.getNumBands)
+        val line = new Array[Int](w * nb)
+        val counts = new Array[Double](16)
+        var y = 0
+        while (y < h) {
+          raster.getPixels(0, y, w, 1, line)
+          var i = 0
+          while (i < line.length) { counts(line(i) >> 4) += 1.0; i += 1 }
+          y += 1
         }
-      }
+        val n = (w.toLong * h * nb).toDouble
+        MediaFeatures(r.doc_id, counts.map(_ / n))
+      })
     }
   }
 }

@@ -3,53 +3,111 @@ package graft.operators
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: media payloads ride as opaque `binary`
-  * columns with typed metadata derived engine-side. The testdata has no
-  * real media, so the payload is the UTF-8 document text treated as bytes;
-  * the *decode* step is stubbed (see graft.operators.Multimodal for the
-  * mapPartitions batch-decode plumbing) but the schema, byte handling, and
-  * metadata extraction are real and oracle-checked.
+/** Multimodal-column queries: media payloads ride as opaque `binary`
+  * columns; metadata comes from REAL `javax.imageio` decoding (round
+  * 10 — the stub decode is gone). The corpus carries no media column,
+  * so payloads are genuine PNG/JPEG streams rendered executor-side
+  * from a deterministic per-document rule (Multimodal.renderPayload);
+  * the oracle recomputes expected dimensions/channels/pixel sums from
+  * that rule in pure SQL, so these queries are green only if the
+  * ImageIO decode actually recovers the encoded pixels. The byte-level
+  * plumbing (frame sampling over opaque payloads) keeps its own query.
   */
 object MultimodalQueries {
 
   import Tables.t
 
+  /** The oracle-side pixel-sum rule: what decoding an image rendered by
+    * Multimodal.renderPayload must sum to, as a DuckDB expression over
+    * destination pixel coords (x, y) mapped to source coords (sx, sy).
+    */
+  private def pxSumSql(sx: String, sy: String, outW: String,
+      outH: String): String =
+    s"""CAST(list_aggregate(flatten(list_transform(range(0, $outH),
+       |  y -> list_transform(range(0, $outW),
+       |  x -> CASE WHEN doc_id % 3 = 0
+       |    THEN (7 * ($sx) + doc_id) % 256 + (13 * ($sy) + doc_id) % 256
+       |         + (($sx) + ($sy) + doc_id) % 256
+       |    ELSE (7 * ($sx) + 13 * ($sy) + doc_id) % 256 END))),
+       |  'sum') AS BIGINT)""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
+    // REAL decode: render → ImageIO-encode → ImageIO-decode, metadata
+    // read from the decoded raster (dims, bands, codec format name,
+    // pixel sum). px_sum is NULL for JPEG (lossy — decoded samples are
+    // codec-dependent; dims/bands/format are still real decode output).
+    QuerySpec("multimodal_decode",
+      s"""SELECT doc_id,
+        |       CAST(doc_id % 24 + 8 AS INTEGER) AS width,
+        |       CAST(doc_id % 16 + 8 AS INTEGER) AS height,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END
+        |            AS INTEGER) AS channels,
+        |       CASE WHEN doc_id % 4 = 0 THEN 'jpeg' ELSE 'png' END
+        |         AS format,
+        |       CASE WHEN doc_id % 4 = 0 THEN NULL ELSE
+        |         ${pxSumSql("x", "y", "(doc_id % 24 + 8)",
+             "(doc_id % 16 + 8)")}
+        |       END AS px_sum
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.decodeMeta(Multimodal.mediaTable(t(s, dir, "documents")))
+        .toDF()
+        .select("doc_id", "width", "height", "channels", "format",
+          "px_sum")
+        .orderBy("doc_id")
+    },
+
+    // REAL resize: decode → nearest-neighbor resample (integer source
+    // mapping sx = x·srcW div outW) → re-encode PNG → decode AGAIN and
+    // verify the resized pixels round-tripped. PNG rows only (lossless
+    // end to end).
+    QuerySpec("multimodal_resize",
+      s"""SELECT doc_id,
+        |       CAST(12 AS INTEGER) AS width,
+        |       CAST(10 AS INTEGER) AS height,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END
+        |            AS INTEGER) AS channels,
+        |       ${pxSumSql("(x * (doc_id % 24 + 8)) // 12",
+             "(y * (doc_id % 16 + 8)) // 10", "12", "10")} AS px_sum
+        |FROM documents WHERE doc_id % 4 <> 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.mediaTable(
+        t(s, dir, "documents").filter(col("doc_id") % 4 =!= 0))
+      Multimodal.decodeMeta(Multimodal.resizeNearest(media, 12, 10))
+        .toDF()
+        .select("doc_id", "width", "height", "channels", "px_sum")
+        .orderBy("doc_id")
+    },
+
+    // Byte-level plumbing over opaque payloads (no decode): frame
+    // sampling — every 5th 64-byte frame — exercised through the real
+    // sampleFrames operator and checked against the closed-form count.
     QuerySpec("multimodal_meta",
       """SELECT doc_id,
-        |       octet_length(CAST(text AS BLOB)) AS byte_len,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
+        |         AS byte_len,
         |       hex(CAST(substring(text, 1, 8) AS BLOB)) AS header_hex,
-        |       CAST(octet_length(CAST(text AS BLOB)) % 640 + 1
-        |            AS INTEGER) AS width,
-        |       CAST(octet_length(CAST(text AS BLOB)) % 480 + 1
-        |            AS INTEGER) AS height,
-        |       CAST(octet_length(CAST(text AS BLOB)) % 30 + 1
-        |            AS INTEGER) AS frames,
+        |       CAST((greatest(octet_length(CAST(text AS BLOB)) // 64, 1)
+        |             - 1) // 5 + 1 AS BIGINT) AS n_sampled,
         |       array_to_string(list_transform(
-        |         range(0, CAST((octet_length(CAST(text AS BLOB)) % 30)
-        |                       // 5 AS INTEGER) + 1),
+        |         range(0, (greatest(octet_length(CAST(text AS BLOB))
+        |                   // 64, 1) - 1) // 5 + 1),
         |         k -> CAST(k * 5 AS INTEGER)), ',') AS sampled_frames
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      t(s, dir, "documents")
-        .withColumn("payload", col("text").cast("binary"))
-        .select(
-          col("doc_id"),
-          octet_length(col("payload")).cast("long").as("byte_len"),
+      val docs = t(s, dir, "documents")
+      val media = Multimodal.documentsAsMedia(docs)
+      val sampled = Multimodal.sampleFrames(media, frameBytes = 64,
+        every = 5).toDF()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sampled"),
+          array_join(transform(array_sort(collect_list(col("frame_idx"))),
+            x => x.cast("string")), ",").as("sampled_frames"))
+      docs.select(col("doc_id"),
+          octet_length(col("text").cast("binary")).cast("long")
+            .as("byte_len"),
           hex(expr("cast(substring(text, 1, 8) as binary)"))
-            .as("header_hex"),
-          (octet_length(col("payload")) % 640 + 1).cast("int").as("width"),
-          (octet_length(col("payload")) % 480 + 1).cast("int")
-            .as("height"),
-          (octet_length(col("payload")) % 30 + 1).cast("int").as("frames"))
-        // Frame sampling: every 5th frame index of [0, frames) — the
-        // video path's decode-every-kth-frame selection. Serialized to a
-        // CSV string: the gate's pandas comparator can't sort/hash raw
-        // array cells (unhashable ndarray); drop the array_join to get
-        // the array-typed column back library-side.
-        .withColumn("sampled_frames",
-          expr("array_join(transform(sequence(0, (frames - 1) div 5), " +
-            "k -> cast(k * 5 as string)), ',')"))
+            .as("header_hex"))
+        .join(sampled, "doc_id")
         .orderBy("doc_id")
     }
   )

@@ -5,43 +5,115 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
 
-  test("binary payload decode plumbing: schema, batching, determinism") {
-    val spark = TestSpark.spark
-    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
-    val media = Multimodal.documentsAsMedia(docs)
-    val meta = Multimodal.extractMeta(media).cache()
-
-    assert(meta.count() == docs.count())
-    val m = meta.filter(_.doc_id == 0L).head()
-    // Deterministic stub: dims derived from payload length.
-    assert(m.width == m.byte_len % 640 + 1)
-    assert(m.height == m.byte_len % 480 + 1)
-    assert(Set("png", "jpeg", "empty").contains(m.format))
-    // Running twice yields identical results (stub is pure).
-    val again = Multimodal.extractMeta(media)
-    assert(meta.collect().sortBy(_.doc_id)
-      .sameElements(again.collect().sortBy(_.doc_id)))
-    meta.unpersist()
+  /** Expected decoded pixel sum per the renderPayload rule. */
+  private def expectedSum(id: Long): Long = {
+    val (w, h) = (Multimodal.ruleWidth(id), Multimodal.ruleHeight(id))
+    var sum = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      sum += (if (id % 3 == 0)
+        (7L * x + id) % 256 + (13L * y + id) % 256 + (x + y + id) % 256
+      else (7L * x + 13L * y + id) % 256)
+    sum
   }
 
-  test("frame sampling emits every kth fixed-size frame; resize keeps " +
-    "the size contract; features feed the similarity operators") {
+  test("payloads are genuine PNG/JPEG byte streams (magic bytes)") {
+    val png = Multimodal.renderPayload(1L) // 1 % 4 != 0 → png
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' &&
+      png(3) == 'G')
+    val jpg = Multimodal.renderPayload(4L) // 4 % 4 == 0 → jpeg
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+  }
+
+  test("ImageIO decode recovers dimensions, bands, format, and exact " +
+    "pixels for PNG") {
+    val spark = TestSpark.spark
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .limit(40)
+    val media = Multimodal.mediaTable(docs)
+    val meta = Multimodal.decodeMeta(media).collect()
+    assert(meta.length == 40)
+    meta.foreach { m =>
+      assert(m.width == Multimodal.ruleWidth(m.doc_id))
+      assert(m.height == Multimodal.ruleHeight(m.doc_id))
+      assert(m.channels == Multimodal.ruleChannels(m.doc_id))
+      assert(m.format == Multimodal.ruleFormat(m.doc_id))
+      if (m.format == "png")
+        assert(m.px_sum.contains(expectedSum(m.doc_id)),
+          s"doc ${m.doc_id}: decoded sum ${m.px_sum} != expected")
+      else assert(m.px_sum.isEmpty)
+    }
+  }
+
+  test("nearest-neighbor resize round-trips through a real PNG " +
+    "re-encode with exact integer source mapping") {
     val spark = TestSpark.spark
     import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 6L, 9L, 11L) // png rows, gray + rgb
+    val media = Multimodal.mediaTable(ids.toDF("doc_id"))
+    val out = Multimodal.decodeMeta(
+      Multimodal.resizeNearest(media, 12, 10)).collect()
+    assert(out.length == ids.length)
+    out.foreach { m =>
+      assert(m.width == 12 && m.height == 10)
+      assert(m.channels == Multimodal.ruleChannels(m.doc_id))
+      val (srcW, srcH) = (Multimodal.ruleWidth(m.doc_id),
+        Multimodal.ruleHeight(m.doc_id))
+      var exp = 0L
+      for (y <- 0 until 10; x <- 0 until 12) {
+        val sx = x * srcW / 12
+        val sy = y * srcH / 10
+        exp += (if (m.doc_id % 3 == 0)
+          (7L * sx + m.doc_id) % 256 + (13L * sy + m.doc_id) % 256 +
+            (sx + sy + m.doc_id) % 256
+        else (7L * sx + 13L * sy + m.doc_id) % 256)
+      }
+      assert(m.px_sum.contains(exp), s"doc ${m.doc_id}")
+    }
+  }
+
+  test("decode is deterministic across runs") {
+    val spark = TestSpark.spark
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .limit(20)
+    val a = Multimodal.decodeMeta(Multimodal.mediaTable(docs))
+      .collect().sortBy(_.doc_id)
+    val b = Multimodal.decodeMeta(Multimodal.mediaTable(docs))
+      .collect().sortBy(_.doc_id)
+    assert(a.sameElements(b))
+  }
+
+  test("frame sampling emits every kth fixed-size frame of the opaque " +
+    "payload") {
+    val spark = TestSpark.spark
     val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
     val media = Multimodal.documentsAsMedia(docs)
-
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, every = 5)
     val f = frames.filter(_.doc_id == 0L).collect().sortBy(_.frame_idx)
     assert(f.nonEmpty && f.map(_.frame_idx).forall(_ % 5 == 0))
     assert(f.init.forall(_.frame.length == 64)) // only the tail is short
+  }
 
-    assert(Multimodal.resizeStub(Array[Byte](1, 2, 3), 4, 2).length == 8)
-    assert(Multimodal.resizeStub(new Array[Byte](100), 4, 2).length == 8)
-
-    val feats = Multimodal.byteHistogram(media)
-    val v = feats.filter(_.doc_id == 0L).head().features
-    assert(v.length == 16 && math.abs(v.sum - 1.0) < 1e-9)
+  test("pixel histogram is computed from DECODED samples and feeds the " +
+    "similarity operators") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val media = Multimodal.mediaTable(
+      Seq(1L, 2L, 3L, 5L).toDF("doc_id"))
+    val feats = Multimodal.pixelHistogram(media)
+    val rows = feats.collect()
+    rows.foreach { r =>
+      assert(r.features.length == 16 &&
+        math.abs(r.features.sum - 1.0) < 1e-9)
+    }
+    // Cross-check one histogram against the rule (gray doc 1).
+    val (w, h) = (Multimodal.ruleWidth(1L), Multimodal.ruleHeight(1L))
+    val counts = new Array[Double](16)
+    for (y <- 0 until h; x <- 0 until w)
+      counts((((7L * x + 13L * y + 1L) % 256) >> 4).toInt) += 1.0
+    val got = rows.find(_.doc_id == 1L).get.features
+    assert(got.zip(counts.map(_ / (w * h))).forall {
+      case (a, b) => math.abs(a - b) < 1e-9
+    })
     // The features column is directly consumable by the similarity API
     // (same shape as an embedding column).
     val e = feats.toDF("vec_id", "embedding")
