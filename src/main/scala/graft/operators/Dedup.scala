@@ -270,6 +270,71 @@ object Dedup {
   def signatureStore(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Epoch-append intake signatures into an existing store WITHOUT
+    * rewriting history (VERDICT r9 #3): the new docs are banded and
+    * written as ADDITIONAL files per bucket — resident files are never
+    * touched, so a daily intake costs one banding pass over the batch,
+    * not a corpus rewrite. Spark validates the bucket spec against the
+    * existing table (a mismatched `buckets` throws instead of silently
+    * corrupting the layout). Reads keep the one-sided-exchange probe:
+    * bucket DISTRIBUTION holds across any number of files per bucket
+    * (only the per-file sort guarantee weakens to a local sort, which
+    * is all the probe ever relied on).
+    */
+  def appendToSignatureStore(docs: DataFrame, table: String,
+      buckets: Int = 16): Unit =
+    bandSignatures(docs)
+      .write.format("parquet")
+      .bucketBy(buckets, "band", "sig").sortBy("band", "sig")
+      .mode("append").saveAsTable(table)
+
+  /** Files-per-bucket stats for the compaction criterion — parsed from
+    * the bucketed file names (`..._NNNNN.` carries the bucket id).
+    * Driver-side listing: one directory, bucket-count × epoch files —
+    * catalog-scale, not corpus-scale.
+    */
+  def signatureStoreFileStats(spark: SparkSession,
+      path: String): Seq[(Int, Int, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bucketRe = "_(\\d{5})\\.".r
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .flatMap { s =>
+        bucketRe.findFirstMatchIn(s.getPath.getName)
+          .map(m => (m.group(1).toInt, s.getLen))
+      }
+      .groupBy(_._1).toSeq
+      .map { case (b, fs0) => (b, fs0.size, fs0.map(_._2).sum) }
+      .sortBy(_._1)
+  }
+
+  /** Compact an appended signature store into one file per bucket: the
+    * compaction a maintenance window runs once files-per-bucket passes
+    * its criterion (every appended epoch adds `buckets` files; probe
+    * task count scales with file count). The rewrite goes to a FRESH
+    * table/path — the live store stays readable until the catalog swap,
+    * the usual blue/green table maintenance (a transactional table
+    * format would do this in place).
+    *
+    * The source is read by PATH, not through the catalog table: a
+    * bucketed-table scan advertises HashPartitioning(band, sig) and the
+    * explicit repartition below would be elided as redundant — after
+    * which the write sees file-split partitions (several per bucket)
+    * and emits one file per (task, bucket), i.e. no compaction at all.
+    * A plain parquet read has no partitioning claim, so the
+    * `repartition(buckets, band, sig)` survives; it uses the same
+    * murmur3 pmod as the bucket-id computation, so each task holds
+    * exactly one bucket's rows → exactly one file per non-empty bucket.
+    */
+  def compactSignatureStore(spark: SparkSession, srcPath: String,
+      destPath: String, destTable: String, buckets: Int = 16): Unit =
+    spark.read.parquet(srcPath)
+      .repartition(buckets, col("band"), col("sig"))
+      .write.format("parquet")
+      .bucketBy(buckets, "band", "sig").sortBy("band", "sig")
+      .option("path", destPath).mode("overwrite").saveAsTable(destTable)
+
   /** Incremental near-dup detection — the production dedup shape: a new
     * batch checked against the EXISTING corpus (never corpus×corpus).
     * The incoming side is banded and (by default) broadcast — a day's

@@ -273,25 +273,115 @@ object Similarity {
     * work is (cell size × queries probing it), and splitting hot cells
     * (training more centroids) is the production lever.
     */
-  def writeIvfStore(e: DataFrame, codebook: DataFrame, nQueries: Int,
-      path: String): Unit = {
-    val corpus = e.filter(col("vec_id") >= nQueries)
-      .select(col("vec_id").as("n_id"), col("v").as("cv"),
-        col("nrm").as("cn"))
-    // Same payload-free argmax as ivfTopKWith (assignment is the one
-    // corpus-wide pass the store amortizes away).
+  /** Corpus rows with their nearest-centroid cell id — the one
+    * corpus-wide assignment pass the store amortizes away; shared by
+    * the initial build and epoch appends. Same payload-free argmax as
+    * ivfTopKWith. cid is cast to int on write AND probe: parquet
+    * partition directories infer back as IntegerType, and a type
+    * mismatch on the partition column would silently disable pruning.
+    */
+  private def withCellIds(corpus: DataFrame,
+      codebook: DataFrame): DataFrame = {
     val bestCid = corpus.crossJoin(broadcast(codebook))
       .withColumn("csim", expr("array_dot(cv, centv) / (cn * centn)"))
       .groupBy(col("n_id"))
       .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
       .select(col("n_id"), (-col("m.ncid")).cast("int").as("cid"))
-    // cid is cast to int on BOTH write and probe: parquet partition
-    // directories infer back as IntegerType, and a type mismatch on
-    // the partition column would silently disable pruning.
     corpus.join(bestCid, "n_id")
+  }
+
+  def writeIvfStore(e: DataFrame, codebook: DataFrame, nQueries: Int,
+      path: String): Unit = {
+    val corpus = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("n_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    withCellIds(corpus, codebook)
       .write.partitionBy("cid").mode("overwrite")
       .parquet(s"$path/vectors")
     codebook.write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Epoch-append new vectors into an existing IVF store WITHOUT
+    * rewriting history (VERDICT r9 #3): intake is assigned against the
+    * STORED codebook (broadcast, KB-sized) and appended as new files
+    * under the matching cell directories — resident files are never
+    * touched, probes stay partition-pruned, and a probe after the
+    * append sees exactly (old ∪ new) because cell assignment against a
+    * fixed codebook is order-independent. The codebook deliberately
+    * does NOT retrain on intake: retraining moves cell boundaries and
+    * would demand corpus reassignment — the production cadence is many
+    * epoch appends, then a full rebuild when drift (cell-mass skew in
+    * [[ivfStoreCellStats]]) crosses its criterion.
+    *
+    * `newVectors` is a prepared frame (vec_id, v, nrm) as from
+    * [[prepared]].
+    */
+  def appendToIvfStore(newVectors: DataFrame, path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val codebook = spark.read.parquet(s"$path/codebook")
+    val corpus = newVectors.select(col("vec_id").as("n_id"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    withCellIds(corpus, codebook)
+      .write.partitionBy("cid").mode("append")
+      .parquet(s"$path/vectors")
+  }
+
+  /** Per-cell (cid, n_files, bytes) for the compaction / rebuild
+    * criteria. Driver-side listing of the cell directories — codebook-
+    * cardinality directories, not corpus-scale.
+    */
+  def ivfStoreCellStats(spark: SparkSession,
+      path: String): Seq[(Int, Int, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+      .map { d =>
+        val files = fs.listStatus(d.getPath).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        (d.getPath.getName.stripPrefix("cid=").toInt, files.size,
+          files.map(_.getLen).sum)
+      }
+      .sortBy(_._1)
+  }
+
+  /** Compact ONLY the named cells (those whose file count crossed the
+    * criterion — each epoch append adds one file per touched cell):
+    * each cell's rows are rewritten into one file, staged in a temp
+    * directory and swapped in with file moves, so untouched cells'
+    * files are never read OR written — the partial-maintenance shape a
+    * 100 TB store needs (a nightly compaction touches hot cells, not
+    * the corpus). The swap is per-cell delete+move (a transactional
+    * table format would make it atomic); probes concurrent with the
+    * swap window should run against a snapshot listing.
+    */
+  def compactIvfCells(spark: SparkSession, path: String,
+      cells: Seq[Int]): Unit = {
+    if (cells.isEmpty) return
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val fs = root.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/.compact-${java.util.UUID.randomUUID()}")
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("cid").isin(cells: _*))
+      .repartition(cells.size, col("cid"))
+      .write.partitionBy("cid").parquet(tmp.toString)
+    try cells.foreach { c =>
+      val dst = new org.apache.hadoop.fs.Path(root, s"cid=$c")
+      val src = new org.apache.hadoop.fs.Path(tmp, s"cid=$c")
+      val fresh = fs.listStatus(src).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      fs.listStatus(dst).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .foreach(s => fs.delete(s.getPath, false))
+      fresh.foreach(s =>
+        fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dst,
+          s.getPath.getName)))
+    } finally {
+      fs.delete(tmp, true)
+      ()
+    }
   }
 
   /** ANN search OFF the stored layout: probe cells are chosen against
