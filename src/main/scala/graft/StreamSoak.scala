@@ -211,6 +211,53 @@ object StreamSoak {
         s"near-dup gate batch time trending up: q2=$dm ms q4=$dl ms")
     }
 
+    // ---- 4. native session_window aggregation (append mode): 50 users
+    // emit a 10-event burst per batch, event time advancing one hour
+    // per batch, 30-minute gap, 10-minute watermark — each batch's
+    // sessions close as the next batch's watermark passes them, so the
+    // session store must hold only the open sessions (≈ user count),
+    // flat regardless of batches processed, and every closed session
+    // must actually EMIT (eviction without emission would be silent
+    // data loss, not bounded state).
+    {
+      val nUsers = 50
+      val emitted = new java.util.concurrent.atomic.AtomicLong
+      val source = MemoryStream[(Long, java.sql.Timestamp)](spark)
+      val query = streaming.StreamOps.sessionWindowAgg(
+        source.toDF().toDF("user_id", "ts"), "ts", "user_id",
+        "30 minutes", "10 minutes")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/session_ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          emitted.addAndGet(b.count()); ()
+        }
+        .start()
+      val log = mutable.LinkedHashMap.empty[Long, Progress]
+      val t0 = 1700000000000L
+      (0 until nBatches).foreach { i =>
+        val batch = for {
+          u <- 0 until nUsers
+          r <- 0 until 10
+        } yield (u.toLong,
+          new java.sql.Timestamp(t0 + i.toLong * 3600000 + r * 60000))
+        source.addData(batch: _*)
+        query.processAllAvailable()
+        record(query, log)
+      }
+      query.stop()
+      val (mid, last) = summarize("session_window_agg", log)
+      require(last <= 1.5 * mid + 1,
+        s"session store grew: mid=$mid last=$last — watermark eviction " +
+          "of closed sessions is not holding")
+      // All but the last ~2 batches' sessions are past the watermark.
+      require(emitted.get >= nUsers.toLong * (nBatches - 2),
+        s"closed sessions must emit: got ${emitted.get}, expected ≥ " +
+          s"${nUsers.toLong * (nBatches - 2)}")
+      println(s"""{"metric":"stream_soak_sessions",""" +
+        s""""emitted":${emitted.get}}""")
+    }
+
     operators.Dedup.clearCaches(spark)
     spark.stop()
     ChainSoak.deleteRecursively(new java.io.File(tmp))

@@ -123,6 +123,30 @@ object StreamOps {
       }
       .start()
 
+  /** Native gap-session aggregation — the streaming twin of the batch
+    * `session_window` query (FlagshipQueries), same plan both ways: in
+    * batch the watermark is a no-op and every session closes; in
+    * streaming (append mode) a session emits once the event-time
+    * watermark passes session end + nothing can extend it, and its
+    * state row is evicted — the watermark-bounded state contract
+    * StreamSoak's fourth pipeline pins flat over O(100) batches.
+    *
+    * This is the declarative counterpart of [[sessionize]] (which is
+    * the custom-state formulation for when the per-session output needs
+    * a state machine): Spark's session store keeps a session LIST per
+    * key, so unlike sessionize it also merges a late in-watermark event
+    * into an already-split earlier run.
+    */
+  def sessionWindowAgg(df: DataFrame, tsCol: String, keyCol: String,
+      gap: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   final case class SessionEvent(key: String, ts: java.sql.Timestamp)
 
   final case class SessionSummary(key: String, start: java.sql.Timestamp,
