@@ -64,7 +64,8 @@ object ChainSoak {
     */
   val MaxBroadcastBytes: Long = 64L * 1024 * 1024
 
-  private final class TaskMetricsListener extends SparkListener {
+  /** Shared with VectorSoak (the embedding-chain counterpart). */
+  private[graft] final class TaskMetricsListener extends SparkListener {
     val shuffleRead = new AtomicLong
     val shuffleWrite = new AtomicLong
     val memSpill = new AtomicLong
@@ -109,7 +110,7 @@ object ChainSoak {
         b.metrics.get("dataSize").map(_.value)
     }.flatten
 
-  private def mb(bytes: Long): Double =
+  private[graft] def mb(bytes: Long): Double =
     math.round(bytes / 1024.0 / 1024.0 * 10) / 10.0
 
   def main(args: Array[String]): Unit = {
