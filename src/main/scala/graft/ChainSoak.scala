@@ -113,6 +113,25 @@ object ChainSoak {
   private[graft] def mb(bytes: Long): Double =
     math.round(bytes / 1024.0 / 1024.0 * 10) / 10.0
 
+  /** The mixed-duplication amplified corpus (shared with FaultSoak):
+    * of the `n` copies of each base document, `dupCopies` share the
+    * text verbatim and the rest append a deterministic per-copy token
+    * salt sized to ~0.85× the document's own token count — hard
+    * negatives that inflate candidate generation yet survive dedup.
+    */
+  private[graft] def amplifiedDocs(base0: DataFrame, n: Int,
+      dupCopies: Int): DataFrame = {
+    val base = base0.select("doc_id", "text", "lang", "source")
+    val salted = "concat(text, ' ', concat_ws(' ', " +
+      "transform(sequence(1, greatest(8, length(text) div 8)), " +
+      "i -> hex(hash(doc_id, i)))))"
+    (0 until n).map { k =>
+      val c = base.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+      if (k < dupCopies) c else c.withColumn("text", expr(salted))
+    }.reduce(_ unionByName _)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
@@ -139,16 +158,7 @@ object ChainSoak {
     // ---- amplification: dupCopies exact copies + (n − dupCopies)
     // salted hard negatives per base doc; n_chars recomputed so the
     // budget/mix/pack math sees the salted lengths.
-    val base = Tables.t(spark, srcDir, "documents")
-      .select("doc_id", "text", "lang", "source")
-    val salted = "concat(text, ' ', concat_ws(' ', " +
-      "transform(sequence(1, greatest(8, length(text) div 8)), " +
-      "i -> hex(hash(doc_id, i)))))"
-    (0 until n).map { k =>
-      val c = base.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
-      if (k < dupCopies) c else c.withColumn("text", expr(salted))
-    }.reduce(_ unionByName _)
-      .withColumn("n_chars", length(col("text")).cast("long"))
+    amplifiedDocs(Tables.t(spark, srcDir, "documents"), n, dupCopies)
       .write.mode("overwrite").parquet(s"$soakDir/documents.parquet")
 
     // Deterministic bus drain: waitUntilEmpty blocks until every queued

@@ -1,0 +1,206 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.{Success => TaskSuccess, TaskContext}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Failure-injection determinism soak: the curation chain's sampling,
+  * budget, and packing operators claim determinism via portable
+  * multiplicative hashes and bounded-window prefix sums — reproducible
+  * row-by-row, stable under repartitioning. At 1000 executors the
+  * thing that actually perturbs execution is TASK RETRY: a task dies
+  * mid-stage, its shuffle/cache output is discarded, and the retried
+  * attempt recomputes its partition from lineage. This soak PROVES the
+  * chain's outputs are bit-identical under that perturbation instead
+  * of asserting it:
+  *
+  *   1. run the full chain (shingle → minhash clusters → dedup keep →
+  *      pii redact → budget select → mixture sample → seq pack) CLEAN
+  *      on an amplified corpus and digest every output frame with an
+  *      order-independent (count, bit_xor(xxhash64(*))) pair;
+  *   2. run the SAME chain with a deterministic first-attempt fault
+  *      injector spliced in at three depths (the source scan, the
+  *      post-dedup survivor set, the post-budget selection): an
+  *      identity mapPartitions that THROWS on attempt 0 of every
+  *      third partition, so every action over an injected frame
+  *      experiences real task failures and real retries
+  *      (master local[cpus,4] — maxFailures 4, as on a cluster);
+  *   3. require every digest pair identical, injected-fault count > 0,
+  *      and successfully-retried-task count > 0 (a soak where no task
+  *      actually failed proves nothing).
+  *
+  * The injected run uses its own memo cacheKey: the memoized shingle /
+  * band tables MATERIALIZE under injected faults too — cache blocks
+  * from killed attempts must be discarded and rebuilt, exercising the
+  * persist path the chain's candidate generation depends on. The CC
+  * loop's localCheckpoint sits below the injection points and is
+  * materialized by actions whose failed tasks retry normally; once
+  * materialized its blocks are attempt-independent.
+  *
+  * Why digests and not collected rows: the outputs are corpus-sized at
+  * amplification — a driver collect is exactly the anti-pattern the
+  * chain bans. bit_xor over per-row xxhash64 of every column is
+  * order-independent (union-of-partitions order differs run to run),
+  * collision-safe for equality-of-multisets at these cardinalities
+  * modulo adversarial inputs, and never overflows (ANSI-safe, unlike a
+  * sum of hashes).
+  *
+  *   SPARK_GRAFT_FAULT_N=20 sbt "runMain graft.FaultSoak"
+  */
+object FaultSoak {
+
+  /** Injected-fault counter. A plain JVM-static is correct here
+    * because the soak runs local-mode (driver and executors share the
+    * JVM, and the singleton survives closure round-trips); on a real
+    * cluster this would be a LongAccumulator — but accumulator updates
+    * from FAILED attempts are exactly the ones Spark drops, so the
+    * static is also the only honest way to count throws.
+    */
+  val injected = new AtomicLong
+
+  /** Identity pass-through that kills the FIRST attempt of every
+    * `modulo`-th partition. Deterministic: attempt 0 always dies,
+    * attempt 1 always lives — so with maxFailures ≥ 2 every action
+    * over this frame succeeds after real, scheduler-visible retries.
+    */
+  private def injectFaults(df: DataFrame, modulo: Int,
+      label: String): DataFrame =
+    df.mapPartitions { it: Iterator[Row] =>
+      val tc = TaskContext.get()
+      if (tc != null && tc.attemptNumber() == 0 &&
+          tc.partitionId() % modulo == 0) {
+        injected.incrementAndGet()
+        throw new RuntimeException(
+          s"graft-injected-fault [$label] partition ${tc.partitionId()}")
+      }
+      it
+    }(Encoders.row(df.schema))
+
+  /** Task-retry observability: failed task-end events and tasks that
+    * SUCCEEDED on a retry attempt (attemptNumber > 0).
+    */
+  private final class RetryListener extends SparkListener {
+    val failed = new AtomicLong
+    val retriedOk = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      if (t.reason != TaskSuccess) failed.incrementAndGet()
+      else if (t.taskInfo.attemptNumber > 0) retriedOk.incrementAndGet()
+      ()
+    }
+  }
+
+  /** Order-independent multiset digest: (row count, xor of per-row
+    * xxhash64 over every column). NULL-safe: xxhash64 folds nulls into
+    * the seed deterministically.
+    */
+  private def digest(df: DataFrame): (Long, Long) = {
+    val r = df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*)
+        .as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
+      .head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val n = sys.env.getOrElse("SPARK_GRAFT_FAULT_N", "20").toInt
+    val dupCopies = n / 2
+    val modulo = sys.env.getOrElse("SPARK_GRAFT_FAULT_MOD", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // local[K, 4]: four task attempts before the job fails — the
+    // cluster default's shape. Plain local[K] is maxFailures 1, where
+    // ANY injected fault kills the job instead of retrying.
+    val spark = GraftConf.tune(SparkSession.builder())
+      .master(s"local[$cpus,4]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR") // retry stack traces are WARN
+    val retries = new RetryListener
+    spark.sparkContext.addSparkListener(retries)
+
+    val soakDir = java.nio.file.Files
+      .createTempDirectory("graft-fault-soak").toString
+    ChainSoak.amplifiedDocs(Tables.t(spark, srcDir, "documents"),
+        n, dupCopies)
+      .write.mode("overwrite").parquet(s"$soakDir/documents.parquet")
+    val docs = Tables.t(spark, soakDir, "documents")
+    // Identical budget for both runs, derived once from the corpus
+    // (≈ half of each language's post-dedup mass survives selection).
+    val budget = docs.groupBy("lang").agg(sum("n_chars").as("c"))
+      .agg(min("c")).head().getLong(0) / 4
+
+    /** One full chain pass; `inject` splices the fault stage in at the
+      * source, post-dedup, and post-budget depths. Digests taken at
+      * the four output frames downstream operators would consume.
+      */
+    def runChain(tag: String, inject: Boolean)
+        : Map[String, (Long, Long)] = {
+      def tap(df: DataFrame, label: String): DataFrame =
+        if (inject) injectFaults(df, modulo, label) else df
+      val cacheKey = s"$soakDir/$tag"
+      val src = tap(docs, "source")
+      val sh = operators.Dedup.docShingles(src, cacheKey = cacheKey)
+      val clusters = operators.Dedup.clusters(sh, 4, 5,
+        cacheKey = cacheKey)
+      val dupes = clusters
+        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      val kept = src.join(dupes, Seq("doc_id"), "left_anti").persist()
+      val keptD = digest(kept)
+      val redacted = operators.Pipeline.redactPii(tap(kept, "kept"))
+      val selected = operators.Pipeline
+        .budgetSelectDocs(redacted, budget).persist()
+      val selD = digest(selected)
+      val sampled = operators.Pipeline
+        .mixtureSample(tap(selected, "selected")).persist()
+      val samD = digest(sampled)
+      val packed = operators.Pipeline.packSequences(sampled,
+        cap = 2048, bucketWidth = 65536L)
+      val packD = digest(packed)
+      Seq(kept, selected, sampled).foreach(_.unpersist(blocking = false))
+      Map("kept" -> keptD, "selected" -> selD, "sampled" -> samD,
+        "packed" -> packD)
+    }
+
+    val t0 = System.nanoTime()
+    val clean = runChain("clean", inject = false)
+    val cleanSec = (System.nanoTime() - t0) / 1e9
+    val f0 = (injected.get, retries.failed.get, retries.retriedOk.get)
+    require(f0 == ((0L, 0L, 0L)),
+      s"clean run must see zero faults/retries, got $f0")
+
+    val t1 = System.nanoTime()
+    val faulty = runChain("faulty", inject = true)
+    val faultySec = (System.nanoTime() - t1) / 1e9
+
+    val stages = Seq("kept", "selected", "sampled", "packed")
+    stages.foreach { s =>
+      val (c, f) = (clean(s), faulty(s))
+      println(s"""{"metric":"fault_stage","stage":"$s",""" +
+        s""""rows":${c._1},"digest_clean":${c._2},""" +
+        s""""digest_faulty":${f._2},"match":${c == f}}""")
+      require(c == f, s"stage $s diverged under retry: clean=$c faulty=$f")
+    }
+    require(injected.get > 0, "no faults were injected — soak is vacuous")
+    require(retries.retriedOk.get > 0,
+      "no task succeeded on a retry attempt — soak is vacuous")
+    println(s"""{"metric":"fault_soak","n_copies":$n,""" +
+      s""""docs":${docs.count()},"injected_faults":${injected.get},""" +
+      s""""failed_tasks":${retries.failed.get},""" +
+      s""""retried_ok":${retries.retriedOk.get},""" +
+      s""""sec_clean":${math.round(cleanSec * 10) / 10.0},""" +
+      s""""sec_faulty":${math.round(faultySec * 10) / 10.0},""" +
+      s""""stages_identical":${stages.size}}""")
+
+    operators.Dedup.clearCaches(spark)
+    spark.stop()
+    ChainSoak.deleteRecursively(new java.io.File(soakDir))
+  }
+}
