@@ -500,24 +500,30 @@ object Dedup {
     * so convergence is O(log diameter), not O(diameter). The driver only
     * checks a convergence flag; the data never leaves the cluster.
     */
-  /** Eager lineage truncation for the CC loop. Default is
-    * `localCheckpoint` (executor storage — fastest, but blocks die
-    * with executors, so a lost executor aborts the loop). Set session
-    * conf `spark.graft.reliableCheckpoint=true` (plus
-    * `SparkContext.setCheckpointDir`) to use RELIABLE checkpointing
-    * instead — the production setting for long CC runs on preemptible
-    * fleets: iterations survive executor loss at the cost of one
-    * extra materialization job per checkpoint (RDD checkpoint files
-    * are written by a follow-up job). Both forms return a LogicalRDD
-    * that preserves outputPartitioning, so the loop's width pinning
-    * is unaffected; the block-level unpersist calls are no-ops on
-    * reliable checkpoints (their files are context-lifetime).
+  /** Eager lineage truncation for the CC loop. Mode resolution:
+    * session conf `spark.graft.reliableCheckpoint`, when SET, wins
+    * (true requires `SparkContext.setCheckpointDir`; false forces
+    * local); when UNSET, a configured checkpoint dir AUTO-SELECTS
+    * reliable checkpointing — a cluster deployment that points Spark
+    * at durable storage gets the production behavior without a
+    * second knob, while local[n] (no dir) keeps `localCheckpoint`
+    * (executor storage — fastest, but blocks die with executors, so
+    * a lost executor aborts the loop). Reliable checkpoints survive
+    * executor loss at the cost of one extra materialization job per
+    * checkpoint (RDD checkpoint files are written by a follow-up
+    * job) — the right trade for long CC runs on preemptible fleets.
+    * Both forms return a LogicalRDD that preserves
+    * outputPartitioning, so the loop's width pinning is unaffected;
+    * the block-level unpersist calls are no-ops on reliable
+    * checkpoints (their files are context-lifetime).
     */
   private def eagerCheckpoint(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    if (spark.conf.get("spark.graft.reliableCheckpoint", "false")
-        .toBoolean) {
-      require(spark.sparkContext.getCheckpointDir.isDefined,
+    val hasDir = spark.sparkContext.getCheckpointDir.isDefined
+    val reliable = spark.conf.getOption("spark.graft.reliableCheckpoint")
+      .map(_.toBoolean).getOrElse(hasDir)
+    if (reliable) {
+      require(hasDir,
         "spark.graft.reliableCheckpoint=true requires " +
           "SparkContext.setCheckpointDir")
       df.checkpoint()

@@ -66,8 +66,32 @@ class DedupClustersSpec extends AnyFunSuite {
         .as[(Long, Long)].collect().toMap
       assert(reliable == local,
         "reliable-checkpoint CC diverged from localCheckpoint CC")
+      // Auto-detect: with the conf UNSET, a configured checkpoint dir
+      // alone selects the reliable path — observable as checkpoint
+      // files landing under a fresh dir.
+      spark.conf.unset("spark.graft.reliableCheckpoint")
+      val dir2 = java.nio.file.Files.createTempDirectory("graft-cc-auto")
+      try {
+        spark.sparkContext.setCheckpointDir(dir2.toString)
+        val auto = Dedup.nearDupClusters(pairs)
+          .as[(Long, Long)].collect().toMap
+        assert(auto == local, "auto-detected reliable CC diverged")
+        assert(Option(dir2.toFile.listFiles()).exists(_.nonEmpty),
+          "checkpoint dir set + conf unset must auto-select reliable " +
+            "checkpointing (no files were written)")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(dir2.toFile)
+      }
     } finally {
       spark.conf.unset("spark.graft.reliableCheckpoint")
+      // Restore the pristine no-checkpoint-dir state on the SHARED
+      // context (there is no public unset; the var is public in
+      // bytecode — same out-of-package access as ChainSoak's
+      // listenerBus). Leaving a deleted dir configured would silently
+      // flip every later suite's CC runs to the reliable path.
+      val sc = spark.sparkContext
+      sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[_]])
+        .invoke(sc, None)
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
   }
