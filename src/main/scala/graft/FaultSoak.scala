@@ -199,6 +199,78 @@ object FaultSoak {
       s""""sec_faulty":${math.round(faultySec * 10) / 10.0},""" +
       s""""stages_identical":${stages.size}}""")
 
+    // ---- streaming phase: the flagship watermarked window agg feeding
+    // the keyed ParquetUpsertSink through foreachBatch, with faults
+    // injected INSIDE each microbatch — task retries now hit a stateful
+    // streaming stage (RocksDB state-store versions roll back with the
+    // aborted attempt) and the sink's merge actions. Each batch carries
+    // a late re-emission of the previous day's key (inside the
+    // watermark), so update mode re-emits and the upsert's REPLACE path
+    // runs under retry too. The digest drops processing_time
+    // (current_timestamp, nondeterministic by design) and the two raw
+    // double avg columns — IEEE double reduction is not
+    // combine-order-stable, which is exactly why every BATCH operator
+    // with an oracle quantizes to integers before summing; the
+    // determinism contract covers the integer/decimal outputs.
+    val streamBase =
+      (injected.get, retries.failed.get, retries.retriedOk.get)
+    def runStream(tag: String, inject: Boolean): (Long, Long) = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      val dim = streaming.CovidStreamPipeline.countriesDim(spark)
+      val locations = dim.select("country_name").as[String].collect()
+      val source = MemoryStream[String](spark)
+      val storePath = s"$soakDir/store_$tag"
+      val sink = new streaming.ParquetUpsertSink(storePath,
+        Seq("window_start", "location"))
+      val query = streaming.CovidStreamPipeline.transform(dim)(
+          source.toDF())
+        .drop("processing_time", "avg_new_cases_per_entry",
+          "avg_total_cases_per_entry")
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$soakDir/ckpt_$tag")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          sink.upsert(
+            if (inject) injectFaults(b, modulo, s"stream-$tag") else b, id)
+        }
+        .start()
+      val day0 = java.time.LocalDate.parse("2021-01-01")
+      (0 until 12).foreach { i =>
+        val rows = for {
+          loc <- locations.toSeq
+          (d, nr) <- Seq((i, 3), (i - 1, 1)).filter(_._1 >= 0)
+          k <- 0 until nr
+        } yield s"""{"date":"${day0.plusDays(d.toLong)}",""" +
+          s""""location":"$loc",""" +
+          s""""new_cases":${(i * 31 + k * 7 + loc.length) % 500},""" +
+          s""""total_cases":${1000L + i * 13 + k * 3}}"""
+        source.addData(rows: _*)
+        query.processAllAvailable()
+      }
+      query.stop()
+      digest(spark.read.parquet(storePath))
+    }
+    val streamClean = runStream("clean", inject = false)
+    val midStream =
+      (injected.get, retries.failed.get, retries.retriedOk.get)
+    require(midStream == streamBase,
+      s"clean streaming run must see zero faults, got $midStream vs " +
+        s"$streamBase")
+    val streamFaulty = runStream("faulty", inject = true)
+    val sInj = injected.get - midStream._1
+    val sRetried = retries.retriedOk.get - midStream._3
+    println(s"""{"metric":"fault_stream","rows":${streamClean._1},""" +
+      s""""digest_clean":${streamClean._2},""" +
+      s""""digest_faulty":${streamFaulty._2},""" +
+      s""""injected_faults":$sInj,"retried_ok":$sRetried,""" +
+      s""""match":${streamClean == streamFaulty}}""")
+    require(streamClean == streamFaulty,
+      s"streaming sink diverged under retry: clean=$streamClean " +
+        s"faulty=$streamFaulty")
+    require(sInj > 0 && sRetried > 0,
+      "streaming phase saw no injected faults/retries — vacuous")
+
     operators.Dedup.clearCaches(spark)
     spark.stop()
     ChainSoak.deleteRecursively(new java.io.File(soakDir))
