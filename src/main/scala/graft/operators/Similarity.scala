@@ -326,6 +326,44 @@ object Similarity {
       .parquet(s"$path/vectors")
   }
 
+  /** The codebook-drift criterion behind DEPLOY.md's "retrain only
+    * when imbalance degrades recall": per cell, corpus mass share and
+    * mean quantization error (1 − cos(v, centroid)), both in exact
+    * integer micros. A healthy codebook keeps shares near 1/nCells
+    * and error flat across epochs; a hot cell (share ≫ 1/nCells)
+    * means probes scan a corpus-sized fraction and it is rebuild
+    * time. Error is rounded per-vector BEFORE the sum (the
+    * labelCentroids trick — a raw double Σ is combine-order
+    * sensitive), so the aggregate is order-independent and
+    * oracle-bit-exact; the share window runs over the cells-sized
+    * aggregate, never the corpus. Same broadcast-crossJoin argmax
+    * shape (and tie-break) as assignment itself — one corpus pass.
+    */
+  def ivfCellStats(e: DataFrame, nQueries: Int,
+      nCentroids: Int): DataFrame = {
+    val corpus = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("n_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val assigned = corpus
+      .crossJoin(broadcast(firstNCodebook(e, nQueries, nCentroids)))
+      .withColumn("csim", expr("array_dot(cv, centv) / (cn * centn)"))
+      .groupBy(col("n_id"))
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
+      .select((-col("m.ncid")).cast("int").as("cid"),
+        expr("cast(round((1.0 - m.csim) * 1000000) as bigint)")
+          .as("err_micro"))
+    assigned.groupBy("cid")
+      .agg(count(lit(1)).as("n_vectors"), sum("err_micro").as("sum_err"))
+      .withColumn("tot",
+        sum(col("n_vectors")).over(Window.partitionBy()))
+      .select(col("cid"), col("n_vectors"),
+        expr("cast(n_vectors * 1000000 div tot as bigint)")
+          .as("share_micro"),
+        expr("cast(sum_err div n_vectors as bigint)")
+          .as("avg_err_micro"))
+      .orderBy("cid")
+  }
+
   /** Per-cell (cid, n_files, bytes) for the compaction / rebuild
     * criteria. Driver-side listing of the cell directories — codebook-
     * cardinality directories, not corpus-scale.

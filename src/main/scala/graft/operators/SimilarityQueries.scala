@@ -150,6 +150,42 @@ object SimilarityQueries {
         .orderBy("q_id", "rn")
     },
 
+    // Codebook-drift governance report (DEPLOY.md's retrain
+    // criterion made executable): per IVF cell, corpus mass share and
+    // mean quantization error, exact integer micros. Same centroids,
+    // assignment argmax, and tie-break as ivf_ann; error rounds
+    // per-vector before the order-independent sum, and the share
+    // window runs over the 8-row cells aggregate.
+    QuerySpec("ivf_cell_stats",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, ${normD("v")} AS nrm FROM e),
+         |cent AS (SELECT vec_id AS cid, v AS centv, nrm AS centn
+         |         FROM n WHERE vec_id >= $NQ AND vec_id < $NQ + 8),
+         |corpus AS (SELECT vec_id AS n_id, v AS cv, nrm AS cn
+         |           FROM n WHERE vec_id >= $NQ),
+         |asg AS (
+         |  SELECT n_id, cid,
+         |         CAST(round((1.0 - csim) * 1000000) AS BIGINT)
+         |           AS err_micro FROM (
+         |    SELECT n_id, cid,
+         |           ${dotD("cv", "centv")} / (cn * centn) AS csim,
+         |           row_number() OVER (PARTITION BY n_id
+         |             ORDER BY ${dotD("cv", "centv")} / (cn * centn)
+         |               DESC, cid) AS arn
+         |    FROM corpus CROSS JOIN cent) WHERE arn = 1),
+         |g AS (SELECT cid, count(*) AS n_vectors,
+         |             sum(err_micro) AS sum_err FROM asg GROUP BY cid)
+         |SELECT CAST(cid AS INTEGER) AS cid,
+         |       CAST(n_vectors AS BIGINT) AS n_vectors,
+         |       CAST(n_vectors * 1000000 // sum(n_vectors) OVER ()
+         |            AS BIGINT) AS share_micro,
+         |       CAST(sum_err // n_vectors AS BIGINT) AS avg_err_micro
+         |FROM g ORDER BY cid""".stripMargin) { (s, dir) =>
+      Similarity.ivfCellStats(
+        Similarity.prepared(t(s, dir, "embeddings")), NQ, 8)
+    },
+
     // Product-quantization ADC search: corpus encoded to 4 sub-codes
     // (16-dim subspaces, 16 codewords = corpus vecs NQ..NQ+15, the
     // deterministic first-N codebook), queries scan codes via a

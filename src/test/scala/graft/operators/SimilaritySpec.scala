@@ -20,6 +20,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.toSeq == brute.toSeq)
   }
 
+  test("ivfCellStats partitions the whole corpus and shares sum to ~1e6") {
+    val spark = TestSpark.spark
+    val e = Similarity.prepared(Tables.t(spark, dir, "embeddings"))
+    val corpusN = e.filter(org.apache.spark.sql.functions
+      .col("vec_id") >= 5).count()
+    val rows = Similarity.ivfCellStats(e, 5, 8).collect()
+    assert(rows.map(_.getLong(1)).sum == corpusN,
+      "every corpus vector must land in exactly one cell")
+    assert(rows.map(_.getInt(0)).toSet.subsetOf((5 until 13).toSet))
+    val shareSum = rows.map(_.getLong(2)).sum
+    // Integer floor division loses < 1 micro per cell.
+    assert(shareSum > 1000000L - rows.length && shareSum <= 1000000L,
+      s"shares must sum to 1e6 up to floor loss, got $shareSum")
+    // Quantization error vs the cell's OWN centroid is ~0 for the
+    // centroid vector itself and bounded by 2e6 (cos >= -1) always.
+    assert(rows.forall(r => r.getLong(3) >= -1 && r.getLong(3) <= 2000000L))
+  }
+
   test("multi-probe lshTopK recall vs brute is a superset of " +
     "single-probe's") {
     val spark = TestSpark.spark
