@@ -113,6 +113,21 @@ object ChainSoak {
   private[graft] def mb(bytes: Long): Double =
     math.round(bytes / 1024.0 / 1024.0 * 10) / 10.0
 
+  /** Deterministic listener-bus drain, shared by every soak that reads
+    * SparkListener counters: waitUntilEmpty blocks until every queued
+    * task-end event is delivered, so counter snapshots are exact
+    * rather than racing async delivery (ADVICE r9 — the fixed sleep
+    * this replaced was racy under load). listenerBus is private[spark]
+    * at the Scala level but public in bytecode — reflective call, the
+    * standard out-of-package access.
+    */
+  private[graft] def drainListeners(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+    bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+      .invoke(bus, java.lang.Long.valueOf(30000L)): Unit
+  }
+
   /** The mixed-duplication amplified corpus (shared with FaultSoak):
     * of the `n` copies of each base document, `dupCopies` share the
     * text verbatim and the rest append a deterministic per-copy token
@@ -121,6 +136,7 @@ object ChainSoak {
     */
   private[graft] def amplifiedDocs(base0: DataFrame, n: Int,
       dupCopies: Int): DataFrame = {
+    require(n >= 1, s"amplification factor must be >= 1, got $n")
     val base = base0.select("doc_id", "text", "lang", "source")
     val salted = "concat(text, ' ', concat_ws(' ', " +
       "transform(sequence(1, greatest(8, length(text) div 8)), " +
@@ -161,20 +177,11 @@ object ChainSoak {
     amplifiedDocs(Tables.t(spark, srcDir, "documents"), n, dupCopies)
       .write.mode("overwrite").parquet(s"$soakDir/documents.parquet")
 
-    // Deterministic bus drain: waitUntilEmpty blocks until every queued
-    // task-end event is delivered (the fixed sleep it replaces was racy
-    // under load — ADVICE r9). Snapshots are taken at stage ENTRY, after
-    // a drain, so jobs run BETWEEN stage() calls (warm-up counts,
-    // driver-side collects) are excluded from every stage's delta
-    // instead of being silently credited to the next stage.
-    // (listenerBus is private[spark] at the Scala level but public in
-    // bytecode — reflective call, the standard out-of-package access.)
-    def drain(): Unit = {
-      val sc = spark.sparkContext
-      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
-      bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
-        .invoke(bus, java.lang.Long.valueOf(30000L)): Unit
-    }
+    // Snapshots are taken at stage ENTRY, after a drain, so jobs run
+    // BETWEEN stage() calls (warm-up counts, driver-side collects) are
+    // excluded from every stage's delta instead of being silently
+    // credited to the next stage.
+    def drain(): Unit = drainListeners(spark)
     def stage(name: String)(f: => (Long, Seq[SparkPlan])): Long = {
       drain()
       listener.resetPeak()

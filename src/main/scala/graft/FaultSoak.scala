@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   *
   *   1. run the full chain (shingle → minhash clusters → dedup keep →
   *      pii redact → budget select → mixture sample → seq pack) CLEAN
-  *      on an amplified corpus and digest every output frame with an
-  *      order-independent (count, bit_xor(xxhash64(*))) pair;
+  *      on an amplified corpus and digest every output frame with the
+  *      order-independent [[digest]] triple;
   *   2. run the SAME chain with a deterministic first-attempt fault
   *      injector spliced in at three depths (the source scan, the
   *      post-dedup survivor set, the post-budget selection): an
@@ -42,11 +42,9 @@ import org.apache.spark.sql.functions._
   *
   * Why digests and not collected rows: the outputs are corpus-sized at
   * amplification — a driver collect is exactly the anti-pattern the
-  * chain bans. bit_xor over per-row xxhash64 of every column is
-  * order-independent (union-of-partitions order differs run to run),
-  * collision-safe for equality-of-multisets at these cardinalities
-  * modulo adversarial inputs, and never overflows (ANSI-safe, unlike a
-  * sum of hashes).
+  * chain bans. See [[digest]] for the order-independent
+  * (count, xor, exact decimal sum) triple and why each component is
+  * there.
   *
   *   SPARK_GRAFT_FAULT_N=20 sbt "runMain graft.FaultSoak"
   */
@@ -93,15 +91,26 @@ object FaultSoak {
   }
 
   /** Order-independent multiset digest: (row count, xor of per-row
-    * xxhash64 over every column). NULL-safe: xxhash64 folds nulls into
-    * the seed deterministically.
+    * hashes, exact decimal sum of per-row hashes as a string). The
+    * per-row hash is xxhash64 over to_json(struct(*)) — JSON makes
+    * null POSITIONS explicit (bare xxhash64 skips null columns, so a
+    * null-position swap between two columns would collide). Two
+    * aggregates because each alone has a blind spot: xor misses
+    * even-multiplicity differences (a row duplicated while another
+    * pair drops XORs to zero), the sum misses xor-symmetric swaps;
+    * differing in BOTH simultaneously requires engineered collisions,
+    * not a retry artifact. The sum runs in decimal(38,0) — exact,
+    * order-independent, and overflow-free under ANSI (2^63 · rows
+    * stays far below 38 digits at any soak scale).
     */
-  private def digest(df: DataFrame): (Long, Long) = {
-    val r = df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*)
-        .as("h"))
-      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
+  private def digest(df: DataFrame): (Long, Long, String) = {
+    val r = df.select(xxhash64(to_json(struct(
+        df.columns.map(col).toIndexedSeq: _*))).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
+        sum(col("h").cast("decimal(38,0)")).as("s"))
       .head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) "0" else r.getDecimal(2).toBigInteger.toString)
   }
 
   def main(args: Array[String]): Unit = {
@@ -142,7 +151,7 @@ object FaultSoak {
       * the four output frames downstream operators would consume.
       */
     def runChain(tag: String, inject: Boolean)
-        : Map[String, (Long, Long)] = {
+        : Map[String, (Long, Long, String)] = {
       def tap(df: DataFrame, label: String): DataFrame =
         if (inject) injectFaults(df, modulo, label) else df
       val cacheKey = s"$soakDir/$tag"
@@ -172,6 +181,10 @@ object FaultSoak {
     val t0 = System.nanoTime()
     val clean = runChain("clean", inject = false)
     val cleanSec = (System.nanoTime() - t0) / 1e9
+    // Every counter snapshot below follows a bus drain: RetryListener
+    // events deliver asynchronously, and an undrained snapshot would
+    // race late task-ends from the previous phase (ADVICE r9).
+    ChainSoak.drainListeners(spark)
     val f0 = (injected.get, retries.failed.get, retries.retriedOk.get)
     require(f0 == ((0L, 0L, 0L)),
       s"clean run must see zero faults/retries, got $f0")
@@ -179,13 +192,14 @@ object FaultSoak {
     val t1 = System.nanoTime()
     val faulty = runChain("faulty", inject = true)
     val faultySec = (System.nanoTime() - t1) / 1e9
+    ChainSoak.drainListeners(spark)
 
     val stages = Seq("kept", "selected", "sampled", "packed")
     stages.foreach { s =>
       val (c, f) = (clean(s), faulty(s))
       println(s"""{"metric":"fault_stage","stage":"$s",""" +
-        s""""rows":${c._1},"digest_clean":${c._2},""" +
-        s""""digest_faulty":${f._2},"match":${c == f}}""")
+        s""""rows":${c._1},"digest_clean":"${c._2}:${c._3}",""" +
+        s""""digest_faulty":"${f._2}:${f._3}","match":${c == f}}""")
       require(c == f, s"stage $s diverged under retry: clean=$c faulty=$f")
     }
     require(injected.get > 0, "no faults were injected — soak is vacuous")
@@ -212,9 +226,10 @@ object FaultSoak {
     // combine-order-stable, which is exactly why every BATCH operator
     // with an oracle quantizes to integers before summing; the
     // determinism contract covers the integer/decimal outputs.
+    ChainSoak.drainListeners(spark)
     val streamBase =
       (injected.get, retries.failed.get, retries.retriedOk.get)
-    def runStream(tag: String, inject: Boolean): (Long, Long) = {
+    def runStream(tag: String, inject: Boolean): (Long, Long, String) = {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import spark.implicits._
       val dim = streaming.CovidStreamPipeline.countriesDim(spark)
@@ -252,17 +267,19 @@ object FaultSoak {
       digest(spark.read.parquet(storePath))
     }
     val streamClean = runStream("clean", inject = false)
+    ChainSoak.drainListeners(spark)
     val midStream =
       (injected.get, retries.failed.get, retries.retriedOk.get)
     require(midStream == streamBase,
       s"clean streaming run must see zero faults, got $midStream vs " +
         s"$streamBase")
     val streamFaulty = runStream("faulty", inject = true)
+    ChainSoak.drainListeners(spark)
     val sInj = injected.get - midStream._1
     val sRetried = retries.retriedOk.get - midStream._3
     println(s"""{"metric":"fault_stream","rows":${streamClean._1},""" +
-      s""""digest_clean":${streamClean._2},""" +
-      s""""digest_faulty":${streamFaulty._2},""" +
+      s""""digest_clean":"${streamClean._2}:${streamClean._3}",""" +
+      s""""digest_faulty":"${streamFaulty._2}:${streamFaulty._3}",""" +
       s""""injected_faults":$sInj,"retried_ok":$sRetried,""" +
       s""""match":${streamClean == streamFaulty}}""")
     require(streamClean == streamFaulty,

@@ -48,12 +48,7 @@ object VectorSoak {
       .createTempDirectory("graft-vector-soak").toString
     val t0All = System.nanoTime()
 
-    def drain(): Unit = {
-      val sc = spark.sparkContext
-      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
-      bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
-        .invoke(bus, java.lang.Long.valueOf(30000L)): Unit
-    }
+    def drain(): Unit = ChainSoak.drainListeners(spark)
     def stage(name: String, extra: String = "")(
         f: => (Long, Seq[SparkPlan])): Long = {
       drain()
@@ -93,6 +88,8 @@ object VectorSoak {
     // copy becomes the INTAKE epoch, perturbed per component with
     // deterministic noise (±~0.3% of the component scale) — near-dups
     // of resident vectors that must land in the same cells.
+    require(n >= 2,
+      s"SPARK_GRAFT_VECTOR_N must be >= 2 (copies + intake epoch), got $n")
     val nVecs = stage("prepare") {
       (0 until n - 1).map(k => base
           .filter(if (k == 0) lit(true) else col("vec_id") >= NQ)

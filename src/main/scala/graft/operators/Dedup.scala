@@ -412,8 +412,15 @@ object Dedup {
         // frame is small by construction.
         val st = incoming.queryExecution.optimizedPlan.stats
         st.rowCount match {
-          case Some(rc) => rc * 16 * 48 <= BigInt(thr)
-          case None =>
+          // Trust a known row count only when the byte estimate AGREES
+          // it is shingle-small: a tiny rowCount under a huge
+          // sizeInBytes means the stats contradict each other (the
+          // stale-catalog-CBO failure mode), and a contradicted
+          // estimate must not authorize a broadcast — fall through to
+          // the exact count, whose worst case is one small job.
+          case Some(rc) if st.sizeInBytes <= BigInt(64L) * BigInt(thr) =>
+            rc * 16 * 48 <= BigInt(thr)
+          case _ =>
             st.sizeInBytes <= BigInt(64L) * BigInt(thr) &&
               incoming.count() * 16L * 48L <= thr
         }

@@ -95,7 +95,15 @@ object MultimodalQueries {
         |         k -> CAST(k * 5 AS INTEGER)), ',') AS sampled_frames
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val media = Multimodal.documentsAsMedia(docs)
+      // Null text folds to an EMPTY payload on the sampling side only:
+      // documentsAsMedia rejects null payloads at its boundary (its
+      // byte ops dereference unguarded), but the oracle's closed form
+      // keeps the row — DuckDB greatest(NULL // 64, 1) skips the NULL
+      // and yields one frame-0 row — and sampleFrames over an empty
+      // payload emits exactly that (max(0 div 64, 1) = 1 frame). The
+      // raw-side byte_len/header_hex stay NULL on both engines.
+      val media = Multimodal.documentsAsMedia(docs.select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text")))
       val sampled = Multimodal.sampleFrames(media, frameBytes = 64,
         every = 5).toDF()
         .groupBy("doc_id")

@@ -340,12 +340,24 @@ object Similarity {
     * shape (and tie-break) as assignment itself — one corpus pass.
     */
   def ivfCellStats(e: DataFrame, nQueries: Int,
-      nCentroids: Int): DataFrame = {
-    val corpus = e.filter(col("vec_id") >= nQueries)
-      .select(col("vec_id").as("n_id"), col("v").as("cv"),
-        col("nrm").as("cn"))
+      nCentroids: Int): DataFrame =
+    ivfCellStatsWith(
+      e.filter(col("vec_id") >= nQueries)
+        .select(col("vec_id").as("n_id"), col("v").as("cv"),
+          col("nrm").as("cn")),
+      firstNCodebook(e, nQueries, nCentroids))
+
+  /** [[ivfCellStats]] against an ARBITRARY codebook — the form a
+    * deployed store monitors (its cells are defined by the STORED,
+    * typically Lloyd-refined codebook, not the first-N seed the
+    * oracle-replicable declared query uses). `corpus` is
+    * (n_id, cv, cn); `codebook` is (cid, centv, centn) as from
+    * [[firstNCodebook]] / [[lloydRefine]] / a store's codebook dir.
+    */
+  def ivfCellStatsWith(corpus: DataFrame,
+      codebook: DataFrame): DataFrame = {
     val assigned = corpus
-      .crossJoin(broadcast(firstNCodebook(e, nQueries, nCentroids)))
+      .crossJoin(broadcast(codebook))
       .withColumn("csim", expr("array_dot(cv, centv) / (cn * centn)"))
       .groupBy(col("n_id"))
       .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
@@ -357,6 +369,35 @@ object Similarity {
       .withColumn("tot",
         sum(col("n_vectors")).over(Window.partitionBy()))
       .select(col("cid"), col("n_vectors"),
+        expr("cast(n_vectors * 1000000 div tot as bigint)")
+          .as("share_micro"),
+        expr("cast(sum_err div n_vectors as bigint)")
+          .as("avg_err_micro"))
+      .orderBy("cid")
+  }
+
+  /** Drift report straight OFF a deployed store: vectors already carry
+    * their cell (the partition column), so no reassignment argmax runs
+    * — one pruned-free full scan, a broadcast codebook join for the
+    * per-vector error, and a cells-sized aggregate. Equals
+    * [[ivfCellStatsWith]] over the same corpus and codebook exactly
+    * (assignment against a fixed codebook is what wrote the cid
+    * column), which StoreMaintenanceSpec pins — run it per epoch
+    * append and alert on share or error drift (DEPLOY.md §2).
+    */
+  def ivfStoreDrift(spark: SparkSession, path: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cent = spark.read.parquet(s"$path/codebook")
+    spark.read.parquet(s"$path/vectors")
+      .join(broadcast(cent), "cid")
+      .select(col("cid"),
+        expr("cast(round((1.0 - array_dot(cv, centv) / (cn * centn)) " +
+          "* 1000000) as bigint)").as("err_micro"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vectors"), sum("err_micro").as("sum_err"))
+      .withColumn("tot",
+        sum(col("n_vectors")).over(Window.partitionBy()))
+      .select(col("cid").cast("int").as("cid"), col("n_vectors"),
         expr("cast(n_vectors * 1000000 div tot as bigint)")
           .as("share_micro"),
         expr("cast(sum_err div n_vectors as bigint)")

@@ -54,11 +54,25 @@ class PlanInvariantsSpec extends AnyFunSuite {
 
   private def subtree(p: SparkPlan): Seq[SparkPlan] = ChainSoak.planNodes(p)
 
+  /** Column names that key corpus-sized tables: an aggregate GROUPED
+    * on one of these has corpus-scale cardinality and must not count
+    * as bounded (a blanket aggregate rule would wave
+    * `broadcast(docs.groupBy("doc_id").agg(...))` straight through —
+    * the exact regression this gate exists to name). Aggregates on
+    * anything else (lang, source, band, cell, score bucket…) are the
+    * bounded model/boundary tables the operators broadcast on purpose.
+    */
+  private val corpusKeys = Set("doc_id", "vec_id", "q_id", "n_id",
+    "new_id", "corpus_id", "cluster_id", "event_id", "user_id", "fp",
+    "fp64", "da", "db")
+
   /** Bounded-by-construction: some node in the physical subtree
     * guarantees a row count independent of corpus size.
     */
   private def bounded(p: SparkPlan): Boolean = subtree(p).exists {
-    case _: BaseAggregateExec => true
+    case a: BaseAggregateExec =>
+      !a.groupingExpressions.exists(
+        _.references.exists(r => corpusKeys(r.name)))
     case _: LocalTableScanExec => true
     case _: BaseLimitExec | _: CollectLimitExec |
         _: TakeOrderedAndProjectExec => true
@@ -81,13 +95,40 @@ class PlanInvariantsSpec extends AnyFunSuite {
     */
   private def logicalBounded(p: LogicalPlan): Boolean =
     p.collectFirst {
-      case _: Aggregate => ()
+      case a: Aggregate if !a.groupingExpressions.exists(
+          _.references.exists(r => corpusKeys(r.name))) => ()
       case _: GlobalLimit => ()
       case _: LocalLimit => ()
       case _: LocalRelation => ()
       case _: OneRowRelation => ()
-      case f: Filter if f.condition.deterministic => ()
+      // A filter bounds a hinted subtree only when it is a KEY-RANGE
+      // slice (references a corpus key, compares against literals) —
+      // the query-vector / intake-split pattern, whose size the
+      // predicate governs. A content predicate (length(text) > 0,
+      // lang = 'en') keeps corpus scale and must not qualify.
+      case f: Filter if f.condition.deterministic &&
+          f.condition.references.exists(r => corpusKeys(r.name)) &&
+          f.condition.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.Literal]) => ()
     }.isDefined
+
+  test("gate heuristics reject corpus-scale subtrees (negative cases)") {
+    import org.apache.spark.sql.functions.{col, count, length, lit}
+    val docs = Tables.t(spark, dir, "documents")
+    // Content predicates keep corpus scale — must NOT bound a hint.
+    assert(!logicalBounded(
+      docs.filter(length(col("text")) > 0).queryExecution.analyzed))
+    // Aggregates grouped on a corpus key are corpus-sized.
+    val keyAgg = docs.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    assert(!logicalBounded(keyAgg.queryExecution.analyzed))
+    assert(!bounded(keyAgg.queryExecution.executedPlan))
+    // Key-range slices and small-domain aggregates stay admissible.
+    assert(logicalBounded(
+      docs.filter(col("doc_id") < 100).queryExecution.analyzed))
+    val srcAgg = docs.groupBy("source").agg(count(lit(1)).as("c"))
+    assert(logicalBounded(srcAgg.queryExecution.analyzed))
+    assert(bounded(srcAgg.queryExecution.executedPlan))
+  }
 
   SparkEntry.specs.foreach { spec =>
     test(s"plan invariants: ${spec.name}") {

@@ -91,6 +91,16 @@ class MultimodalSpec extends AnyFunSuite {
     val f = frames.filter(_.doc_id == 0L).collect().sortBy(_.frame_idx)
     assert(f.nonEmpty && f.map(_.frame_idx).forall(_ % 5 == 0))
     assert(f.init.forall(_.frame.length == 64)) // only the tail is short
+    // Empty payload → exactly one (empty) frame 0: the closed form the
+    // multimodal_meta oracle uses for null-text documents (DuckDB's
+    // greatest(NULL // 64, 1) skips the NULL), so the query's
+    // null→empty coalesce keeps row counts aligned with the oracle.
+    import spark.implicits._
+    val empty = Multimodal.sampleFrames(
+      Seq(Multimodal.MediaRow(99L, Array.emptyByteArray)).toDS(),
+      frameBytes = 64, every = 5).collect()
+    assert(empty.length == 1 && empty.head.frame_idx == 0 &&
+      empty.head.frame.isEmpty)
   }
 
   test("pixel histogram is computed from DECODED samples and feeds the " +

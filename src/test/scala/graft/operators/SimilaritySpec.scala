@@ -36,6 +36,21 @@ class SimilaritySpec extends AnyFunSuite {
     // Quantization error vs the cell's OWN centroid is ~0 for the
     // centroid vector itself and bounded by 2e6 (cos >= -1) always.
     assert(rows.forall(r => r.getLong(3) >= -1 && r.getLong(3) <= 2000000L))
+    // Store-side drift report equals the in-memory computation exactly:
+    // the store's cid column was written by the same assignment, so
+    // ivfStoreDrift must reproduce every (cid, n, share, err) row.
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-drift-store").toString
+    try {
+      Similarity.writeIvfStore(e, Similarity.firstNCodebook(e, 5, 8),
+        5, store)
+      val drift = Similarity.ivfStoreDrift(spark, store).collect()
+      assert(drift.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq,
+        "store drift report diverged from ivfCellStats")
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(store)): Unit
+    }
   }
 
   test("multi-probe lshTopK recall vs brute is a superset of " +
