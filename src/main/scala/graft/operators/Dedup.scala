@@ -416,11 +416,20 @@ object Dedup {
           // it is shingle-small: a tiny rowCount under a huge
           // sizeInBytes means the stats contradict each other (the
           // stale-catalog-CBO failure mode), and a contradicted
-          // estimate must not authorize a broadcast — fall through to
-          // the exact count, whose worst case is one small job.
+          // estimate must not authorize a broadcast.
           case Some(rc) if st.sizeInBytes <= BigInt(64L) * BigInt(thr) =>
             rc * 16 * 48 <= BigInt(thr)
-          case _ =>
+          // Contradicted stats are AMBIGUOUS, so they pay the exact
+          // count (the r9 design: only the ambiguous band runs a
+          // count job): a genuinely band-small intake under a stale
+          // huge byte estimate still earns its broadcast; a genuinely
+          // huge one costs one scan and takes the shuffle path —
+          // slower, never wrong, never an OOM.
+          case Some(_) => incoming.count() * 16L * 48L <= thr
+          // No row count at all: the byte estimate is shingle-scale —
+          // decisively-over goes straight to shuffle with zero jobs,
+          // the ambiguous band pays the count.
+          case None =>
             st.sizeInBytes <= BigInt(64L) * BigInt(thr) &&
               incoming.count() * 16L * 48L <= thr
         }

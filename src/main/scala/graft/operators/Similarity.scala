@@ -356,25 +356,32 @@ object Similarity {
     */
   def ivfCellStatsWith(corpus: DataFrame,
       codebook: DataFrame): DataFrame = {
-    val assigned = corpus
+    perCellStats(corpus
       .crossJoin(broadcast(codebook))
       .withColumn("csim", expr("array_dot(cv, centv) / (cn * centn)"))
       .groupBy(col("n_id"))
       .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
       .select((-col("m.ncid")).cast("int").as("cid"),
         expr("cast(round((1.0 - m.csim) * 1000000) as bigint)")
-          .as("err_micro"))
+          .as("err_micro")))
+  }
+
+  /** Shared aggregation tail of [[ivfCellStatsWith]]/[[ivfStoreDrift]]
+    * over an assigned (cid, err_micro) frame — one copy so the share
+    * formula, rounding, and output schema cannot drift apart (the two
+    * callers are spec-pinned equal).
+    */
+  private def perCellStats(assigned: DataFrame): DataFrame =
     assigned.groupBy("cid")
       .agg(count(lit(1)).as("n_vectors"), sum("err_micro").as("sum_err"))
       .withColumn("tot",
         sum(col("n_vectors")).over(Window.partitionBy()))
-      .select(col("cid"), col("n_vectors"),
+      .select(col("cid").cast("int").as("cid"), col("n_vectors"),
         expr("cast(n_vectors * 1000000 div tot as bigint)")
           .as("share_micro"),
         expr("cast(sum_err div n_vectors as bigint)")
           .as("avg_err_micro"))
       .orderBy("cid")
-  }
 
   /** Drift report straight OFF a deployed store: vectors already carry
     * their cell (the partition column), so no reassignment argmax runs
@@ -388,21 +395,22 @@ object Similarity {
   def ivfStoreDrift(spark: SparkSession, path: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val cent = spark.read.parquet(s"$path/codebook")
-    spark.read.parquet(s"$path/vectors")
+    val vectors = spark.read.parquet(s"$path/vectors")
+    // A cid with no codebook row is store CORRUPTION (codebook dir
+    // overwritten by a smaller retrain, cell dir surviving a partial
+    // rebuild) — exactly what a drift monitor must surface. An inner
+    // join would silently drop the orphans and report healthy shares;
+    // fail loudly instead. Broadcast anti-join: one cheap extra job.
+    val orphans = vectors.join(broadcast(cent), Seq("cid"), "left_anti")
+      .count()
+    require(orphans == 0L,
+      s"$orphans store vectors carry cell ids absent from the " +
+        s"codebook at $path — store and codebook are out of sync")
+    perCellStats(vectors
       .join(broadcast(cent), "cid")
       .select(col("cid"),
         expr("cast(round((1.0 - array_dot(cv, centv) / (cn * centn)) " +
-          "* 1000000) as bigint)").as("err_micro"))
-      .groupBy("cid")
-      .agg(count(lit(1)).as("n_vectors"), sum("err_micro").as("sum_err"))
-      .withColumn("tot",
-        sum(col("n_vectors")).over(Window.partitionBy()))
-      .select(col("cid").cast("int").as("cid"), col("n_vectors"),
-        expr("cast(n_vectors * 1000000 div tot as bigint)")
-          .as("share_micro"),
-        expr("cast(sum_err div n_vectors as bigint)")
-          .as("avg_err_micro"))
-      .orderBy("cid")
+          "* 1000000) as bigint)").as("err_micro")))
   }
 
   /** Per-cell (cid, n_files, bytes) for the compaction / rebuild
