@@ -129,9 +129,21 @@ object Dedup {
     * on the pair aggregate — no join touches the corpus until the
     * (tiny) surviving candidate set meets the Jaccard verify. The
     * generator also applies the size-ratio prefilter q·min ≥ p·max
-    * BEFORE the candidate shuffle (provably output-neutral — it is
-    * implied by the count-prefilter since c ≤ min(sa,sb); see
-    * PairExpand scaladoc), cutting the shuffled candidate volume.
+    * BEFORE the candidate shuffle (neutral RELATIVE TO the
+    * count-prefilter, since c ≤ min(sa,sb); see PairExpand scaladoc),
+    * cutting the shuffled candidate volume.
+    *
+    * CONTRACT: the count-prefilter `c·(p+q) ≥ p·(sa+sb)` runs on the
+    * CAPPED co-occurrence c (shared shingles with df ≤ DfCap — the
+    * only count the capped index can observe). c equals the true
+    * intersection exactly when no shared shingle is over-cap; a pair
+    * whose Jaccard margin rests on shared BOILERPLATE shingles
+    * (df > DfCap) can be pruned even though its uncapped Jaccard
+    * passes — deliberate, the same stance as the cap itself:
+    * similarity carried by corpus-hot shingles is noise for near-dup
+    * detection. The oracle (pairsOracleCounted) mirrors the identical
+    * rule, so the contract is pinned, not an approximation hoped
+    * harmless.
     *
     * Memoized per (session, cacheKey, p, q) like the minhash pair set:
     * the inverted-index scan is the most expensive stage in the suite,
@@ -730,8 +742,12 @@ object Dedup {
     */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
       cacheKey: String = ""): DataFrame = {
+    // persistIt unconditionally (the docShingles rationale): fps feeds
+    // the chunk explosion AND both verify-join sides — with an empty
+    // cacheKey an unpersisted build would run the CPU-dominant
+    // tokenize+simhash corpus pass three times per call.
     val fps = Memo.memo("simhash_fps", docs.sparkSession, cacheKey,
-      persistIt = cacheKey.nonEmpty) {
+      persistIt = true) {
       simhashFingerprints(docs)
     }
     val chunks = fps.select(col("doc_id"),

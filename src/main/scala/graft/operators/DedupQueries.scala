@@ -15,8 +15,9 @@ object DedupQueries {
   /** Shared oracle CTE mirror of Dedup.docShingles + the blocked-pair
     * exact-Jaccard pipeline. Both engines shingle to the SAME portable
     * int64 hash (Shingles3 / TextOps.docShinglesCteD), so the oracle's
-    * Jaccard is computed over identical key sets; the Spark side's
-    * count-prefilter is output-preserving (see Dedup.nearDupPairs).
+    * Jaccard is computed over identical key sets. This exhaustive form
+    * (no count-prefilter) is the minhash contract; the ngram path uses
+    * [[pairsOracleCounted]], which mirrors its capped-count prefilter.
     */
   private def pairsOracle(minJ: String): String =
     s"""WITH ${TextOps.docShinglesCteD},
@@ -33,6 +34,39 @@ object DedupQueries {
        |         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
        |           / len(list_distinct(x.sh || y.sh)) AS jaccard
        |  FROM pairs JOIN d x ON x.doc_id = da JOIN d y ON y.doc_id = db
+       |)
+       |SELECT da, db, jaccard FROM j WHERE jaccard >= $minJ
+       |ORDER BY da, db""".stripMargin
+
+  /** [[pairsOracle]] with the ngram path's count-prefilter mirrored:
+    * candidates must satisfy `c·(p+q) ≥ p·(sa+sb)` where c is the
+    * CAPPED co-occurrence (shared shingles with df ≤ DfCap only, the
+    * count the Spark side's pair aggregate observes). The prefilter is
+    * exact when c equals the true intersection; a pair whose margin
+    * rests on shared OVER-cap shingles can be pruned even though its
+    * true Jaccard passes — deliberate: df-capped shingles are
+    * boilerplate by definition, and similarity carried by boilerplate
+    * is what DfCap exists to ignore (see Dedup.nearDupPairs). The
+    * oracle applies the identical rule, so both engines implement the
+    * same documented contract.
+    */
+  private def pairsOracleCounted(minJ: String, p: Int, q: Int): String =
+    s"""WITH ${TextOps.docShinglesCteD},
+       |inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
+       |rare AS (SELECT s FROM inv GROUP BY s
+       |         HAVING COUNT(*) <= ${Dedup.DfCap}),
+       |pruned AS (SELECT doc_id, s FROM inv WHERE s IN (SELECT s FROM rare)),
+       |pc AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+       |  FROM pruned a JOIN pruned b
+       |    ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), j AS (
+       |  SELECT da, db,
+       |         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |           / len(list_distinct(x.sh || y.sh)) AS jaccard
+       |  FROM pc JOIN d x ON x.doc_id = da JOIN d y ON y.doc_id = db
+       |  WHERE c * ${p + q} >= (len(x.sh) + len(y.sh)) * $p
        |)
        |SELECT da, db, jaccard FROM j WHERE jaccard >= $minJ
        |ORDER BY da, db""".stripMargin
@@ -173,8 +207,9 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
-    // Exact n-gram Jaccard ≥ 0.3 over blocked candidates.
-    QuerySpec("ngram_jaccard", pairsOracle("0.3")) { (s, dir) =>
+    // Exact n-gram Jaccard ≥ 0.3 over blocked candidates, capped-count
+    // prefilter mirrored (see pairsOracleCounted).
+    QuerySpec("ngram_jaccard", pairsOracleCounted("0.3", 3, 10)) { (s, dir) =>
       Dedup.nearDupPairs(
         Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir), 3, 10,
         cacheKey = dir)

@@ -125,23 +125,26 @@ private[graft] object Memo {
       persistIt: Boolean)(build: => DataFrame): DataFrame = {
     synchronized { installHook(spark) }
     if (key.isEmpty) {
-      if (persistIt) {
-        val df = build.persist()
-        synchronized {
-          // Bound the tracking set: entries the caller already
-          // unpersisted (per the ownership contract) report
-          // StorageLevel.NONE — drop them so a long-lived service
-          // calling keyless operators per batch does not accumulate
-          // one strong DataFrame reference per call forever. Genuinely
-          // leaked (still-persisted) frames stay tracked for
-          // clearCaches.
-          keyless.filterInPlace(
-            _.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-          keyless += df
-        }
-        df
+      val df = if (persistIt) build.persist() else build
+      synchronized {
+        // Bound the tracking set: entries the caller already released
+        // (per the ownership contract) report no live storage — drop
+        // them so a long-lived service calling keyless operators per
+        // batch does not accumulate one strong DataFrame reference per
+        // call forever. Genuinely leaked (still-stored) frames stay
+        // tracked for clearCaches. Liveness covers BOTH storage forms:
+        // Dataset persistence AND the localCheckpoint RDD blocks
+        // behind checkpoint-truncated plans (a clusters() result is
+        // storageLevel NONE at the Dataset layer yet pins executor
+        // storage through its LogicalRDD — the persistIt=false frames
+        // are tracked precisely so clearCaches can release those).
+        keyless.filterInPlace(k =>
+          k.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
+            checkpointRdds(k).exists(_.getStorageLevel !=
+              org.apache.spark.storage.StorageLevel.NONE))
+        keyless += df
       }
-      else build
+      df
     } else {
       def lookup(): Option[DataFrame] = synchronized {
         caches.getOrElseUpdate(cacheName, mutable.Map.empty)

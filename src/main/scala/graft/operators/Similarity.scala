@@ -12,12 +12,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Normalize input to (vec_id, v: array&lt;double&gt;, nrm). */
+  /** Normalize input to (vec_id, v: array&lt;double&gt;, nrm).
+    *
+    * Zero-norm vectors are REJECTED at this boundary (the
+    * documentsAsMedia precedent): cosine against a zero vector is
+    * 0/0 = NaN, and Spark's total ordering ranks NaN above every
+    * double — one all-zero embedding would rank top-1 for EVERY query,
+    * and a zero-norm CENTROID would capture the entire corpus
+    * (max-cosine assignment sees NaN for every vector). No fixture
+    * carries one (asserted cheap here, not assumed); data that does
+    * turns the oracle gate red loudly instead of silently poisoning
+    * every ranking.
+    */
   def prepared(df: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", expr("sqrt(array_dot(v, v))"))
+      .filter(col("nrm") > 0)
   }
 
   private def cosCol = expr("array_dot(qv, cv) / (qn * cn)")
@@ -438,9 +450,20 @@ object Similarity {
     * directory and swapped in with file moves, so untouched cells'
     * files are never read OR written — the partial-maintenance shape a
     * 100 TB store needs (a nightly compaction touches hot cells, not
-    * the corpus). The swap is per-cell delete+move (a transactional
-    * table format would make it atomic); probes concurrent with the
-    * swap window should run against a snapshot listing.
+    * the corpus).
+    *
+    * Crash safety (single maintenance writer assumed — concurrent
+    * APPENDS to a cell being compacted would be lost; schedule
+    * compaction and intake in the same maintenance window): per cell,
+    * the prior files are first RENAMED into a dot-prefixed backup
+    * subdir (invisible to parquet listings), then the staged files
+    * move in, then the backup is dropped. No step destroys the only
+    * copy: a crash before the backup-drop leaves the old rows under
+    * `.compact-bak-*` and/or the staged rows under `.compact-*` — both
+    * recoverable by moving files back — and the staging dir is kept
+    * (not deleted) on failure for exactly that reason. A transactional
+    * table format would make the swap atomic; probes concurrent with
+    * the swap window should run against a snapshot listing.
     */
   def compactIvfCells(spark: SparkSession, path: String,
       cells: Seq[Int]): Unit = {
@@ -448,27 +471,31 @@ object Similarity {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(s"$path/vectors")
     val fs = root.getFileSystem(hconf)
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$path/.compact-${java.util.UUID.randomUUID()}")
+    val runId = java.util.UUID.randomUUID().toString
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.compact-$runId")
     spark.read.parquet(s"$path/vectors")
       .filter(col("cid").isin(cells: _*))
       .repartition(cells.size, col("cid"))
       .write.partitionBy("cid").parquet(tmp.toString)
-    try cells.foreach { c =>
+    cells.foreach { c =>
       val dst = new org.apache.hadoop.fs.Path(root, s"cid=$c")
       val src = new org.apache.hadoop.fs.Path(tmp, s"cid=$c")
+      val bak = new org.apache.hadoop.fs.Path(dst, s".compact-bak-$runId")
       val fresh = fs.listStatus(src).toSeq
         .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      fs.mkdirs(bak)
       fs.listStatus(dst).toSeq
         .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-        .foreach(s => fs.delete(s.getPath, false))
+        .foreach(s => fs.rename(s.getPath,
+          new org.apache.hadoop.fs.Path(bak, s.getPath.getName)))
       fresh.foreach(s =>
         fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dst,
           s.getPath.getName)))
-    } finally {
-      fs.delete(tmp, true)
-      ()
+      fs.delete(bak, true): Unit
     }
+    // Reached only on success — on failure the staging dir survives
+    // alongside any backups, so nothing is ever the sole deleted copy.
+    fs.delete(tmp, true): Unit
   }
 
   /** ANN search OFF the stored layout: probe cells are chosen against
@@ -729,7 +756,8 @@ object Similarity {
     * order-independent SUM; completeness gate on every LUT).
     */
   def ivfPqTopK(e: DataFrame, nQueries: Int, nCentroids: Int,
-      nProbe: Int, nSub: Int, nCode: Int, k: Int): DataFrame = {
+      nProbe: Int, nSub: Int, nCode: Int, k: Int,
+      cacheKey: String = ""): DataFrame = {
     require(64 % nSub == 0,
       s"nSub must divide the 64-dim embedding exactly, got $nSub")
     val sub = 64 / nSub
@@ -752,15 +780,31 @@ object Similarity {
       .groupBy(col("n_id"))
       .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
       .select(col("n_id"), (-col("m.ncid")).as("cid"))
-    val residuals = corpus.join(bestCid, "n_id")
-      .join(broadcast(cent.select(col("cid"), col("centv"))), "cid")
-      .select(col("n_id"), col("cid"),
-        expr("zip_with(cv, centv, (a, b) -> a - b)").as("rv"))
+    // Memoized (keyless-persisted without a cacheKey): the residual
+    // table feeds the sub-codebook slice AND the encode branch — left
+    // lazy, the corpus-wide assignment crossJoin+argmax would replay
+    // once per consumer inside a single call (differing column pruning
+    // defeats ReuseExchange, the Memo rationale).
+    val residuals = Memo.memo("ivfpq_residuals", e.sparkSession,
+      if (cacheKey.isEmpty) ""
+      else s"$cacheKey|nq=$nQueries|nc=$nCentroids",
+      persistIt = true) {
+      corpus.join(bestCid, "n_id")
+        .join(broadcast(cent.select(col("cid"), col("centv"))), "cid")
+        .select(col("n_id"), col("cid"),
+          expr("zip_with(cv, centv, (a, b) -> a - b)").as("rv"))
+    }
     // Deterministic first-nCode RESIDUAL sub-codebook (production
-    // trains per-subspace k-means on residuals offline).
+    // trains per-subspace k-means on residuals offline). Sliced from
+    // BEYOND the centroid rows: vec_ids nQueries..nQueries+nCentroids
+    // are the centroids themselves, whose residuals are exactly zero —
+    // including them would waste nCentroids of the nCode entries on
+    // identical zero codewords and silently flatten quantization
+    // resolution (the oracle mirrors the same offset).
+    val cbBase = nQueries + nCentroids
     val cb = residuals
-      .filter(col("n_id") >= nQueries && col("n_id") < nQueries + nCode)
-      .select((col("n_id") - nQueries).cast("int").as("code"), col("rv"))
+      .filter(col("n_id") >= cbBase && col("n_id") < cbBase + nCode)
+      .select((col("n_id") - cbBase).cast("int").as("code"), col("rv"))
       .withColumn("m", expr(subspaces))
       .select(col("m"), col("code"),
         expr(slicedSub("rv")).as("cbv"))
@@ -844,25 +888,53 @@ object Similarity {
     * Scale shape: SemDeDup at 100 TB runs with ~100k centroids so each
     * cluster holds ~corpus/100k vectors and the per-cluster pairing is
     * tiny; the cluster-id blocking key hash-partitions the corpus, so
-    * the quadratic term is bounded per partition and never global. The
-    * codebook is the deterministic first-`nCentroids` stand-in (train
-    * with lloydRefine offline at scale); assignment + drop-marking are
-    * two shuffles total. Output: (vec_id, cid, kept) for every vector.
+    * the quadratic term is bounded per partition and never global —
+    * PROVIDED cluster mass is balanced. The within-cluster join has no
+    * hard cap (unlike DfCap/BandCap/ChunkCap, a cap here would change
+    * who survives, not just which candidates verify), so the
+    * nCentroids count and codebook QUALITY are the levers: the
+    * declared query's first-N codebook is the oracle-replicable
+    * stand-in, and a skewed corpus MUST pass a trained (lloydRefine)
+    * codebook via [[semDedupWith]] — a mode-collapsed cell under a
+    * bad codebook re-creates the global quadratic. ivfCellStats /
+    * ivfStoreDrift report exactly this imbalance. Assignment runs
+    * once (memoized like the residual table — three consumers) +
+    * drop-marking: two corpus shuffles total. Output:
+    * (vec_id, cid, kept) for every vector.
     */
-  def semDedup(df: DataFrame, nCentroids: Int,
-      threshold: Double): DataFrame = {
+  def semDedup(df: DataFrame, nCentroids: Int, threshold: Double,
+      cacheKey: String = ""): DataFrame = {
     val e = prepared(df)
-    val cent = e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("v").as("centv"),
-        col("nrm").as("centn"))
+    semDedupWith(e,
+      e.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("centv"),
+          col("nrm").as("centn")),
+      threshold,
+      if (cacheKey.isEmpty) "" else s"$cacheKey|nc=$nCentroids")
+  }
+
+  /** [[semDedup]] against an arbitrary (typically lloydRefine-trained)
+    * codebook — the production form on skewed corpora (see the scale
+    * note above). `e` is a prepared frame; `codebook` is
+    * (cid, centv, centn).
+    */
+  def semDedupWith(e: DataFrame, codebook: DataFrame, threshold: Double,
+      cacheKey: String = ""): DataFrame = {
     // Payload-free argmax (see ivfTopKWith): only (csim, -cid) rides
     // the aggregation buffer; vectors re-attach by joining on vec_id.
-    val bestCid = e.crossJoin(broadcast(cent))
-      .withColumn("csim", expr("array_dot(v, centv) / (nrm * centn)"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
-      .select(col("vec_id"), (-col("m.ncid")).as("cid"))
-    val assigned = e.join(bestCid, "vec_id")
+    // Memoized: `assigned` feeds the a-side, the b-side, AND the final
+    // keep-flag join — left lazy, the corpus×codebook assignment would
+    // replay three times per call (column pruning differs per branch,
+    // so ReuseExchange cannot collapse them).
+    val assigned = Memo.memo("semdedup_assigned", e.sparkSession,
+      cacheKey, persistIt = true) {
+      val bestCid = e.crossJoin(broadcast(codebook))
+        .withColumn("csim", expr("array_dot(v, centv) / (nrm * centn)"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
+        .select(col("vec_id"), (-col("m.ncid")).as("cid"))
+      e.join(bestCid, "vec_id")
+    }
     val a = assigned.select(col("vec_id").as("va"), col("cid"),
       col("v").as("qv"), col("nrm").as("qn"))
     val b = assigned.select(col("vec_id").as("vb"), col("cid"),

@@ -260,9 +260,10 @@ object SimilarityQueries {
          |               list_transform(range(1, 65),
          |                 i -> cv[i] - centv[i]) AS rv
          |        FROM asg JOIN cent USING (cid)),
-         |cb AS (SELECT CAST(n_id - $NQ AS INTEGER) AS code, m,
+         |cb AS (SELECT CAST(n_id - ${NQ + 8} AS INTEGER) AS code, m,
          |              rv[(m * 16) + 1:(m * 16) + 16] AS cbv
-         |       FROM res, range(0, 4) t(m) WHERE n_id < $NQ + 16),
+         |       FROM res, range(0, 4) t(m)
+         |       WHERE n_id >= ${NQ + 8} AND n_id < ${NQ + 8 + 16}),
          |sv AS (SELECT n_id, cid, m,
          |              rv[(m * 16) + 1:(m * 16) + 16] AS sv
          |       FROM res, range(0, 4) t(m)),
@@ -303,7 +304,8 @@ object SimilarityQueries {
          |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
     }) { (s, dir) =>
       Similarity.ivfPqTopK(
-        Similarity.prepared(t(s, dir, "embeddings")), NQ, 8, 2, 4, 16, 10)
+        Similarity.prepared(t(s, dir, "embeddings")), NQ, 8, 2, 4, 16, 10,
+        cacheKey = dir)
         .orderBy("q_id", "rn")
     },
 
@@ -336,7 +338,8 @@ object SimilarityQueries {
          |       (drp.vec_id IS NULL) AS kept
          |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id
          |ORDER BY asg.vec_id""".stripMargin) { (s, dir) =>
-      Similarity.semDedup(t(s, dir, "embeddings"), 8, 0.35)
+      Similarity.semDedup(t(s, dir, "embeddings"), 8, 0.35,
+        cacheKey = dir)
         .orderBy("vec_id")
     },
 

@@ -47,6 +47,25 @@ class MemoLifecycleSpec extends AnyFunSuite {
         "a reference")
   }
 
+  test("keyless persistIt=false checkpoint-backed frames are tracked " +
+    "and their executor storage released by clearCaches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // The clusters() shape: storageLevel NONE at the Dataset layer,
+    // storage pinned through the localCheckpoint LogicalRDD.
+    val df = Memo.memo("lifecycle-ckpt", spark, "", persistIt = false) {
+      Seq(1, 2, 3).toDF("x").localCheckpoint()
+    }
+    assert(Memo.checkpointRdds(df)
+        .exists(_.getStorageLevel.useMemory),
+      "precondition: the checkpoint blocks are live")
+    Memo.clearCaches(spark)
+    assert(Memo.checkpointRdds(df)
+        .forall(!_.getStorageLevel.useMemory),
+      "clearCaches must release checkpoint storage behind keyless " +
+        "persistIt=false frames")
+  }
+
   test("keyless tracking self-prunes entries the caller already " +
     "unpersisted (no per-batch accumulation in a long-lived service)") {
     val spark = TestSpark.spark
