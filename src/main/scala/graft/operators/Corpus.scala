@@ -48,8 +48,12 @@ object Corpus {
       hiAvg: Double): DataFrame = {
     val ok = domainStats(docs)
       .filter(col("avg_chars") >= loAvg && col("avg_chars") <= hiAvg)
-      .select("source", "avg_chars")
-    docs.join(broadcast(ok), Seq("source"))
+      .select(col("source").as("ok_source"), col("avg_chars"))
+    // Null-safe equality (the r5 null-drop bug class): a null-source
+    // GROUP gets its own avg_chars row, and its documents must pass or
+    // fail the band like any other group's — a bare equi-join would
+    // silently delete every null-source document regardless of band.
+    docs.join(broadcast(ok), col("source") <=> col("ok_source"))
       .select(col("doc_id"), col("source"), col("lang"),
         col("n_chars"), col("avg_chars").as("source_avg_chars"))
   }
@@ -69,13 +73,20 @@ object Corpus {
     * moves its payloads.
     */
   def corpusDiff(prev: DataFrame, next: DataFrame): DataFrame = {
-    val a = prev.select(col("doc_id"), md5(col("text")).as("h_prev"))
-    val b = next.select(col("doc_id"), md5(col("text")).as("h_next"))
+    // Presence rides EXPLICIT flags, not digest nullness: md5(NULL
+    // text) is NULL, so inferring existence from h_prev/h_next would
+    // misclassify every null-text document (a deleted null-text doc
+    // would report "added"). The null-safe digest compare then makes
+    // null-vs-null "unchanged" and null-vs-text "changed".
+    val a = prev.select(col("doc_id"), md5(col("text")).as("h_prev"),
+      lit(true).as("in_prev"))
+    val b = next.select(col("doc_id"), md5(col("text")).as("h_next"),
+      lit(true).as("in_next"))
     a.join(b, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("h_prev").isNull, lit("added"))
-          .when(col("h_next").isNull, lit("removed"))
-          .when(col("h_prev") =!= col("h_next"), lit("changed"))
+        when(col("in_prev").isNull, lit("added"))
+          .when(col("in_next").isNull, lit("removed"))
+          .when(!(col("h_prev") <=> col("h_next")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
 
@@ -143,6 +154,7 @@ object Corpus {
     */
   def stopwordScrub(docs: DataFrame, dfFrac: Double, cap: Int,
       cacheKey: String = ""): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val terms = Pipeline.docTerms(docs, cacheKey)
     val dfTerm = terms.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -208,10 +220,14 @@ object Corpus {
     bigrams
       .join(broadcast(capped), Seq("a", "b"), "left")
       .join(broadcast(ca), Seq("a"), "left")
+      // Exact decimal division, not floor(double): Long·10⁶ passes
+      // 2⁵³ at c_ab ≈ 9e9 (where the double quotient can floor to a
+      // different quantum than exact integer division) and overflows
+      // 2⁶³ under ANSI past c_ab ≈ 9.2e12 — the mixWeights precedent.
       .withColumn("p_micro",
         when(col("a").isNotNull,
-          floor(coalesce(col("c_ab"), lit(0L)) * lit(1000000L)
-            / col("c_a")).cast("long")))
+          expr("cast(cast(coalesce(c_ab, 0) as decimal(38,0)) " +
+            "* 1000000 div c_a as bigint)")))
       .groupBy("doc_id").agg(
         count(col("a")).cast("int").as("n_bigrams"),
         coalesce(sum(col("p_micro")), lit(0L)).as("sum_pmicro"))
@@ -291,6 +307,14 @@ object Corpus {
     * — totals are reported (unlike decontaminate's overlap-only rows)
     * because the fraction needs them.
     */
+  /** POPULATION NOTE: rows exist for every document WITH at least one
+    * selected span — a null-text or sub-8-gram document has no
+    * winnowing selection ([[docFps]] emits nothing for it), hence no
+    * verdict row; having no spans it can hold no benchmark span, so
+    * its absence reads "trivially clean". A sweep that must emit a
+    * verdict per corpus doc left-joins this output onto the doc list
+    * and coalesces `contaminated` to false.
+    */
   def spanDecontaminate(fps: DataFrame, isBench: Column,
       minFrac: Double): DataFrame = {
     val bench = fps.filter(isBench)
@@ -352,14 +376,14 @@ object Corpus {
     val pT = tFeats.groupBy("fid").agg(count(lit(1)).as("c_t"))
       .crossJoin(broadcast(tFeats.agg(count(lit(1)).as("t_t"))))
       .select(col("fid"),
-        floor(col("c_t") * lit(1000000L) / col("t_t")).cast("long")
-          .as("pt_micro"))
+        expr("cast(cast(c_t as decimal(38,0)) * 1000000 div t_t " +
+          "as bigint)").as("pt_micro"))
     val rFeats = feats.filter(col("fid").isNotNull)
     val pR = rFeats.groupBy("fid").agg(count(lit(1)).as("c_r"))
       .crossJoin(broadcast(rFeats.agg(count(lit(1)).as("t_r"))))
       .select(col("fid"),
-        floor(col("c_r") * lit(1000000L) / col("t_r")).cast("long")
-          .as("pr_micro"))
+        expr("cast(cast(c_r as decimal(38,0)) * 1000000 div t_r " +
+          "as bigint)").as("pr_micro"))
     feats
       .join(broadcast(pT), Seq("fid"), "left")
       .join(broadcast(pR), Seq("fid"), "left")
@@ -421,8 +445,12 @@ object Corpus {
       .join(gt, "term")
       .join(broadcast(ts), "source")
       .crossJoin(broadcast(tot))
+      // decimal(38,0), not Long: c_st·t·10⁶ overflows 2⁶³ at a few
+      // billion tokens (ANSI throws; non-ANSI wraps the ranking into
+      // garbage) — the mixWeights exact-decimal precedent.
       .withColumn("lift_micro",
-        expr("c_st * t * 1000000L div (c_t * t_s)"))
+        expr("cast(cast(c_st as decimal(38,0)) * t * 1000000 div " +
+          "(cast(c_t as decimal(38,0)) * t_s) as bigint)"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("source", "term", "c_st", "lift_micro", "rk")
@@ -480,9 +508,11 @@ object Corpus {
     * src_b` keeps one deterministic orientation per pair.
     */
   def sourceOverlap(docs: DataFrame,
-      keyExpr: String = s"md5(${TextOps.normS})"): DataFrame =
+      keyExpr: String = s"md5(${TextOps.normS})"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     sourceOverlapPairs(
       docs.select(expr(keyExpr).as("h"), col("source")))
+  }
 
   /** [[sourceOverlap]] over a pre-built (h, source) digest frame —
     * callers comparing several digest granularities feed slices of
@@ -507,6 +537,7 @@ object Corpus {
   def sourceDigests(docs: DataFrame, cacheKey: String = ""): DataFrame =
     Memo.memo("src_digests", docs.sparkSession, cacheKey,
       persistIt = true) {
+      graft.functions.GraftFunctions.register(docs.sparkSession)
       docs.select(expr(TextOps.normS).as("norm"), col("source"))
         .select(expr("md5(norm)").as("hf"),
           expr("md5(substring(norm, 1, 60))").as("hp"),

@@ -39,7 +39,7 @@ object CorpusQueries {
         |  FROM documents GROUP BY source)
         |SELECT d.doc_id, d.source, d.lang, d.n_chars,
         |       s.avg_chars AS source_avg_chars
-        |FROM documents d JOIN s USING (source)
+        |FROM documents d JOIN s ON d.source IS NOT DISTINCT FROM s.source
         |WHERE s.avg_chars >= 280.0 AND s.avg_chars <= 1000000.0
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Corpus.domainFilter(t(s, dir, "documents"),
@@ -62,12 +62,14 @@ object CorpusQueries {
         |  UNION ALL
         |  SELECT doc_id + 10000000 AS doc_id, text
         |  FROM documents WHERE doc_id % 13 = 0),
-        |a AS (SELECT doc_id, md5(text) AS h_prev FROM documents),
-        |bh AS (SELECT doc_id, md5(text) AS h_next FROM b)
+        |a AS (SELECT doc_id, md5(text) AS h_prev, TRUE AS in_prev
+        |      FROM documents),
+        |bh AS (SELECT doc_id, md5(text) AS h_next, TRUE AS in_next
+        |       FROM b)
         |SELECT status, COUNT(*) AS n_docs FROM (
-        |  SELECT CASE WHEN h_prev IS NULL THEN 'added'
-        |              WHEN h_next IS NULL THEN 'removed'
-        |              WHEN h_prev != h_next THEN 'changed'
+        |  SELECT CASE WHEN in_prev IS NULL THEN 'added'
+        |              WHEN in_next IS NULL THEN 'removed'
+        |              WHEN h_prev IS DISTINCT FROM h_next THEN 'changed'
         |              ELSE 'unchanged' END AS status
         |  FROM a FULL OUTER JOIN bh USING (doc_id))
         |GROUP BY status ORDER BY status""".stripMargin) { (s, dir) =>
@@ -215,8 +217,9 @@ object CorpusQueries {
          |tot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS t FROM st),
          |scored AS (
          |  SELECT st.source, st.term, st.c_st,
-         |         CAST(st.c_st * tot.t * 1000000
-         |              // (gt.c_t * ts.t_s) AS BIGINT) AS lift_micro
+         |         CAST(CAST(st.c_st AS HUGEINT) * tot.t * 1000000
+         |              // (CAST(gt.c_t AS HUGEINT) * ts.t_s)
+         |           AS BIGINT) AS lift_micro
          |  FROM st JOIN gt USING (term) JOIN ts USING (source)
          |  CROSS JOIN tot
          |  WHERE st.c_st >= 5)
@@ -252,11 +255,11 @@ object CorpusQueries {
          |      FROM bi),
          |tf AS (SELECT f.fid FROM f JOIN documents d USING (doc_id)
          |       WHERE d.lang = 'en'),
-         |pt AS (SELECT fid, CAST(floor(COUNT(*) * 1000000
-         |         / (SELECT COUNT(*) FROM tf)) AS BIGINT) AS pt_micro
+         |pt AS (SELECT fid, CAST(CAST(COUNT(*) AS HUGEINT) * 1000000
+         |         // (SELECT COUNT(*) FROM tf) AS BIGINT) AS pt_micro
          |       FROM tf GROUP BY fid),
-         |pr AS (SELECT fid, CAST(floor(COUNT(*) * 1000000
-         |         / (SELECT COUNT(*) FROM f)) AS BIGINT) AS pr_micro
+         |pr AS (SELECT fid, CAST(CAST(COUNT(*) AS HUGEINT) * 1000000
+         |         // (SELECT COUNT(*) FROM f) AS BIGINT) AS pr_micro
          |       FROM f GROUP BY fid),
          |sc AS (SELECT f.doc_id,
          |         coalesce(pt_micro, 0) - coalesce(pr_micro, 0) AS dw
@@ -299,8 +302,8 @@ object CorpusQueries {
          |       FROM cab GROUP BY a),
          |sc AS (
          |  SELECT bi.doc_id,
-         |         CAST(floor(coalesce(capped.c_ab, 0) * 1000000
-         |           / ca.c_a) AS BIGINT) AS p_micro
+         |         CAST(CAST(coalesce(capped.c_ab, 0) AS HUGEINT) * 1000000
+         |           // ca.c_a AS BIGINT) AS p_micro
          |  FROM bi LEFT JOIN capped USING (a, b) JOIN ca USING (a)),
          |agg AS (
          |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,

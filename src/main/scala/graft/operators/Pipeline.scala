@@ -63,20 +63,45 @@ object Pipeline {
     * IDENTICAL bucket for every Long key, overflowing or not
     * (PropertySpec asserts both, ANSI on, keys > 2³²).
     */
-  def splitBucket(key: Column): Column = hashBucket(key, 1000L)
+  def splitBucket(key: Column): Column =
+    hashBucket(key, 1000L, SplitMult)
 
-  /** The same ANSI-proof Knuth multiplicative hash into an arbitrary
-    * bucket count — `buckets = 1e6` gives the micro-granularity
-    * sampling rates [[mixtureSample]] needs.
+  /** [[splitBucket]]'s sibling for per-language corpus BALANCING — a
+    * THIRD independent stream (see the multiplier table). */
+  def balanceBucket(key: Column): Column =
+    hashBucket(key, 1000L, BalanceMult)
+
+  /** Purpose-specific multipliers: composed decisions need
+    * INDEPENDENT bucket streams. With one shared multiplier,
+    * `bucket(k, 10⁶) < r` IMPLIES `bucket(k, 1000) < r` (10⁶ ≡ 0 mod
+    * 1000: the micro value's low three digits ARE the milli bucket),
+    * so a mixture-sampled subset landed entirely inside 'train' and a
+    * downsampled language inside the lowest split buckets — a
+    * composition-skewed training set. Distinct odd multipliers
+    * decorrelate: k·C₁ mod 2³² and k·C₂ mod 2³² relate by an odd
+    * multiplicative factor mod 2³², which scrambles bucket intervals
+    * rather than shifting them (an ADDITIVE salt would only rotate
+    * the buckets and keep threshold sets contiguous —
+    * PipelineSpec pins the independence).
     */
-  def hashBucket(key: Column, buckets: Long): Column = {
+  val SplitMult = 2654435761L // Knuth
+  val SampleMult = 2246822519L // mixtureSample
+  val BalanceMult = 3266489917L // downsample
+
+  /** The same ANSI-proof multiplicative hash into an arbitrary bucket
+    * count — `buckets = 1e6` gives the micro-granularity sampling
+    * rates [[mixtureSample]] needs; `mult` selects the independent
+    * stream (see the multiplier table above).
+    */
+  def hashBucket(key: Column, buckets: Long,
+      mult: Long = SplitMult): Column = {
     val m32 = lit(4294967296L)
     val k = pmod(key.cast("long"), m32)
     val hi = shiftrightunsigned(k, 16) // < 2^16
     val lo = k.bitwiseAND(lit(0xFFFFL)) // < 2^16
     // k·C mod 2³² = ((hi·C mod 2¹⁶) << 16 + lo·C) mod 2³²; every
-    // intermediate ≤ 2¹⁶·C ≈ 1.74e14.
-    val c = lit(2654435761L)
+    // intermediate ≤ 2¹⁶·C ≈ 2.2e14.
+    val c = lit(mult)
     pmod(shiftleft(pmod(hi * c, lit(65536L)), 16) + lo * c, m32) % buckets
   }
 
@@ -94,6 +119,7 @@ object Pipeline {
     */
   def docLengths(docs: DataFrame, cacheKey: String = ""): DataFrame =
     Memo.memo("doclen", docs.sparkSession, cacheKey, persistIt = true) {
+      graft.functions.GraftFunctions.register(docs.sparkSession)
       docs.withColumn("toks", expr(toksS))
         .select(col("doc_id"), col("lang"), size(col("toks")).as("n_tok"))
     }
@@ -253,9 +279,16 @@ object Pipeline {
   }
 
   /** Top-k TF-IDF terms per document. IDF is the rational N/df rather
-    * than log(N/df): rank-equivalent per document (log is monotone),
-    * and exact-deterministic IEEE arithmetic in any engine, where
-    * libm log implementations may differ by 1 ulp. Plan: every branch
+    * than log(N/df): exact-deterministic IEEE arithmetic in any
+    * engine, where libm log implementations may differ by 1 ulp.
+    * SEMANTICS CAVEAT (the bm25TopK one, per-document): monotonicity
+    * of log makes rational and log idf rank-equivalent per TERM, but
+    * the score MULTIPLIES idf by tf, and tf·(N/df) can order a
+    * document's terms differently from tf·log(N/df) (a rare
+    * high-idf singleton can outrank a frequent moderate-idf term
+    * that true TF-IDF would select) — consumers get a rational-idf
+    * TF-IDF *variant*, chosen for the cross-engine exactness no
+    * transcendental can give. Plan: every branch
     * (tf, df, N) reads the memoized docTerms table — InMemoryTableScan,
     * zero re-tokenization; document frequencies reduce to a
     * vocabulary-sized table and BROADCAST, scalar N broadcast, top-k
@@ -314,7 +347,14 @@ object Pipeline {
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
       cacheKey: String = ""): DataFrame = {
     val tf = docTerms(docs, cacheKey)
-    val dl = docTermLengths(docs, cacheKey)
+    // Keyless callers derive dl from the tf frame just built — a
+    // docTermLengths call would rebuild (and persist) a SECOND
+    // corpus tokenization, since the keyless memo cannot reuse the
+    // first. Keyed callers keep the cross-call memoized table
+    // (VERDICT r9 #2).
+    val dl = if (cacheKey.isEmpty)
+      tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    else docTermLengths(docs, cacheKey)
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("tok_total"))
     val dfq = tf.filter(col("term").isin(terms: _*))
@@ -349,7 +389,7 @@ object Pipeline {
     * a web-corpus pipeline: emails, E.164-ish phone numbers, IPv4s.
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
-  val PhoneRe = "[+][0-9]{7,15}"
+  val PhoneRe = "[+][0-9]{7,}"
   val Ipv4Re = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
 
   /** PII scrub — per-document match counts (from the ORIGINAL text)
@@ -361,7 +401,14 @@ object Pipeline {
     * phone → IPv4) is fixed and collision-free: the email pattern
     * consumes its dotted domain before the IPv4 pass, and no pattern
     * matches inside another's replacement tag. Null text propagates
-    * null counts and null redaction.
+    * null counts and null redaction. The phone run is UNBOUNDED above
+    * (`{7,}` — a 15-digit cap redacted only the first 15 digits of a
+    * longer run and leaked the tail). Per-type counts are detections
+    * over the ORIGINAL text; where patterns overlap (an IPv4-shaped
+    * host inside an email), sequential replacement consumes the
+    * earlier pattern's span, so counts can exceed surviving tags —
+    * counts answer "what PII is present", the text answers "what was
+    * scrubbed".
     */
   def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
     // Typed Column API throughout — no SQL-string splicing, so a column
@@ -391,6 +438,7 @@ object Pipeline {
     */
   def docQuality(docs: DataFrame, cacheKey: String = ""): DataFrame =
     Memo.memo("quality", docs.sparkSession, cacheKey, persistIt = true) {
+      graft.functions.GraftFunctions.register(docs.sparkSession)
       docs.withColumn("toks", expr(toksS))
         .select(col("doc_id"), col("lang"), col("n_chars"),
           expr("size(toks)").as("n_tokens"),
@@ -627,7 +675,8 @@ object Pipeline {
         when(col("weight_micro").isNotNull,
           least(col("weight_micro"), lit(1000000L))).as("keep_micro"))
     docs.join(broadcast(w), col("source") <=> col("w_source"))
-      .filter(hashBucket(col("doc_id"), 1000000L) < col("keep_micro"))
+      .filter(hashBucket(col("doc_id"), 1000000L, SampleMult)
+        < col("keep_micro"))
       .drop("w_source", "keep_micro")
   }
 

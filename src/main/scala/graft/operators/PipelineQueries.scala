@@ -74,20 +74,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
-    // Corpus balancing: deterministic per-language downsampling via the
-    // same multiplicative-hash buckets as hash_split — 'en' (the
-    // over-represented language) keeps a 50% quota, everything else
-    // passes through. Per-row expression, no shuffle except the final
+    // Corpus balancing: deterministic per-language downsampling —
+    // 'en' (the over-represented language) keeps a 50% quota,
+    // everything else passes through. Uses the BalanceMult hash
+    // stream, INDEPENDENT of hash_split's (one shared stream made
+    // every downsampled doc land in 'train' — see Pipeline's
+    // multiplier table). Per-row expression, no shuffle except the final
     // count; reproducible under repartitioning, unlike rand() sampling.
     QuerySpec("downsample",
       """SELECT lang, COUNT(*) AS n_kept FROM (
         |  SELECT lang,
-        |         ((doc_id * 2654435761) % 4294967296) % 1000 AS b
+        |         ((doc_id * 3266489917) % 4294967296) % 1000 AS b
         |  FROM documents)
         |WHERE b < (CASE WHEN lang = 'en' THEN 500 ELSE 1000 END)
         |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin) { (s, dir) =>
       t(s, dir, "documents")
-        .withColumn("b", Pipeline.splitBucket(col("doc_id")))
+        .withColumn("b", Pipeline.balanceBucket(col("doc_id")))
         .filter(col("b") <
           when(col("lang") === "en", 500).otherwise(1000))
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))
@@ -353,7 +355,7 @@ object PipelineQueries {
         |      FROM s)
         |SELECT doc_id, d.source AS source, n_chars
         |FROM documents d JOIN w ON d.source IS NOT DISTINCT FROM w.source
-        |WHERE ((doc_id * 2654435761) % 4294967296) % 1000000
+        |WHERE ((doc_id * 2246822519) % 4294967296) % 1000000
         |      < CASE WHEN weight_micro IS NULL THEN NULL
         |             ELSE least(weight_micro, 1000000) END
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>

@@ -61,6 +61,41 @@ class CorpusSpec extends AnyFunSuite {
       "removed" -> 1L, "added" -> 1L))
   }
 
+  test("corpusDiff classifies null-text documents by PRESENCE, not " +
+    "digest nullness") {
+    val sp = spark
+    import sp.implicits._
+    // (10) null in both -> unchanged; (11) null -> text -> changed;
+    // (12) text -> null -> changed; (13) null-text doc deleted ->
+    // removed (digest-nullness inference reported "added" here);
+    // (14) null-text doc created -> added.
+    val prev = Seq[(Long, String)]((10L, null), (11L, null),
+      (12L, "txt"), (13L, null)).toDF("doc_id", "text")
+    val next = Seq[(Long, String)]((10L, null), (11L, "txt"),
+      (12L, null), (14L, null)).toDF("doc_id", "text")
+    val m = Corpus.corpusDiff(prev, next)
+      .as[(Long, String)].collect().toMap
+    assert(m == Map(10L -> "unchanged", 11L -> "changed",
+      12L -> "changed", 13L -> "removed", 14L -> "added"))
+  }
+
+  test("domainFilter keeps null-source documents when their group's " +
+    "average is in band, and bands them out like any other group") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq[(Long, String, String, Long)](
+      (1L, null, "en", 100L), (2L, null, "en", 120L),
+      (3L, "srcA", "en", 110L), (4L, "srcB", "en", 9000L))
+      .toDF("doc_id", "source", "lang", "n_chars")
+    val kept = Corpus.domainFilter(docs, 50.0, 200.0)
+      .select("doc_id").as[Long].collect().toSet
+    // null-source group avg 110 in band -> kept; srcB avg 9000 -> out.
+    assert(kept == Set(1L, 2L, 3L))
+    val none = Corpus.domainFilter(docs, 150.0, 200.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(none.isEmpty)
+  }
+
   test("corpusDiff moves digests, not payloads: the join reads " +
     "16-byte md5 projections") {
     val out = Corpus.corpusDiff(docs, docs.limit(100))

@@ -424,4 +424,40 @@ class PipelineSpec extends AnyFunSuite {
     // Docs with no query term never appear.
     assert(!rank.contains(4L))
   }
+
+  test("bucket streams are pairwise independent: composing sampling " +
+    "with splitting keeps all three splits represented") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val keys = (0L until 20000L).toSeq.toDF("doc_id")
+    def share(b: org.apache.spark.sql.Column): Double =
+      keys.filter(b).count().toDouble / 20000
+    // A 50% balance-stream selection must still hold ~80/10/10 under
+    // the split stream. With ONE shared multiplier the subset
+    // b_down < 500 was ENTIRELY train (b_split < 500 < 800) — val and
+    // test vanished from every downsampled corpus.
+    val sampled = keys
+      .filter(Pipeline.balanceBucket(col("doc_id")) < 500)
+      .withColumn("split",
+        Pipeline.splitName(Pipeline.splitBucket(col("doc_id"))))
+    val splits = sampled.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val n = splits.values.sum.toDouble
+    assert(splits.keySet == Set("train", "val", "test"),
+      s"a split vanished under composition: $splits")
+    assert(math.abs(splits("train") / n - 0.8) < 0.05 &&
+      math.abs(splits("val") / n - 0.1) < 0.03,
+      s"composition skewed the split shares: $splits")
+    // Same independence for the mixture stream vs the split stream:
+    // micro-rate 0.05% keeps ~10 of 20k keys; a correlated stream put
+    // every one of them in train.
+    val mix = keys
+      .filter(Pipeline.hashBucket(col("doc_id"), 1000000L,
+        Pipeline.SampleMult) < 200000)
+      .withColumn("split",
+        Pipeline.splitName(Pipeline.splitBucket(col("doc_id"))))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(mix.keySet == Set("train", "val", "test"),
+      s"mixture-sampled subset lost a split: $mix")
+  }
 }
