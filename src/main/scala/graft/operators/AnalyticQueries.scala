@@ -13,6 +13,27 @@ object AnalyticQueries {
 
   import Tables.t
 
+  /** The ordered view→click→purchase min-chain shared by
+    * funnel_steps / funnel_latency / funnel_latency_approx — ONE
+    * definition so the three gates grade the same funnel (strict-'>'
+    * step ordering, chained per-user MIN aggregates, never a
+    * per-user sequence sort). Returns the per-user first-qualifying
+    * timestamps (t1), (t2), (t3) frames.
+    */
+  private def funnelStages(e: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    (v, c, p)
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // X5: ranking + analytic window functions over an ordered partition.
@@ -54,7 +75,7 @@ object AnalyticQueries {
         |       COUNT(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
+        |ORDER BY rf, ls, gid""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
@@ -71,7 +92,10 @@ object AnalyticQueries {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("gid").cast(IntegerType).as("gid"),
           col("sum_qty"), col("sum_price"), col("n"))
-        .orderBy("rf", "ls")
+        // gid totalizes the sort: the 'ALL' sentinel conflates a
+        // genuine NULL group value with the rollup subtotal, and two
+        // such rows tie on (rf, ls) with different aggregates.
+        .orderBy("rf", "ls", "gid")
     },
 
     // Ordered aggregate: exact interpolated percentiles (Spark
@@ -279,7 +303,10 @@ object AnalyticQueries {
           .pivot("event_type",
             Seq("click", "error", "purchase", "signup", "view"))
           .agg(count(lit(1)))
-          .na.fill(0L)
+          // Scoped fill: an unscoped na.fill(0) would ALSO rewrite a
+          // NULL user_id grouping key to 0 (the oracle keeps it NULL).
+          .na.fill(0L, Seq("click", "error", "purchase", "signup",
+            "view"))
           .orderBy("user_id")
     },
 
@@ -384,15 +411,7 @@ object AnalyticQueries {
         |  UNION ALL
         |  SELECT 3, 'view>click>purchase', COUNT(*) FROM p)
         |ORDER BY ord""".stripMargin) { (s, dir) =>
-      val e = t(s, dir, "events")
-      val v = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("t1"))
-      val c = e.filter(col("event_type") === "click")
-        .join(v, "user_id").filter(col("ts") > col("t1"))
-        .groupBy("user_id").agg(min("ts").as("t2"))
-      val p = e.filter(col("event_type") === "purchase")
-        .join(c, "user_id").filter(col("ts") > col("t2"))
-        .groupBy("user_id").agg(min("ts").as("t3"))
+      val (v, c, p) = funnelStages(t(s, dir, "events"))
       def step(df: org.apache.spark.sql.DataFrame, ord: Int,
           name: String) =
         df.agg(count(lit(1)).as("n_users"))
@@ -487,15 +506,7 @@ object AnalyticQueries {
         |       quantile_cont(dt_us, 0.9) AS p90_us,
         |       CAST(MAX(dt_us) AS BIGINT) AS max_us
         |FROM d""".stripMargin) { (s, dir) =>
-      val e = t(s, dir, "events")
-      val v = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("t1"))
-      val c = e.filter(col("event_type") === "click")
-        .join(v, "user_id").filter(col("ts") > col("t1"))
-        .groupBy("user_id").agg(min("ts").as("t2"))
-      val p = e.filter(col("event_type") === "purchase")
-        .join(c, "user_id").filter(col("ts") > col("t2"))
-        .groupBy("user_id").agg(min("ts").as("t3"))
+      val (v, c, p) = funnelStages(t(s, dir, "events"))
       p.join(v, "user_id")
         .select((unix_micros(col("t3")) - unix_micros(col("t1")))
           .as("dt_us"))
@@ -536,15 +547,7 @@ object AnalyticQueries {
         |       CAST(quantile_disc(dt_us, 0.5) AS BIGINT) AS p50_us,
         |       CAST(quantile_disc(dt_us, 0.9) AS BIGINT) AS p90_us
         |FROM d""".stripMargin) { (s, dir) =>
-      val e = t(s, dir, "events")
-      val v = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("t1"))
-      val c = e.filter(col("event_type") === "click")
-        .join(v, "user_id").filter(col("ts") > col("t1"))
-        .groupBy("user_id").agg(min("ts").as("t2"))
-      val p = e.filter(col("event_type") === "purchase")
-        .join(c, "user_id").filter(col("ts") > col("t2"))
-        .groupBy("user_id").agg(min("ts").as("t3"))
+      val (v, c, p) = funnelStages(t(s, dir, "events"))
       p.join(v, "user_id")
         .select((unix_micros(col("t3")) - unix_micros(col("t1")))
           .as("dt_us"))

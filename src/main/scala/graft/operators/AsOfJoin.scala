@@ -41,8 +41,19 @@ object AsOfJoin {
       .filter(col(tsCol).isNotNull)
       .withColumn("__kind", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // TIE CONTRACT: among several right rows at the identical
+    // (key, ts), the GREATEST payload struct wins — without the third
+    // sort key, `last(...)` picked whichever duplicate the shuffle
+    // ordered last (run-to-run nondeterministic, and DuckDB's ASOF
+    // picks its own arbitrary winner, so the oracle gate assumes a
+    // tie-free right side). Left rows carry a NULL tie key
+    // (nulls-first, before every kind-0 payload — irrelevant to the
+    // result since `last` filters kind 0, but it keeps the sort
+    // total).
+    val tie = when(col("__kind") === 0,
+      struct(rightPayload.map(col): _*))
     val w = Window.partitionBy(col(key))
-      .orderBy(col(tsCol), col("__kind"))
+      .orderBy(col(tsCol), col("__kind"), tie.asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = unioned.withColumn("__carried",
       last(

@@ -87,6 +87,7 @@ object Pipeline {
   val SplitMult = 2654435761L // Knuth
   val SampleMult = 2246822519L // mixtureSample
   val BalanceMult = 3266489917L // downsample
+  val StratifyMult = 668265261L // stratified_sample
 
   /** The same ANSI-proof multiplicative hash into an arbitrary bucket
     * count — `buckets = 1e6` gives the micro-granularity sampling

@@ -147,6 +147,30 @@ object TextOps {
   val stopFr = Seq("le", "les", "et", "une", "est", "pour", "dans", "au",
     "du", "par")
 
+  /** The language-ID predictor, ONE definition for all four call
+    * sites (lang_id + lang_confusion, Spark side and oracle side):
+    * the CASE chain is engine-neutral SQL and is shared VERBATIM, so
+    * the confusion matrix provably grades the exact predictor lang_id
+    * ships; only the stopword-hit counters differ per engine.
+    */
+  val predLangCase: String =
+    """CASE WHEN n_en = 0 AND n_de = 0 AND n_es = 0 AND n_fr = 0
+      |       THEN 'und'
+      |     WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr
+      |       THEN 'en'
+      |     WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
+      |     WHEN n_es >= n_fr THEN 'es'
+      |     ELSE 'fr' END""".stripMargin
+
+  /** Per-language stopword-hit counter over a bound `toks` attribute —
+    * Spark form. */
+  def langHitsS(ws: Seq[String]): String =
+    s"size(filter(toks, x -> array_contains(${arrS(ws)}, x)))"
+
+  /** [[langHitsS]]'s DuckDB mirror. */
+  def langHitsD(ws: Seq[String]): String =
+    s"len(list_filter(toks, x -> list_contains(${arrD(ws)}, x)))"
+
   def arrS(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("array(", ", ", ")")
 

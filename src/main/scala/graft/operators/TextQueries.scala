@@ -67,43 +67,24 @@ object TextQueries {
     // tie-break chain (en > de > es > fr, else 'und').
     QuerySpec("lang_id",
       s"""SELECT doc_id, n_en, n_de, n_es, n_fr,
-         |  CASE WHEN n_en = 0 AND n_de = 0 AND n_es = 0 AND n_fr = 0
-         |         THEN 'und'
-         |       WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr
-         |         THEN 'en'
-         |       WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
-         |       WHEN n_es >= n_fr THEN 'es'
-         |       ELSE 'fr' END AS pred_lang
+         |  ${TextOps.predLangCase} AS pred_lang
          |FROM (
          |  SELECT doc_id,
-         |    CAST(len(list_filter(toks, x -> list_contains(
-         |      ${arrD(stopEn)}, x))) AS INTEGER) AS n_en,
-         |    CAST(len(list_filter(toks, x -> list_contains(
-         |      ${arrD(stopDe)}, x))) AS INTEGER) AS n_de,
-         |    CAST(len(list_filter(toks, x -> list_contains(
-         |      ${arrD(stopEs)}, x))) AS INTEGER) AS n_es,
-         |    CAST(len(list_filter(toks, x -> list_contains(
-         |      ${arrD(stopFr)}, x))) AS INTEGER) AS n_fr
+         |    CAST(${langHitsD(stopEn)} AS INTEGER) AS n_en,
+         |    CAST(${langHitsD(stopDe)} AS INTEGER) AS n_de,
+         |    CAST(${langHitsD(stopEs)} AS INTEGER) AS n_es,
+         |    CAST(${langHitsD(stopFr)} AS INTEGER) AS n_fr
          |  FROM (SELECT doc_id, $toksD AS toks FROM documents)
          |) ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      def hits(arr: String) =
-        s"size(filter(toks, x -> array_contains($arr, x)))"
       t(s, dir, "documents")
         .withColumn("toks", expr(toksS))
         .select(
           col("doc_id"),
-          expr(hits(arrS(stopEn))).as("n_en"),
-          expr(hits(arrS(stopDe))).as("n_de"),
-          expr(hits(arrS(stopEs))).as("n_es"),
-          expr(hits(arrS(stopFr))).as("n_fr"))
-        .withColumn("pred_lang", expr(
-          """CASE WHEN n_en = 0 AND n_de = 0 AND n_es = 0 AND n_fr = 0
-            |       THEN 'und'
-            |     WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr
-            |       THEN 'en'
-            |     WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
-            |     WHEN n_es >= n_fr THEN 'es'
-            |     ELSE 'fr' END""".stripMargin))
+          expr(langHitsS(stopEn)).as("n_en"),
+          expr(langHitsS(stopDe)).as("n_de"),
+          expr(langHitsS(stopEs)).as("n_es"),
+          expr(langHitsS(stopFr)).as("n_fr"))
+        .withColumn("pred_lang", expr(TextOps.predLangCase))
         .orderBy("doc_id")
     },
 
@@ -115,44 +96,25 @@ object TextQueries {
     QuerySpec("lang_confusion",
       s"""SELECT lang, pred_lang, COUNT(*) AS n FROM (
          |  SELECT lang,
-         |    CASE WHEN n_en = 0 AND n_de = 0 AND n_es = 0 AND n_fr = 0
-         |           THEN 'und'
-         |         WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr
-         |           THEN 'en'
-         |         WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
-         |         WHEN n_es >= n_fr THEN 'es'
-         |         ELSE 'fr' END AS pred_lang
+         |    ${TextOps.predLangCase} AS pred_lang
          |  FROM (
          |    SELECT lang,
-         |      len(list_filter(toks, x -> list_contains(
-         |        ${arrD(stopEn)}, x))) AS n_en,
-         |      len(list_filter(toks, x -> list_contains(
-         |        ${arrD(stopDe)}, x))) AS n_de,
-         |      len(list_filter(toks, x -> list_contains(
-         |        ${arrD(stopEs)}, x))) AS n_es,
-         |      len(list_filter(toks, x -> list_contains(
-         |        ${arrD(stopFr)}, x))) AS n_fr
+         |      ${langHitsD(stopEn)} AS n_en,
+         |      ${langHitsD(stopDe)} AS n_de,
+         |      ${langHitsD(stopEs)} AS n_es,
+         |      ${langHitsD(stopFr)} AS n_fr
          |    FROM (SELECT lang, $toksD AS toks FROM documents)))
          |GROUP BY lang, pred_lang
          |ORDER BY lang NULLS FIRST, pred_lang""".stripMargin) { (s, dir) =>
-      def hits(arr: String) =
-        s"size(filter(toks, x -> array_contains($arr, x)))"
       t(s, dir, "documents")
         .withColumn("toks", expr(toksS))
         .select(
           col("lang"),
-          expr(hits(arrS(stopEn))).as("n_en"),
-          expr(hits(arrS(stopDe))).as("n_de"),
-          expr(hits(arrS(stopEs))).as("n_es"),
-          expr(hits(arrS(stopFr))).as("n_fr"))
-        .withColumn("pred_lang", expr(
-          """CASE WHEN n_en = 0 AND n_de = 0 AND n_es = 0 AND n_fr = 0
-            |       THEN 'und'
-            |     WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr
-            |       THEN 'en'
-            |     WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
-            |     WHEN n_es >= n_fr THEN 'es'
-            |     ELSE 'fr' END""".stripMargin))
+          expr(langHitsS(stopEn)).as("n_en"),
+          expr(langHitsS(stopDe)).as("n_de"),
+          expr(langHitsS(stopEs)).as("n_es"),
+          expr(langHitsS(stopFr)).as("n_fr"))
+        .withColumn("pred_lang", expr(TextOps.predLangCase))
         .groupBy("lang", "pred_lang")
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred_lang")
@@ -262,17 +224,23 @@ object TextQueries {
         .orderBy("doc_id", "chunk_id")
     },
 
-    // Deterministic stratified sampling: per-language rates via an
-    // arithmetic pseudo-randomizer on the key — reproducible across
-    // engines and runs (what a training-data pipeline needs from a
-    // sampler: no RNG state, re-runs select identical rows).
+    // Deterministic stratified sampling: per-language rates via the
+    // ANSI-proof multiplicative hash on its OWN stream (reproducible
+    // across engines and runs — no RNG state). The linear
+    // (doc_id·48271 + 11) % 100 it replaces was a pure residue-class
+    // selector (48271 ≡ 71 mod 100 — selection depended only on
+    // doc_id mod 100, systematically biased for any corpus structure
+    // periodic in the low digits), and a shared stream with
+    // hash_split would nest the thresholds — Pipeline's multiplier
+    // table.
     QuerySpec("stratified_sample",
       """SELECT doc_id, lang FROM documents
-        |WHERE (doc_id * 48271 + 11) % 100 <
+        |WHERE ((doc_id * 668265261) % 4294967296) % 100 <
         |      CASE WHEN lang = 'en' THEN 50 ELSE 10 END
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       t(s, dir, "documents")
-        .filter((col("doc_id") * 48271 + 11) % 100 <
+        .filter(Pipeline.hashBucket(col("doc_id"), 100L,
+          Pipeline.StratifyMult) <
           when(col("lang") === "en", 50).otherwise(10))
         .select("doc_id", "lang")
         .orderBy("doc_id")

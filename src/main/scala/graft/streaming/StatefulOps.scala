@@ -48,7 +48,11 @@ object StatefulOps {
         timerValues: TimerValues): Iterator[RunningTotal] = {
       val prev =
         if (state.exists()) state.get() else RunningTotal(key, 0L, 0.0)
-      val next = rows.foldLeft(prev)((acc, r) =>
+      // Sorted fold (the ZScoreProcessor discipline): the group
+      // iterator reflects shuffle fetch order, and a Double sum is
+      // order-sensitive — an unsorted fold would make totals differ
+      // across task retries and across the RocksDB/HDFS twins.
+      val next = rows.toSeq.sortBy(_.value).foldLeft(prev)((acc, r) =>
         RunningTotal(key, acc.n + 1, acc.total + r.value))
       state.update(next)
       Iterator.single(next)
@@ -70,7 +74,8 @@ object StatefulOps {
   private def update(key: String, rows: Iterator[KeyedValue],
       state: GroupState[RunningTotal]): RunningTotal = {
     val prev = state.getOption.getOrElse(RunningTotal(key, 0L, 0.0))
-    val next = rows.foldLeft(prev)((acc, r) =>
+    // Sorted fold — see RunningTotalProcessor.
+    val next = rows.toSeq.sortBy(_.value).foldLeft(prev)((acc, r) =>
       RunningTotal(key, acc.n + 1, acc.total + r.value))
     state.update(next)
     next

@@ -182,10 +182,22 @@ object StreamOps {
   def sessionize(ds: Dataset[SessionEvent], gapMs: Long)
       : Dataset[SessionSummary] = {
     import ds.sparkSession.implicits._
+    // State tracks EPOCH MICROS, matching session_window's resolution
+    // — Timestamp.getTime alone truncates to millis, so two events a
+    // few hundred microseconds beyond the gap would merge here yet
+    // split in session_window (and emitted boundaries silently lost
+    // their sub-ms digits).
+    val gapUs = gapMs * 1000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000L)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
 
     def summary(key: String, s: SessionState): SessionSummary =
-      SessionSummary(key, new java.sql.Timestamp(s.start),
-        new java.sql.Timestamp(s.end + gapMs), s.n)
+      SessionSummary(key, tsOf(s.start), tsOf(s.end + gapUs), s.n)
 
     def fn(key: String, rows: Iterator[SessionEvent],
         state: GroupState[SessionState]): Iterator[SessionSummary] = {
@@ -202,9 +214,9 @@ object StreamOps {
         // everything but the latest session is closed: emit those now,
         // keep the trailing one (its close is the event-time timeout).
         var sessions = state.getOption.toList
-        rows.map(_.ts.getTime).toSeq.sorted.foreach { t =>
+        rows.map(e => micros(e.ts)).toSeq.sorted.foreach { t =>
           val (ov, dis) = sessions.partition(s =>
-            t < s.end + gapMs && s.start < t + gapMs)
+            t < s.end + gapUs && s.start < t + gapUs)
           val merged = ov.foldLeft(SessionState(t, t, 1L)) { (a, s) =>
             SessionState(math.min(a.start, s.start),
               math.max(a.end, s.end), a.n + s.n)
@@ -212,11 +224,26 @@ object StreamOps {
           sessions = merged :: dis
         }
         val ordered = sessions.sortBy(_.start)
-        ordered.lastOption.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.end + gapMs)
+        // A single-batch watermark jump larger than the gap (backfill,
+        // catch-up after downtime) can leave the trailing session
+        // ALREADY past the current eviction watermark — and Spark
+        // validates setTimeoutTimestamp against the CURRENT batch's
+        // watermark even though the event passed the PREVIOUS batch's
+        // late filter: registering the stale timeout throws and kills
+        // the query. Such a session is closed by watermark semantics
+        // anyway — emit it now instead of registering its timeout.
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val keepOpen = ordered.lastOption.filter(_.end + gapUs > wmUs)
+        keepOpen match {
+          case Some(s) =>
+            state.update(s)
+            // Timeout API is millis; round UP so the timer never fires
+            // before end+gap at micro resolution.
+            state.setTimeoutTimestamp((s.end + gapUs + 999L) / 1000L)
+          case None => if (state.exists) state.remove()
         }
-        ordered.dropRight(1).map(summary(key, _)).iterator
+        (if (keepOpen.isDefined) ordered.dropRight(1) else ordered)
+          .map(summary(key, _)).iterator
       }
     }
 

@@ -198,6 +198,51 @@ class StreamOpsSpec extends AnyFunSuite {
       ("a", ts("2024-01-01 09:59:30"), ts("2024-01-01 10:01:00"), 2L)))
   }
 
+  test("sessionize survives a watermark jump larger than the gap: " +
+    "already-expired sessions emit instead of registering a stale " +
+    "timeout (which kills the query)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+
+    val src = MemoryStream[(String, java.sql.Timestamp)](spark)
+    val events = src.toDF().toDF("key", "ts")
+      .withWatermark("ts", "1 hour")
+      .as[StreamOps.SessionEvent]
+    val out = StreamOps.sessionize(events, gapMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("sess_jump_out")
+      .outputMode("append").start()
+
+    // Open session for a; watermark after this batch: 09:00.
+    src.addData(("a", ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // Backfill burst jumps the watermark by 5 HOURS (>> the 1-minute
+    // gap): eviction watermark becomes 14:00.
+    src.addData(("z", ts("2024-01-01 15:00:00")))
+    q.processAllAvailable()
+    // Straggler for a, far behind the jumped watermark. In this
+    // single-operator topology the late filter shares the eviction
+    // watermark, so the row is dropped before fn ever sees it — the
+    // stale-timeout clamp exists for the chained-stateful topologies
+    // where the late filter LAGS the eviction watermark (an admitted
+    // row's session can then sit wholly behind eviction, and
+    // registering its natural timeout would throw and abort the
+    // query). Either way the query must run to completion and a's
+    // open session must close cleanly through the jump.
+    src.addData(("a", ts("2024-01-01 09:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    assert(q.exception.isEmpty,
+      s"watermark jump aborted the query: ${q.exception}")
+
+    val sess = spark.sql(
+      "SELECT key, start, end, n FROM sess_jump_out WHERE key = 'a' " +
+        "ORDER BY start")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSeq
+    assert(sess == Seq(
+      ("a", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:01:00"), 1L)))
+  }
+
   test("sessionize gap boundary is end-exclusive like session_window: " +
     "an event at exactly last + gap starts a new session") {
     val spark = TestSpark.spark
