@@ -131,7 +131,8 @@ object SimHash63 {
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      addWeights(counts, arr.getLong(j))
+      // Documented skip: a null element must not fold in as hash 0.
+      if (!arr.isNullAt(j)) addWeights(counts, arr.getLong(j))
       j += 1
     }
     finish(counts)
@@ -145,7 +146,11 @@ object SimHash63 {
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      addWeights(counts, tokenHash(arr.getUTF8String(j)))
+      // Documented skip: a null element NPE'd here (getUTF8String
+      // returns null); both engines' declared inputs are null-free,
+      // but the function is registered for arbitrary SQL use.
+      if (!arr.isNullAt(j))
+        addWeights(counts, tokenHash(arr.getUTF8String(j)))
       j += 1
     }
     finish(counts)

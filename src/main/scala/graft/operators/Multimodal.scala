@@ -120,7 +120,12 @@ object Multimodal {
 
   /** Decode `bytes` and return (image, normalized format name). */
   def readImage(bytes: Array[Byte]): (BufferedImage, String) = {
-    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    // Memory-cache stream, NOT ImageIO.createImageInputStream: the
+    // default factory honors ImageIO's disk cache and would create and
+    // delete a temp FILE per decoded row — filesystem churn dominating
+    // the decode of in-memory byte arrays on the hot partition path.
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))
     try {
       val readers = ImageIO.getImageReaders(iis)
       require(readers.hasNext, "no ImageIO reader recognized the payload")

@@ -48,9 +48,14 @@ import org.apache.spark.sql.functions.{col, row_number}
   * pre-staging ledger probe also skips the executor-side staging write
   * on known replays. DDL (target/ledger/stage create, stage drop)
   * stays OUTSIDE the transaction — MySQL DDL implicitly commits, so
-  * interleaving it would break atomicity. Ledger scope matches the
-  * concurrency contract below: one logical streaming query per target
-  * table (batchIds are per-query epochs).
+  * interleaving it would break atomicity. The ledger is keyed
+  * (scope, batch_id): batchIds are epochs of ONE logical streaming
+  * query, and they restart at 0 when a checkpoint is reset or a new
+  * query points at the same target — bind `ledgerScope` to the
+  * checkpoint identity (e.g. a hash of checkpointLocation) so a
+  * reset starts a fresh scope instead of silently skipping the first
+  * N batches against the old ledger rows. The default scope keeps
+  * the single-query-per-table contract below.
   *
   * `createTableColumnTypes` feeds Spark's option of the same name on
   * the staging write (e.g. "location VARCHAR(64)") — needed on Derby,
@@ -62,7 +67,11 @@ import org.apache.spark.sql.functions.{col, row_number}
 final class JdbcUpsertSink(url: String, table: String,
     keyCols: Seq[String], user: String = "", password: String = "",
     driver: String = Connectors.MysqlDriver,
-    createTableColumnTypes: Option[String] = None) {
+    createTableColumnTypes: Option[String] = None,
+    ledgerScope: String = "") {
+
+  require(!ledgerScope.contains("'") && ledgerScope.length <= 120,
+    "ledgerScope must be a short quote-free identifier")
 
   private def q(id: String): String = "\"" + id + "\""
 
@@ -76,6 +85,17 @@ final class JdbcUpsertSink(url: String, table: String,
 
   private def ledger = table + "_epochs"
 
+  /** JDBC-metadata PK probe (exact-case then case-folded — engines
+    * fold unquoted identifiers differently). */
+  private def hasPrimaryKey(conn: java.sql.Connection,
+      t: String): Boolean = {
+    def probe(name: String): Boolean = {
+      val rs = conn.getMetaData.getPrimaryKeys(null, null, name)
+      try rs.next() finally rs.close()
+    }
+    probe(t) || probe(t.toUpperCase) || probe(t.toLowerCase)
+  }
+
   /** True iff `batchId` is already recorded — the cheap driver-side
     * replay probe (the authoritative guard is the transactional PK
     * insert in applyTxn). A missing ledger table reads as "not
@@ -85,20 +105,15 @@ final class JdbcUpsertSink(url: String, table: String,
       batchId: Long): Boolean =
     try {
       val rs = st.executeQuery(
-        s"SELECT 1 FROM $ledger WHERE batch_id = $batchId")
+        s"SELECT 1 FROM $ledger WHERE scope = '$ledgerScope' " +
+          s"AND batch_id = $batchId")
       try rs.next() finally rs.close()
     } catch { case _: java.sql.SQLException => false }
 
   private def upsertPersisted(batch0: DataFrame, batchId: Long): Unit = {
     if (batch0.isEmpty) return
     val nonKey = batch0.columns.filterNot(keyCols.contains).toSeq
-    val batch = if (nonKey.isEmpty) batch0.dropDuplicates(keyCols)
-    else {
-      val w = Window.partitionBy(keyCols.map(batch0(_)): _*)
-        .orderBy(nonKey.map(c => batch0(c).desc): _*)
-      batch0.withColumn("__rn", row_number.over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-    }
+    val batch = graft.streaming.SinkOps.keyUniqueLatest(batch0, keyCols)
     val stage = table + "_stage"
     Class.forName(driver)
     val props = new Properties()
@@ -139,10 +154,20 @@ final class JdbcUpsertSink(url: String, table: String,
           } else
             st.executeUpdate(
               s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+        } else if (isMysql && !hasPrimaryKey(conn, table)) {
+          // Recover the one non-atomic DDL window: a crash BETWEEN the
+          // CREATE and the ALTER above leaves an existing-but-unkeyed
+          // target, and ON DUPLICATE KEY UPDATE would silently append
+          // forever (the reference bug, made permanent). Idempotent:
+          // runs once, only when the key is genuinely absent.
+          st.executeUpdate(s"ALTER TABLE $table ADD PRIMARY KEY " +
+            keyCols.map(k => s"`$k`").mkString("(", ", ", ")"))
         }
         if (!exists(ledger))
           st.executeUpdate(s"CREATE TABLE $ledger " +
-            "(batch_id BIGINT NOT NULL PRIMARY KEY)")
+            "(scope VARCHAR(120) NOT NULL, " +
+            "batch_id BIGINT NOT NULL, " +
+            "PRIMARY KEY (scope, batch_id))")
         // All DDL is done (MySQL DDL implicitly commits, so none may
         // follow BEGIN). One transaction: ledger insert + merge — a
         // replayed epoch fails the ledger PK and rolls back untouched.
@@ -151,7 +176,8 @@ final class JdbcUpsertSink(url: String, table: String,
           val fresh =
             try {
               st.executeUpdate(
-                s"INSERT INTO $ledger (batch_id) VALUES ($batchId)")
+                s"INSERT INTO $ledger (scope, batch_id) " +
+                  s"VALUES ('$ledgerScope', $batchId)")
               true
             } catch {
               // SQLState class 23 = integrity-constraint violation

@@ -41,19 +41,7 @@ final class ParquetUpsertSink(val path: String, val keyCols: Seq[String]) {
     // Enforce the PK invariant WITHIN the batch too: a non-key-unique
     // batch (anything other than a key-unique streaming aggregate)
     // would union intra-batch duplicates straight into the store.
-    // Deterministic winner per key: greatest non-key struct.
-    val nonKey = batch0.columns.filterNot(keyCols.contains).toSeq
-    val batch = if (nonKey.isEmpty) batch0.dropDuplicates(keyCols)
-    else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keyCols.map(batch0(_)): _*)
-        .orderBy(nonKey.map(c => batch0(c).desc): _*)
-      batch0
-        .withColumn("__rn",
-          org.apache.spark.sql.functions.row_number.over(w))
-        .filter(org.apache.spark.sql.functions.col("__rn") === 1)
-        .drop("__rn")
-    }
+    val batch = SinkOps.keyUniqueLatest(batch0, keyCols)
     val spark = batch.sparkSession
     val dir = new File(path)
     val merged =
@@ -104,5 +92,33 @@ final class ParquetUpsertSink(val path: String, val keyCols: Seq[String]) {
   private def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     if (f.exists()) f.delete(): Unit
+  }
+}
+
+/** Sink-shared batch normalization — ONE definition of the
+  * intra-batch PK dedup rule so the parquet and JDBC upsert sinks
+  * cannot drift apart on winner selection.
+  */
+private[graft] object SinkOps {
+
+  /** Deterministic key-unique projection: per key, the GREATEST
+    * non-key struct wins (any total order works for the PK contract;
+    * greatest-struct is stable under shuffle order and engine
+    * version). Keys with no non-key columns dedup plainly.
+    */
+  def keyUniqueLatest(batch0: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val nonKey = batch0.columns.filterNot(keyCols.contains).toSeq
+    if (nonKey.isEmpty) batch0.dropDuplicates(keyCols)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(batch0(_)): _*)
+        .orderBy(nonKey.map(c => batch0(c).desc): _*)
+      batch0
+        .withColumn("__rn",
+          org.apache.spark.sql.functions.row_number.over(w))
+        .filter(org.apache.spark.sql.functions.col("__rn") === 1)
+        .drop("__rn")
+    }
   }
 }

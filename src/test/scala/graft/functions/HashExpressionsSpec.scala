@@ -32,6 +32,26 @@ class HashExpressionsSpec extends AnyFunSuite {
     out.foreach { case (th, s) => assert(s == model63(th)) }
   }
 
+  test("simhash63 skips null elements (documented) instead of NPE / " +
+    "folding hash 0") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // String path: a null token previously NPE'd the task.
+    val strs = spark.sql(
+      """SELECT simhash63(array('alpha', CAST(NULL AS STRING), 'beta'))
+        |  AS a, simhash63(array('alpha', 'beta')) AS b""".stripMargin)
+      .as[(Long, Long)].head()
+    assert(strs._1 == strs._2)
+    // Hash path: a null bigint previously read as hash 0 and
+    // perturbed every counter.
+    val longs = spark.sql(
+      """SELECT simhash63(array(CAST(7 AS BIGINT), CAST(NULL AS BIGINT)))
+        |  AS a, simhash63(array(CAST(7 AS BIGINT))) AS b""".stripMargin)
+      .as[(Long, Long)].head()
+    assert(longs._1 == longs._2)
+  }
+
   test("simhash63 over string tokens ≡ interpreted per-char HOF hash " +
     "then simhash63 over hashes") {
     val spark = TestSpark.spark
