@@ -14,22 +14,32 @@ object Similarity {
 
   /** Normalize input to (vec_id, v: array&lt;double&gt;, nrm).
     *
-    * Zero-norm vectors are REJECTED at this boundary (the
-    * documentsAsMedia precedent): cosine against a zero vector is
+    * Zero- or NaN-norm vectors are REJECTED LOUDLY at this boundary
+    * (ADVICE r10: the r10 revision FILTERED them, which inside the
+    * harness made the oracle mismatch loud but gave library callers of
+    * semDedup silent row loss — a document whose embedding is all-zero,
+    * i.e. a failed embedder, simply vanished from the dedup verdict).
+    * The rationale is unchanged: cosine against a zero vector is
     * 0/0 = NaN, and Spark's total ordering ranks NaN above every
     * double — one all-zero embedding would rank top-1 for EVERY query,
     * and a zero-norm CENTROID would capture the entire corpus
-    * (max-cosine assignment sees NaN for every vector). No fixture
-    * carries one (asserted cheap here, not assumed); data that does
-    * turns the oracle gate red loudly instead of silently poisoning
-    * every ranking.
+    * (max-cosine assignment sees NaN for every vector). The guard is an
+    * in-plan raise_error on the norm column (no extra validation job:
+    * it fires iff a bad row is actually scanned), so every consumer —
+    * search, dedup, stores — fails naming the vec_id instead of
+    * silently dropping or poisoning rankings. Callers with legitimately
+    * zero embeddings must quarantine them upstream.
     */
   def prepared(df: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", expr("sqrt(array_dot(v, v))"))
-      .filter(col("nrm") > 0)
+      .withColumn("nrm",
+        when(col("nrm") > 0, col("nrm")).otherwise(raise_error(concat(
+          lit("zero- or NaN-norm embedding rejected: vec_id="),
+          col("vec_id").cast("string"),
+          lit(" (failed embedder output — quarantine upstream)")))))
   }
 
   private def cosCol = expr("array_dot(qv, cv) / (qn * cn)")
@@ -917,9 +927,27 @@ object Similarity {
     * codebook — the production form on skewed corpora (see the scale
     * note above). `e` is a prepared frame; `codebook` is
     * (cid, centv, centn).
+    *
+    * Memo-key contract (ADVICE r10): Memo requires every semantic
+    * parameter folded into the key, and the caller-supplied cacheKey
+    * alone does not encode codebook IDENTITY — two calls with the same
+    * cacheKey but different codebooks (successive lloydRefine epochs,
+    * say) would silently return the first run's assignment. A codebook
+    * fingerprint (row count + an order-independent sum of per-row
+    * hash(cid, centn micros) — lloyd iterations move centroids, so
+    * norms change) is therefore mixed into the key here; the
+    * fingerprint job is codebook-sized (KBs) and runs only when
+    * memoization is requested.
     */
   def semDedupWith(e: DataFrame, codebook: DataFrame, threshold: Double,
       cacheKey: String = ""): DataFrame = {
+    val key = if (cacheKey.isEmpty) "" else {
+      val fp = codebook.agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(hash(col("cid"),
+          round(col("centn") * 1000000).cast("long")).cast("long")),
+          lit(0L)).as("h")).head()
+      s"$cacheKey|cbn=${fp.getLong(0)}|cbh=${fp.getLong(1)}"
+    }
     // Payload-free argmax (see ivfTopKWith): only (csim, -cid) rides
     // the aggregation buffer; vectors re-attach by joining on vec_id.
     // Memoized: `assigned` feeds the a-side, the b-side, AND the final
@@ -927,7 +955,7 @@ object Similarity {
     // replay three times per call (column pruning differs per branch,
     // so ReuseExchange cannot collapse them).
     val assigned = Memo.memo("semdedup_assigned", e.sparkSession,
-      cacheKey, persistIt = true) {
+      key, persistIt = true) {
       val bestCid = e.crossJoin(broadcast(codebook))
         .withColumn("csim", expr("array_dot(v, centv) / (nrm * centn)"))
         .groupBy(col("vec_id"))

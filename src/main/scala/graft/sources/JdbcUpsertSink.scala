@@ -86,15 +86,35 @@ final class JdbcUpsertSink(url: String, table: String,
   private def ledger = table + "_epochs"
 
   /** JDBC-metadata PK probe (exact-case then case-folded — engines
-    * fold unquoted identifiers differently). */
+    * fold unquoted identifiers differently). Scoped to the
+    * connection's current catalog/schema (ADVICE r10: a null scope
+    * matches a same-named keyed table in ANY schema — a false positive
+    * there skips the PK-recovery ALTER and re-opens exactly the
+    * silent-append-forever window the recovery targets). Engines that
+    * return null for getCatalog/getSchema fall back to the unscoped
+    * probe they had before.
+    */
   private def hasPrimaryKey(conn: java.sql.Connection,
       t: String): Boolean = {
+    val cat = try conn.getCatalog catch {
+      case _: java.sql.SQLException => null }
+    val sch = try conn.getSchema catch {
+      case _: java.sql.SQLException => null }
     def probe(name: String): Boolean = {
-      val rs = conn.getMetaData.getPrimaryKeys(null, null, name)
+      val rs = conn.getMetaData.getPrimaryKeys(cat, sch, name)
       try rs.next() finally rs.close()
     }
     probe(t) || probe(t.toUpperCase) || probe(t.toLowerCase)
   }
+
+  /** Dialect-free column-existence probe: a zero-row SELECT of the
+    * column succeeds iff it exists (metadata getColumns needs the
+    * engine-folded identifier, the same trap `exists` avoids).
+    */
+  private def hasColumn(st: java.sql.Statement, t: String,
+      c: String): Boolean =
+    try { st.executeQuery(s"SELECT $c FROM $t WHERE 1=0").close(); true }
+    catch { case _: java.sql.SQLException => false }
 
   /** True iff `batchId` is already recorded — the cheap driver-side
     * replay probe (the authoritative guard is the transactional PK
@@ -168,6 +188,22 @@ final class JdbcUpsertSink(url: String, table: String,
             "(scope VARCHAR(120) NOT NULL, " +
             "batch_id BIGINT NOT NULL, " +
             "PRIMARY KEY (scope, batch_id))")
+        else if (!hasColumn(st, ledger, "scope")) {
+          // Migrate a ledger created by the pre-scope revision
+          // (batch_id PRIMARY KEY only — ADVICE r10): without this,
+          // the scoped INSERT below throws unknown-column on every
+          // batch FOREVER (and epochApplied's broad catch masks the
+          // probe, so the first symptom is a hard query failure on
+          // upgrade). Idempotent: runs once, only when the column is
+          // genuinely absent. Legacy rows get scope '' — the default
+          // ledgerScope — so replay protection for already-applied
+          // epochs survives the upgrade under the default scope.
+          st.executeUpdate(s"ALTER TABLE $ledger ADD COLUMN " +
+            "scope VARCHAR(120) DEFAULT '' NOT NULL")
+          st.executeUpdate(s"ALTER TABLE $ledger DROP PRIMARY KEY")
+          st.executeUpdate(
+            s"ALTER TABLE $ledger ADD PRIMARY KEY (scope, batch_id)")
+        }
         // All DDL is done (MySQL DDL implicitly commits, so none may
         // follow BEGIN). One transaction: ledger insert + merge — a
         // replayed epoch fails the ledger PK and rolls back untouched.

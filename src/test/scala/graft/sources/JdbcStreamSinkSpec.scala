@@ -104,4 +104,51 @@ class JdbcStreamSinkSpec extends AnyFunSuite {
       .head()
     assert(nz.getLong(0) == 15L && nz.getInt(1) == 7)
   }
+
+  test("legacy (batch_id)-keyed ledger migrates in place, replay rows honored") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val url = DerbyTest.url("ledgermig")
+    // A ledger as the pre-scope revision created it: batch_id alone is
+    // the PK, and epoch 0 is already recorded (ADVICE r10: without
+    // migration the scoped INSERT throws unknown-column on every batch
+    // forever; with it, legacy rows land under scope '' — the default —
+    // so their replay protection survives the upgrade).
+    locally {
+      Class.forName(Connectors.DerbyDriver)
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        st.executeUpdate("CREATE TABLE kv_epochs " +
+          "(batch_id BIGINT NOT NULL PRIMARY KEY)")
+        st.executeUpdate("INSERT INTO kv_epochs (batch_id) VALUES (0)")
+        st.close()
+      } finally conn.close()
+    }
+    val sink = new JdbcUpsertSink(url, "kv", Seq("k"),
+      driver = Connectors.DerbyDriver,
+      createTableColumnTypes = Some("k VARCHAR(16)"))
+    // Batch 0 is a legacy-recorded replay: the migrated ledger must
+    // still skip it (nothing lands in the target).
+    sink.upsert(Seq(("a", 1)).toDF("k", "v"), 0L)
+    // Batch 1 is fresh: applies through the migrated (scope, batch_id)
+    // ledger; its own replay is then a no-op.
+    sink.upsert(Seq(("a", 2), ("b", 3)).toDF("k", "v"), 1L)
+    sink.upsert(Seq(("a", 99)).toDF("k", "v"), 1L)
+    val back = Connectors.jdbcDimReader(spark, url, "kv", "", "",
+      driver = Connectors.DerbyDriver).load()
+      .orderBy("k").as[(String, Int)].collect().toSeq
+    assert(back == Seq(("a", 2), ("b", 3)))
+    // A scoped sink against the same (already-migrated) ledger starts
+    // its own epoch numbering without colliding with scope ''.
+    val scoped = new JdbcUpsertSink(url, "kv", Seq("k"),
+      driver = Connectors.DerbyDriver,
+      createTableColumnTypes = Some("k VARCHAR(16)"),
+      ledgerScope = "ckpt2")
+    scoped.upsert(Seq(("a", 7)).toDF("k", "v"), 0L)
+    val after = Connectors.jdbcDimReader(spark, url, "kv", "", "",
+      driver = Connectors.DerbyDriver).load()
+      .orderBy("k").as[(String, Int)].collect().toSeq
+    assert(after == Seq(("a", 7), ("b", 3)))
+  }
 }
