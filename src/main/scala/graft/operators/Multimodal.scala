@@ -118,6 +118,66 @@ object Multimodal {
     }
   }
 
+  /** decodeMeta's permissive sibling for real-crawl inputs (VERDICT
+    * r10 #2): strict decodeMeta `require`s a reader for every payload,
+    * so ONE truncated or corrupt blob kills the task and — after
+    * Spark's retries, which replay the same bytes — the whole job.
+    * This variant decodes per row under a NonFatal catch: good rows
+    * emit their full metadata, bad rows emit `decode_ok = false` with
+    * null metadata and the throwable's class+message in `error` — the
+    * batch always completes and the quarantine is queryable (count
+    * errors per source, route bad payloads to a dead-letter table).
+    * NonFatal only: an OOM/VM error must still fail the task rather
+    * than classify a fatally sick executor as "bad input".
+    */
+  final case class DecodeAttempt(doc_id: Long, decode_ok: Boolean,
+      width: Option[Int], height: Option[Int], channels: Option[Int],
+      format: Option[String], px_sum: Option[Long], error: Option[String])
+
+  def decodeMetaPermissive(
+      ds: Dataset[MediaRow]): Dataset[DecodeAttempt] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(DecodeBatchSize).flatMap(_.map { r =>
+        try {
+          val (img, fmt) = readImage(r.payload)
+          DecodeAttempt(r.doc_id, decode_ok = true,
+            Some(img.getWidth), Some(img.getHeight),
+            Some(img.getRaster.getNumBands), Some(fmt),
+            if (fmt == "png") Some(rasterSum(img)) else None, None)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            DecodeAttempt(r.doc_id, decode_ok = false, None, None, None,
+              None, None,
+              Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }
+      })
+    }
+  }
+
+  // Deterministic corruption rule for the malformed-media fixture
+  // (mirrored in the multimodal_errors oracle): doc_id % 7 == 3 →
+  // payload truncated to its first 16 bytes (valid magic, stream cut
+  // mid-header — the codec claims it, then read(0) throws, the
+  // truncated-download shape); else doc_id % 11 == 5 → 32 bytes of
+  // 0xAB (no codec claims it — the not-an-image-at-all shape).
+  def ruleCorrupt(id: Long): Boolean = id % 7 == 3 || id % 11 == 5
+
+  /** mediaTable with corruption planted by [[ruleCorrupt]] — the
+    * fixture for permissive-decode tests and the multimodal_errors
+    * oracle query.
+    */
+  def corruptedMediaTable(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val payload =
+        if (id % 7 == 3) java.util.Arrays.copyOf(renderPayload(id), 16)
+        else if (id % 11 == 5) Array.fill(32)(0xAB.toByte)
+        else renderPayload(id)
+      MediaRow(id, payload)
+    })
+  }
+
   /** Decode `bytes` and return (image, normalized format name). */
   def readImage(bytes: Array[Byte]): (BufferedImage, String) = {
     // Memory-cache stream, NOT ImageIO.createImageInputStream: the

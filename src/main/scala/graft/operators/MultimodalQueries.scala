@@ -79,6 +79,42 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
+    // Malformed-media tolerance (VERDICT r10 #2): a corpus with
+    // corruption planted by Multimodal.ruleCorrupt (doc_id % 7 == 3 →
+    // truncated stream the codec claims then fails on; doc_id % 11 == 5
+    // → bytes no codec claims) decoded through the PERMISSIVE path —
+    // the batch completes, bad rows carry decode_ok = false with null
+    // metadata, good rows carry the full real-decode metadata. The
+    // oracle recomputes both halves from the planting rule in pure SQL;
+    // the free-text error column stays out of the declared schema
+    // (exception messages are JDK-specific, not semantics).
+    QuerySpec("multimodal_errors",
+      s"""SELECT doc_id,
+        |       NOT (doc_id % 7 = 3 OR doc_id % 11 = 5) AS decode_ok,
+        |       CASE WHEN doc_id % 7 = 3 OR doc_id % 11 = 5 THEN NULL
+        |            ELSE CAST(doc_id % 24 + 8 AS INTEGER) END AS width,
+        |       CASE WHEN doc_id % 7 = 3 OR doc_id % 11 = 5 THEN NULL
+        |            ELSE CAST(doc_id % 16 + 8 AS INTEGER) END AS height,
+        |       CASE WHEN doc_id % 7 = 3 OR doc_id % 11 = 5 THEN NULL
+        |            ELSE CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END
+        |                 AS INTEGER) END AS channels,
+        |       CASE WHEN doc_id % 7 = 3 OR doc_id % 11 = 5 THEN NULL
+        |            WHEN doc_id % 4 = 0 THEN 'jpeg' ELSE 'png' END
+        |         AS format,
+        |       CASE WHEN doc_id % 7 = 3 OR doc_id % 11 = 5
+        |              OR doc_id % 4 = 0 THEN NULL ELSE
+        |         ${pxSumSql("x", "y", "(doc_id % 24 + 8)",
+             "(doc_id % 16 + 8)")}
+        |       END AS px_sum
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.decodeMetaPermissive(
+        Multimodal.corruptedMediaTable(t(s, dir, "documents")))
+        .toDF()
+        .select("doc_id", "decode_ok", "width", "height", "channels",
+          "format", "px_sum")
+        .orderBy("doc_id")
+    },
+
     // Byte-level plumbing over opaque payloads (no decode): frame
     // sampling — every 5th 64-byte frame — exercised through the real
     // sampleFrames operator and checked against the closed-form count.

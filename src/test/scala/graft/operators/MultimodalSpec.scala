@@ -71,6 +71,48 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("permissive decode quarantines corrupt payloads without failing " +
+    "the batch; strict decode dies on the same input") {
+    val spark = TestSpark.spark
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .limit(60)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val planted = ids.filter(Multimodal.ruleCorrupt).toSet
+    assert(planted.nonEmpty && planted.size < ids.length,
+      "fixture must carry both corrupt and clean payloads")
+    val media = Multimodal.corruptedMediaTable(docs)
+    // The batch COMPLETES — one row per input, never a task failure.
+    val out = Multimodal.decodeMetaPermissive(media).collect()
+    assert(out.length == ids.length)
+    out.foreach { r =>
+      if (planted(r.doc_id)) {
+        assert(!r.decode_ok && r.error.nonEmpty,
+          s"doc ${r.doc_id}: planted corruption not quarantined")
+        assert(r.width.isEmpty && r.height.isEmpty && r.channels.isEmpty
+          && r.format.isEmpty && r.px_sum.isEmpty)
+      } else {
+        assert(r.decode_ok && r.error.isEmpty,
+          s"doc ${r.doc_id}: clean payload misclassified: ${r.error}")
+        assert(r.width.contains(Multimodal.ruleWidth(r.doc_id)) &&
+          r.height.contains(Multimodal.ruleHeight(r.doc_id)) &&
+          r.channels.contains(Multimodal.ruleChannels(r.doc_id)) &&
+          r.format.contains(Multimodal.ruleFormat(r.doc_id)))
+      }
+    }
+    // Both planted shapes appear: claimed-then-failed (truncated) and
+    // never-claimed (garbage bytes) — the two distinct failure paths.
+    val errs = out.filter(r => planted(r.doc_id))
+      .map(r => (r.doc_id, r.error.get))
+    assert(errs.exists(_._1 % 7 == 3) &&
+      errs.exists(e => e._1 % 7 != 3 && e._1 % 11 == 5))
+    // Contrast: the strict path fails the job on the same input — the
+    // behavior the permissive variant exists to avoid.
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeMeta(media).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("decode is deterministic across runs") {
     val spark = TestSpark.spark
     val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
