@@ -767,6 +767,41 @@ object Similarity {
     */
   def ivfPqTopK(e: DataFrame, nQueries: Int, nCentroids: Int,
       nProbe: Int, nSub: Int, nCode: Int, k: Int,
+      cacheKey: String = ""): DataFrame =
+    ivfPqTopKWith(e,
+      e.filter(col("vec_id") >= nQueries &&
+          col("vec_id") < nQueries + nCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("centv"),
+          col("nrm").as("centn")),
+      nQueries + nCentroids, nQueries, nProbe, nSub, nCode, k,
+      if (cacheKey.isEmpty) "" else s"$cacheKey|nc=$nCentroids")
+
+  /** Order-independent identity fingerprint of a codebook frame — the
+    * Memo contract requires every semantic parameter in the key, and a
+    * caller-supplied cacheKey cannot encode WHICH codebook (successive
+    * lloydRefine epochs share keys otherwise). One codebook-sized job.
+    */
+  private def cbFingerprint(codebook: DataFrame): String = {
+    val fp = codebook.agg(count(lit(1)).cast("long").as("n"),
+      coalesce(sum(hash(col("cid"),
+        round(col("centn") * 1000000).cast("long")).cast("long")),
+        lit(0L)).as("h")).head()
+    s"cbn=${fp.getLong(0)}|cbh=${fp.getLong(1)}"
+  }
+
+  /** [[ivfPqTopK]] against an ARBITRARY coarse codebook
+    * (cid, centv, centn) — typically lloydRefine-trained, the
+    * production form: trained centroids balance cell mass, which is
+    * what buys cell recall at a given nProbe (the rerank stage's
+    * ceiling). `cbBase` anchors the deterministic residual
+    * sub-codebook slice (residuals of corpus vectors
+    * cbBase..cbBase+nCode−1; the declared query keeps
+    * nQueries + nCentroids). The memoized residual table folds a
+    * codebook fingerprint into its key, so retrained codebooks never
+    * reuse a stale assignment.
+    */
+  def ivfPqTopKWith(e: DataFrame, cent: DataFrame, cbBase: Int,
+      nQueries: Int, nProbe: Int, nSub: Int, nCode: Int, k: Int,
       cacheKey: String = ""): DataFrame = {
     require(64 % nSub == 0,
       s"nSub must divide the 64-dim embedding exactly, got $nSub")
@@ -775,10 +810,6 @@ object Similarity {
     def slicedSub(v: String): String = s"slice($v, m * $sub + 1, $sub)"
     def sq(a: String, b: String): String =
       s"array_dot($a, $a) - 2 * array_dot($a, $b) + array_dot($b, $b)"
-    val cent = e.filter(col("vec_id") >= nQueries &&
-        col("vec_id") < nQueries + nCentroids)
-      .select(col("vec_id").as("cid"), col("v").as("centv"),
-        col("nrm").as("centn"))
     val corpus = e.filter(col("vec_id") >= nQueries)
       .select(col("vec_id").as("n_id"), col("v").as("cv"),
         col("nrm").as("cn"))
@@ -797,7 +828,7 @@ object Similarity {
     // defeats ReuseExchange, the Memo rationale).
     val residuals = Memo.memo("ivfpq_residuals", e.sparkSession,
       if (cacheKey.isEmpty) ""
-      else s"$cacheKey|nq=$nQueries|nc=$nCentroids",
+      else s"$cacheKey|nq=$nQueries|${cbFingerprint(cent)}",
       persistIt = true) {
       corpus.join(bestCid, "n_id")
         .join(broadcast(cent.select(col("cid"), col("centv"))), "cid")
@@ -805,13 +836,12 @@ object Similarity {
           expr("zip_with(cv, centv, (a, b) -> a - b)").as("rv"))
     }
     // Deterministic first-nCode RESIDUAL sub-codebook (production
-    // trains per-subspace k-means on residuals offline). Sliced from
-    // BEYOND the centroid rows: vec_ids nQueries..nQueries+nCentroids
-    // are the centroids themselves, whose residuals are exactly zero —
-    // including them would waste nCentroids of the nCode entries on
+    // trains per-subspace k-means on residuals offline). cbBase slices
+    // from BEYOND the first-N centroid rows in the declared query's
+    // form: those vec_ids ARE the centroids, whose residuals are
+    // exactly zero — including them would waste nCode entries on
     // identical zero codewords and silently flatten quantization
     // resolution (the oracle mirrors the same offset).
-    val cbBase = nQueries + nCentroids
     val cb = residuals
       .filter(col("n_id") >= cbBase && col("n_id") < cbBase + nCode)
       .select((col("n_id") - cbBase).cast("int").as("code"), col("rv"))
@@ -878,6 +908,67 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("q_id", "n_id", "rn", "adist")
+  }
+
+  /** Exact re-rank stage over IVFPQ candidates (VERDICT r10 #3) — the
+    * production ANN closing move: PQ's ADC distances are quantized, so
+    * a true neighbor INSIDE a probed cell can be mis-ranked past k and
+    * lost; re-scoring a bounded candidate set with exact cosine
+    * recovers every such loss for the cost of nCand exact distances
+    * per query. Pipeline: ivfPqTopK keeps the top `nCand` per query by
+    * ADC (nCand ≫ k, e.g. 10k vs 10), then ONLY those (q, n) pairs are
+    * re-scored exactly and the top `k` by true cosine emitted.
+    *
+    * Scale shape: the candidate table is nQueries × nCand id pairs —
+    * KBs — and BROADCASTS into one corpus scan (broadcast semi-join
+    * fetches candidate vectors; the exact pass never touches
+    * non-candidate rows, and over the at-rest layout the fetch is a
+    * cell-pruned read since every candidate's cell is known). The
+    * recall ceiling is the coarse stage's cell recall at `nProbe` —
+    * re-ranking recovers ADC mis-rankings, never neighbors in
+    * unprobed cells — so nProbe is the recall lever and nCand the
+    * rerank-cost lever; VectorSoak gates the composition at ≥0.9
+    * recall@10. Same deterministic tie-breaks as cosineTopK
+    * (cos desc, n_id), so output is oracle-bit-exact.
+    */
+  def ivfPqRerank(e: DataFrame, nQueries: Int, nCentroids: Int,
+      nProbe: Int, nSub: Int, nCode: Int, nCand: Int, k: Int,
+      cacheKey: String = ""): DataFrame =
+    rerankCandidates(e, nQueries, k,
+      ivfPqTopK(e, nQueries, nCentroids, nProbe, nSub, nCode,
+        math.max(nCand, k), cacheKey))
+
+  /** [[ivfPqRerank]] against an arbitrary coarse codebook — see
+    * [[ivfPqTopKWith]] for the parameters.
+    */
+  def ivfPqRerankWith(e: DataFrame, cent: DataFrame, cbBase: Int,
+      nQueries: Int, nProbe: Int, nSub: Int, nCode: Int, nCand: Int,
+      k: Int, cacheKey: String = ""): DataFrame =
+    rerankCandidates(e, nQueries, k,
+      ivfPqTopKWith(e, cent, cbBase, nQueries, nProbe, nSub, nCode,
+        math.max(nCand, k), cacheKey))
+
+  /** Shared exact-rerank tail: candidate (q_id, n_id) pairs re-scored
+    * with exact cosine, top-k per query — one copy so the declared and
+    * With forms cannot drift.
+    */
+  private def rerankCandidates(e: DataFrame, nQueries: Int, k: Int,
+      candidates: DataFrame): DataFrame = {
+    val cand = candidates.select(col("q_id"), col("n_id"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val c = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("n_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    c.join(broadcast(cand), "n_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("n_id"), cosCol.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id", "rn", "cos")
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering

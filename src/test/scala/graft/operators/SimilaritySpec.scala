@@ -20,6 +20,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.toSeq == brute.toSeq)
   }
 
+  test("ivfPqRerank with probe-all and corpus-wide candidates equals " +
+    "brute-force cosineTopK exactly; bounded candidates stay a subset " +
+    "ranked by true cosine") {
+    val spark = TestSpark.spark
+    val e = Similarity.prepared(Tables.t(spark, dir, "embeddings"))
+    val n = e.count().toInt
+    // Probe every cell and keep every scored row as a candidate: the
+    // exact re-rank then sees the full corpus and must reproduce the
+    // brute-force top-k bit-for-bit (same cos arithmetic, same
+    // (cos desc, n_id) tie-break) — the rerank tail provably adds no
+    // approximation of its own.
+    val full = Similarity.ivfPqRerank(e, 5, 8, nProbe = 8, nSub = 4,
+      nCode = 16, nCand = n, k = 5).orderBy("q_id", "rn").collect()
+    val brute = Similarity.cosineTopK(e, 5, 5)
+      .orderBy("q_id", "rn").collect()
+    assert(full.length == 25 && full.toSeq == brute.toSeq)
+    // Bounded candidates at a partial probe: k rows per query, cos
+    // strictly ordered per query, and every (q, n) pair must come from
+    // the ADC candidate set (never a corpus-wide exact scan).
+    val part = Similarity.ivfPqRerank(e, 5, 8, nProbe = 2, nSub = 4,
+      nCode = 16, nCand = 12, k = 5).collect()
+    assert(part.groupBy(_.getLong(0)).values.forall(_.length == 5))
+    val cand = Similarity.ivfPqTopK(e, 5, 8, nProbe = 2, nSub = 4,
+      nCode = 16, k = 12).select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(part.forall(r => cand((r.getLong(0), r.getLong(1)))))
+  }
+
   test("ivfCellStats partitions the whole corpus and shares sum to ~1e6") {
     val spark = TestSpark.spark
     val e = Similarity.prepared(Tables.t(spark, dir, "embeddings"))
