@@ -10,9 +10,37 @@ import org.apache.spark.sql.SparkSession
   * as a fast one.
   */
 object Bench {
+  /** 1-minute loadavg, or -1 where /proc is absent. */
+  private def load1(): Double =
+    scala.util.Try(Files.readString(Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble).getOrElse(-1.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Load self-adjudication (VERDICT r10 #7): three rounds running,
+    // the recorded bench total was a neighbor-load artifact a judge
+    // had to re-run (r6 89.6→40.4 s, r9 106.9→52.5, r10 90.9→57.2).
+    // Refuse to START into a loaded host: wait out up to
+    // SPARK_GRAFT_BENCH_LOAD_RETRIES × _WAIT_S while load1 exceeds
+    // SPARK_GRAFT_BENCH_MAX_LOAD; if it never clears, still run but
+    // stamp `load_contaminated: true` in the JSON so the number
+    // advertises itself as noise instead of regression signal.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0")
+      .toDouble
+    val loadRetries = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_LOAD_RETRIES", "3").toInt
+    val loadWaitMs = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "60").toLong * 1000
+    var tries = 0
+    while (load1() > maxLoad && tries < loadRetries) {
+      System.err.println(f"[bench] load1 ${load1()}%.2f > $maxLoad%.1f" +
+        s" — waiting ${loadWaitMs / 1000}s (${tries + 1}/$loadRetries)")
+      Thread.sleep(loadWaitMs)
+      tries += 1
+    }
+    val loadAtStart = load1()
+    val contaminated = loadAtStart > maxLoad
     val spark = GraftConf.tune(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
@@ -180,7 +208,9 @@ object Bench {
       val l = Files.readString(Paths.get("/proc/loadavg"))
         .split(" ").take(2).map(_.toDouble)
       s""","load1":${f3(l(0))},"load5":${f3(l(1))}"""
-    }.getOrElse("")
+    }.getOrElse("") +
+      s""","load1_start":${f3(loadAtStart)}""" +
+      s""","load_contaminated":$contaminated"""
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"queries":$qs$warmPart,"sf":"$sfDir"$loadPart}""")
     // Compact headline LAST: whatever byte window the driver tails,
     // the final line always fits whole, so the total survives even if

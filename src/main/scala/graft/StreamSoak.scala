@@ -4,6 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Sustained streaming soak (VERDICT r8 directive 7): drive the three
@@ -256,6 +257,194 @@ object StreamSoak {
           s"${nUsers.toLong * (nBatches - 2)}")
       println(s"""{"metric":"stream_soak_sessions",""" +
         s""""emitted":${emitted.get}}""")
+    }
+
+    // ---- 5. streaming intake → at-rest stores (VERDICT r10 #1): a
+    // MemoryStream of fresh-id vectors epoch-appends into a live IVF
+    // store, and a MemoryStream of fresh-id documents into the
+    // bucketed signature store, both through the exactly-once file
+    // ledger. Phase 1 (no compaction): resident history must be
+    // BYTE-IDENTICAL across epochs (each append only adds files) and
+    // a replayed batch must change nothing. Phase 2 (compaction
+    // trigger armed): files-per-cell stays bounded while row counts
+    // stay exact. Closing checks: the signature store equals a
+    // from-scratch banding of everything fed, the IVF probe plan is
+    // still partition-pruned, and per-batch durations stay flat.
+    {
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+        "/root/testdata/sf0.01")
+      val nB = math.max(10, nBatches / 6)
+      val NQ = 5
+      val raw = Tables.t(spark, sfDir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val e = operators.Similarity.prepared(raw)
+      val store = s"$tmp/ivf_intake"
+      operators.Similarity.writeIvfStore(e,
+        operators.Similarity.firstNCodebook(e, NQ, 16), NQ, store)
+      val baseRows = spark.read.parquet(s"$store/vectors").count()
+      val baseVecs = raw.filter(col("vec_id") >= NQ)
+        .as[(Long, Seq[Double])].collect()
+      val batchVecs = math.min(200, baseVecs.length)
+
+      val sigTable = "stream_soak_sig"
+      spark.sql(s"DROP TABLE IF EXISTS $sigTable")
+      val sigPath = s"$tmp/sig_intake"
+      val docsT = Tables.t(spark, sfDir, "documents")
+      operators.Dedup.writeSignatureStore(
+        operators.Dedup.docShingles(docsT,
+          cacheKey = s"$tmp|soak-intake"), sigPath, sigTable)
+      val sigFilesBase = {
+        val p = new org.apache.hadoop.fs.Path(sigPath)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.listStatus(p).count(s => s.isFile &&
+          !s.getPath.getName.startsWith("_"))
+      }
+      val texts = docsT.select("doc_id", "text")
+        .filter(col("text").isNotNull).as[(Long, String)].collect()
+
+      def listingOf(path: String): Set[(String, Long)] = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(p)) Set.empty
+        else {
+          val it = fs.listFiles(p, true)
+          val b = Set.newBuilder[(String, Long)]
+          while (it.hasNext) {
+            val s = it.next()
+            if (!s.getPath.getName.startsWith("_") &&
+              !s.getPath.toString.contains("/."))
+              b += ((s.getPath.toString, s.getLen))
+          }
+          b.result()
+        }
+      }
+
+      val phase1 = nB / 2
+      val vecSource = MemoryStream[(Long, Seq[Double])](spark)
+      // Compaction arms itself per batch: off in phase 1 (so the
+      // byte-identical invariant is assertable), threshold 4 files per
+      // cell in phase 2.
+      @volatile var compactOver = 0
+      val vecQuery = vecSource.toDF().toDF("vec_id", "embedding")
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ivf_intake_ckpt")
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          streaming.StoreIntake.ivfIntakeBatch(store, "soak",
+            compactOver)(b, id)
+        }
+        .start()
+      val docSource = MemoryStream[(Long, String)](spark)
+      val docQuery = docSource.toDF().toDF("doc_id", "text")
+        .writeStream
+        .option("checkpointLocation", s"$tmp/sig_intake_ckpt")
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          streaming.StoreIntake.signatureIntakeBatch(sigTable, sigPath,
+            "soak")(b, id)
+        }
+        .start()
+
+      val vlog = mutable.LinkedHashMap.empty[Long, Progress]
+      val fedDocs = mutable.ArrayBuffer.empty[(Long, String)]
+      var lastListing = listingOf(s"$store/vectors")
+      (0 until nB).foreach { i =>
+        compactOver = if (i < phase1) 0 else 4
+        val vbatch = (0 until batchVecs).map { r =>
+          val (vid, emb) = baseVecs((i * 37 + r) % baseVecs.length)
+          ((i + 1) * 10000000L + vid,
+            emb.zipWithIndex.map { case (x, j) =>
+              x + 0.001 * ((vid + i + j) % 7 - 3) })
+        }
+        vecSource.addData(vbatch: _*)
+        vecQuery.processAllAvailable()
+        record(vecQuery, vlog)
+        val dbatch = (0 until 50).map { r =>
+          val (did, text) = texts((i * 131 + r * 7) % texts.length)
+          ((i + 1) * 10000000L + did * 100 + r, text)
+        }
+        fedDocs ++= dbatch
+        docSource.addData(dbatch: _*)
+        docQuery.processAllAvailable()
+        if (i < phase1) {
+          val now = listingOf(s"$store/vectors")
+          require(lastListing.subsetOf(now),
+            s"epoch $i rewrote resident IVF files")
+          lastListing = now
+        }
+      }
+      // Replay both streams' first batches directly: nothing changes.
+      val ivfBefore = listingOf(s"$store/vectors")
+      val sigBefore = listingOf(sigPath)
+      val replayVec = Seq((10000000L + NQ, Seq.fill(64)(0.5)))
+        .toDF("vec_id", "embedding")
+      streaming.StoreIntake.ivfIntakeBatch(store, "soak", 0)(
+        replayVec, 0L)
+      streaming.StoreIntake.signatureIntakeBatch(sigTable, sigPath,
+        "soak")(Seq((1L, "replayed text")).toDF("doc_id", "text"), 0L)
+      require(listingOf(s"$store/vectors") == ivfBefore &&
+        listingOf(sigPath) == sigBefore,
+        "replayed batches must append nothing")
+      vecQuery.stop(); docQuery.stop()
+
+      // Exactness: stored rows = base + every fed vector, no dups.
+      val storedRows = spark.read.parquet(s"$store/vectors")
+      val nStored = storedRows.count()
+      val nDistinct = storedRows.select("n_id").distinct().count()
+      require(nStored == baseRows + nB.toLong * batchVecs &&
+        nDistinct == nStored,
+        s"IVF store row drift: $nStored rows ($nDistinct distinct) vs " +
+          s"expected ${baseRows + nB.toLong * batchVecs}")
+      // Compaction held the line: with threshold 4 and one file per
+      // touched cell per epoch, no cell may exceed threshold + a few
+      // in-flight epochs.
+      val cellFiles = operators.Similarity
+        .ivfStoreCellStats(spark, store).map(_._2)
+      require(cellFiles.max <= 8,
+        s"compaction trigger failed to bound files/cell: $cellFiles")
+      // Probe stays partition-pruned off the post-compaction store.
+      val probe = operators.Similarity.ivfTopKFromStore(spark, store,
+        operators.Similarity.querySide(e, NQ), nProbe = 4, k = 10)
+      val probeRows = probe.count()
+      val scanStr = probe.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).find(_.contains("ivf_intake")).getOrElse("")
+      require(probeRows > 0 && scanStr.contains("PartitionFilters") &&
+        scanStr.contains("cid"),
+        s"post-intake store probe not cell-pruned: $scanStr")
+      // Signature store == from-scratch banding of base ∪ everything
+      // fed (exactly-once, content-level).
+      val fedDf = fedDocs.toSeq.toDF("doc_id", "text")
+      val expectBands = operators.Dedup.bandSignatures(
+        operators.Dedup.docShingles(
+          docsT.select("doc_id", "text").unionByName(fedDf)))
+      val gotBands = operators.Dedup.signatureStore(spark, sigTable)
+      require(gotBands.exceptAll(expectBands).isEmpty &&
+        expectBands.exceptAll(gotBands).isEmpty,
+        "signature store diverged from from-scratch banding")
+      // Flatness is gated WITHIN each phase: phase 2's absolute level
+      // includes per-batch compaction work by design, so comparing it
+      // to phase 1 would gate the trigger, not a trend.
+      val ps = vlog.values.toSeq.filter(_.inputRows > 0)
+      def halves(xs: Seq[Long]): (Double, Double) = {
+        val h = math.max(1, xs.size / 2)
+        def mean(s: Seq[Long]): Double =
+          if (s.isEmpty) 0.0 else s.sum.toDouble / s.size
+        (mean(xs.take(h)), mean(xs.takeRight(h)))
+      }
+      val (p1a, p1b) = halves(ps.take(phase1).map(_.durationMs))
+      val (p2a, p2b) = halves(ps.drop(phase1).map(_.durationMs))
+      summarize("store_intake", vlog)
+      println(s"""{"metric":"stream_soak_store_intake",""" +
+        s""""epochs":$nB,"ivf_rows":$nStored,""" +
+        s""""sig_base_files":$sigFilesBase,""" +
+        s""""max_files_per_cell":${cellFiles.max},""" +
+        s""""append_ms_h1":$p1a,"append_ms_h2":$p1b,""" +
+        s""""compact_ms_h1":$p2a,"compact_ms_h2":$p2b}""")
+      require(p1b <= 2.0 * p1a + 100,
+        s"append-only intake batch time trending up: $p1a -> $p1b ms")
+      require(p2b <= 2.0 * p2a + 1000,
+        s"compacting intake batch time trending up: $p2a -> $p2b ms")
     }
 
     operators.Dedup.clearCaches(spark)

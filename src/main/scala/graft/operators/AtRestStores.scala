@@ -29,9 +29,33 @@ object AtRestStores {
   def writeDocumentsStore(docs: DataFrame, path: String): Unit =
     docs.write.partitionBy("source").mode("overwrite").parquet(path)
 
+  /** Intake append: new files under their source directories, resident
+    * data untouched. Additive schema evolution only (VERDICT r10 #5):
+    * a new epoch may carry extra columns — resident epochs read them
+    * as null through [[documentsStoreEvolved]] — but changing an
+    * existing column's type rejects loudly at append time
+    * (Similarity.assertEvolvableSchema, the shared gate).
+    */
+  def appendToDocumentsStore(docs: DataFrame, path: String): Unit = {
+    // Merged resident schema: a plain read samples one footer and a
+    // pre-evolution file would hide already-evolved columns from the
+    // gate.
+    Similarity.assertEvolvableSchema(
+      documentsStoreEvolved(docs.sparkSession, path).schema, docs.schema)
+    docs.write.partitionBy("source").mode("append").parquet(path)
+  }
+
   /** Read the store back; filters on `source` prune at the directory
     * level (assert PartitionFilters in the scan, not Filter above it).
     */
   def documentsStore(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Evolution-aware read: mergeSchema unions every epoch's columns,
+    * so pre-evolution rows surface added columns as null. Costs a
+    * footer read per file at planning — use for consumers that SELECT
+    * evolved columns; [[documentsStore]] stays the cheap default.
+    */
+  def documentsStoreEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

@@ -338,15 +338,77 @@ object Similarity {
     * `newVectors` is a prepared frame (vec_id, v, nrm) as from
     * [[prepared]].
     */
-  def appendToIvfStore(newVectors: DataFrame, path: String): Unit = {
+  /** The epoch frame an append writes: (n_id, cv, cn) plus ANY
+    * additional columns the prepared frame carries (additive schema
+    * evolution — an intake epoch may attach metadata like a source
+    * tag; resident epochs read them as null through
+    * [[ivfStoreRead]]'s mergeSchema). Guarded by
+    * [[assertEvolvableSchema]]: shared columns must keep their exact
+    * type — a silently coerced column would corrupt every probe.
+    */
+  private def epochFrame(newVectors: DataFrame, path: String): DataFrame = {
     val spark = newVectors.sparkSession
     val codebook = spark.read.parquet(s"$path/codebook")
-    val corpus = newVectors.select(col("vec_id").as("n_id"),
-      col("v").as("cv"), col("nrm").as("cn"))
-    withCellIds(corpus, codebook)
+    val extra = newVectors.columns
+      .filterNot(Set("vec_id", "v", "nrm")).toSeq
+    val corpus = newVectors.select((Seq(col("vec_id").as("n_id"),
+      col("v").as("cv"), col("nrm").as("cn")) ++ extra.map(col)): _*)
+    val staged = withCellIds(corpus, codebook)
+    // The gate compares against the MERGED resident schema: a plain
+    // read samples one footer, and a pre-evolution file's footer would
+    // hide already-evolved columns from the check.
+    assertEvolvableSchema(
+      ivfStoreRead(spark, path).schema, staged.schema)
+    staged
+  }
+
+  /** Additive-only schema-evolution gate for at-rest store appends
+    * (VERDICT r10 #5): an appended epoch may ADD columns (old epochs
+    * read them as null under mergeSchema) but may never change the
+    * type of an existing column — parquet would happily write the
+    * incompatible file and every later mergeSchema read would fail
+    * far from the cause (or worse, a non-merge read would bind a
+    * random file's schema). Reject loudly at append time instead.
+    */
+  def assertEvolvableSchema(resident: org.apache.spark.sql.types.StructType,
+      incoming: org.apache.spark.sql.types.StructType): Unit = {
+    val res = resident.fields.map(f => f.name -> f.dataType).toMap
+    incoming.fields.foreach { f =>
+      res.get(f.name).foreach { rt =>
+        require(rt == f.dataType,
+          s"incompatible schema evolution on column '${f.name}': " +
+            s"resident $rt vs incoming ${f.dataType} — additive " +
+            "columns evolve; type changes need a store rebuild")
+      }
+    }
+  }
+
+  /** Read the vector table with additive evolution visible: epochs
+    * that predate a column surface it as null. Probes that only touch
+    * the core (n_id, cv, cn, cid) columns can keep the plain read —
+    * parquet resolves missing columns per file either way; mergeSchema
+    * is for consumers that SELECT evolved columns.
+    */
+  def ivfStoreRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(s"$path/vectors")
+
+  def appendToIvfStore(newVectors: DataFrame, path: String): Unit =
+    epochFrame(newVectors, path)
       .write.partitionBy("cid").mode("append")
       .parquet(s"$path/vectors")
-  }
+
+  /** The STAGED form of [[appendToIvfStore]] (streaming intake —
+    * graft.streaming.StoreIntake): same assignment against the stored
+    * codebook, but the epoch's cell-partitioned files land in
+    * `stageDir` instead of the live store — exactly-once placement
+    * (intent ledger, tagged renames, replay cleanup) is the caller's
+    * job. Sharing epochFrame keeps direct and staged appends
+    * assignment- and schema-gate-identical by construction.
+    */
+  def stageIvfEpoch(newVectors: DataFrame, path: String,
+      stageDir: String): Unit =
+    epochFrame(newVectors, path)
+      .write.partitionBy("cid").mode("overwrite").parquet(stageDir)
 
   /** The codebook-drift criterion behind DEPLOY.md's "retrain only
     * when imbalance degrades recall": per cell, corpus mass share and
@@ -506,6 +568,104 @@ object Similarity {
     // Reached only on success — on failure the staging dir survives
     // alongside any backups, so nothing is ever the sole deleted copy.
     fs.delete(tmp, true): Unit
+  }
+
+  /** Manifest the vector directory: publish a snapshot listing of its
+    * current data files (see StoreManifest). Run once at store build
+    * (or adoption) time; intake and snapshot compaction then publish
+    * follow-up versions. Returns the published version.
+    */
+  def publishIvfManifest(spark: SparkSession, path: String): Long = {
+    val root = s"$path/vectors"
+    StoreManifest.publish(spark, root,
+      StoreManifest.listDataFiles(spark, root))
+  }
+
+  /** Snapshot compaction (VERDICT r10 #6) — [[compactIvfCells]] without
+    * the reader race: the named cells' rows (read from the CURRENT
+    * manifest snapshot) are rewritten into fresh files placed UNDER
+    * NEW NAMES next to the live ones — nothing is moved or deleted —
+    * and a new manifest version swaps the cell's file set in one
+    * atomic pointer flip. Readers that resolved any version always
+    * find their full file list on disk: pre- or post-compaction
+    * results, never a half-swapped cell. Replaced files stay as the
+    * new version's `expired` set until an explicit
+    * StoreManifest.gcExpired after in-flight readers drain.
+    * Single-maintenance-writer, as ever.
+    */
+  def compactIvfCellsSnapshot(spark: SparkSession, path: String,
+      cells: Seq[Int]): Long = {
+    val root = s"$path/vectors"
+    val cur = StoreManifest.files(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"$root is not manifested — publishIvfManifest first"))
+    if (cells.isEmpty) return StoreManifest.currentVersion(spark, root)
+      .getOrElse(0L)
+    val cellSet = cells.map(c => s"cid=$c").toSet
+    val (replaced, kept) = cur.partition(rel =>
+      cellSet.contains(rel.takeWhile(_ != '/')))
+    if (replaced.isEmpty) return StoreManifest
+      .currentVersion(spark, root).getOrElse(0L)
+    val hconf = spark.sessionState.newHadoopConf()
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(hconf)
+    val runId = java.util.UUID.randomUUID().toString
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.compact-snap-$runId")
+    spark.read.option("basePath", root)
+      .parquet(replaced.map(r => s"$root/$r"): _*)
+      .repartition(cells.size, col("cid"))
+      .write.partitionBy("cid").parquet(tmp.toString)
+    val freshRel = Seq.newBuilder[String]
+    fs.listStatus(tmp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+      .foreach { d =>
+        val cell = d.getPath.getName
+        fs.listStatus(d.getPath).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+          .foreach { f =>
+            val destName = s"compact-$runId-${f.getPath.getName}"
+            val dest = new org.apache.hadoop.fs.Path(
+              new org.apache.hadoop.fs.Path(rootPath, cell), destName)
+            fs.mkdirs(dest.getParent)
+            require(fs.rename(f.getPath, dest),
+              s"rename failed: ${f.getPath} -> $dest")
+            freshRel += s"$cell/$destName"
+          }
+      }
+    val v = StoreManifest.publish(spark, root, kept ++ freshRel.result(),
+      expired = replaced)
+    fs.delete(tmp, true): Unit
+    v
+  }
+
+  /** [[ivfTopKFromStore]] against the manifest SNAPSHOT — the
+    * race-free probe: the file set is pinned at plan time, so a
+    * concurrent snapshot compaction (or epoch publish) cannot change
+    * what this query reads. Partition pruning survives the explicit
+    * file list (basePath keeps `cid=` directory resolution).
+    */
+  def ivfTopKFromSnapshot(spark: SparkSession, path: String,
+      queries: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    val cent = spark.read.parquet(s"$path/codebook")
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("psim").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(cent))
+      .withColumn("psim", expr("array_dot(qv, centv) / (qn * centn)"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("qn"),
+        col("cid").cast("int").as("cid"))
+    val cells = probes.select("cid").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val store = StoreManifest.snapshotRead(spark, s"$path/vectors")
+      .filter(col("cid").isin(cells: _*))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    store.join(broadcast(probes), "cid")
+      .select(col("q_id"), col("n_id"), cosCol.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id", "rn", "cos")
   }
 
   /** ANN search OFF the stored layout: probe cells are chosen against

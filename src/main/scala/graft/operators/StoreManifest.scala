@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot manifests for the at-rest stores (VERDICT r10 #6): plain
+  * directory listings are only APPEND-consistent — a reader racing a
+  * compaction's swap window can list a cell with old files already
+  * moved out and new ones not yet in, i.e. a half-swapped bucket. The
+  * fix is the transactional-table-format move in miniature: readers
+  * resolve a MANIFEST (an immutable file list) and read exactly those
+  * files; writers publish a new manifest version and flip one pointer.
+  *
+  * Layout under the manifested directory (the IVF store's `vectors/`):
+  *
+  *   _manifest/v&lt;N&gt;.list    — store-relative data-file paths, one
+  *                             per line; immutable once written
+  *   _manifest/v&lt;N&gt;.expired — files REPLACED by version N (a
+  *                             compaction's inputs); GC candidates
+  *   _manifest/LATEST        — the current version number, replaced by
+  *                             tmp-write + rename (atomic on POSIX; a
+  *                             reader sees the old or the new pointer,
+  *                             never a torn one)
+  *
+  * The snapshot contract: compaction WRITES its replacement files
+  * under fresh names (never moving or deleting live ones), publishes
+  * v(N+1) = v(N) − replaced + fresh, and only a later, explicitly
+  * operator-driven [[gcExpired]] deletes replaced files — after
+  * in-flight readers of old versions have drained (snapshot expiry,
+  * the Iceberg/Delta cadence). A reader that resolved ANY version
+  * therefore always finds its full file list on disk: results equal
+  * pre- or post-compaction state, never a mix.
+  *
+  * Single-writer contract (same as the stores'): one publisher at a
+  * time — version numbers are assigned read-modify-write. Readers are
+  * unlimited and lock-free.
+  */
+object StoreManifest {
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def mdir(root: String) = new Path(root, "_manifest")
+
+  /** Current published version, if the directory is manifested. */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+    val latest = new Path(mdir(root), "LATEST")
+    val fs = fsOf(spark, latest)
+    if (!fs.exists(latest)) None
+    else {
+      val in = fs.open(latest)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def readList(fs: FileSystem, p: Path): Seq[String] =
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }
+
+  /** The file list of `version` (or the current one). Paths are
+    * root-relative.
+    */
+  def files(spark: SparkSession, root: String,
+      version: Option[Long] = None): Option[Seq[String]] = {
+    val fs = fsOf(spark, mdir(root))
+    version.orElse(currentVersion(spark, root))
+      .map(v => readList(fs, new Path(mdir(root), s"v$v.list")))
+  }
+
+  /** Publish a new version whose list is `fileList` (root-relative),
+    * recording `expired` as the files this version replaced. Returns
+    * the new version number.
+    */
+  def publish(spark: SparkSession, root: String, fileList: Seq[String],
+      expired: Seq[String] = Seq.empty): Long = {
+    val dir = mdir(root)
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(dir)
+    val v = currentVersion(spark, root).getOrElse(0L) + 1
+    def write(p: Path, lines: Seq[String]): Unit = {
+      val out = fs.create(p, true)
+      try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    write(new Path(dir, s"v$v.list"), fileList)
+    if (expired.nonEmpty) write(new Path(dir, s"v$v.expired"), expired)
+    // Pointer flip: tmp + rename. POSIX rename REPLACES an existing
+    // destination atomically (readers see old or new, never absent) —
+    // try that first; filesystems whose rename refuses an existing
+    // destination (HDFS semantics) fall back to delete + rename, whose
+    // tiny absent window readers must treat as retryable.
+    val tmp = new Path(dir, s".LATEST-tmp-$v")
+    write(tmp, Seq(v.toString))
+    val latest = new Path(dir, "LATEST")
+    if (!fs.rename(tmp, latest)) {
+      fs.delete(latest, false)
+      require(fs.rename(tmp, latest), s"could not flip manifest to v$v")
+    }
+    v
+  }
+
+  /** Root-relative listing of the directory's CURRENT data files —
+    * what an initial publish or an append-publisher snapshots.
+    */
+  def listDataFiles(spark: SparkSession, root: String): Seq[String] = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    val rootUri = rp.toUri.getPath
+    val b = Seq.newBuilder[String]
+    val it = fs.listFiles(rp, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = s.getPath.toUri.getPath.stripPrefix(rootUri)
+        .stripPrefix("/")
+      if (!rel.split('/').exists(seg =>
+        seg.startsWith("_") || seg.startsWith(".")))
+        b += rel
+    }
+    b.result().sorted
+  }
+
+  /** Read the current snapshot as a DataFrame: exactly the manifest's
+    * files, with `root` as basePath so directory-encoded partition
+    * columns (`cid=N`) still resolve AND prune. Throws if the
+    * directory is not manifested.
+    */
+  def snapshotRead(spark: SparkSession, root: String): DataFrame = {
+    val fl = files(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"$root carries no manifest — publish one first"))
+    require(fl.nonEmpty, s"manifest at $root lists no files")
+    spark.read.option("basePath", root)
+      .parquet(fl.map(f => s"$root/$f"): _*)
+  }
+
+  /** Delete files expired by versions ≤ the current one minus
+    * `keepVersions` — the operator-driven snapshot expiry. Returns the
+    * deleted paths. Never touches files referenced by any retained
+    * version's list.
+    */
+  def gcExpired(spark: SparkSession, root: String,
+      keepVersions: Int = 1): Seq[String] = {
+    val dir = mdir(root)
+    val fs = fsOf(spark, dir)
+    val cur = currentVersion(spark, root).getOrElse(return Seq.empty)
+    val retainFrom = cur - keepVersions
+    // Union of every retained version's live list — a file listed by
+    // ANY retained snapshot must survive.
+    val live = (math.max(1, retainFrom) to cur)
+      .flatMap(v => readList(fs, new Path(dir, s"v$v.list"))).toSet
+    val deleted = Seq.newBuilder[String]
+    (1L to retainFrom).foreach { v =>
+      val exp = new Path(dir, s"v$v.expired")
+      readList(fs, exp).filterNot(live).foreach { rel =>
+        if (fs.delete(new Path(root, rel), false)) deleted += rel
+      }
+      fs.delete(exp, false)
+    }
+    deleted.result()
+  }
+}

@@ -64,9 +64,19 @@ object Connectors {
       topic: String): DataFrameWriter[Row] =
     df.write
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("topic", topic)
-      .option("kafka.acks", "all")
-      .option("kafka.retries", "10")
-      .option("kafka.linger.ms", "100")
+      .options(kafkaSinkOptions(bootstrapServers, topic))
+
+  /** The exact Kafka-sink option map as DATA (the writer above consumes
+    * it verbatim; KafkaSurfaceSpec pins it golden — see
+    * CovidStreamPipeline.kafkaSourceOptions for the rationale).
+    * Reference parity: acks=all + bounded retries + small linger
+    * (kafka_producer.py:41-52).
+    */
+  def kafkaSinkOptions(bootstrapServers: String,
+      topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "topic" -> topic,
+    "kafka.acks" -> "all",
+    "kafka.retries" -> "10",
+    "kafka.linger.ms" -> "100")
 }

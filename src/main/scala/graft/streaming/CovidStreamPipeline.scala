@@ -139,8 +139,21 @@ object CovidStreamPipeline {
       topic: String): DataStreamReader =
     spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .option("failOnDataLoss", "false")
+      .options(kafkaSourceOptions(bootstrapServers, topic))
+
+  /** The exact Kafka-source option map, as DATA: the reader above
+    * consumes it verbatim and KafkaSurfaceSpec pins it golden, so
+    * option drift (the one reference surface that cannot EXECUTE in
+    * this offline environment — no spark-sql-kafka jar) fails
+    * `sbt test` instead of surfacing on a production broker.
+    * Reference parity: subscribe + earliest + failOnDataLoss=false
+    * (spark_consumer_kafka.py:55-62); DEPLOY.md documents the
+    * one-line MemoryStream → kafkaReader swap.
+    */
+  def kafkaSourceOptions(bootstrapServers: String,
+      topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> topic,
+    "startingOffsets" -> "earliest",
+    "failOnDataLoss" -> "false")
 }

@@ -1,0 +1,308 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming intake → at-rest corpus stores, exactly-once (VERDICT r10
+  * #1): the seam that connects the epoch-append stores (the
+  * (band, sig)-bucketed signature table and the cell-partitioned IVF
+  * vector store) to Structured Streaming's foreachBatch — the
+  * production form of the reference's checkpoint+sink contract
+  * (spark_consumer_kafka.py:131-157) applied to the corpus stores a
+  * 100 TB pipeline lives by.
+  *
+  * foreachBatch delivery is at-least-once: a crash between the sink's
+  * write and the checkpoint's offset commit replays the same
+  * (batchId, data) on restart. The JDBC sink gets exactly-once from a
+  * transactional ledger; a filesystem store has no transactions, so
+  * this module builds the equivalent from atomic file primitives:
+  *
+  *  1. `_epochs/&lt;scope&gt;-&lt;batchId&gt;` marker — the ledger row.
+  *     Present ⇒ the epoch is fully applied; the batch is a no-op.
+  *  2. The epoch's files are first written to a stage directory
+  *     (invisible to readers: dot-prefixed), then RENAMED into the
+  *     store under names tagged with (scope, batchId).
+  *  3. Before any rename, an intent record (`_epochs/.intent-…`)
+  *     listing every destination path is persisted. A crash mid-rename
+  *     leaves marker absent + intent present; the replay deletes
+  *     exactly the listed paths (whichever subset landed), then
+  *     re-stages — so a replayed epoch appends nothing twice, at store
+  *     granularity. No recursive store listing is ever needed for
+  *     recovery: the intent bounds the cleanup to one epoch's files.
+  *  4. The marker is created (atomic create-if-absent) only after
+  *     every rename succeeded; the intent is dropped after the marker.
+  *
+  * Crash matrix: before intent → only stage garbage (deterministic
+  * path, deleted on replay); mid-renames → intent-guided cleanup +
+  * redo; after marker → replay skips, leftover intent/stage lazily
+  * swept by the skip path. Every crash point lands on "applied exactly
+  * once" or "not applied, cleanly retryable".
+  *
+  * Concurrency contract (the stores' single-maintenance-writer rule):
+  * ONE intake stream per store — foreachBatch invocations of a single
+  * streaming query are serialized already. Readers racing an in-flight
+  * epoch see a PREFIX of its files (renames are per-file): append
+  * monotonicity, not isolation — probes wanting a consistent snapshot
+  * read through the store manifest (StoreManifest) exactly as with
+  * compaction. Scope binds the ledger to the checkpoint identity
+  * (pass e.g. a hash of checkpointLocation): resetting a checkpoint
+  * restarts batchIds at 0, and a fresh scope keeps those from reading
+  * as replays of the old stream's epochs.
+  */
+object StoreIntake {
+
+  /** Scope/tag sanitation: the tag rides inside file names that the
+    * bucketed-file reader parses (bucket id = the LAST `_NNNNN` before
+    * the extension), so the tag must never introduce `_` or `.`.
+    */
+  private def cleanScope(scope: String): String = {
+    val s = scope.map(c =>
+      if (c.isLetterOrDigit && c < 128) c else '-')
+    require(s.nonEmpty && s.length <= 120,
+      s"scope must be 1..120 chars, got '$scope'")
+    s
+  }
+
+  private def tag(scope: String, batchId: Long): String =
+    s"epoch-${cleanScope(scope)}-$batchId"
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** True iff (scope, batchId) is recorded as fully applied. */
+  def epochApplied(spark: SparkSession, storeRoot: String, scope: String,
+      batchId: Long): Boolean = {
+    val root = new Path(storeRoot)
+    fsOf(spark, root).exists(
+      new Path(new Path(root, "_epochs"), tag(scope, batchId)))
+  }
+
+  /** Recorded (scope, batchId) markers under a store — the ledger
+    * listing, for governance ("which epochs does this store hold?").
+    */
+  def appliedEpochs(spark: SparkSession,
+      storeRoot: String): Seq[String] = {
+    val dir = new Path(new Path(storeRoot), "_epochs")
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).sorted
+  }
+
+  /** Exactly-once staged append of one epoch into `storeRoot`.
+    * `stageWrite` produces the epoch's files under the given stage
+    * directory; every non-hidden file is then renamed to
+    * `destPrefix/&lt;relative dir&gt;/&lt;tag&gt;-&lt;basename&gt;`
+    * under the store root. Returns Some(placed root-relative paths)
+    * iff this call applied the epoch; None = already-applied replay,
+    * skipped before any executor work. (The placed list is what a
+    * manifest publisher composes with — a directory RELISTING would
+    * resurrect expired-but-not-GC'd files into the new version.)
+    *
+    * `faultAfterMoves` is test instrumentation: throw after N renames
+    * to exercise the mid-batch-kill window.
+    */
+  private[graft] def appendEpoch(spark: SparkSession, storeRoot: String,
+      scope: String, batchId: Long, destPrefix: String = "",
+      faultAfterMoves: Int = Int.MaxValue)(
+      stageWrite: String => Unit): Option[Seq[String]] = {
+    val t = tag(scope, batchId)
+    val root = new Path(storeRoot)
+    val fs = fsOf(spark, root)
+    val epochs = new Path(root, "_epochs")
+    fs.mkdirs(epochs)
+    val marker = new Path(epochs, t)
+    val intent = new Path(epochs, s".intent-$t")
+    val stageDir = new Path(root, s".intake-stage-$t")
+    if (fs.exists(marker)) {
+      // Fully applied: lazily sweep a leftover intent/stage from a
+      // crash between marker create and intent delete.
+      fs.delete(intent, false)
+      fs.delete(stageDir, true)
+      return None
+    }
+    if (fs.exists(intent)) {
+      // Crash mid-renames: delete exactly the destinations the failed
+      // attempt declared (whichever subset landed), then fall through
+      // to a clean redo.
+      val in = fs.open(intent)
+      val declared =
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList
+        finally in.close()
+      declared.filter(_.nonEmpty)
+        .foreach(rel => fs.delete(new Path(root, rel), false))
+      fs.delete(intent, false)
+    }
+    fs.delete(stageDir, true)
+    stageWrite(stageDir.toString)
+    // Enumerate staged data files (recursively; hidden files skipped —
+    // _SUCCESS and friends) and their tagged destinations.
+    def dataFiles(dir: Path): Seq[Path] =
+      fs.listStatus(dir).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (s.isDirectory) dataFiles(s.getPath)
+        else Seq(s.getPath)
+      }
+    val stageUri = stageDir.toUri.getPath
+    // An epoch with no rows stages nothing (stageWrite may not even
+    // create the directory) — it still gets its marker below, so the
+    // ledger stays contiguous.
+    val staged =
+      if (fs.exists(stageDir)) dataFiles(stageDir) else Seq.empty
+    val pairs = staged.map { src =>
+      val rel = src.toUri.getPath.stripPrefix(stageUri)
+        .stripPrefix("/")
+      val (dir, base) = rel.lastIndexOf('/') match {
+        case -1 => ("", rel)
+        case i => (rel.substring(0, i + 1), rel.substring(i + 1))
+      }
+      val destRel = (if (destPrefix.isEmpty) "" else s"$destPrefix/") +
+        s"$dir$t-$base"
+      (src, destRel)
+    }
+    // Persist the intent BEFORE any rename (tmp + atomic rename so a
+    // half-written intent is never read as truth).
+    val intentTmp = new Path(epochs, s".intent-tmp-$t")
+    val out = fs.create(intentTmp, true)
+    try out.write(pairs.map(_._2).mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(intentTmp, intent),
+      s"could not commit intent for $t")
+    var moved = 0
+    pairs.foreach { case (src, destRel) =>
+      if (moved >= faultAfterMoves)
+        throw new IllegalStateException(
+          s"injected intake fault after $moved renames of $t")
+      val dest = new Path(root, destRel)
+      fs.mkdirs(dest.getParent)
+      require(fs.rename(src, dest), s"rename failed: $src -> $dest")
+      moved += 1
+    }
+    // The ledger row: atomic create-if-absent, only after every file
+    // landed. Content is informational.
+    val m = fs.create(marker, false)
+    try m.write(s"files=${pairs.size}\n".getBytes("UTF-8"))
+    finally m.close()
+    fs.delete(intent, false)
+    fs.delete(stageDir, true)
+    Some(pairs.map(_._2))
+  }
+
+  /** foreachBatch body: append one micro-batch of (vec_id, embedding)
+    * vectors to an IVF store (Similarity.writeIvfStore layout) under
+    * the exactly-once epoch ledger. Assignment runs against the STORED
+    * codebook (broadcast, KB-sized — the appendToIvfStore contract:
+    * cells never move on intake), files land tagged under their cell
+    * directories, and resident files are never touched. With
+    * `compactOver > 0`, any cell whose file count crossed it is
+    * compacted after the append (the maintenance trigger; intake and
+    * compaction share the single-writer window by construction here —
+    * both run inside the serialized foreachBatch).
+    */
+  def ivfIntakeBatch(storePath: String, scope: String,
+      compactOver: Int = 0)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) {
+      if (!epochApplied(spark, storePath, scope, batchId))
+        appendEpoch(spark, storePath, scope, batchId)(_ => ()): Unit
+      return
+    }
+    val placed = appendEpoch(spark, storePath, scope, batchId,
+      destPrefix = "vectors") { stageDir =>
+      graft.operators.Similarity.stageIvfEpoch(
+        graft.operators.Similarity.prepared(batch), storePath, stageDir)
+    }
+    val applied = placed.isDefined
+    val vectorsRoot = s"$storePath/vectors"
+    val manifested = applied && graft.operators.StoreManifest
+      .currentVersion(spark, vectorsRoot).isDefined
+    if (manifested) {
+      // Publish the epoch COMPOSITIONALLY: current live list + this
+      // epoch's placed files. Snapshot readers advance to old ∪ new in
+      // one pointer flip (never a partial epoch, unlike listing
+      // readers) — and never a resurrected expired file, which a
+      // directory relist would drag back in between compaction and GC.
+      val live = graft.operators.StoreManifest
+        .files(spark, vectorsRoot).getOrElse(Seq.empty)
+      val fresh = placed.get.map(_.stripPrefix("vectors/"))
+      graft.operators.StoreManifest.publish(spark, vectorsRoot,
+        live ++ fresh): Unit
+    }
+    if (applied && compactOver > 0) {
+      if (manifested) {
+        // Manifest mode: LIVE files per cell come from the manifest
+        // (the directory listing still holds expired-but-not-GCed
+        // files — counting those would re-trigger compaction forever);
+        // compaction is the snapshot (reader-safe) variant, and
+        // expired files from versions at least two flips old are
+        // collected — the previous version's in-flight readers stay
+        // whole.
+        val live = graft.operators.StoreManifest
+          .files(spark, vectorsRoot).getOrElse(Seq.empty)
+        val hot = live.groupBy(_.takeWhile(_ != '/'))
+          .collect { case (cell, fs)
+            if cell.startsWith("cid=") && fs.size > compactOver =>
+            cell.stripPrefix("cid=").toInt }
+          .toSeq
+        if (hot.nonEmpty) {
+          graft.operators.Similarity.compactIvfCellsSnapshot(spark,
+            storePath, hot)
+          graft.operators.StoreManifest.gcExpired(spark, vectorsRoot,
+            keepVersions = 2): Unit
+        }
+      } else {
+        val hot = graft.operators.Similarity
+          .ivfStoreCellStats(spark, storePath)
+          .collect { case (cid, nFiles, _)
+            if nFiles > compactOver => cid }
+        if (hot.nonEmpty)
+          graft.operators.Similarity.compactIvfCells(spark, storePath,
+            hot)
+      }
+    }
+  }
+
+  /** foreachBatch body: band one micro-batch of (doc_id, text)
+    * documents and append its (doc_id, band, sig) signatures to the
+    * bucketed signature store (Dedup.writeSignatureStore layout) under
+    * the exactly-once epoch ledger. The staged write goes through a
+    * throwaway EXTERNAL table (bucketBy requires saveAsTable) whose
+    * catalog entry is dropped immediately — only its bucket-named
+    * files move, tags preserving the `_NNNNN` suffix the bucketed
+    * reader parses, so the store keeps its one-sided-exchange probe
+    * across any number of intake epochs.
+    */
+  def signatureIntakeBatch(table: String, tablePath: String,
+      scope: String, buckets: Int = 16)(batch: DataFrame,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    if (batch.isEmpty) {
+      if (!epochApplied(spark, tablePath, scope, batchId))
+        appendEpoch(spark, tablePath, scope, batchId)(_ => ()): Unit
+      return
+    }
+    val applied = appendEpoch(spark, tablePath, scope,
+      batchId) { stageDir =>
+      val sh = batch
+        .withColumn("sh", expr("shingles3(norm_tokens(text))"))
+        .select(col("doc_id"), col("sh"))
+        .filter(size(col("sh")) > 0)
+      val bands = graft.operators.Dedup.bandSignatures(sh)
+      val tmpTable = table + "_intake_stage"
+      spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+      bands.write.format("parquet")
+        .bucketBy(buckets, "band", "sig").sortBy("band", "sig")
+        .option("path", stageDir).mode("overwrite").saveAsTable(tmpTable)
+      // External table: dropping the catalog entry leaves the files.
+      spark.sql(s"DROP TABLE $tmpTable")
+    }
+    // The catalog caches the table's file listing; new files are
+    // invisible to spark.table(table) until refreshed.
+    if (applied.isDefined) spark.catalog.refreshTable(table)
+  }
+}

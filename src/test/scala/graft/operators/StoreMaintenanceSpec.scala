@@ -29,7 +29,8 @@ class StoreMaintenanceSpec extends AnyFunSuite {
       while (it.hasNext) {
         val s = it.next()
         if (!s.getPath.getName.startsWith("_") &&
-          !s.getPath.toString.contains("/."))
+          !s.getPath.toString.contains("/.") &&
+          !s.getPath.toString.contains("/_manifest/"))
           b += ((s.getPath.toString, s.getLen))
       }
       b.result()
@@ -162,6 +163,179 @@ class StoreMaintenanceSpec extends AnyFunSuite {
         Similarity.querySide(e, NQ), nProbe, k = 5)
         .orderBy("q_id", "rn").collect().toSeq
       assert(viaCompacted == direct)
+    } finally e.unpersist(): Unit
+  }
+
+  test("IVF store: additive schema evolution — evolved epoch appends, " +
+    "old epochs read the new column as null, probes stay pruned and " +
+    "correct both ways; a type change rejects loudly at append time") {
+    val spark = TestSpark.spark
+    val path = Files.createTempDirectory("graft-ivfevo").toString + "/v"
+    val e = Similarity.prepared(Tables.t(spark, dir, "embeddings"))
+    val NQ = 5
+    val cb = Similarity.firstNCodebook(e, NQ, 8)
+    Similarity.writeIvfStore(
+      e.filter(col("vec_id") < NQ || col("vec_id") % 2 === 0), cb, NQ,
+      path)
+    // Evolved epoch: same core columns plus a source tag.
+    val evolved = e.filter(col("vec_id") >= NQ &&
+      col("vec_id") % 2 =!= 0).withColumn("src_tag", lit("epoch2"))
+    Similarity.appendToIvfStore(evolved, path)
+
+    // Evolution-aware read: resident rows surface the new column as
+    // null, evolved rows carry it; nothing lost either way.
+    val all = Similarity.ivfStoreRead(spark, path)
+    assert(all.columns.contains("src_tag"))
+    val nulls = all.filter(col("src_tag").isNull)
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    val tagged = all.filter(col("src_tag") === "epoch2")
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    assert(nulls.nonEmpty && tagged.nonEmpty)
+    assert(nulls.forall(_ % 2 == 0) && tagged.forall(_ % 2 == 1),
+      "evolution mixed up which epoch carries the tag")
+
+    // The plain probe is oblivious to evolution (core columns only)
+    // and still equals the in-memory IVF over the union; the scan
+    // stays partition-pruned.
+    val probe = Similarity.ivfTopKFromStore(spark, path,
+      Similarity.querySide(e, NQ), nProbe = 2, k = 5)
+    val viaStore = probe.orderBy("q_id", "rn").collect().toSeq
+    val direct = Similarity.ivfTopKWith(e, cb, NQ, nProbe = 2, k = 5)
+      .orderBy("q_id", "rn").collect().toSeq
+    assert(viaStore == direct)
+    val scanStr = probe.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("graft-ivfevo")).getOrElse("")
+    assert(scanStr.contains("PartitionFilters") &&
+      scanStr.contains("cid"), s"evolved-store probe not pruned: $scanStr")
+
+    // Incompatible evolution must throw at append, before any file
+    // lands. Two shapes: an EVOLVED column flipping type hits the
+    // explicit additive-evolution gate; a CORE column flipping type is
+    // caught even earlier, by the assignment expressions' own analysis
+    // (array_dot rejects array<float>) — loud either way.
+    val before = dataFiles(spark, s"$path/vectors")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfStore(
+        e.filter(col("vec_id") >= NQ)
+          .withColumn("src_tag", lit(3L)), path)
+    }
+    assert(ex.getMessage.contains("incompatible schema evolution"))
+    intercept[Exception] {
+      Similarity.appendToIvfStore(
+        e.filter(col("vec_id") >= NQ)
+          .withColumn("v", col("v").cast("array<float>")), path)
+    }
+    assert(dataFiles(spark, s"$path/vectors") == before,
+      "rejected appends must leave the store untouched")
+  }
+
+  test("documents store: additive evolution appends under source " +
+    "partitions; type change rejects; evolved read keeps pruning") {
+    val spark = TestSpark.spark
+    val path = Files.createTempDirectory("graft-docevo").toString + "/d"
+    val docs = Tables.t(spark, dir, "documents")
+    AtRestStores.writeDocumentsStore(
+      docs.filter(col("doc_id") % 2 === 0), path)
+    AtRestStores.appendToDocumentsStore(
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .withColumn("ingest_batch", lit(7L)), path)
+    val all = AtRestStores.documentsStoreEvolved(spark, path)
+    assert(all.count() == docs.count())
+    assert(all.filter(col("ingest_batch").isNull).count() ==
+      docs.filter(col("doc_id") % 2 === 0).count())
+    // Pruning on the partition column survives evolution.
+    val one = docs.select("source").head().getString(0)
+    val q = all.filter(col("source") === one)
+    val scanStr = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("graft-docevo")).getOrElse("")
+    assert(scanStr.contains("PartitionFilters"))
+    assert(q.count() == docs.filter(col("source") === one).count())
+    val ex = intercept[IllegalArgumentException] {
+      AtRestStores.appendToDocumentsStore(
+        docs.withColumn("doc_id", col("doc_id").cast("int")), path)
+    }
+    assert(ex.getMessage.contains("incompatible schema evolution"))
+  }
+
+  test("snapshot compaction under a concurrent reader: every probe " +
+    "equals the pre/post result (never a half-swapped cell), expired " +
+    "files survive until an explicit GC after reader drain") {
+    val spark = TestSpark.spark
+    val path = Files.createTempDirectory("graft-ivfsnap").toString + "/v"
+    val e = Similarity.prepared(Tables.t(spark, dir, "embeddings"))
+      .persist()
+    try {
+      val NQ = 5
+      val cb = Similarity.firstNCodebook(e, NQ, 8)
+      Similarity.writeIvfStore(
+        e.filter(col("vec_id") < NQ || col("vec_id") % 3 === 0), cb, NQ,
+        path)
+      Similarity.appendToIvfStore(
+        e.filter(col("vec_id") >= NQ && col("vec_id") % 3 === 1), path)
+      Similarity.appendToIvfStore(
+        e.filter(col("vec_id") >= NQ && col("vec_id") % 3 === 2), path)
+      val v1 = Similarity.publishIvfManifest(spark, path)
+      assert(v1 == 1L)
+      val expected = Similarity.ivfTopKFromSnapshot(spark, path,
+        Similarity.querySide(e, NQ), nProbe = 3, k = 5)
+        .orderBy("q_id", "rn").collect().toSeq
+      assert(expected.nonEmpty)
+
+      // Reader thread hammers the snapshot probe while the main
+      // thread compacts every multi-file cell. Data is identical pre
+      // and post compaction, so ANY deviation from `expected` is a
+      // torn read (missing or duplicated cell files).
+      val mismatches = new java.util.concurrent.atomic.AtomicInteger
+      val failures = new java.util.concurrent.atomic.AtomicReference[
+        Throwable]
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val reader = new Thread(() => {
+        try {
+          while (!stop.get()) {
+            val got = Similarity.ivfTopKFromSnapshot(spark, path,
+              Similarity.querySide(e, NQ), nProbe = 3, k = 5)
+              .orderBy("q_id", "rn").collect().toSeq
+            if (got != expected) mismatches.incrementAndGet(): Unit
+          }
+        } catch { case t: Throwable => failures.set(t) }
+      })
+      reader.start()
+      val hot = Similarity.ivfStoreCellStats(spark, path)
+        .filter(_._2 > 1).map(_._1)
+      assert(hot.nonEmpty)
+      val v2 = Similarity.compactIvfCellsSnapshot(spark, path, hot)
+      assert(v2 == v1 + 1)
+      // One more probe window against the new version, then stop.
+      Thread.sleep(50)
+      stop.set(true)
+      reader.join(30000)
+      assert(failures.get() == null,
+        s"snapshot reader failed: ${failures.get()}")
+      assert(mismatches.get() == 0,
+        s"${mismatches.get()} torn reads during snapshot compaction")
+
+      // Replaced files are still on disk (v1 readers stay whole) and
+      // the current manifest lists exactly one live file per
+      // compacted cell.
+      val live = StoreManifest.files(spark, s"$path/vectors").get
+      hot.foreach { c =>
+        assert(live.count(_.startsWith(s"cid=$c/")) == 1,
+          s"cell $c not compacted in manifest")
+      }
+      val onDisk = dataFiles(spark, s"$path/vectors")
+      assert(onDisk.size > live.size,
+        "expired files must survive until GC")
+
+      // GC with keepVersions=0 (no old readers left): expired files
+      // go away, the snapshot still answers identically.
+      val deleted = StoreManifest.gcExpired(spark, s"$path/vectors",
+        keepVersions = 0)
+      assert(deleted.nonEmpty)
+      assert(dataFiles(spark, s"$path/vectors").size == live.size)
+      val after = Similarity.ivfTopKFromSnapshot(spark, path,
+        Similarity.querySide(e, NQ), nProbe = 3, k = 5)
+        .orderBy("q_id", "rn").collect().toSeq
+      assert(after == expected)
     } finally e.unpersist(): Unit
   }
 }

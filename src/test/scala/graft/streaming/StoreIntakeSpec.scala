@@ -1,0 +1,231 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.{Tables, TestSpark}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming intake → at-rest stores under the exactly-once epoch
+  * ledger (VERDICT r10 #1). These drive the foreachBatch BODIES
+  * directly — the streaming wiring around them is MemoryStream-proven
+  * in StreamSoak pipeline 5; the contracts pinned here are the
+  * filesystem-ledger ones: applied epochs are skipped before any
+  * executor work, resident files are never rewritten, and a kill
+  * mid-rename followed by replay converges to exactly-once at store
+  * granularity (the intent record bounds cleanup to the failed
+  * epoch's own files).
+  */
+class StoreIntakeSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val NQ = 5
+
+  private def listing(spark: org.apache.spark.sql.SparkSession,
+      path: String): Set[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Set.empty
+    else {
+      val it = fs.listFiles(p, true)
+      val b = Set.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        if (!s.getPath.getName.startsWith("_") &&
+          !s.getPath.toString.contains("/."))
+          b += ((s.getPath.toString, s.getLen))
+      }
+      b.result()
+    }
+  }
+
+  test("IVF intake: epochs apply exactly once, resident history is " +
+    "byte-identical, probes stay pruned and equal the in-memory IVF; " +
+    "a kill mid-rename + replay appends nothing twice") {
+    val spark = TestSpark.spark
+    val store = Files.createTempDirectory("graft-ivf-intake").toString +
+      "/ivf"
+    val raw = Tables.t(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val e = Similarity.prepared(raw)
+    val cb = Similarity.firstNCodebook(e, NQ, 8)
+    val base = e.filter(col("vec_id") % 3 =!= 0)
+    Similarity.writeIvfStore(base, cb, NQ, store)
+    val scope = "ckpt-a"
+    val b1 = raw.filter(col("vec_id") >= NQ && col("vec_id") % 6 === 0)
+    val b2 = raw.filter(col("vec_id") >= NQ && col("vec_id") % 6 === 3)
+
+    // Batch 0 applies; its replay is skipped with the store untouched.
+    val before = listing(spark, s"$store/vectors")
+    StoreIntake.ivfIntakeBatch(store, scope)(b1, 0L)
+    val after1 = listing(spark, s"$store/vectors")
+    assert(before.subsetOf(after1) && after1.size > before.size,
+      "epoch 0 must add files without rewriting residents")
+    assert(StoreIntake.epochApplied(spark, store, scope, 0L))
+    StoreIntake.ivfIntakeBatch(store, scope)(b1, 0L)
+    assert(listing(spark, s"$store/vectors") == after1,
+      "replaying an applied epoch must be a no-op")
+
+    // Batch 1 killed after ONE rename: not recorded, partial files
+    // present — the crash window the intent record exists for.
+    val ex = intercept[IllegalStateException] {
+      StoreIntake.appendEpoch(spark, store, scope, 1L,
+        destPrefix = "vectors", faultAfterMoves = 1) { sd =>
+        Similarity.stageIvfEpoch(Similarity.prepared(b2), store, sd)
+      }
+    }
+    assert(ex.getMessage.contains("injected"))
+    assert(!StoreIntake.epochApplied(spark, store, scope, 1L))
+    val partial = listing(spark, s"$store/vectors")
+    assert(partial.exists(f => f._1.contains("epoch-ckpt-a-1-")),
+      "the kill must leave a partial epoch behind for cleanup to find")
+
+    // Replay converges: exactly the clean single-apply row set — no
+    // row appears twice even though a file already landed.
+    StoreIntake.ivfIntakeBatch(store, scope)(b2, 1L)
+    assert(StoreIntake.epochApplied(spark, store, scope, 1L))
+    val stored = spark.read.parquet(s"$store/vectors")
+    val expectIds = e.filter(col("vec_id") >= NQ &&
+      (col("vec_id") % 3 =!= 0 || col("vec_id") % 6 === 0 ||
+        col("vec_id") % 6 === 3))
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val storedIds = stored.select("n_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(storedIds == expectIds,
+      "stored rows must be exactly base ∪ epoch0 ∪ epoch1, no dups")
+
+    // Probe parity with the in-memory IVF over the union corpus, and
+    // the ledger lists exactly the applied epochs.
+    val viaStore = Similarity.ivfTopKFromStore(spark, store,
+      Similarity.querySide(e, NQ), nProbe = 3, k = 5)
+      .orderBy("q_id", "rn").collect()
+    val union = e.filter(col("vec_id") < NQ ||
+      col("vec_id").isin(expectIds.map(java.lang.Long.valueOf): _*))
+    val mem = Similarity.ivfTopKWith(union, cb, NQ, nProbe = 3, k = 5)
+      .orderBy("q_id", "rn").collect()
+    assert(viaStore.toSeq == mem.toSeq,
+      "store probe diverged from in-memory IVF after intake epochs")
+    assert(StoreIntake.appliedEpochs(spark, store) ==
+      Seq("epoch-ckpt-a-0", "epoch-ckpt-a-1"))
+  }
+
+  test("IVF intake: an empty batch still records its epoch (ledger " +
+    "stays contiguous) without touching the store") {
+    val spark = TestSpark.spark
+    val store = Files.createTempDirectory("graft-ivf-empty").toString +
+      "/ivf"
+    val e = Similarity.prepared(Tables.t(spark, dir, "embeddings")
+      .select("vec_id", "embedding"))
+    Similarity.writeIvfStore(e, Similarity.firstNCodebook(e, NQ, 4), NQ,
+      store)
+    val before = listing(spark, s"$store/vectors")
+    val empty = e.filter(lit(false))
+      .select(col("vec_id"), col("v").as("embedding"))
+    StoreIntake.ivfIntakeBatch(store, "s")(empty, 7L)
+    assert(StoreIntake.epochApplied(spark, store, "s", 7L))
+    assert(listing(spark, s"$store/vectors") == before)
+  }
+
+  test("manifested IVF intake: every epoch publishes a snapshot " +
+    "version, the compaction trigger counts LIVE files, and expired " +
+    "files are GC'd after the retention window") {
+    val spark = TestSpark.spark
+    val store = Files.createTempDirectory("graft-ivf-manif").toString +
+      "/ivf"
+    val raw = Tables.t(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val e = Similarity.prepared(raw)
+    val cb = Similarity.firstNCodebook(e, NQ, 8)
+    Similarity.writeIvfStore(e.filter(col("vec_id") % 4 === 1), cb, NQ,
+      store)
+    assert(Similarity.publishIvfManifest(spark, store) == 1L)
+    // Four intake epochs (fresh ids — offset per epoch) with an
+    // aggressive trigger: every cell crosses 2 live files repeatedly,
+    // so snapshot compactions and GCs interleave with publishes.
+    (0 until 4).foreach { i =>
+      val b = raw.filter(col("vec_id") >= NQ && col("vec_id") % 4 === i)
+        .withColumn("vec_id", col("vec_id") + lit((i + 1) * 10000000L))
+      StoreIntake.ivfIntakeBatch(store, "mf", compactOver = 2)(
+        b, i.toLong)
+    }
+    val vroot = s"$store/vectors"
+    val v = graft.operators.StoreManifest.currentVersion(spark, vroot)
+    assert(v.exists(_ >= 5L), s"expected ≥5 manifest versions, got $v")
+    // Live files per cell bounded by the trigger.
+    val live = graft.operators.StoreManifest.files(spark, vroot).get
+    val perCell = live.groupBy(_.takeWhile(_ != '/')).values.map(_.size)
+    assert(perCell.max <= 3,
+      s"live files per cell exceeded the trigger: $perCell")
+    // The snapshot answers exactly like the in-memory IVF over the
+    // union corpus (base %4==1 ∪ the four offset-id epochs).
+    val union = (0 until 4).foldLeft(
+      e.filter(col("vec_id") < NQ || col("vec_id") % 4 === 1)) {
+      (acc, i) =>
+        acc.unionByName(e.filter(col("vec_id") >= NQ &&
+            col("vec_id") % 4 === i)
+          .withColumn("vec_id",
+            col("vec_id") + lit((i + 1) * 10000000L)))
+    }
+    val viaSnap = Similarity.ivfTopKFromSnapshot(spark, store,
+      Similarity.querySide(e, NQ), nProbe = 3, k = 5)
+      .orderBy("q_id", "rn").collect().toSeq
+    val mem = Similarity.ivfTopKWith(union, cb, NQ, nProbe = 3, k = 5)
+      .orderBy("q_id", "rn").collect().toSeq
+    assert(viaSnap == mem,
+      "manifested intake snapshot diverged from in-memory IVF")
+    // Row exactness through the snapshot: base + every fed row, no
+    // resurrection of expired files, no loss through compactions.
+    val snapRows = graft.operators.StoreManifest
+      .snapshotRead(spark, vroot)
+    val base = e.filter(col("vec_id") >= NQ && col("vec_id") % 4 === 1)
+      .count()
+    val fed = e.filter(col("vec_id") >= NQ).count()
+    assert(snapRows.count() == base + fed)
+    assert(snapRows.select("n_id").distinct().count() == base + fed)
+  }
+
+  test("signature intake: banded epochs land in the bucketed store " +
+    "exactly once; stored rows equal a from-scratch banding and the " +
+    "incremental probe matches the in-memory path") {
+    val spark = TestSpark.spark
+    val wh = Files.createTempDirectory("graft-sig-intake").toString
+    val table = "sig_intake_t"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val docs = Tables.t(spark, dir, "documents")
+    val baseDocs = docs.filter(col("doc_id") % 3 =!= 0)
+    val b1 = docs.filter(col("doc_id") % 6 === 0)
+      .select("doc_id", "text")
+    val b2 = docs.filter(col("doc_id") % 6 === 3)
+      .select("doc_id", "text")
+    Dedup.writeSignatureStore(Dedup.docShingles(baseDocs),
+      s"$wh/sig", table)
+
+    StoreIntake.signatureIntakeBatch(table, s"$wh/sig", "ck")(b1, 0L)
+    StoreIntake.signatureIntakeBatch(table, s"$wh/sig", "ck")(b2, 1L)
+    // Replays: no-ops, before any executor work.
+    val files = listing(spark, s"$wh/sig")
+    StoreIntake.signatureIntakeBatch(table, s"$wh/sig", "ck")(b1, 0L)
+    StoreIntake.signatureIntakeBatch(table, s"$wh/sig", "ck")(b2, 1L)
+    assert(listing(spark, s"$wh/sig") == files)
+
+    // Stored signatures == banding the whole (base ∪ intake) corpus
+    // from scratch.
+    val store = Dedup.signatureStore(spark, table)
+    val direct = Dedup.bandSignatures(Dedup.docShingles(docs))
+    assert(store.exceptAll(direct).isEmpty &&
+      direct.exceptAll(store).isEmpty,
+      "stored bands diverge from a from-scratch banding")
+
+    // The bucketed store keeps serving the incremental probe: same
+    // verified pairs as the all-in-memory path for a fresh batch.
+    val sh = Dedup.docShingles(docs)
+    val incoming = sh.filter(col("doc_id") % 7 === 1)
+    val viaStore = Dedup.incrementalNearDupPairs(sh, incoming, 4, 5,
+      corpusBands = store).select("new_id", "corpus_id")
+    val ref = Dedup.incrementalNearDupPairs(sh, incoming, 4, 5)
+      .select("new_id", "corpus_id")
+    assert(viaStore.exceptAll(ref).isEmpty &&
+      ref.exceptAll(viaStore).isEmpty)
+  }
+}
