@@ -191,7 +191,21 @@ object VectorSoak {
     val P = sys.env.getOrElse("SPARK_GRAFT_RERANK_PROBE", "32").toInt
     val nCells = sys.env.getOrElse("SPARK_GRAFT_RERANK_CELLS", "64").toInt
     val nCode = sys.env.getOrElse("SPARK_GRAFT_RERANK_NCODE", "64").toInt
-    val nCand = sys.env.getOrElse("SPARK_GRAFT_RERANK_NCAND", "5000").toInt
+    // Candidate budget scales with the amplification factor: nCand is
+    // a ROW budget, and under exact-copy amplification every distinct
+    // base vector drags its ~n identical copies (identical adist, and
+    // ties break by n_id) into the cut — a flat 5000 at 100× holds
+    // only ~50 DISTINCT vectors and the rerank starves (measured:
+    // recall 0.536 vs ceiling 0.918). 500×n keeps distinct coverage
+    // constant across amplification (≈500 base vectors, the value
+    // tuned at 10×); the exact pass stays bounded at nQueries × nCand
+    // pairs — 25M at 100×, still 3× below the brute truth's 74M and
+    // cell-pruned besides. Production corpora dedup BEFORE indexing
+    // (SemDeDup is two stages later in this very chain), so real
+    // candidate lists are distinct-dominated and the flat budget is
+    // the right default there.
+    val nCand = sys.env.getOrElse("SPARK_GRAFT_RERANK_NCAND",
+      (500 * n).toString).toInt
     stage("ivfpq_rerank") {
       // Lloyd-trained coarse codebook (like the store's): trained
       // centroids balance cell mass — the production lever for cell

@@ -592,6 +592,16 @@ object Similarity {
     * new version's `expired` set until an explicit
     * StoreManifest.gcExpired after in-flight readers drain.
     * Single-maintenance-writer, as ever.
+    *
+    * ADOPTION CONTRACT: once a store is manifested and snapshot
+    * compaction has run, LISTING-based consumers (ivfTopKFromStore,
+    * ivfStoreDrift, ivfStoreCellStats) see live AND expired files and
+    * would double-count until GC completes — route every read through
+    * the snapshot variants ([[ivfTopKFromSnapshot]],
+    * StoreManifest.snapshotRead) from that point on. A crash between
+    * the staged write and the manifest flip leaks untracked
+    * `compact-*` files (invisible to snapshots, visible to listings) —
+    * sweep them by matching the tmp run id if the flip never happened.
     */
   def compactIvfCellsSnapshot(spark: SparkSession, path: String,
       cells: Seq[Int]): Long = {
