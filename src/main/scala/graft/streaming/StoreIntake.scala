@@ -266,6 +266,31 @@ object StoreIntake {
     }
   }
 
+  /** foreachBatch body: append one micro-batch of document rows
+    * (carrying the `source` partition column) to the source-partitioned
+    * documents store (AtRestStores layout) under the exactly-once
+    * epoch ledger — the third store's intake, same machinery. Additive
+    * schema evolution passes (old epochs read new columns as null via
+    * documentsStoreEvolved); type changes reject loudly before any
+    * file stages.
+    */
+  def documentsIntakeBatch(storePath: String, scope: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) {
+      if (!epochApplied(spark, storePath, scope, batchId))
+        appendEpoch(spark, storePath, scope, batchId)(_ => ()): Unit
+      return
+    }
+    appendEpoch(spark, storePath, scope, batchId) { stageDir =>
+      graft.operators.Similarity.assertEvolvableSchema(
+        graft.operators.AtRestStores
+          .documentsStoreEvolved(spark, storePath).schema, batch.schema)
+      batch.write.partitionBy("source").mode("overwrite")
+        .parquet(stageDir)
+    }: Unit
+  }
+
   /** foreachBatch body: band one micro-batch of (doc_id, text)
     * documents and append its (doc_id, band, sig) signatures to the
     * bucketed signature store (Dedup.writeSignatureStore layout) under

@@ -185,6 +185,43 @@ class StoreIntakeSpec extends AnyFunSuite {
     assert(snapRows.select("n_id").distinct().count() == base + fed)
   }
 
+  test("documents intake: epochs land under source partitions exactly " +
+    "once with pruning intact; evolved epochs pass, type drift rejects") {
+    val spark = TestSpark.spark
+    val store = Files.createTempDirectory("graft-doc-intake").toString +
+      "/docs"
+    val docs = Tables.t(spark, dir, "documents")
+    graft.operators.AtRestStores.writeDocumentsStore(
+      docs.filter(col("doc_id") % 3 === 0), store)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+      .withColumn("ingest_batch", lit(1L))
+    StoreIntake.documentsIntakeBatch(store, "dk")(b1, 0L)
+    StoreIntake.documentsIntakeBatch(store, "dk")(b2, 1L)
+    // Replays: no-ops.
+    val files = listing(spark, store)
+    StoreIntake.documentsIntakeBatch(store, "dk")(b1, 0L)
+    assert(listing(spark, store) == files)
+    val all = graft.operators.AtRestStores
+      .documentsStoreEvolved(spark, store)
+    assert(all.count() == docs.count())
+    assert(all.filter(col("ingest_batch") === 1L).count() == b2.count())
+    // Source pruning survives intake epochs.
+    val one = docs.select("source").head().getString(0)
+    val q = all.filter(col("source") === one)
+    val scanStr = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("graft-doc-intake")).getOrElse("")
+    assert(scanStr.contains("PartitionFilters"))
+    assert(q.count() == docs.filter(col("source") === one).count())
+    // Type drift on an evolved column rejects before staging.
+    val ex = intercept[IllegalArgumentException] {
+      StoreIntake.documentsIntakeBatch(store, "dk")(
+        docs.limit(5).withColumn("ingest_batch", lit("oops")), 2L)
+    }
+    assert(ex.getMessage.contains("incompatible schema evolution"))
+    assert(!StoreIntake.epochApplied(spark, store, "dk", 2L))
+  }
+
   test("signature intake: banded epochs land in the bucketed store " +
     "exactly once; stored rows equal a from-scratch banding and the " +
     "incremental probe matches the in-memory path") {
