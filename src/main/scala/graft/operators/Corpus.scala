@@ -291,6 +291,30 @@ object Corpus {
         col("n_dup").cast("double") / col("n_fps"))
   }
 
+  /** Per-document content novelty in ingestion order — the curation
+    * signal behind "keep the first copy, score later ones down": a
+    * document's selected span fingerprint is NOVEL iff no
+    * earlier-ingested document (lower doc_id — the deterministic
+    * stand-in for arrival order) carries it; novelty is the novel
+    * fraction of the document's fingerprints. The first document of a
+    * duplicate cluster scores 1.0 on those spans, every re-crawl of it
+    * scores 0 — unlike [[spanDupRate]], which penalizes the original
+    * and the copy symmetrically. Input is the [[docFps]] table; the
+    * shape is the same corpus-sized fp-keyed shuffle (min instead of
+    * count) with a 1:1 join back, so boilerplate spans amplify
+    * nothing. Output: (doc_id, n_fps, n_novel, novelty).
+    */
+  def noveltyScore(fps: DataFrame): DataFrame = {
+    val first = fps.groupBy("fp").agg(min("doc_id").as("first_doc"))
+    fps.join(first, "fp")
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast("int").as("n_fps"),
+        count(when(col("first_doc") === col("doc_id"), lit(1)))
+          .cast("int").as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_fps"))
+  }
+
   /** Span-level benchmark decontamination — the verbatim-overlap
     * complement of the token-shingle [[Pipeline.decontaminate]]: a
     * corpus document is contaminated when the fraction of its selected

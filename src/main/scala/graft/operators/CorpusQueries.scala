@@ -158,6 +158,26 @@ object CorpusQueries {
     // corpus; a span is duplicated iff its fingerprint is in ≥ 2
     // docs. The frequency join is an honest corpus-sized shuffle
     // on fp (the ngram_jaccard precedent) — see Corpus.spanDupRate.
+    // Ingestion-order content novelty: a span fingerprint is novel to
+    // the FIRST document (lowest doc_id) carrying it — the "keep the
+    // original, score re-crawls down" curation signal, asymmetric
+    // where span_dup_rate is symmetric. Shares the memoized docFps
+    // table; the oracle recomputes first-occurrence with MIN per fp.
+    QuerySpec("novelty_score",
+      s"""WITH ${TextOps.spanFpsCteD},
+         |fst AS (SELECT fp, MIN(doc_id) AS first_doc FROM e GROUP BY fp)
+         |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_fps,
+         |       CAST(COUNT(*) FILTER (WHERE first_doc = doc_id)
+         |         AS INTEGER) AS n_novel,
+         |       CAST(COUNT(*) FILTER (WHERE first_doc = doc_id)
+         |         AS DOUBLE) / COUNT(*) AS novelty
+         |FROM e JOIN fst USING (fp)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Corpus.noveltyScore(
+        Corpus.docFps(t(s, dir, "documents"), cacheKey = dir))
+        .orderBy("doc_id")
+    },
+
     QuerySpec("span_dup_rate",
       s"""WITH ${TextOps.spanFpsCteD},
          |dfc AS (SELECT fp, COUNT(*) AS n_docs_fp FROM e GROUP BY fp)

@@ -1141,6 +1141,97 @@ object Similarity {
       .select("q_id", "n_id", "rn", "cos")
   }
 
+  /** Matryoshka-style prefix-dimension ANN (Kusupati et al. 2022):
+    * embeddings trained with matryoshka representation learning carry
+    * a usable coarse embedding in their first `prefixDims` components,
+    * so search runs the cheap cosine on the PREFIX (4× less compute
+    * and bandwidth at 16 of 64 dims), keeps `nCand` candidates, and
+    * re-scores only those with the full-dimension exact cosine — the
+    * adaptive-retrieval recipe (funnel search). Same bounded shapes as
+    * everything here: queries broadcast, one corpus stream,
+    * WindowGroupLimit pre-prunes, and the rerank tail is shared with
+    * ivfPqRerank (nQueries × nCand exact distances, never the corpus).
+    * A zero-norm prefix (legal when the FULL vector passed the
+    * prepared() gate) scores −2 — below every true cosine — instead
+    * of NaN-poisoning the ranking; the oracle mirrors the same guard.
+    */
+  def matryoshkaTopK(e: DataFrame, nQueries: Int, prefixDims: Int,
+      nCand: Int, k: Int): DataFrame = {
+    val sliced = e
+      .withColumn("pv", expr(s"slice(v, 1, $prefixDims)"))
+      .withColumn("pn", expr("sqrt(array_dot(pv, pv))"))
+    val q = sliced.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("pv").as("qpv"),
+        col("pn").as("qpn"))
+    val c = sliced.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("n_id"), col("pv").as("cpv"),
+        col("pn").as("cpn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("pcos").desc, col("n_id"))
+    val cand = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("n_id"),
+        expr("if(qpn = 0 or cpn = 0, -2.0D, " +
+          "array_dot(qpv, cpv) / (qpn * cpn))").as("pcos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nCand)
+    rerankCandidates(e, nQueries, k, cand)
+  }
+
+  /** Per-dimension scalar-quantization statistics over the corpus —
+    * the tiny metadata an SQ8-compressed index stores alongside its
+    * codes: exact min/max per component (min/max of doubles is exact,
+    * no rounding anywhere). One corpus pass, 64-row output.
+    */
+  def sq8Stats(e: DataFrame, nQueries: Int): DataFrame =
+    e.filter(col("vec_id") >= nQueries)
+      .select(posexplode(col("v")).as(Seq("p", "comp")))
+      .select((col("p") + 1).cast("int").as("pos"), col("comp"))
+      .groupBy("pos")
+      .agg(min(col("comp")).as("mn"), max(col("comp")).as("mx"))
+      .withColumn("rng", col("mx") - col("mn"))
+      .orderBy("pos")
+
+  /** Asymmetric scalar-quantized (SQ8) cosine top-k — the standard
+    * 4×-compression ANN path (every float32 component becomes one
+    * byte): the corpus encodes once against per-dimension min/max
+    * ([[sq8Stats]] — KB-sized metadata that BROADCASTS), queries stay
+    * full-precision, and scoring runs against the DEQUANTIZED corpus
+    * codes. Quantization arithmetic is plain IEEE (+, −, ×, ÷, round
+    * half-up on non-negatives) in a fixed order, so the oracle is
+    * bit-exact. At scale the codes table is what the store holds
+    * (64 B/vector instead of 256 B — memory-bandwidth-bound scans);
+    * here encode + score compose in one plan. A constant dimension
+    * (rng = 0) encodes to 0 and dequantizes to its min — exact.
+    */
+  def sq8TopK(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val spark = e.sparkSession
+    val stats = sq8Stats(e, nQueries).collect()
+    val mns = stats.map(_.getDouble(1)).toSeq
+    val rngs = stats.map(_.getDouble(3)).toSeq
+    import spark.implicits._
+    val statsDf = Seq((mns, rngs)).toDF("mns", "rngs")
+    val c = e.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(statsDf))
+      .select(col("vec_id").as("n_id"), expr(
+        "transform(v, (x, i) -> element_at(mns, i + 1) + " +
+          "cast(round(if(element_at(rngs, i + 1) = 0, 0.0D, " +
+          "(x - element_at(mns, i + 1)) / element_at(rngs, i + 1) " +
+          "* 255)) as int) / 255.0D * element_at(rngs, i + 1))")
+        .as("xq"))
+      .withColumn("xqn", expr("sqrt(array_dot(xq, xq))"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcos").desc, col("n_id"))
+    c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("n_id"),
+        expr("array_dot(qv, xq) / (qn * xqn)").as("qcos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id", "rn", "qcos")
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
     * embeddings and dropping near-identical members WITHIN each cluster —
     * the published recipe for pruning web-scale corpora where exact /

@@ -430,6 +430,98 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // Matryoshka prefix-dimension ANN (Kusupati et al. 2022): coarse
+    // cosine on the first 16 of 64 dims keeps 40 candidates, the full
+    // 64-dim exact cosine re-ranks to top-10 — the funnel-retrieval
+    // recipe for MRL-trained embeddings (4× cheaper coarse pass). The
+    // oracle replicates prefix slicing, the zero-prefix-norm guard
+    // (scores −2, never NaN), both tie-breaks, and the exact rerank.
+    QuerySpec("mrl_ann",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, ${normD("v")} AS nrm FROM e),
+         |p AS (SELECT vec_id, v, nrm, pv, ${normD("pv")} AS pn
+         |      FROM (SELECT vec_id, v, nrm, v[1:16] AS pv FROM n)),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+         |             pv AS qpv, pn AS qpn
+         |      FROM p WHERE vec_id < $NQ),
+         |c AS (SELECT vec_id AS n_id, v AS cv, nrm AS cn,
+         |             pv AS cpv, pn AS cpn
+         |      FROM p WHERE vec_id >= $NQ),
+         |s AS (SELECT q_id, n_id,
+         |             CASE WHEN qpn = 0 OR cpn = 0 THEN -2.0
+         |                  ELSE ${dotD("qpv", "cpv")} / (qpn * cpn)
+         |             END AS pcos
+         |      FROM c CROSS JOIN q),
+         |cand AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY pcos DESC, n_id) AS crn FROM s)
+         |  WHERE crn <= 40),
+         |rer AS (SELECT cand.q_id, cand.n_id,
+         |               ${dotD("qv", "cv")} / (qn * cn) AS cos
+         |        FROM cand
+         |        JOIN c ON c.n_id = cand.n_id
+         |        JOIN q ON q.q_id = cand.q_id)
+         |SELECT q_id, n_id, rn, cos FROM (
+         |  SELECT q_id, n_id, cos, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM rer)
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      Similarity.matryoshkaTopK(
+        Similarity.prepared(t(s, dir, "embeddings")), NQ,
+        prefixDims = 16, nCand = 40, k = 10)
+        .orderBy("q_id", "rn")
+    },
+
+    // Per-dimension scalar-quantization metadata (exact min/max of
+    // doubles — no rounding anywhere): the KB-sized sidecar an
+    // SQ8-compressed index stores next to its byte codes.
+    QuerySpec("sq8_stats",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |x AS (SELECT CAST(i AS INTEGER) AS pos, v[i] AS comp
+         |      FROM e, range(1, 65) t(i) WHERE vec_id >= $NQ)
+         |SELECT pos, MIN(comp) AS mn, MAX(comp) AS mx,
+         |       MAX(comp) - MIN(comp) AS rng
+         |FROM x GROUP BY pos ORDER BY pos""".stripMargin) { (s, dir) =>
+      Similarity.sq8Stats(
+        Similarity.prepared(t(s, dir, "embeddings")), NQ)
+    },
+
+    // Asymmetric SQ8 ANN: the corpus quantized to one byte per
+    // component against the per-dimension min/max, queries at full
+    // precision, cosine against the DEQUANTIZED codes — the standard
+    // 4×-compression search path. Quantize/dequantize arithmetic is a
+    // fixed IEEE order (round half-up on non-negatives) mirrored
+    // exactly by the oracle, so every double is bit-identical.
+    QuerySpec("sq8_ann",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |d AS (SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+         |      FROM e, range(1, 65) t(i) WHERE vec_id >= $NQ
+         |      GROUP BY i),
+         |dl AS (SELECT list(mn ORDER BY i) AS mns,
+         |              list(mx - mn ORDER BY i) AS rngs FROM d),
+         |c AS (SELECT vec_id AS n_id,
+         |        list_transform(range(1, 65), i -> mns[i] +
+         |          CAST(round(CASE WHEN rngs[i] = 0 THEN 0.0
+         |            ELSE (v[i] - mns[i]) / rngs[i] * 255 END)
+         |            AS INTEGER) / 255.0 * rngs[i]) AS xq
+         |      FROM e, dl WHERE vec_id >= $NQ),
+         |c2 AS (SELECT n_id, xq, ${normD("xq")} AS xqn FROM c),
+         |q AS (SELECT vec_id AS q_id, v AS qv, ${normD("v")} AS qn
+         |      FROM e WHERE vec_id < $NQ),
+         |s AS (SELECT q_id, n_id,
+         |             ${dotD("qv", "xq")} / (qn * xqn) AS qcos
+         |      FROM c2 CROSS JOIN q)
+         |SELECT q_id, n_id, rn, qcos FROM (
+         |  SELECT q_id, n_id, qcos, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY qcos DESC, n_id) AS rn FROM s)
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      Similarity.sq8TopK(
+        Similarity.prepared(t(s, dir, "embeddings")), NQ, k = 10)
+        .orderBy("q_id", "rn")
+    },
+
     QuerySpec("embedding_centroid",
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v
         |           FROM embeddings),

@@ -16,6 +16,39 @@ class CorpusSpec extends AnyFunSuite {
   private def docs =
     graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
 
+  test("noveltyScore: the earliest doc is fully novel, counts bound, " +
+    "and corpus-unique spans imply novelty 1.0 (dup-rate duality)") {
+    val fps = Corpus.docFps(docs)
+    val nov = Corpus.noveltyScore(fps).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2),
+        r.getDouble(3))).toMap
+    assert(nov.nonEmpty)
+    nov.values.foreach { case (n, k, f) =>
+      assert(k >= 0 && k <= n && f >= 0.0 && f <= 1.0)
+    }
+    // The lowest doc_id carrying fingerprints cannot have been scooped.
+    val firstDoc = nov.keys.min
+    assert(nov(firstDoc)._3 == 1.0,
+      s"earliest doc $firstDoc must be fully novel: ${nov(firstDoc)}")
+    // Duality with spanDupRate, exact for EVERY doc: a span that is
+    // unique corpus-wide is necessarily novel to its only carrier, so
+    // n_novel ≥ n_fps − n_dup (duplicated spans may add more novelty
+    // when this doc is their first occurrence, never less).
+    val dup = Corpus.spanDupRate(fps).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    dup.foreach { case (d, (nFps, nDup)) =>
+      val (n, k, _) = nov(d)
+      assert(n == nFps, s"doc $d: fp counts disagree ($n vs $nFps)")
+      assert(k >= nFps - nDup,
+        s"doc $d: novelty $k below unique-span floor ${nFps - nDup}")
+    }
+    // And the corpus carries duplicated spans whose FIRST carrier gets
+    // the novelty credit (strict inequality somewhere) — otherwise the
+    // two measures would be redundant.
+    assert(dup.exists { case (d, (nFps, nDup)) =>
+      nDup > 0 && nov(d)._2 > nFps - nDup })
+  }
+
   // ---- domain stats / filter ----
 
   test("domainFilter broadcasts the source table; corpus never " +

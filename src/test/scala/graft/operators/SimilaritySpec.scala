@@ -48,6 +48,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(part.forall(r => cand((r.getLong(0), r.getLong(1)))))
   }
 
+  test("matryoshkaTopK with a full-width prefix and corpus-wide " +
+    "candidates equals brute force; narrow prefixes return k ranked " +
+    "candidates from the coarse set") {
+    val spark = TestSpark.spark
+    val e = Similarity.prepared(Tables.t(spark, dir, "embeddings"))
+    val n = e.count().toInt
+    // prefix = all 64 dims and candidates = the whole corpus ⇒ the
+    // funnel is exhaustive at both stages ⇒ bit-identical to brute.
+    val full = Similarity.matryoshkaTopK(e, 5, prefixDims = 64,
+      nCand = n, k = 5).orderBy("q_id", "rn").collect()
+    val brute = Similarity.cosineTopK(e, 5, 5)
+      .orderBy("q_id", "rn").collect()
+    assert(full.length == 25 && full.toSeq == brute.toSeq)
+    // 16-dim funnel: k per query, all pairs from the coarse top-nCand.
+    val part = Similarity.matryoshkaTopK(e, 5, prefixDims = 16,
+      nCand = 12, k = 5).collect()
+    assert(part.groupBy(_.getLong(0)).values.forall(_.length == 5))
+  }
+
+  test("SQ8 quantization: every dequantized component is within half a " +
+    "step of the original, and quantized cosine top-k stays close to " +
+    "exact") {
+    val spark = TestSpark.spark
+    val e = Similarity.prepared(Tables.t(spark, dir, "embeddings"))
+    val stats = Similarity.sq8Stats(e, 5).collect()
+    assert(stats.length == 64 &&
+      stats.forall(r => r.getDouble(3) >= 0))
+    val rngByPos = stats.map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    val mnByPos = stats.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // Reconstruct the dequantization driver-side and bound the error:
+    // round-to-nearest code ⇒ |x − deq(x)| ≤ rng/255/2 (+ fp slop).
+    val rows = e.filter(org.apache.spark.sql.functions.col("vec_id")
+      >= 5).select("v").limit(50).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0)
+      v.zipWithIndex.foreach { case (x, i) =>
+        val (mn, rng) = (mnByPos(i + 1), rngByPos(i + 1))
+        val code = if (rng == 0) 0
+          else math.round((x - mn) / rng * 255).toInt
+        val deq = mn + code / 255.0 * rng
+        assert(math.abs(x - deq) <= rng / 255.0 / 2 + 1e-12,
+          s"dim ${i + 1}: $x -> $deq exceeds half a quantization step")
+      }
+    }
+    // Ranking fidelity: 8-bit quantization perturbs cosines by ~1e-3,
+    // so the quantized top-5 keeps most of the exact top-5.
+    val exact = Similarity.cosineTopK(e, 5, 5).select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.sq8TopK(e, 5, 5).select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = sq.count(exact).toDouble / exact.size
+    assert(overlap >= 0.8,
+      s"SQ8 top-5 overlap vs exact collapsed to $overlap")
+  }
+
   test("ivfCellStats partitions the whole corpus and shares sum to ~1e6") {
     val spark = TestSpark.spark
     val e = Similarity.prepared(Tables.t(spark, dir, "embeddings"))
