@@ -89,6 +89,27 @@ object Dedup {
         .filter(size(col("sh")) > 0)
     }
 
+  /** Bag-of-words dedup — the token-permutation-invariant rung between
+    * exact dedup (byte-identical only) and shingle near-dup (catches
+    * local edits but is order-sensitive): the content key is the md5
+    * of the document's SORTED DISTINCT normalized tokens, so shuffled
+    * paragraphs, reordered list items, and repeated-line padding all
+    * collapse to one key; the lowest doc_id per key is kept. Null and
+    * empty-content documents share the empty key by design (one
+    * "no content" dup group — quarantine upstream if that matters).
+    * One hash-shuffle on the key, codegen'd expressions end to end.
+    * Output: (doc_id, bow_key, kept) for every document.
+    */
+  def bowDedup(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val keyed = docs.select(col("doc_id"),
+      expr("md5(concat_ws(' ', array_sort(array_distinct(" +
+        "coalesce(norm_tokens(text), " +
+        "cast(array() as array<string>))))))").as("bow_key"))
+    val w = Window.partitionBy(col("bow_key")).orderBy(col("doc_id"))
+    keyed.withColumn("kept", row_number().over(w) === 1)
+  }
+
   /** Deterministic exact dedup: keep the lowest-ordered row per key. */
   def exactDedup(df: DataFrame, keys: Seq[String],
       tiebreak: Column): DataFrame = {

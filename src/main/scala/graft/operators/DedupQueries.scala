@@ -157,6 +157,25 @@ object DedupQueries {
 
   val all: Seq[QuerySpec] = Seq(
 
+    // Bag-of-words dedup: content key = md5 of sorted distinct
+    // normalized tokens — permutation-invariant (shuffled paragraphs,
+    // reordered lists, repeated-line padding collapse to one key),
+    // sitting between exact dedup and shingle near-dup. Null/empty
+    // docs share the empty key on BOTH engines by explicit coalesce
+    // (Spark's concat_ws skips a null array; DuckDB's array_to_string
+    // propagates it — the one place the engines disagree by default).
+    QuerySpec("bow_dedup",
+      s"""SELECT doc_id,
+         |  md5(coalesce(array_to_string(list_sort(list_distinct(
+         |    ${TextOps.toksD})), ' '), '')) AS bow_key,
+         |  row_number() OVER (
+         |    PARTITION BY md5(coalesce(array_to_string(list_sort(
+         |      list_distinct(${TextOps.toksD})), ' '), ''))
+         |    ORDER BY doc_id) = 1 AS kept
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.bowDedup(t(s, dir, "documents")).orderBy("doc_id")
+    },
+
     // X1: deterministic exact dedup via partitioned row_number.
     QuerySpec("dedup_exact",
       """SELECT doc_id, lang, source FROM (

@@ -18,6 +18,35 @@ class DedupScaleSpec extends AnyFunSuite {
     (0 until n).map(i => (i.toLong, shingles)).toDF("doc_id", "sh")
   }
 
+  test("bowDedup: permutation- and repetition-invariant key, order-" +
+    "sensitive content distinguishes, first doc_id wins, null/empty " +
+    "share the empty group") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "delta gamma beta alpha"),          // permutation → dup of 0
+      (2L, "alpha beta gamma delta alpha beta"), // repetition → dup of 0
+      (3L, "alpha beta gamma epsilon"),        // different token set
+      (4L, null.asInstanceOf[String]),         // null → empty group
+      (5L, ""),                                // empty → empty group
+      (6L, "Alpha, BETA; gamma... delta!")     // normalization → dup of 0
+    ).toDF("doc_id", "text")
+    val out = Dedup.bowDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2)))
+      .toMap
+    assert(out.size == 7)
+    val k0 = out(0L)._1
+    Seq(1L, 2L, 6L).foreach { d =>
+      assert(out(d)._1 == k0 && !out(d)._2,
+        s"doc $d must share doc 0's bag-of-words key and be dropped")
+    }
+    assert(out(0L)._2, "lowest doc_id must be kept")
+    assert(out(3L)._1 != k0 && out(3L)._2)
+    assert(out(4L)._1 == out(5L)._1 && out(4L)._2 && !out(5L)._2,
+      "null and empty text form one group; the first is its keeper")
+  }
+
   test("LSH bucket cap bounds pair expansion under a hot bucket") {
     val sh = (1 to 10).map(i => 0xABCD0000L + i)
     // Under the cap: B identical docs ⇒ all B(B-1)/2 verified pairs.
