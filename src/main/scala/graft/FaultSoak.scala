@@ -288,6 +288,74 @@ object FaultSoak {
     require(sInj > 0 && sRetried > 0,
       "streaming phase saw no injected faults/retries — vacuous")
 
+    // ---- phase 3 (round 11): STORE INTAKE under injected task
+    // retries — the staged epoch write runs through Spark's file
+    // commit protocol (failed attempts' files discarded, the retry's
+    // committed), then the driver-side rename/ledger path applies
+    // once. Two stores take the SAME three intake epochs, one clean
+    // and one with the fault injector spliced into every batch; the
+    // resident content digests must be identical, and replaying an
+    // epoch on the faulted store must change nothing.
+    {
+      val base3 =
+        (injected.get, retries.failed.get, retries.retriedOk.get)
+      graft.functions.GraftFunctions.register(spark)
+      val raw = Tables.t(spark, srcDir, "embeddings")
+        .select("vec_id", "embedding")
+      val NQ = 5
+      val e = operators.Similarity.prepared(raw)
+      val cb = operators.Similarity.firstNCodebook(e, NQ, 8)
+      def intakeRun(tag: String, inject: Boolean): (Long, Long, String) = {
+        val store = s"$soakDir/ivf_$tag"
+        operators.Similarity.writeIvfStore(
+          e.filter(col("vec_id") % 3 === 0), cb, NQ, store)
+        (0 until 3).foreach { i =>
+          val b0 = raw.filter(col("vec_id") >= NQ &&
+              col("vec_id") % 3 === (i % 3))
+            .withColumn("vec_id",
+              col("vec_id") + lit((i + 1) * 10000000L))
+          val b = if (inject) injectFaults(b0, modulo,
+            s"intake-$tag-$i") else b0
+          streaming.StoreIntake.ivfIntakeBatch(store, s"fs-$tag")(
+            b, i.toLong)
+        }
+        digest(spark.read.parquet(s"$store/vectors"))
+      }
+      val intakeClean = intakeRun("clean", inject = false)
+      ChainSoak.drainListeners(spark)
+      val mid3 =
+        (injected.get, retries.failed.get, retries.retriedOk.get)
+      require(mid3 == base3,
+        s"clean intake run must see zero faults: $mid3 vs $base3")
+      val intakeFaulty = intakeRun("faulty", inject = true)
+      // Replay epoch 0 on the faulted store (fresh injector wrapper —
+      // the ledger must skip before any executor work runs).
+      streaming.StoreIntake.ivfIntakeBatch(s"$soakDir/ivf_faulty",
+        "fs-faulty")(
+        injectFaults(raw.filter(col("vec_id") >= NQ &&
+            col("vec_id") % 3 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(10000000L)),
+          modulo, "intake-replay"), 0L)
+      val intakeReplayed =
+        digest(spark.read.parquet(s"$soakDir/ivf_faulty/vectors"))
+      ChainSoak.drainListeners(spark)
+      val iInj = injected.get - mid3._1
+      val iRetried = retries.retriedOk.get - mid3._3
+      println(s"""{"metric":"fault_intake","rows":${intakeClean._1},""" +
+        s""""digest_clean":"${intakeClean._2}:${intakeClean._3}",""" +
+        s""""digest_faulty":"${intakeFaulty._2}:${intakeFaulty._3}",""" +
+        s""""injected_faults":$iInj,"retried_ok":$iRetried,""" +
+        s""""match":${intakeClean == intakeFaulty &&
+          intakeFaulty == intakeReplayed}}""")
+      require(intakeClean == intakeFaulty,
+        s"store intake diverged under retry: clean=$intakeClean " +
+          s"faulty=$intakeFaulty")
+      require(intakeFaulty == intakeReplayed,
+        "replaying an applied epoch changed the faulted store")
+      require(iInj > 0 && iRetried > 0,
+        "intake phase saw no injected faults/retries — vacuous")
+    }
+
     operators.Dedup.clearCaches(spark)
     spark.stop()
     ChainSoak.deleteRecursively(new java.io.File(soakDir))
