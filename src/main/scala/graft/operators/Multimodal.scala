@@ -134,17 +134,58 @@ object Multimodal {
       width: Option[Int], height: Option[Int], channels: Option[Int],
       format: Option[String], px_sum: Option[Long], error: Option[String])
 
-  def decodeMetaPermissive(
-      ds: Dataset[MediaRow]): Dataset[DecodeAttempt] = {
+  /** Decompression-bomb budget: the permissive decoder reads the
+    * HEADER dimensions first (reader.getWidth/getHeight parse metadata
+    * only — no raster allocation) and quarantines any payload whose
+    * declared pixel count exceeds this, BEFORE decoding. The classic
+    * crawl attack is a KB-sized JPEG declaring 65535×65535: fully
+    * decoding it allocates gigabytes and dies as OutOfMemoryError —
+    * which is fatal, so the NonFatal quarantine never sees it and the
+    * task (then the job, after retries of the same bytes) is lost.
+    * 64 M pixels ≈ a 256 MB RGB raster — beyond any legitimate
+    * training-corpus image; override per call for thumbnail-only
+    * pipelines.
+    */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
+  def decodeMetaPermissive(ds: Dataset[MediaRow],
+      maxPixels: Long = MaxDecodePixels): Dataset[DecodeAttempt] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       rows.grouped(DecodeBatchSize).flatMap(_.map { r =>
         try {
-          val (img, fmt) = readImage(r.payload)
-          DecodeAttempt(r.doc_id, decode_ok = true,
-            Some(img.getWidth), Some(img.getHeight),
-            Some(img.getRaster.getNumBands), Some(fmt),
-            if (fmt == "png") Some(rasterSum(img)) else None, None)
+          val iis = new javax.imageio.stream
+            .MemoryCacheImageInputStream(
+              new ByteArrayInputStream(r.payload))
+          try {
+            val readers = ImageIO.getImageReaders(iis)
+            require(readers.hasNext,
+              "no ImageIO reader recognized the payload")
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              // Header-only dimensions — the bomb guard runs before
+              // any raster memory is committed.
+              val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+              if (w.toLong * h > maxPixels)
+                DecodeAttempt(r.doc_id, decode_ok = false, None, None,
+                  None, None, None, Some(s"pixel budget exceeded: " +
+                    s"${w}x$h > $maxPixels px (decompression-bomb " +
+                    "guard, payload not decoded)"))
+              else {
+                val fmt = reader.getFormatName.toLowerCase match {
+                  case "jpg" => "jpeg"
+                  case f => f
+                }
+                val img = reader.read(0)
+                DecodeAttempt(r.doc_id, decode_ok = true,
+                  Some(img.getWidth), Some(img.getHeight),
+                  Some(img.getRaster.getNumBands), Some(fmt),
+                  if (fmt == "png") Some(rasterSum(img)) else None,
+                  None)
+              }
+            } finally reader.dispose()
+          } finally iis.close()
         } catch {
           case scala.util.control.NonFatal(e) =>
             DecodeAttempt(r.doc_id, decode_ok = false, None, None, None,

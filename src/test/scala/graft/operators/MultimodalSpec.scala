@@ -113,6 +113,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("decompression-bomb guard: a payload declaring huge dimensions " +
+    "is quarantined from the HEADER alone, never decoded") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Craft the classic bomb: a real (small) JPEG whose SOF0 header is
+    // edited to declare 65500×65500 (the JDK reader's own per-axis
+    // maximum, so the header parses cleanly) — JPEG carries no CRC, so
+    // the reader trusts it; fully decoding would allocate a ~12.9 GB
+    // raster and die fatally (OutOfMemoryError), which the NonFatal
+    // quarantine cannot catch. The guard must reject on header dims
+    // before any raster exists.
+    val base = Multimodal.renderPayload(4L) // 4 % 4 == 0 → jpeg
+    val bomb = base.clone()
+    val sof = bomb.indices.dropRight(1).find(j =>
+      (bomb(j) & 0xff) == 0xff && (bomb(j + 1) & 0xff) == 0xc0).get
+    // SOF0 layout: marker(2) len(2) precision(1) height(2) width(2);
+    // 65500 = 0xFFDC.
+    Seq(5, 7).foreach { k =>
+      bomb(sof + k) = 0xff.toByte
+      bomb(sof + k + 1) = 0xdc.toByte
+    }
+    val out = Multimodal.decodeMetaPermissive(
+      Seq(Multimodal.MediaRow(1L, bomb), Multimodal.MediaRow(2L, base))
+        .toDS()).collect().map(r => r.doc_id -> r).toMap
+    val b = out(1L)
+    assert(!b.decode_ok && b.width.isEmpty &&
+      b.error.exists(_.contains("pixel budget exceeded")),
+      s"bomb not quarantined at the header: $b")
+    val ok = out(2L)
+    assert(ok.decode_ok && ok.format.contains("jpeg") &&
+      ok.width.contains(Multimodal.ruleWidth(4L)))
+    // A generous budget admits the same small image unchanged.
+    val wide = Multimodal.decodeMetaPermissive(
+      Seq(Multimodal.MediaRow(2L, base)).toDS(),
+      maxPixels = Long.MaxValue).collect().head
+    assert(wide.decode_ok)
+  }
+
   test("decode is deterministic across runs") {
     val spark = TestSpark.spark
     val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
