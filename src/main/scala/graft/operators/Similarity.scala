@@ -1157,6 +1157,10 @@ object Similarity {
     */
   def matryoshkaTopK(e: DataFrame, nQueries: Int, prefixDims: Int,
       nCand: Int, k: Int): DataFrame = {
+    require(prefixDims >= 1 && prefixDims <= 64,
+      s"prefixDims must be in 1..64, got $prefixDims (an empty prefix " +
+        "scores every pair −2 and returns id-ordered noise)")
+    require(nCand >= k, s"nCand ($nCand) must be >= k ($k)")
     val sliced = e
       .withColumn("pv", expr(s"slice(v, 1, $prefixDims)"))
       .withColumn("pn", expr("sqrt(array_dot(pv, pv))"))
