@@ -476,10 +476,24 @@ object Similarity {
     * column), which StoreMaintenanceSpec pins — run it per epoch
     * append and alert on share or error drift (DEPLOY.md §2).
     */
-  def ivfStoreDrift(spark: SparkSession, path: String): DataFrame = {
+  def ivfStoreDrift(spark: SparkSession, path: String): DataFrame =
+    ivfStoreDriftOver(spark, path,
+      spark.read.parquet(s"$path/vectors"))
+
+  /** [[ivfStoreDrift]] against the manifest SNAPSHOT — the valid form
+    * on a manifested store (a directory listing sees live AND
+    * expired-until-GC files after a snapshot compaction and would
+    * double-count every compacted cell's mass).
+    */
+  def ivfStoreDriftSnapshot(spark: SparkSession,
+      path: String): DataFrame =
+    ivfStoreDriftOver(spark, path,
+      StoreManifest.snapshotRead(spark, s"$path/vectors"))
+
+  private def ivfStoreDriftOver(spark: SparkSession, path: String,
+      vectors: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val cent = spark.read.parquet(s"$path/codebook")
-    val vectors = spark.read.parquet(s"$path/vectors")
     // A cid with no codebook row is store CORRUPTION (codebook dir
     // overwritten by a smaller retrain, cell dir surviving a partial
     // rebuild) — exactly what a drift monitor must surface. An inner

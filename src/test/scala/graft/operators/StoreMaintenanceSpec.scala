@@ -280,6 +280,8 @@ class StoreMaintenanceSpec extends AnyFunSuite {
         Similarity.querySide(e, NQ), nProbe = 3, k = 5)
         .orderBy("q_id", "rn").collect().toSeq
       assert(expected.nonEmpty)
+      val preDrift = Similarity.ivfStoreDrift(spark, path)
+        .collect().toSeq
 
       // Reader thread hammers the snapshot probe while the main
       // thread compacts every multi-file cell. Data is identical pre
@@ -325,6 +327,19 @@ class StoreMaintenanceSpec extends AnyFunSuite {
       val onDisk = dataFiles(spark, s"$path/vectors")
       assert(onDisk.size > live.size,
         "expired files must survive until GC")
+
+      // Drift monitoring between compaction and GC: the LISTING-based
+      // report double-counts compacted cells (live + expired copies of
+      // the same rows — the documented hazard, proven real here),
+      // while the snapshot form equals the pre-compaction report
+      // exactly (compaction moves bytes, never content).
+      val listDrift = Similarity.ivfStoreDrift(spark, path)
+        .collect().toSeq
+      assert(listDrift != preDrift,
+        "expected the listing drift to double-count before GC")
+      assert(Similarity.ivfStoreDriftSnapshot(spark, path)
+        .collect().toSeq == preDrift,
+        "snapshot drift must see exactly the live content")
 
       // GC with keepVersions=0 (no old readers left): expired files
       // go away, the snapshot still answers identically.
