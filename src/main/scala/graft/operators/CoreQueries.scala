@@ -204,6 +204,58 @@ object CoreQueries {
         .orderBy("event_id")
     },
 
+    // Columnar-source breadth beyond parquet: ORC write + read back
+    // through Spark's native orc datasource (orc-core ships in
+    // /opt/spark/jars), then a grouped aggregate over the round-trip.
+    // The oracle aggregates the SAME rows straight from the parquet
+    // table, so the query is green only if the ORC transport is
+    // lossless for longs/strings. The write is part of the query by
+    // design — the capability under test is the format round-trip,
+    // not a cached file.
+    QuerySpec("orc_roundtrip",
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        |       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) =>
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-orc").toString + "/docs"
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+          .write.mode("overwrite").orc(path)
+        s.read.orc(path)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+          .orderBy("lang")
+    },
+
+    // File-based JSON-lines source (the crawl-dump ingest format):
+    // rows serialized to .json files and read back through
+    // spark.read.schema(...).json — the SOURCE counterpart of the
+    // string-level from_json query (json_parse). Same lossless-
+    // round-trip oracle shape as orc_roundtrip.
+    QuerySpec("jsonl_scan",
+      """SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-jsonl").toString + "/docs"
+        t(s, dir, "documents").select("doc_id", "source", "n_chars")
+          .write.mode("overwrite").json(path)
+        s.read.schema(StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("source", StringType),
+            StructField("n_chars", LongType))))
+          .json(path)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"))
+          .orderBy("source")
+    },
+
     // S6/F7: to_json(struct(...)) serialization (kafka_producer.py:79-87)
     QuerySpec("to_json_roundtrip",
       """SELECT event_id,
