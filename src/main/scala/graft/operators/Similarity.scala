@@ -987,6 +987,22 @@ object Similarity {
   def ivfPqTopKWith(e: DataFrame, cent: DataFrame, cbBase: Int,
       nQueries: Int, nProbe: Int, nSub: Int, nCode: Int, k: Int,
       cacheKey: String = ""): DataFrame = {
+    val (cb, enc) = ivfPqParts(e, cent, cbBase, nQueries, nSub, nCode,
+      cacheKey)
+    ivfPqAdcTopK(querySide(e, nQueries), cent, cb, enc, nProbe, nSub,
+      nCode, k)
+  }
+
+  /** Shared residual-PQ encode: coarse cell assignment, memoized
+    * residual table, deterministic first-nCode residual sub-codebook,
+    * and the per-vector code arrays — the one-time corpus passes both
+    * the in-memory composite and the at-rest store build share, so
+    * stored codes are identical to in-memory codes by construction.
+    * Returns (sub-codebook (m, code, cbv), codes (n_id, cid, codes)).
+    */
+  private def ivfPqParts(e: DataFrame, cent: DataFrame, cbBase: Int,
+      nQueries: Int, nSub: Int, nCode: Int,
+      cacheKey: String): (DataFrame, DataFrame) = {
     require(64 % nSub == 0,
       s"nSub must divide the 64-dim embedding exactly, got $nSub")
     val sub = 64 / nSub
@@ -1051,13 +1067,28 @@ object Similarity {
       // Pin the scan width (the pqTopKWith AQE lesson: the code table
       // is bytes-sized, the expansion lives downstream).
       .repartition(e.sparkSession.sparkContext.defaultParallelism)
+    (cb, enc)
+  }
+
+  /** Shared ADC probe/score tail over a prepared (cb, enc) pair —
+    * consumed by the in-memory composite AND the at-rest store search,
+    * so the two cannot drift arithmetically. `queries` is
+    * (q_id, qv, qn) as from [[querySide]]; `enc` is (n_id, cid, codes)
+    * (in-memory, or the cell-pruned store scan).
+    */
+  private def ivfPqAdcTopK(queries: DataFrame, cent: DataFrame,
+      cb: DataFrame, enc: DataFrame, nProbe: Int, nSub: Int, nCode: Int,
+      k: Int): DataFrame = {
+    val sub = 64 / nSub
+    val subspaces = s"explode(sequence(0, ${nSub - 1}))"
+    def slicedSub(v: String): String = s"slice($v, m * $sub + 1, $sub)"
+    def sq(a: String, b: String): String =
+      s"array_dot($a, $a) - 2 * array_dot($a, $b) + array_dot($b, $b)"
     // Probe cells per query, then one LUT per (q_id, cid) from the
     // query's residual against THAT cell's centroid.
     val wp = Window.partitionBy(col("q_id"))
       .orderBy(col("psim").desc, col("cid"))
-    val probes = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"))
+    val probes = queries
       .crossJoin(broadcast(cent))
       .withColumn("psim", expr("array_dot(qv, centv) / (qn * centn)"))
       .withColumn("prn", row_number().over(wp))
@@ -1149,6 +1180,101 @@ object Similarity {
       .orderBy(col("cos").desc, col("n_id"))
     c.join(broadcast(cand), "n_id")
       .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("n_id"), cosCol.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id", "rn", "cos")
+  }
+
+  /** At-rest IVFPQ store — what a billion-scale index actually
+    * persists (Jégou et al.'s IVFADC materialized): per corpus vector
+    * its nSub byte codes over residuals, PARTITIONED BY coarse cell,
+    * with the KB-sized coarse and residual codebooks alongside. A
+    * 64-dim float vector (256 B raw, already cell-partitioned in
+    * [[writeIvfStore]]) becomes nSub bytes + id here — the scan a
+    * query batch pays is memory-bandwidth-bound on CODES and
+    * partition-pruned to probed cells, the two compressions
+    * multiplied. Layout:
+    *
+    *   path/codebook    — coarse (cid, centv, centn)
+    *   path/subcodebook — residual (m, code, cbv)
+    *   path/codes       — (n_id, codes) partitioned by cid
+    *
+    * Sharing [[ivfPqParts]] with the in-memory composite makes stored
+    * codes identical to in-memory codes by construction —
+    * [[ivfPqTopKFromPqStore]] is bit-equal to [[ivfPqTopKWith]] over
+    * the same inputs (AtRestLayoutSpec pins it).
+    */
+  def writeIvfPqStore(e: DataFrame, cent: DataFrame, cbBase: Int,
+      nQueries: Int, nSub: Int, nCode: Int, path: String,
+      cacheKey: String = ""): Unit = {
+    val (cb, enc) = ivfPqParts(e, cent, cbBase, nQueries, nSub, nCode,
+      cacheKey)
+    cent.write.mode("overwrite").parquet(s"$path/codebook")
+    cb.write.mode("overwrite").parquet(s"$path/subcodebook")
+    enc.withColumn("cid", col("cid").cast("int"))
+      .write.partitionBy("cid").mode("overwrite")
+      .parquet(s"$path/codes")
+  }
+
+  /** The nProbe nearest cells per query, collected driver-side for
+    * partition-pruned store scans (nQueries × nProbe ints — KBs).
+    */
+  private def probedCells(queries: DataFrame, cent: DataFrame,
+      nProbe: Int): Seq[Int] = {
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("psim").desc, col("cid"))
+    queries.crossJoin(broadcast(cent))
+      .withColumn("psim", expr("array_dot(qv, centv) / (qn * centn)"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= nProbe)
+      .select(col("cid").cast("int").as("cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+  }
+
+  /** ADC search OFF the stored code layout: probe cells chosen against
+    * the stored coarse codebook, pushed into the CODES scan as a
+    * partition filter (only probed cells' files are read), LUTs built
+    * per (query, probed cell) from the stored sub-codebook, and the
+    * shared [[ivfPqAdcTopK]] tail scores — bit-identical to the
+    * in-memory [[ivfPqTopKWith]] over the same store inputs.
+    * (nSub/nCode come from the stored sub-codebook itself — the store
+    * is self-describing.)
+    */
+  def ivfPqTopKFromPqStore(spark: SparkSession, path: String,
+      queries: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cent = spark.read.parquet(s"$path/codebook")
+    val cb = spark.read.parquet(s"$path/subcodebook")
+    val d = cb.agg((max("m") + 1).cast("int").as("ns"),
+      (max("code") + 1).cast("int").as("nc")).head()
+    val (nSub, nCode) = (d.getInt(0), d.getInt(1))
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cid").isin(probedCells(queries, cent, nProbe): _*))
+      .repartition(spark.sparkContext.defaultParallelism)
+    ivfPqAdcTopK(queries, cent, cb, codes, nProbe, nSub, nCode, k)
+  }
+
+  /** The full at-rest ANN pipeline: compressed-code candidate scan
+    * (PQ store, partition-pruned) → bounded exact re-rank fetching
+    * candidate vectors from the RAW vector store ([[writeIvfStore]]
+    * layout), itself pruned to the probed cells (candidates can only
+    * come from there). The production read path end to end: codes are
+    * scanned wide and cheap, raw vectors touched only for
+    * nQueries × nCand candidates.
+    */
+  def ivfPqRerankFromStores(spark: SparkSession, pqPath: String,
+      vecPath: String, queries: DataFrame, nProbe: Int, nCand: Int,
+      k: Int): DataFrame = {
+    val cand = ivfPqTopKFromPqStore(spark, pqPath, queries, nProbe,
+      math.max(nCand, k)).select(col("q_id"), col("n_id"))
+    val cent = spark.read.parquet(s"$pqPath/codebook")
+    val store = spark.read.parquet(s"$vecPath/vectors")
+      .filter(col("cid").isin(probedCells(queries, cent, nProbe): _*))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    store.join(broadcast(cand), "n_id")
+      .join(broadcast(queries), "q_id")
       .select(col("q_id"), col("n_id"), cosCol.as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -239,73 +239,30 @@ object SimilarityQueries {
     // per-(query, cell) residual LUTs rounded to micros, and the
     // order-independent integer SUM that Spark's fixed m-order
     // subscript sum equals exactly. See Similarity.ivfPqTopK.
-    QuerySpec("ivfpq_ann", {
-      def sqD(a: String, b: String): String =
-        s"(${dotD(a, a)} - 2 * ${dotD(a, b)}) + ${dotD(b, b)}"
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-         |           FROM embeddings),
-         |n AS (SELECT vec_id, v, ${normD("v")} AS nrm FROM e),
-         |cent AS (SELECT vec_id AS cid, v AS centv, nrm AS centn
-         |         FROM n WHERE vec_id >= $NQ AND vec_id < $NQ + 8),
-         |corpus AS (SELECT vec_id AS n_id, v AS cv, nrm AS cn
-         |           FROM n WHERE vec_id >= $NQ),
-         |asg AS (
-         |  SELECT n_id, cv, cid FROM (
-         |    SELECT n_id, cv, cid, row_number() OVER (
-         |      PARTITION BY n_id
-         |      ORDER BY ${dotD("cv", "centv")} / (cn * centn) DESC, cid)
-         |      AS arn
-         |    FROM corpus CROSS JOIN cent) WHERE arn = 1),
-         |res AS (SELECT n_id, cid,
-         |               list_transform(range(1, 65),
-         |                 i -> cv[i] - centv[i]) AS rv
-         |        FROM asg JOIN cent USING (cid)),
-         |cb AS (SELECT CAST(n_id - ${NQ + 8} AS INTEGER) AS code, m,
-         |              rv[(m * 16) + 1:(m * 16) + 16] AS cbv
-         |       FROM res, range(0, 4) t(m)
-         |       WHERE n_id >= ${NQ + 8} AND n_id < ${NQ + 8 + 16}),
-         |sv AS (SELECT n_id, cid, m,
-         |              rv[(m * 16) + 1:(m * 16) + 16] AS sv
-         |       FROM res, range(0, 4) t(m)),
-         |enc AS (
-         |  SELECT n_id, cid, m, code FROM (
-         |    SELECT n_id, cid, sv.m, code, row_number() OVER (
-         |      PARTITION BY n_id, sv.m
-         |      ORDER BY ${sqD("sv", "cbv")}, code) AS arn
-         |    FROM sv JOIN cb USING (m)) WHERE arn = 1),
-         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn
-         |      FROM n WHERE vec_id < $NQ),
-         |probe AS (
-         |  SELECT q_id, qv, cid FROM (
-         |    SELECT q_id, qv, cid, row_number() OVER (
-         |      PARTITION BY q_id
-         |      ORDER BY ${dotD("qv", "centv")} / (qn * centn) DESC, cid)
-         |      AS prn
-         |    FROM q CROSS JOIN cent) WHERE prn <= 2),
-         |qres AS (SELECT q_id, cid,
-         |                list_transform(range(1, 65),
-         |                  i -> qv[i] - centv[i]) AS qrv
-         |         FROM probe JOIN cent USING (cid)),
-         |lut AS (
-         |  SELECT q_id, cid, m, code,
-         |         CAST(round((${sqD("qsv", "cbv")}) * 1000000) AS BIGINT)
-         |           AS qm
-         |  FROM (SELECT q_id, cid, m,
-         |               qrv[(m * 16) + 1:(m * 16) + 16] AS qsv
-         |        FROM qres, range(0, 4) t(m))
-         |  JOIN cb USING (m)),
-         |s AS (SELECT q_id, n_id,
-         |             CAST(SUM(qm) AS DOUBLE) / 1000000.0 AS adist
-         |      FROM enc JOIN lut USING (cid, m, code)
-         |      GROUP BY q_id, n_id)
-         |SELECT q_id, n_id, rn, adist FROM (
-         |  SELECT q_id, n_id, adist, row_number() OVER (
-         |    PARTITION BY q_id ORDER BY adist, n_id) AS rn FROM s)
-         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
-    }) { (s, dir) =>
+    QuerySpec("ivfpq_ann", ivfPqAnnOracle) { (s, dir) =>
       Similarity.ivfPqTopK(
         Similarity.prepared(t(s, dir, "embeddings")), NQ, 8, 2, 4, 16, 10,
         cacheKey = dir)
+        .orderBy("q_id", "rn")
+    },
+
+    // The SAME IVFADC composite searched OFF the at-rest PQ store
+    // (coarse codebook + residual sub-codebook + cell-partitioned byte
+    // codes written, then probed with a partition-pruned codes scan).
+    // The store is a materialization, not different semantics, so the
+    // oracle is ivfpq_ann's verbatim — green only if write + read +
+    // pruned search reproduce the in-memory arithmetic bit-for-bit.
+    QuerySpec("ivfpq_store_ann", ivfPqAnnOracle) { (s, dir) =>
+      val e = Similarity.prepared(t(s, dir, "embeddings"))
+      val cent = e.filter(col("vec_id") >= NQ && col("vec_id") < NQ + 8)
+        .select(col("vec_id").as("cid"), col("v").as("centv"),
+          col("nrm").as("centn"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-pqstore").toString + "/pq"
+      Similarity.writeIvfPqStore(e, cent, NQ + 8, NQ, 4, 16, path,
+        cacheKey = dir)
+      Similarity.ivfPqTopKFromPqStore(s, path,
+        Similarity.querySide(e, NQ), nProbe = 2, k = 10)
         .orderBy("q_id", "rn")
     },
 
@@ -593,4 +550,69 @@ object SimilarityQueries {
         .orderBy("label")
     }
   )
+
+  private def ivfPqAnnOracle: String = {
+      def sqD(a: String, b: String): String =
+        s"(${dotD(a, a)} - 2 * ${dotD(a, b)}) + ${dotD(b, b)}"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, ${normD("v")} AS nrm FROM e),
+         |cent AS (SELECT vec_id AS cid, v AS centv, nrm AS centn
+         |         FROM n WHERE vec_id >= $NQ AND vec_id < $NQ + 8),
+         |corpus AS (SELECT vec_id AS n_id, v AS cv, nrm AS cn
+         |           FROM n WHERE vec_id >= $NQ),
+         |asg AS (
+         |  SELECT n_id, cv, cid FROM (
+         |    SELECT n_id, cv, cid, row_number() OVER (
+         |      PARTITION BY n_id
+         |      ORDER BY ${dotD("cv", "centv")} / (cn * centn) DESC, cid)
+         |      AS arn
+         |    FROM corpus CROSS JOIN cent) WHERE arn = 1),
+         |res AS (SELECT n_id, cid,
+         |               list_transform(range(1, 65),
+         |                 i -> cv[i] - centv[i]) AS rv
+         |        FROM asg JOIN cent USING (cid)),
+         |cb AS (SELECT CAST(n_id - ${NQ + 8} AS INTEGER) AS code, m,
+         |              rv[(m * 16) + 1:(m * 16) + 16] AS cbv
+         |       FROM res, range(0, 4) t(m)
+         |       WHERE n_id >= ${NQ + 8} AND n_id < ${NQ + 8 + 16}),
+         |sv AS (SELECT n_id, cid, m,
+         |              rv[(m * 16) + 1:(m * 16) + 16] AS sv
+         |       FROM res, range(0, 4) t(m)),
+         |enc AS (
+         |  SELECT n_id, cid, m, code FROM (
+         |    SELECT n_id, cid, sv.m, code, row_number() OVER (
+         |      PARTITION BY n_id, sv.m
+         |      ORDER BY ${sqD("sv", "cbv")}, code) AS arn
+         |    FROM sv JOIN cb USING (m)) WHERE arn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn
+         |      FROM n WHERE vec_id < $NQ),
+         |probe AS (
+         |  SELECT q_id, qv, cid FROM (
+         |    SELECT q_id, qv, cid, row_number() OVER (
+         |      PARTITION BY q_id
+         |      ORDER BY ${dotD("qv", "centv")} / (qn * centn) DESC, cid)
+         |      AS prn
+         |    FROM q CROSS JOIN cent) WHERE prn <= 2),
+         |qres AS (SELECT q_id, cid,
+         |                list_transform(range(1, 65),
+         |                  i -> qv[i] - centv[i]) AS qrv
+         |         FROM probe JOIN cent USING (cid)),
+         |lut AS (
+         |  SELECT q_id, cid, m, code,
+         |         CAST(round((${sqD("qsv", "cbv")}) * 1000000) AS BIGINT)
+         |           AS qm
+         |  FROM (SELECT q_id, cid, m,
+         |               qrv[(m * 16) + 1:(m * 16) + 16] AS qsv
+         |        FROM qres, range(0, 4) t(m))
+         |  JOIN cb USING (m)),
+         |s AS (SELECT q_id, n_id,
+         |             CAST(SUM(qm) AS DOUBLE) / 1000000.0 AS adist
+         |      FROM enc JOIN lut USING (cid, m, code)
+         |      GROUP BY q_id, n_id)
+         |SELECT q_id, n_id, rn, adist FROM (
+         |  SELECT q_id, n_id, adist, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adist, n_id) AS rn FROM s)
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+  }
 }

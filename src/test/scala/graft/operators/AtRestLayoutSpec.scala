@@ -105,4 +105,54 @@ class AtRestLayoutSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         s"cells=$allCells files=$probedFiles")
     } finally e.unpersist(): Unit
   }
+
+  test("IVFPQ code store: pruned codes scan, ADC search bit-identical " +
+    "to the in-memory composite, and store-fed exact rerank equal to " +
+    "the in-memory rerank") {
+    val spark = TestSpark.spark
+    val NQ = 5
+    val e = Similarity.prepared(Tables.t(spark, dir, "embeddings"))
+      .persist()
+    try {
+      val cent = e.filter(col("vec_id") >= NQ && col("vec_id") < NQ + 8)
+        .select(col("vec_id").as("cid"), col("v").as("centv"),
+          col("nrm").as("centn"))
+      val base = Files.createTempDirectory("graft-pqstore").toString
+      val pqPath = s"$base/pq"
+      val vecPath = s"$base/vec"
+      Similarity.writeIvfPqStore(e, cent, NQ + 8, NQ, 4, 16, pqPath)
+      Similarity.writeIvfStore(e, cent, NQ, vecPath)
+
+      // ADC search off the store == in-memory composite, bit-for-bit
+      // (same encode via the shared parts, same probes/LUT/sum).
+      val q = Similarity.querySide(e, NQ)
+      val viaStore = Similarity.ivfPqTopKFromPqStore(spark, pqPath, q,
+        nProbe = 2, k = 10)
+      val mem = Similarity.ivfPqTopKWith(e, cent, NQ + 8, NQ,
+        nProbe = 2, nSub = 4, nCode = 16, k = 10)
+        .orderBy("q_id", "rn").collect().toSeq
+      assert(viaStore.orderBy("q_id", "rn").collect().toSeq == mem)
+
+      // The codes scan is partition-pruned to the probed cells.
+      val scan = collectWithSubqueries(
+        viaStore.queryExecution.executedPlan) {
+        case s: FileSourceScanExec
+            if s.toString.contains("/pq/codes") => s
+      }
+      assert(scan.nonEmpty &&
+        scan.head.toString.contains("PartitionFilters") &&
+        scan.head.toString.contains("cid"),
+        s"codes scan not cell-pruned: ${scan.map(_.toString)}")
+
+      // The full at-rest pipeline (code candidates → raw-vector exact
+      // rerank, both stores pruned) equals the in-memory rerank.
+      val rerankStore = Similarity.ivfPqRerankFromStores(spark, pqPath,
+        vecPath, q, nProbe = 2, nCand = 40, k = 10)
+        .orderBy("q_id", "rn").collect().toSeq
+      val rerankMem = Similarity.ivfPqRerankWith(e, cent, NQ + 8, NQ,
+        nProbe = 2, nSub = 4, nCode = 16, nCand = 40, k = 10)
+        .orderBy("q_id", "rn").collect().toSeq
+      assert(rerankStore == rerankMem)
+    } finally e.unpersist(): Unit
+  }
 }
