@@ -670,7 +670,7 @@ object Similarity {
     */
   def ivfTopKFromSnapshot(spark: SparkSession, path: String,
       queries: DataFrame, nProbe: Int, k: Int): DataFrame = {
-    val cent = spark.read.parquet(s"$path/codebook")
+    val cent = loadCodebook(spark, s"$path/codebook")
     val wp = Window.partitionBy(col("q_id"))
       .orderBy(col("psim").desc, col("cid"))
     val probes = queries.crossJoin(broadcast(cent))
@@ -705,7 +705,7 @@ object Similarity {
     */
   def ivfTopKFromStore(spark: SparkSession, path: String,
       queries: DataFrame, nProbe: Int, k: Int): DataFrame = {
-    val cent = spark.read.parquet(s"$path/codebook")
+    val cent = loadCodebook(spark, s"$path/codebook")
     val wp = Window.partitionBy(col("q_id"))
       .orderBy(col("psim").desc, col("cid"))
     val probes = queries.crossJoin(broadcast(cent))
@@ -1217,6 +1217,26 @@ object Similarity {
       .parquet(s"$path/codes")
   }
 
+  /** Load a STORED codebook as a driver-local relation. Codebooks are
+    * KB-sized metadata by contract — ≤ 65536 centroids enforced here,
+    * loudly — and the LocalRelation does two jobs: a corpus-sized file
+    * mistakenly written where a codebook belongs fails at load instead
+    * of silently broadcasting gigabytes into every probe's crossJoin,
+    * and the probe plans' broadcast build sides become PROVABLY
+    * bounded (LocalTableScan — the PlanInvariantsSpec contract every
+    * declared query is held to).
+    */
+  private def loadCodebook(spark: SparkSession,
+      path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val rows = df.collect()
+    require(rows.length > 0 && rows.length <= 65536,
+      s"codebook at $path has ${rows.length} rows — a codebook is " +
+        "KB-sized metadata (1..65536 centroids), not a corpus")
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** The nProbe nearest cells per query, collected driver-side for
     * partition-pruned store scans (nQueries × nProbe ints — KBs).
     */
@@ -1244,7 +1264,7 @@ object Similarity {
   def ivfPqTopKFromPqStore(spark: SparkSession, path: String,
       queries: DataFrame, nProbe: Int, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val cent = spark.read.parquet(s"$path/codebook")
+    val cent = loadCodebook(spark, s"$path/codebook")
     val cb = spark.read.parquet(s"$path/subcodebook")
     val d = cb.agg((max("m") + 1).cast("int").as("ns"),
       (max("code") + 1).cast("int").as("nc")).head()
@@ -1268,7 +1288,7 @@ object Similarity {
       k: Int): DataFrame = {
     val cand = ivfPqTopKFromPqStore(spark, pqPath, queries, nProbe,
       math.max(nCand, k)).select(col("q_id"), col("n_id"))
-    val cent = spark.read.parquet(s"$pqPath/codebook")
+    val cent = loadCodebook(spark, s"$pqPath/codebook")
     val store = spark.read.parquet(s"$vecPath/vectors")
       .filter(col("cid").isin(probedCells(queries, cent, nProbe): _*))
     val w = Window.partitionBy(col("q_id"))
