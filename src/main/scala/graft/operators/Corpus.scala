@@ -567,4 +567,44 @@ object Corpus {
           expr("md5(substring(norm, 1, 60))").as("hp"),
           col("source"))
     }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3 —
+    * head/middle/tail sharding by LM score) over the integer bigram-LM
+    * of [[lmScore]], with the per-bucket mass report a data-mixing run
+    * consumes: document count, character mass, bigram mass, and total
+    * score micros per bucket.
+    *
+    * Bucket rule in EXACT integer arithmetic — `avg_pmicro ≥ T` is
+    * evaluated as `sum_pmicro ≥ n_bigrams · T` so no engine divides:
+    * head when mean transition probability ≥ `headMin` micros, middle
+    * when ≥ `midMin`, else tail (bigram-less docs are tail — an LM has
+    * no opinion on them, and CCNet routes unknown to the worst shard).
+    *
+    * Scale shape: [[lmScore]]'s bounded model joins (the corpus
+    * streams once), a doc-spine join for `n_chars`, and a ≤3-row
+    * aggregate. The thresholds are config, not quantiles: a global
+    * exact quantile would be a single-partition sort at corpus scale —
+    * production CCNet fixes thresholds from a held-out sample, which
+    * is what the defaults encode.
+    */
+  def pplBuckets(docs: DataFrame, headMin: Long, midMin: Long,
+      topV: Int, cacheKey: String = ""): DataFrame = {
+    require(headMin >= midMin,
+      s"head threshold $headMin must be >= middle threshold $midMin")
+    lmScore(docs, topV, cacheKey)
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("bucket",
+        when(col("n_bigrams") === 0, lit("tail"))
+          .when(col("sum_pmicro") >= col("n_bigrams") * lit(headMin),
+            lit("head"))
+          .when(col("sum_pmicro") >= col("n_bigrams") * lit(midMin),
+            lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_bigrams").cast("long")).as("sum_bigrams"),
+        sum(col("sum_pmicro")).as("sum_pmicro_total"))
+  }
 }

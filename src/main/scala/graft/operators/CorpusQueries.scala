@@ -13,6 +13,36 @@ object CorpusQueries {
   import Tables.t
   import TextOps.toksD
 
+  /** DuckDB CTE chain ending in `agg(doc_id, n_bigrams, sum_pmicro)` —
+    * the bigram-LM scoring shared VERBATIM by the `lm_score` and
+    * `ppl_bucket` oracles (one definition, two consumers — the
+    * predLangCase discipline). Mirrors [[Corpus.lmScore]] at topV=512.
+    */
+  private val lmAggCtesD: String =
+    s"""tk AS (SELECT doc_id, $toksD AS toks FROM documents),
+       |ix AS (SELECT doc_id, toks,
+       |         unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
+       |       FROM tk),
+       |bi AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b FROM ix),
+       |cab AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY a, b),
+       |capped AS (
+       |  SELECT a, b, c_ab FROM (
+       |    SELECT a, b, c_ab,
+       |           row_number() OVER (ORDER BY c_ab DESC, a, b) AS rk
+       |    FROM cab)
+       |  WHERE rk <= 512),
+       |ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a
+       |       FROM cab GROUP BY a),
+       |sc AS (
+       |  SELECT bi.doc_id,
+       |         CAST(CAST(coalesce(capped.c_ab, 0) AS HUGEINT) * 1000000
+       |           // ca.c_a AS BIGINT) AS p_micro
+       |  FROM bi LEFT JOIN capped USING (a, b) JOIN ca USING (a)),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+       |         CAST(SUM(p_micro) AS BIGINT) AS sum_pmicro
+       |  FROM sc GROUP BY doc_id)""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // Source (domain) reputation table: one bounded hash-aggregate.
@@ -306,29 +336,7 @@ object CorpusQueries {
     // the floor-smoothing path). All-integer probabilities — see
     // Corpus.lmScore for the exactness argument.
     QuerySpec("lm_score",
-      s"""WITH tk AS (SELECT doc_id, $toksD AS toks FROM documents),
-         |ix AS (SELECT doc_id, toks,
-         |         unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
-         |       FROM tk),
-         |bi AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b FROM ix),
-         |cab AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY a, b),
-         |capped AS (
-         |  SELECT a, b, c_ab FROM (
-         |    SELECT a, b, c_ab,
-         |           row_number() OVER (ORDER BY c_ab DESC, a, b) AS rk
-         |    FROM cab)
-         |  WHERE rk <= 512),
-         |ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a
-         |       FROM cab GROUP BY a),
-         |sc AS (
-         |  SELECT bi.doc_id,
-         |         CAST(CAST(coalesce(capped.c_ab, 0) AS HUGEINT) * 1000000
-         |           // ca.c_a AS BIGINT) AS p_micro
-         |  FROM bi LEFT JOIN capped USING (a, b) JOIN ca USING (a)),
-         |agg AS (
-         |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
-         |         CAST(SUM(p_micro) AS BIGINT) AS sum_pmicro
-         |  FROM sc GROUP BY doc_id)
+      s"""WITH $lmAggCtesD
          |SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
          |       coalesce(agg.sum_pmicro, 0) AS sum_pmicro,
          |       CASE WHEN agg.n_bigrams > 0
@@ -339,6 +347,37 @@ object CorpusQueries {
       Corpus.lmScore(t(s, dir, "documents"), topV = 512,
         cacheKey = dir)
         .orderBy("doc_id")
+    },
+
+    // CCNet-style perplexity bucketing: head / middle / tail shards by
+    // the bigram-LM mean transition probability, with fixed integer
+    // thresholds (26000 / 23500 micros ≈ the corpus p67 / p33, so all
+    // three shards are populated at every SF). The comparison is
+    // sum_pmicro >= n_bigrams·T — no division anywhere; shares the
+    // lm_score CTE chain verbatim AND the memoized Spark-side model.
+    QuerySpec("ppl_bucket",
+      s"""WITH $lmAggCtesD,
+         |lb AS (
+         |  SELECT d.doc_id, d.n_chars,
+         |         coalesce(agg.n_bigrams, 0) AS n_bigrams,
+         |         coalesce(agg.sum_pmicro, 0) AS sum_pmicro
+         |  FROM documents d LEFT JOIN agg USING (doc_id))
+         |SELECT bucket, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |       CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+         |       CAST(SUM(sum_pmicro) AS BIGINT) AS sum_pmicro_total
+         |FROM (
+         |  SELECT *, CASE WHEN n_bigrams = 0 THEN 'tail'
+         |                 WHEN sum_pmicro >= n_bigrams * 26000
+         |                   THEN 'head'
+         |                 WHEN sum_pmicro >= n_bigrams * 23500
+         |                   THEN 'middle'
+         |                 ELSE 'tail' END AS bucket
+         |  FROM lb)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Corpus.pplBuckets(t(s, dir, "documents"),
+        headMin = 26000L, midMin = 23500L, topV = 512, cacheKey = dir)
+        .orderBy("bucket")
     },
 
     // Top-duplicated spans: the boilerplate leaderboard over the

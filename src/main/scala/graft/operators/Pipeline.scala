@@ -769,4 +769,127 @@ object Pipeline {
         count(when(col("rn") > 1, lit(1))).as("n_dup"))
       .withColumn("dup_share", expr("cast(n_dup as double) / n_docs"))
   }
+
+  /** Gopher-style document-quality rule battery (Rae et al. 2021 §A1.1,
+    * the standard web-corpus admission gate), re-expressed as EXACT
+    * integer predicates over the memoized [[docTerms]] table so both
+    * engines evaluate bit-identical booleans — no float thresholds:
+    *
+    *  - `ok_ntok`  token count in [20, 100k] (Gopher: 50–100k words;
+    *    lower bound tightened so the rule bites on this corpus)
+    *  - `ok_wlen`  mean token length in [4, 10], as
+    *    `4·n_tokens ≤ sum_len ≤ 10·n_tokens` (Gopher: [3, 10],
+    *    tightened for bite — the corpus mean-word-length band is
+    *    4.17–4.84, so [3, 10] never fires)
+    *  - `ok_stop`  ≥ 2 DISTINCT English stopwords present (Gopher's
+    *    "≥ 2 of a stop list" rule, distinct-term form)
+    *  - `ok_rep`   distinct-token ratio ≥ 0.3, as
+    *    `10·n_distinct ≥ 3·n_tokens` (Gopher's repetition family)
+    *  - `ok_top`   most-frequent-token share ≤ 0.2, as
+    *    `5·top_tf ≤ n_tokens` (Gopher's most-common-word fraction)
+    *
+    * Scale shape: ONE bounded per-doc aggregate over the shared term
+    * table (no window, no second tokenize pass — the same pass tfidf /
+    * vocab_stats / token_freq ride), then a left join back to the
+    * doc-id spine so token-less documents still get a (failing) row.
+    * All rule arithmetic stays in Long (max `sum_len` ≈ tokens×10 —
+    * overflow needs an 9e17-token document).
+    */
+  def gopherRules(docs: DataFrame, cacheKey: String = ""): DataFrame = {
+    val agg = docTerms(docs, cacheKey)
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("tf")).as("top_tf"),
+        sum(col("tf") * length(col("term"))).as("sum_len"),
+        count(when(col("term").isin(stopEn: _*), lit(1)))
+          .as("n_stop_distinct"))
+    docs.select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tokens", "n_distinct", "top_tf", "sum_len",
+        "n_stop_distinct"))
+      .withColumn("ok_ntok",
+        expr("n_tokens >= 20 and n_tokens <= 100000"))
+      .withColumn("ok_wlen",
+        expr("sum_len >= 4 * n_tokens and sum_len <= 10 * n_tokens"))
+      .withColumn("ok_stop", expr("n_stop_distinct >= 2"))
+      .withColumn("ok_rep", expr("n_distinct * 10 >= n_tokens * 3"))
+      .withColumn("ok_top", expr("top_tf * 5 <= n_tokens"))
+      .withColumn("pass",
+        expr("ok_ntok and ok_wlen and ok_stop and ok_rep and ok_top"))
+  }
+
+  /** Retrieval-quality metrics for a fixed query-term set over the
+    * [[bm25TopK]] scoring — the eval harness a retrieval-augmented
+    * pipeline runs after every index rebuild: per query term,
+    * `precision@k`, `recall@k`, and `MRR@k` against a deterministic
+    * relevance rule (`rel ⇔ tf ≥ minTf` — term frequency as the
+    * stand-in for graded qrels).
+    *
+    * Exactness: ranking runs on bm25's floor-to-micros integer score
+    * (ties broken by doc_id), and every metric is integer division to
+    * micros — both engines rank and divide identically. MRR is @k:
+    * a first relevant hit BELOW rank k scores 0 (the standard cutoff
+    * form), so the metric needs only the top-k rows.
+    *
+    * Scale shape: the per-term candidate set is `tf.filter(term IN …)`
+    * — df-bounded, NOT corpus-bounded; the rank window partitions by
+    * term but its `rk ≤ k` consumer lets Spark plan a WindowGroupLimit
+    * (per-partition top-k pre-prune before the shuffle, the cosine_topk
+    * pattern), and `n_rel` totals come from a plain bounded aggregate
+    * with no window at all.
+    */
+  def retrievalMetrics(docs: DataFrame, terms: Seq[String], k: Int,
+      minTf: Long, cacheKey: String = ""): DataFrame = {
+    val tf = docTerms(docs, cacheKey)
+    val dl = if (cacheKey.isEmpty)
+      tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    else docTermLengths(docs, cacheKey)
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tok_total"))
+    val dfq = tf.filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.filter(col("term").isin(terms: _*))
+      .join(broadcast(dfq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("tok_total").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("tfn",
+        col("tf").cast("double") * lit(2.2) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / col("avgdl")))))
+      .withColumn("cm",
+        floor(col("idf") * col("tfn") * lit(1000000.0)).cast("long"))
+      .withColumn("rel", (col("tf") >= minTf).cast("long"))
+    val relTotals = scored.groupBy("term").agg(sum(col("rel")).as("n_rel"))
+    val top = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("cm").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+    top.groupBy("term")
+      .agg(
+        sum(col("rel")).as("hits_at_k"),
+        min(when(col("rel") === 1, col("rk"))).cast("long")
+          .as("first_rel_rk"))
+      .join(relTotals, "term")
+      .withColumn("precision_micro",
+        expr(s"cast(hits_at_k * 1000000 div $k as bigint)"))
+      .withColumn("recall_micro",
+        expr("case when n_rel > 0 " +
+          "then cast(hits_at_k * 1000000 div n_rel as bigint) " +
+          "else cast(0 as bigint) end"))
+      .withColumn("mrr_micro",
+        expr("case when first_rel_rk is not null " +
+          "then cast(1000000 div first_rel_rk as bigint) " +
+          "else cast(0 as bigint) end"))
+      .select("term", "n_rel", "hits_at_k", "first_rel_rk",
+        "precision_micro", "recall_micro", "mrr_micro")
+  }
 }

@@ -438,6 +438,116 @@ object PipelineQueries {
          |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
       Pipeline.qualityDupCalib(t(s, dir, "documents"), cacheKey = dir)
         .orderBy("bucket")
+    },
+
+    // Gopher-style quality-rule battery: five admission rules as EXACT
+    // integer predicates off the memoized term table (one bounded
+    // per-doc aggregate, no window, no re-tokenize). Every rule bites
+    // at sf0.01 (ok_ntok 457/500, ok_wlen 494, ok_stop 317, ok_rep
+    // 492, ok_top 493) so the conjunction genuinely differentiates.
+    QuerySpec("gopher_rules",
+      s"""WITH tq AS (SELECT doc_id, unnest(${TextOps.toksD}) AS term
+         |            FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tq
+         |       GROUP BY doc_id, term),
+         |agg AS (
+         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |         COUNT(*) AS n_distinct,
+         |         CAST(MAX(tf) AS BIGINT) AS top_tf,
+         |         CAST(SUM(tf * length(term)) AS BIGINT) AS sum_len,
+         |         COUNT(*) FILTER (WHERE term IN
+         |           (${TextOps.stopEn.map(w => s"'$w'").mkString(", ")}))
+         |           AS n_stop_distinct
+         |  FROM tf GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_distinct, top_tf, sum_len,
+         |       n_stop_distinct, ok_ntok, ok_wlen, ok_stop, ok_rep,
+         |       ok_top,
+         |       ok_ntok AND ok_wlen AND ok_stop AND ok_rep AND ok_top
+         |         AS pass
+         |FROM (
+         |  SELECT d.doc_id,
+         |         coalesce(agg.n_tokens, 0) AS n_tokens,
+         |         coalesce(agg.n_distinct, 0) AS n_distinct,
+         |         coalesce(agg.top_tf, 0) AS top_tf,
+         |         coalesce(agg.sum_len, 0) AS sum_len,
+         |         coalesce(agg.n_stop_distinct, 0) AS n_stop_distinct,
+         |         coalesce(agg.n_tokens, 0) >= 20
+         |           AND coalesce(agg.n_tokens, 0) <= 100000 AS ok_ntok,
+         |         coalesce(agg.sum_len, 0)
+         |           >= 4 * coalesce(agg.n_tokens, 0)
+         |           AND coalesce(agg.sum_len, 0)
+         |           <= 10 * coalesce(agg.n_tokens, 0) AS ok_wlen,
+         |         coalesce(agg.n_stop_distinct, 0) >= 2 AS ok_stop,
+         |         coalesce(agg.n_distinct, 0) * 10
+         |           >= coalesce(agg.n_tokens, 0) * 3 AS ok_rep,
+         |         coalesce(agg.top_tf, 0) * 5
+         |           <= coalesce(agg.n_tokens, 0) AS ok_top
+         |  FROM documents d LEFT JOIN agg USING (doc_id))
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Pipeline.gopherRules(t(s, dir, "documents"), cacheKey = dir)
+        .orderBy("doc_id")
+    },
+
+    // Retrieval-quality eval over the bm25 scoring: per query term,
+    // precision@10 / recall@10 / MRR@10 against the deterministic
+    // tf>=3 relevance rule. 'dup' has ZERO relevant docs at sf0.01
+    // (df 25, max tf 2), so the n_rel=0 and no-relevant-in-top-k
+    // guard paths are both exercised, not just written.
+    QuerySpec("retrieval_metrics",
+      s"""WITH tq AS (SELECT doc_id, unnest(${TextOps.toksD}) AS term
+         |            FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tq
+         |       GROUP BY doc_id, term),
+         |dlt AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf
+         |        GROUP BY doc_id),
+         |st AS (SELECT COUNT(*) AS n_docs,
+         |              CAST(SUM(dl) AS BIGINT) AS tok_total FROM dlt),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf
+         |        WHERE term IN ('dup', 'vector', 'spark', 'merge')
+         |        GROUP BY term),
+         |c AS (
+         |  SELECT tf.term, tf.doc_id,
+         |         CAST(FLOOR(
+         |           ((CAST(st.n_docs AS DOUBLE) - dfq.df + 0.5)
+         |             / (CAST(dfq.df AS DOUBLE) + 0.5))
+         |           * (CAST(tf.tf AS DOUBLE) * 2.2
+         |              / (CAST(tf.tf AS DOUBLE) + 1.2
+         |                 * (0.25 + 0.75 * (CAST(dlt.dl AS DOUBLE)
+         |                    / (CAST(st.tok_total AS DOUBLE)
+         |                       / st.n_docs)))))
+         |           * 1000000.0) AS BIGINT) AS cm,
+         |         CASE WHEN tf.tf >= 3 THEN 1 ELSE 0 END AS rel
+         |  FROM tf JOIN dfq USING (term) JOIN dlt USING (doc_id)
+         |  CROSS JOIN st),
+         |totals AS (SELECT term, CAST(SUM(rel) AS BIGINT) AS n_rel
+         |           FROM c GROUP BY term),
+         |top AS (
+         |  SELECT term, rel, rk FROM (
+         |    SELECT term, rel, row_number() OVER (
+         |      PARTITION BY term ORDER BY cm DESC, doc_id) AS rk
+         |    FROM c)
+         |  WHERE rk <= 10),
+         |m AS (
+         |  SELECT term, CAST(SUM(rel) AS BIGINT) AS hits_at_k,
+         |         CAST(MIN(CASE WHEN rel = 1 THEN rk END) AS BIGINT)
+         |           AS first_rel_rk
+         |  FROM top GROUP BY term)
+         |SELECT m.term, totals.n_rel, m.hits_at_k, m.first_rel_rk,
+         |       CAST(m.hits_at_k * 1000000 // 10 AS BIGINT)
+         |         AS precision_micro,
+         |       CASE WHEN totals.n_rel > 0
+         |            THEN CAST(m.hits_at_k * 1000000 // totals.n_rel
+         |                      AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS recall_micro,
+         |       CASE WHEN m.first_rel_rk IS NOT NULL
+         |            THEN CAST(1000000 // m.first_rel_rk AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS mrr_micro
+         |FROM m JOIN totals USING (term)
+         |ORDER BY term""".stripMargin) { (s, dir) =>
+      Pipeline.retrievalMetrics(t(s, dir, "documents"),
+        Seq("dup", "vector", "spark", "merge"), k = 10, minTf = 3L,
+        cacheKey = dir)
+        .orderBy("term")
     }
   )
 }

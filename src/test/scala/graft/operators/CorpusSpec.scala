@@ -308,4 +308,36 @@ class CorpusSpec extends AnyFunSuite {
     }
     Memo.clearCaches(spark)
   }
+
+  test("pplBuckets partitions the corpus exactly, each bucket count " +
+    "matches the per-doc threshold rule recomputed from lmScore, and " +
+    "misordered thresholds are rejected") {
+    Memo.clearCaches(spark)
+    val out = Corpus.pplBuckets(docs, headMin = 26000L, midMin = 23500L,
+      topV = 512)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Exact partition: every document lands in exactly one bucket.
+    assert(out.values.sum == docs.count())
+    // Recompute the expected bucket per doc from the SAME lmScore
+    // table with driver-side integer arithmetic — the exactness claim
+    // (sum >= n·T, no division) checked independently of the operator.
+    val expected = Corpus.lmScore(docs, topV = 512)
+      .select("n_bigrams", "sum_pmicro").collect()
+      .map { r =>
+        val n = r.getInt(0); val s = r.getLong(1)
+        if (n == 0) "tail"
+        else if (s >= n.toLong * 26000L) "head"
+        else if (s >= n.toLong * 23500L) "middle"
+        else "tail"
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(out == expected,
+      s"bucket counts diverged: got $out, expected $expected")
+    // The fixture thresholds genuinely shard: more than one bucket.
+    assert(out.size >= 2, s"thresholds never fired: $out")
+    intercept[IllegalArgumentException] {
+      Corpus.pplBuckets(docs, headMin = 1L, midMin = 2L, topV = 512)
+    }
+    Memo.clearCaches(spark)
+  }
 }

@@ -460,4 +460,91 @@ class PipelineSpec extends AnyFunSuite {
     assert(mix.keySet == Set("train", "val", "test"),
       s"mixture-sampled subset lost a split: $mix")
   }
+
+  test("gopherRules: each rule fires for exactly its crafted violator, " +
+    "token-less docs keep a failing row, and the plan has no window") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    Memo.clearCaches(spark)
+    // One doc per rule violation + one clean pass. Tokens are chosen
+    // so exactly the targeted flags flip (mean lengths computed in the
+    // comments).
+    val good = ((1 to 24).map(i => f"word$i%02d") ++ Seq("the", "and"))
+      .mkString(" ") // 26 toks, distinct, len 6·24+3+3=150 ∈ [104, 260]
+    // 7 toks < 20 (ok_ntok fails) but every other rule holds: len
+    // 3+3+6+6+7+5+5 = 35 ≥ 28, top_tf 1 (5 ≤ 7), 7 distinct, 2 stops.
+    val short = "the and alphas bravos charlie delta echos"
+    val rep = (Seq("extra", "other") ++ Seq.fill(30)("spams") ++
+      Seq("the", "and")).mkString(" ")
+    // 34 toks, 4 distinct (40 < 102 → ok_rep fails), top_tf 30
+    // (150 > 34 → ok_top fails); mean len 164/34 ≈ 4.8 keeps ok_wlen.
+    val nostop = (1 to 25).map(i => f"token$i%02d").mkString(" ")
+    val tiny = Seq((1L, good), (2L, short), (3L, rep), (4L, nostop),
+      (5L, "")).toDF("doc_id", "text")
+    val out = Pipeline.gopherRules(tiny)
+    val rows = out.collect().map { r =>
+      r.getLong(0) -> Seq("ok_ntok", "ok_wlen", "ok_stop", "ok_rep",
+        "ok_top", "pass").map(c => r.getBoolean(r.fieldIndex(c)))
+    }.toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L),
+      "every doc — including the token-less one — must get a row")
+    assert(rows(1L) == Seq(true, true, true, true, true, true))
+    assert(rows(2L) == Seq(false, true, true, true, true, false))
+    assert(rows(3L)(3) == false && rows(3L)(4) == false &&
+      rows(3L)(1) == true && rows(3L)(5) == false,
+      s"repetition doc must fail ok_rep+ok_top only: ${rows(3L)}")
+    assert(rows(4L) == Seq(true, true, false, true, true, false))
+    assert(rows(5L)(5) == false, "empty doc cannot pass")
+    // Scale shape: one bounded aggregate — no window operator at all.
+    val wins = out.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.isEmpty, "gopherRules must not plan a window")
+    Memo.clearCaches(spark)
+  }
+
+  test("retrievalMetrics: hand-computed metrics on an equal-length " +
+    "corpus, zero-relevant guard, and rank pruning via WindowGroupLimit") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    Memo.clearCaches(spark)
+    // Five docs of EQUAL token count (dl = 8) so bm25 ranks purely by
+    // tf: q-tf 4, 3, 2, 1, 0. With rel ⇔ tf ≥ 3 and k = 3:
+    // n_rel = 2, top-3 = docs 1,2,3 → hits = 2, first_rel_rk = 1.
+    def pad(id: Long, n: Int): String =
+      (1 to n).map(i => s"f$id$i").mkString(" ")
+    val tiny = Seq(
+      (1L, "q q q q " + pad(1, 4)),
+      (2L, "q q q " + pad(2, 5)),
+      (3L, "q q " + pad(3, 6)),
+      (4L, "q " + pad(4, 7)),
+      (5L, pad(5, 8))).toDF("doc_id", "text")
+    val out = Pipeline.retrievalMetrics(tiny, Seq("q", "zz"), k = 3,
+      minTf = 3L)
+    val rows = out.collect()
+    assert(rows.map(_.getString(0)).toSet == Set("q"),
+      "absent terms (df = 0) must not fabricate rows")
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("n_rel")) == 2L)
+    assert(r.getLong(r.fieldIndex("hits_at_k")) == 2L)
+    assert(r.getLong(r.fieldIndex("first_rel_rk")) == 1L)
+    assert(r.getLong(r.fieldIndex("precision_micro")) == 666666L)
+    assert(r.getLong(r.fieldIndex("recall_micro")) == 1000000L)
+    assert(r.getLong(r.fieldIndex("mrr_micro")) == 1000000L)
+    // Zero-relevant term: minTf above every tf → recall/mrr 0, rank
+    // null — the 'dup' path at the fixture, pinned here explicitly.
+    val none = Pipeline.retrievalMetrics(tiny, Seq("q"), k = 3,
+      minTf = 99L).collect().head
+    assert(none.getLong(none.fieldIndex("n_rel")) == 0L)
+    assert(none.isNullAt(none.fieldIndex("first_rel_rk")))
+    assert(none.getLong(none.fieldIndex("recall_micro")) == 0L)
+    assert(none.getLong(none.fieldIndex("mrr_micro")) == 0L)
+    // The rk ≤ k filter must plan as WindowGroupLimit (per-partition
+    // top-k pre-prune before the shuffle — the cosine_topk pattern),
+    // not a full per-term sort.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter must pre-prune via WindowGroupLimit:\n$plan")
+    Memo.clearCaches(spark)
+  }
 }
