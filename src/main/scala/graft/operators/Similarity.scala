@@ -1229,9 +1229,12 @@ object Similarity {
   private def loadCodebook(spark: SparkSession,
       path: String): DataFrame = {
     val df = spark.read.parquet(path)
-    val rows = df.collect()
+    // limit(65537) bounds the driver-side fetch BEFORE the check — a
+    // corpus-sized file at this path must fail the require, not OOM
+    // the driver pulling every row just to count them.
+    val rows = df.limit(65537).collect()
     require(rows.length > 0 && rows.length <= 65536,
-      s"codebook at $path has ${rows.length} rows — a codebook is " +
+      s"codebook at $path has ${rows.length}+ rows — a codebook is " +
         "KB-sized metadata (1..65536 centroids), not a corpus")
     spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)
@@ -1263,14 +1266,26 @@ object Similarity {
     */
   def ivfPqTopKFromPqStore(spark: SparkSession, path: String,
       queries: DataFrame, nProbe: Int, k: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
     val cent = loadCodebook(spark, s"$path/codebook")
+    pqStoreSearch(spark, path, queries, cent,
+      probedCells(queries, cent, nProbe), nProbe, k)
+  }
+
+  /** [[ivfPqTopKFromPqStore]] body with the codebook and probed-cell
+    * list precomputed, so [[ivfPqRerankFromStores]] (which needs both
+    * again for the raw-vector fetch) loads the codebook and runs the
+    * probe job ONCE per query batch, not once per stage.
+    */
+  private def pqStoreSearch(spark: SparkSession, path: String,
+      queries: DataFrame, cent: DataFrame, cells: Seq[Int],
+      nProbe: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val cb = spark.read.parquet(s"$path/subcodebook")
     val d = cb.agg((max("m") + 1).cast("int").as("ns"),
       (max("code") + 1).cast("int").as("nc")).head()
     val (nSub, nCode) = (d.getInt(0), d.getInt(1))
     val codes = spark.read.parquet(s"$path/codes")
-      .filter(col("cid").isin(probedCells(queries, cent, nProbe): _*))
+      .filter(col("cid").isin(cells: _*))
       .repartition(spark.sparkContext.defaultParallelism)
     ivfPqAdcTopK(queries, cent, cb, codes, nProbe, nSub, nCode, k)
   }
@@ -1286,11 +1301,12 @@ object Similarity {
   def ivfPqRerankFromStores(spark: SparkSession, pqPath: String,
       vecPath: String, queries: DataFrame, nProbe: Int, nCand: Int,
       k: Int): DataFrame = {
-    val cand = ivfPqTopKFromPqStore(spark, pqPath, queries, nProbe,
-      math.max(nCand, k)).select(col("q_id"), col("n_id"))
     val cent = loadCodebook(spark, s"$pqPath/codebook")
+    val cells = probedCells(queries, cent, nProbe)
+    val cand = pqStoreSearch(spark, pqPath, queries, cent, cells,
+      nProbe, math.max(nCand, k)).select(col("q_id"), col("n_id"))
     val store = spark.read.parquet(s"$vecPath/vectors")
-      .filter(col("cid").isin(probedCells(queries, cent, nProbe): _*))
+      .filter(col("cid").isin(cells: _*))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
     store.join(broadcast(cand), "n_id")

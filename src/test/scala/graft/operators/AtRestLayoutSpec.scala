@@ -155,4 +155,24 @@ class AtRestLayoutSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       assert(rerankStore == rerankMem)
     } finally e.unpersist(): Unit
   }
+
+  test("a corpus-sized file at a codebook path is rejected loudly, " +
+    "and the probe's driver-side fetch stays bounded while detecting it") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-badcb").toString + "/s"
+    // 70k rows where KB-sized metadata belongs — over the 65536 bound.
+    spark.range(70000)
+      .select(col("id").as("cid"), array(lit(1.0f)).as("centv"),
+        lit(1.0f).as("centn"))
+      .write.parquet(s"$path/codebook")
+    val q = Seq((0L, Array(1.0f), 1.0f)).toDF("q_id", "qv", "qn")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKFromStore(spark, path, q, nProbe = 1, k = 1)
+    }
+    // "65537+" proves the fetch was LIMIT-bounded: the guard saw the
+    // capped batch, not a full corpus pulled into the driver to count.
+    assert(ex.getMessage.contains("65537+") &&
+      ex.getMessage.contains("not a corpus"), ex.getMessage)
+  }
 }
