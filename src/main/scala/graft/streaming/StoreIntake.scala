@@ -78,6 +78,25 @@ object StoreIntake {
       new Path(new Path(root, "_epochs"), tag(scope, batchId)))
   }
 
+  /** The root-relative files an applied epoch placed, re-read from its
+    * marker. Empty for empty epochs AND for markers written before the
+    * content carried the list (legacy `files=N` lines are filtered by
+    * the caller's prefix check).
+    */
+  private def markerFiles(spark: SparkSession, storeRoot: String,
+      scope: String, batchId: Long): Seq[String] = {
+    val root = new Path(storeRoot)
+    val fs = fsOf(spark, root)
+    val marker = new Path(new Path(root, "_epochs"), tag(scope, batchId))
+    if (!fs.exists(marker)) Seq.empty
+    else {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
   /** Recorded (scope, batchId) markers under a store — the ledger
     * listing, for governance ("which epochs does this store hold?").
     */
@@ -183,9 +202,13 @@ object StoreIntake {
       moved += 1
     }
     // The ledger row: atomic create-if-absent, only after every file
-    // landed. Content is informational.
+    // landed. Content = the placed root-relative paths, so a replay
+    // can re-derive what this epoch contributed (the manifest-heal
+    // path below needs exactly that after a crash between marker
+    // create and manifest publish).
     val m = fs.create(marker, false)
-    try m.write(s"files=${pairs.size}\n".getBytes("UTF-8"))
+    try m.write(pairs.map(_._2).mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
     finally m.close()
     fs.delete(intent, false)
     fs.delete(stageDir, true)
@@ -218,7 +241,7 @@ object StoreIntake {
     }
     val applied = placed.isDefined
     val vectorsRoot = s"$storePath/vectors"
-    val manifested = applied && graft.operators.StoreManifest
+    val manifested = graft.operators.StoreManifest
       .currentVersion(spark, vectorsRoot).isDefined
     if (manifested) {
       // Publish the epoch COMPOSITIONALLY: current live list + this
@@ -226,11 +249,20 @@ object StoreIntake {
       // one pointer flip (never a partial epoch, unlike listing
       // readers) — and never a resurrected expired file, which a
       // directory relist would drag back in between compaction and GC.
+      // On a REPLAY (placed = None) the epoch's files come back from
+      // its marker: a crash between marker create and this publish
+      // would otherwise orphan the epoch from every future snapshot —
+      // the marker-held list lets the replay heal the manifest instead
+      // of skipping it.
       val live = graft.operators.StoreManifest
         .files(spark, vectorsRoot).getOrElse(Seq.empty)
-      val fresh = placed.get.map(_.stripPrefix("vectors/"))
-      graft.operators.StoreManifest.publish(spark, vectorsRoot,
-        live ++ fresh): Unit
+      val fresh = placed.getOrElse(
+          markerFiles(spark, storePath, scope, batchId))
+        .filter(_.startsWith("vectors/")).map(_.stripPrefix("vectors/"))
+      val missing = fresh.filterNot(live.toSet)
+      if (missing.nonEmpty)
+        graft.operators.StoreManifest.publish(spark, vectorsRoot,
+          live ++ missing): Unit
     }
     if (applied && compactOver > 0) {
       if (manifested) {

@@ -185,6 +185,51 @@ class StoreIntakeSpec extends AnyFunSuite {
     assert(snapRows.select("n_id").distinct().count() == base + fed)
   }
 
+  test("manifested IVF intake: a crash between epoch marker and " +
+    "manifest publish is healed on replay — the epoch's files reach " +
+    "the snapshot instead of being orphaned forever") {
+    val spark = TestSpark.spark
+    val store = Files.createTempDirectory("graft-ivf-heal").toString +
+      "/ivf"
+    val raw = Tables.t(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val e = Similarity.prepared(raw)
+    val cb = Similarity.firstNCodebook(e, NQ, 8)
+    Similarity.writeIvfStore(e.filter(col("vec_id") % 2 === 1), cb, NQ,
+      store)
+    assert(Similarity.publishIvfManifest(spark, store) == 1L)
+    val vroot = s"$store/vectors"
+    val baseCount = graft.operators.StoreManifest
+      .snapshotRead(spark, vroot).count()
+    // Simulate the crash window: apply the epoch through appendEpoch
+    // DIRECTLY (files land, marker written) but die before the
+    // manifest publish that ivfIntakeBatch would have run next.
+    val b = raw.filter(col("vec_id") >= NQ && col("vec_id") % 2 === 0)
+    val placed = StoreIntake.appendEpoch(spark, store, "heal", 0L,
+      destPrefix = "vectors") { sd =>
+      Similarity.stageIvfEpoch(Similarity.prepared(b), store, sd)
+    }
+    assert(placed.exists(_.nonEmpty) &&
+      StoreIntake.epochApplied(spark, store, "heal", 0L))
+    assert(graft.operators.StoreManifest.snapshotRead(spark, vroot)
+      .count() == baseCount,
+      "crash-simulated epoch must not be visible yet (marker only)")
+    // The streaming runtime replays the batch after the crash; the
+    // replay must heal the manifest from the marker-held file list.
+    StoreIntake.ivfIntakeBatch(store, "heal")(b, 0L)
+    val healed = graft.operators.StoreManifest.snapshotRead(spark, vroot)
+    assert(healed.count() == baseCount + b.count(),
+      "replay must publish the marker-held files into the snapshot")
+    // And a second replay is a pure no-op: no version churn, no dups.
+    val vAfter = graft.operators.StoreManifest.currentVersion(spark,
+      vroot)
+    StoreIntake.ivfIntakeBatch(store, "heal")(b, 0L)
+    assert(graft.operators.StoreManifest.currentVersion(spark, vroot)
+      == vAfter, "an already-healed replay must not publish again")
+    assert(graft.operators.StoreManifest.snapshotRead(spark, vroot)
+      .count() == baseCount + b.count())
+  }
+
   test("documents intake: epochs land under source partitions exactly " +
     "once with pruning intact; evolved epochs pass, type drift rejects") {
     val spark = TestSpark.spark
