@@ -615,7 +615,8 @@ object Similarity {
     * StoreManifest.snapshotRead) from that point on. A crash between
     * the staged write and the manifest flip leaks untracked
     * `compact-*` files (invisible to snapshots, visible to listings) —
-    * sweep them by matching the tmp run id if the flip never happened.
+    * StoreIntake.sweepIvfUntracked deletes exactly those (ledger-
+    * protected epoch files and every manifested file survive).
     */
   def compactIvfCellsSnapshot(spark: SparkSession, path: String,
       cells: Seq[Int]): Long = {

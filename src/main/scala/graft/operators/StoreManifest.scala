@@ -140,6 +140,44 @@ object StoreManifest {
       .parquet(fl.map(f => s"$root/$f"): _*)
   }
 
+  /** Delete data files that NO manifest version references — the
+    * orphans a crash between a compaction's staged renames and its
+    * manifest flip leaves behind (invisible to snapshots, but they
+    * accumulate and double-count in listing-based reads forever).
+    * Safety rails:
+    *
+    *  - `protect`: root-relative paths that must survive even though
+    *    unreferenced — pass the intake ledger's marker-held files, so
+    *    an applied-but-not-yet-published epoch (the heal window) is
+    *    never swept out from under its replay.
+    *  - `olderThanMs`: only files whose modification time is at least
+    *    this old are eligible, so a sweep racing an in-flight writer's
+    *    just-renamed files skips them (belt and braces on top of the
+    *    single-maintenance-writer contract).
+    *
+    * Expired-pending-GC files are listed by their old versions and
+    * therefore never candidates; [[gcExpired]] remains their path out.
+    * Returns the deleted root-relative paths.
+    */
+  def sweepUntracked(spark: SparkSession, root: String,
+      protect: Seq[String] = Seq.empty,
+      olderThanMs: Long = 0L): Seq[String] = {
+    val dir = mdir(root)
+    val fs = fsOf(spark, dir)
+    val cur = currentVersion(spark, root).getOrElse(return Seq.empty)
+    val referenced = (1L to cur)
+      .flatMap(v => readList(fs, new Path(dir, s"v$v.list"))).toSet ++
+      protect
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val deleted = Seq.newBuilder[String]
+    listDataFiles(spark, root).filterNot(referenced).foreach { rel =>
+      val p = new Path(root, rel)
+      if (fs.getFileStatus(p).getModificationTime <= cutoff &&
+        fs.delete(p, false)) deleted += rel
+    }
+    deleted.result()
+  }
+
   /** Delete files expired by versions ≤ the current one minus
     * `keepVersions` — the operator-driven snapshot expiry. Returns the
     * deleted paths. Never touches files referenced by any retained

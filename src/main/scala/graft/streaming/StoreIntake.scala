@@ -109,6 +109,42 @@ object StoreIntake {
       .filterNot(_.startsWith(".")).sorted
   }
 
+  /** Every root-relative file any applied epoch placed, from the
+    * ledger's markers — the protect set for
+    * StoreManifest.sweepUntracked (an applied-but-not-yet-published
+    * epoch's files are unreferenced by the manifest until its replay
+    * heals it, and a sweep must not eat them first).
+    */
+  def ledgerFiles(spark: SparkSession, storeRoot: String): Seq[String] = {
+    val root = new Path(storeRoot)
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, "_epochs")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filterNot(_.getPath.getName.startsWith("."))
+      .flatMap { s =>
+        val in = fs.open(s.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList
+        finally in.close()
+      }
+  }
+
+  /** Operator-driven orphan sweep for a manifested IVF store: deletes
+    * `vectors/` data files no manifest version references AND no
+    * ledger marker protects — the compaction-crash leak (fresh
+    * `compact-*` files staged+renamed, flip never published) documented
+    * on compactIvfCellsSnapshot, closed. Returns deleted
+    * vectors-relative paths.
+    */
+  def sweepIvfUntracked(spark: SparkSession, storePath: String,
+      olderThanMs: Long = 0L): Seq[String] =
+    graft.operators.StoreManifest.sweepUntracked(spark,
+      s"$storePath/vectors",
+      protect = ledgerFiles(spark, storePath)
+        .filter(_.startsWith("vectors/")).map(_.stripPrefix("vectors/")),
+      olderThanMs = olderThanMs)
+
   /** Exactly-once staged append of one epoch into `storeRoot`.
     * `stageWrite` produces the epoch's files under the given stage
     * directory; every non-hidden file is then renamed to

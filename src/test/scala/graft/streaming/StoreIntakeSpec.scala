@@ -230,6 +230,66 @@ class StoreIntakeSpec extends AnyFunSuite {
       .count() == baseCount + b.count())
   }
 
+  test("orphan sweep: a crashed compaction's untracked files are " +
+    "deleted, while live, expired-pending-GC, and ledger-protected " +
+    "files all survive") {
+    val spark = TestSpark.spark
+    val store = Files.createTempDirectory("graft-ivf-sweep").toString +
+      "/ivf"
+    val raw = Tables.t(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val e = Similarity.prepared(raw)
+    val cb = Similarity.firstNCodebook(e, NQ, 8)
+    Similarity.writeIvfStore(e.filter(col("vec_id") % 2 === 1), cb, NQ,
+      store)
+    assert(Similarity.publishIvfManifest(spark, store) == 1L)
+    val vroot = s"$store/vectors"
+    val fs = new org.apache.hadoop.fs.Path(vroot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val snapBefore = graft.operators.StoreManifest
+      .snapshotRead(spark, vroot).count()
+    // Plant the leak: a compact-* file that never made it into any
+    // manifest version (copy of a live file under a fresh name).
+    val aLive = graft.operators.StoreManifest.files(spark, vroot).get.head
+    val orphanRel = aLive.takeWhile(_ != '/') +
+      "/compact-deadbeef-orphan.parquet"
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(vroot, aLive), fs,
+      new org.apache.hadoop.fs.Path(vroot, orphanRel), false,
+      spark.sessionState.newHadoopConf())
+    // And the heal-window shape: an epoch applied (marker + files) but
+    // not yet published — its files are unreferenced by the manifest
+    // but MUST survive the sweep for the replay to heal.
+    val b = raw.filter(col("vec_id") >= NQ && col("vec_id") % 2 === 0)
+    val placed = StoreIntake.appendEpoch(spark, store, "sw", 0L,
+      destPrefix = "vectors") { sd =>
+      Similarity.stageIvfEpoch(Similarity.prepared(b), store, sd)
+    }.get
+    val swept = StoreIntake.sweepIvfUntracked(spark, store)
+    assert(swept == Seq(orphanRel),
+      s"sweep must delete exactly the orphan, got $swept")
+    placed.map(_.stripPrefix("vectors/")).foreach { rel =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(vroot, rel)),
+        s"ledger-protected epoch file swept: $rel")
+    }
+    assert(graft.operators.StoreManifest.snapshotRead(spark, vroot)
+      .count() == snapBefore, "sweep must not change the snapshot")
+    // The protected epoch still heals afterwards.
+    StoreIntake.ivfIntakeBatch(store, "sw")(b, 0L)
+    assert(graft.operators.StoreManifest.snapshotRead(spark, vroot)
+      .count() == snapBefore + b.count())
+    // An age threshold excludes everything just written.
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(vroot, aLive), fs,
+      new org.apache.hadoop.fs.Path(vroot, orphanRel), false,
+      spark.sessionState.newHadoopConf())
+    assert(StoreIntake.sweepIvfUntracked(spark, store,
+      olderThanMs = 3600000L).isEmpty,
+      "a young orphan must survive an aged sweep")
+    assert(StoreIntake.sweepIvfUntracked(spark, store)
+      == Seq(orphanRel))
+  }
+
   test("documents intake: epochs land under source partitions exactly " +
     "once with pruning intact; evolved epochs pass, type drift rejects") {
     val spark = TestSpark.spark
