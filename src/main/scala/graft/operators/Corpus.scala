@@ -205,7 +205,19 @@ object Corpus {
     * bigram, avg_pmicro — null for docs with no bigram).
     */
   def lmScore(docs: DataFrame, topV: Int,
-      cacheKey: String = ""): DataFrame = {
+      cacheKey: String = ""): DataFrame =
+    // Memoized per (session, corpus, topV): the per-doc score table is
+    // doc-count-sized and has two declared consumers (lm_score,
+    // ppl_bucket) — without this each pays the full corpus scoring
+    // pass. topV folds into the key (it changes the model).
+    Memo.memo("lmscore", docs.sparkSession,
+      if (cacheKey.isEmpty) "" else s"$cacheKey|v=$topV",
+      persistIt = true) {
+      lmScorePlan(docs, topV, cacheKey)
+    }
+
+  private[operators] def lmScorePlan(docs: DataFrame, topV: Int,
+      cacheKey: String): DataFrame = {
     val bigrams = docBigrams(docs, cacheKey)
     val cab = bigrams.filter(col("a").isNotNull)
       .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))

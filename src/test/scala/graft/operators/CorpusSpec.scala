@@ -289,7 +289,9 @@ class CorpusSpec extends AnyFunSuite {
     "shuffles are the bigram aggregates; the ranking window runs " +
     "over the model table, never the corpus") {
     Memo.clearCaches(spark)
-    val out = Corpus.lmScore(docs, topV = 512)
+    // The un-memoized plan: the memoized public entry returns a
+    // persisted frame whose InMemoryRelation hides the shape.
+    val out = Corpus.lmScorePlan(docs, topV = 512, cacheKey = "")
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       "capped model and unigram tables must broadcast")
