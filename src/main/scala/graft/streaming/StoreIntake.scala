@@ -70,47 +70,80 @@ object StoreIntake {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** True iff (scope, batchId) is recorded as fully applied. */
+  private def appliedPath(root: Path): Path =
+    new Path(new Path(root, "_epochs"), ".applied")
+
+  private def readLines(fs: FileSystem, p: Path): Seq[String] =
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList
+      finally in.close()
+    }
+
+  /** The consolidated ledger (`_epochs/.applied`): tag → placed files,
+    * one `tag\tfile` line per file (`tag\t` for an empty epoch). Old
+    * markers fold into it via [[compactEpochLedger]] with their FULL
+    * semantics preserved — applied-check, heal file lists, sweep
+    * protection all consult it.
+    */
+  private def readApplied(fs: FileSystem,
+      root: Path): Map[String, Seq[String]] =
+    readLines(fs, appliedPath(root))
+      .filter(_.nonEmpty)
+      .map { l =>
+        val i = l.indexOf('\t')
+        if (i < 0) (l, "") else (l.substring(0, i), l.substring(i + 1))
+      }
+      .groupBy(_._1)
+      .map { case (t, fl) => t -> fl.map(_._2).filter(_.nonEmpty) }
+
+  /** True iff (scope, batchId) is recorded as fully applied — as a
+    * live marker (the fast existence probe) or folded into the
+    * consolidated ledger.
+    */
   def epochApplied(spark: SparkSession, storeRoot: String, scope: String,
       batchId: Long): Boolean = {
     val root = new Path(storeRoot)
-    fsOf(spark, root).exists(
-      new Path(new Path(root, "_epochs"), tag(scope, batchId)))
+    val fs = fsOf(spark, root)
+    val t = tag(scope, batchId)
+    fs.exists(new Path(new Path(root, "_epochs"), t)) ||
+      readApplied(fs, root).contains(t)
   }
 
   /** The root-relative files an applied epoch placed, re-read from its
-    * marker. Empty for empty epochs AND for markers written before the
-    * content carried the list (legacy `files=N` lines are filtered by
-    * the caller's prefix check).
+    * marker or the consolidated ledger. Empty for empty epochs AND for
+    * markers written before the content carried the list (legacy
+    * `files=N` lines are filtered by the caller's prefix check).
     */
   private def markerFiles(spark: SparkSession, storeRoot: String,
       scope: String, batchId: Long): Seq[String] = {
     val root = new Path(storeRoot)
     val fs = fsOf(spark, root)
     val marker = new Path(new Path(root, "_epochs"), tag(scope, batchId))
-    if (!fs.exists(marker)) Seq.empty
-    else {
-      val in = fs.open(marker)
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toList
-      finally in.close()
-    }
+    if (fs.exists(marker)) readLines(fs, marker).filter(_.nonEmpty)
+    else readApplied(fs, root)
+      .getOrElse(tag(scope, batchId), Seq.empty)
   }
 
-  /** Recorded (scope, batchId) markers under a store — the ledger
-    * listing, for governance ("which epochs does this store hold?").
+  /** Recorded (scope, batchId) epochs under a store — live markers
+    * plus consolidated-ledger entries, for governance ("which epochs
+    * does this store hold?").
     */
   def appliedEpochs(spark: SparkSession,
       storeRoot: String): Seq[String] = {
-    val dir = new Path(new Path(storeRoot), "_epochs")
+    val root = new Path(storeRoot)
+    val dir = new Path(root, "_epochs")
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filterNot(_.startsWith(".")).sorted
+    else (fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith(".")) ++
+      readApplied(fs, root).keys).distinct.sorted
   }
 
-  /** Every root-relative file any applied epoch placed, from the
-    * ledger's markers — the protect set for
+  /** Every root-relative file any applied epoch placed — live markers
+    * plus the consolidated ledger — the protect set for
     * StoreManifest.sweepUntracked (an applied-but-not-yet-published
     * epoch's files are unreferenced by the manifest until its replay
     * heals it, and a sweep must not eat them first).
@@ -122,12 +155,54 @@ object StoreIntake {
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
       .filterNot(_.getPath.getName.startsWith("."))
-      .flatMap { s =>
-        val in = fs.open(s.getPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().filter(_.nonEmpty).toList
-        finally in.close()
-      }
+      .flatMap(s => readLines(fs, s.getPath).filter(_.nonEmpty)) ++
+      readApplied(fs, root).values.flatten.toSeq
+  }
+
+  /** Fold all but the newest `keepLast` epoch markers into the
+    * consolidated `.applied` ledger file (one line per placed file) and
+    * delete them. A streaming intake writes one marker file per
+    * micro-batch FOREVER — a year at one batch a minute is ~525k files
+    * in `_epochs/`, which crushes listings (and object-store LIST
+    * calls); after compaction the ledger is one file plus a bounded
+    * marker tail. Semantics are preserved exactly: applied-checks, the
+    * replay heal's file lists, and the sweep's protect set all read the
+    * consolidated ledger too. Crash-safe: the new `.applied` lands via
+    * tmp + atomic rename BEFORE any marker is deleted (a crash between
+    * leaves a tag in both places — the merge dedupes). Runs in the
+    * single-maintenance-writer window like every store maintenance op.
+    * Returns the number of markers folded.
+    */
+  def compactEpochLedger(spark: SparkSession, storeRoot: String,
+      keepLast: Int = 100): Int = {
+    require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
+    val root = new Path(storeRoot)
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, "_epochs")
+    if (!fs.exists(dir)) return 0
+    val markers = fs.listStatus(dir).toSeq
+      .filterNot(_.getPath.getName.startsWith("."))
+      .sortBy(s => (s.getModificationTime, s.getPath.getName))
+    val fold = markers.dropRight(keepLast)
+    if (fold.isEmpty) return 0
+    val merged = readApplied(fs, root) ++ fold.map { s =>
+      s.getPath.getName -> readLines(fs, s.getPath).filter(_.nonEmpty)
+    }
+    val lines = merged.toSeq.sortBy(_._1).flatMap { case (t, fl) =>
+      if (fl.isEmpty) Seq(s"$t\t") else fl.map(f => s"$t\t$f")
+    }
+    val tmp = new Path(dir, ".applied-tmp")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dest = appliedPath(root)
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(dest, false)
+      require(fs.rename(tmp, dest),
+        s"could not publish consolidated ledger at $dest")
+    }
+    fold.foreach(s => fs.delete(s.getPath, false))
+    fold.size
   }
 
   /** Operator-driven orphan sweep for a manifested IVF store: deletes
@@ -177,6 +252,9 @@ object StoreIntake {
       fs.delete(stageDir, true)
       return None
     }
+    // An epoch folded into the consolidated ledger is applied too — a
+    // replay arriving after compactEpochLedger must skip, not re-append.
+    if (readApplied(fs, root).contains(t)) return None
     if (fs.exists(intent)) {
       // Crash mid-renames: delete exactly the destinations the failed
       // attempt declared (whichever subset landed), then fall through

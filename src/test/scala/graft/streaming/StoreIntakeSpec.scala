@@ -290,6 +290,59 @@ class StoreIntakeSpec extends AnyFunSuite {
       == Seq(orphanRel))
   }
 
+  test("epoch-ledger compaction: old markers fold into one file with " +
+    "semantics intact — applied-checks, replay skip, file lists, and " +
+    "sweep protection all survive the fold") {
+    val spark = TestSpark.spark
+    val store = Files.createTempDirectory("graft-ivf-ledger").toString +
+      "/ivf"
+    val raw = Tables.t(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val e = Similarity.prepared(raw)
+    val cb = Similarity.firstNCodebook(e, NQ, 8)
+    Similarity.writeIvfStore(e.filter(col("vec_id") % 5 === 1), cb, NQ,
+      store)
+    // Five epochs (one empty) against the ledger.
+    val batches = (0 until 5).map { i =>
+      if (i == 3) raw.filter(lit(false))
+      else raw.filter(col("vec_id") >= NQ && col("vec_id") % 5 === i)
+        .withColumn("vec_id", col("vec_id") + lit((i + 1) * 1000000L))
+    }
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StoreIntake.ivfIntakeBatch(store, "lc")(b, i.toLong)
+    }
+    val epochsBefore = StoreIntake.appliedEpochs(spark, store)
+    val ledgerBefore = StoreIntake.ledgerFiles(spark, store).toSet
+    val rowsBefore = spark.read.parquet(s"$store/vectors").count()
+    // Fold all but the newest 2 markers.
+    assert(StoreIntake.compactEpochLedger(spark, store, keepLast = 2)
+      == 3)
+    val fsp = new org.apache.hadoop.fs.Path(s"$store/_epochs")
+    val fs = fsp.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.listStatus(fsp).count(s =>
+      !s.getPath.getName.startsWith(".")) == 2,
+      "exactly keepLast marker files must remain")
+    // Governance views and the protect set are unchanged by the fold.
+    assert(StoreIntake.appliedEpochs(spark, store) == epochsBefore)
+    assert(StoreIntake.ledgerFiles(spark, store).toSet == ledgerBefore)
+    (0 until 5).foreach { i =>
+      assert(StoreIntake.epochApplied(spark, store, "lc", i.toLong),
+        s"epoch $i must stay applied after the fold")
+    }
+    // Replaying a FOLDED epoch is still a no-op (marker long gone).
+    StoreIntake.ivfIntakeBatch(store, "lc")(batches(0), 0L)
+    assert(spark.read.parquet(s"$store/vectors").count() == rowsBefore,
+      "a replay of a consolidated epoch must append nothing")
+    // A second compaction with nothing eligible is a no-op.
+    assert(StoreIntake.compactEpochLedger(spark, store, keepLast = 2)
+      == 0)
+    // Fold the rest: zero live markers, everything still applied.
+    assert(StoreIntake.compactEpochLedger(spark, store, keepLast = 0)
+      == 2)
+    assert(StoreIntake.appliedEpochs(spark, store) == epochsBefore)
+    assert(StoreIntake.ledgerFiles(spark, store).toSet == ledgerBefore)
+  }
+
   test("documents intake: epochs land under source partitions exactly " +
     "once with pruning intact; evolved epochs pass, type drift rejects") {
     val spark = TestSpark.spark
