@@ -58,4 +58,33 @@ object AtRestStores {
     */
   def documentsStoreEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Adopt snapshot manifests for a documents store (the IVF store's
+    * publishIvfManifest, for documents): pin the current data files as
+    * version 1. From then on read through [[documentsSnapshot]] and
+    * compact with [[compactDocumentsSources]] — same contracts, same
+    * GC (`StoreManifest.gcExpired`), same orphan sweep.
+    */
+  def publishDocumentsManifest(spark: SparkSession, path: String): Long =
+    StoreManifest.publish(spark, path,
+      StoreManifest.listDataFiles(spark, path))
+
+  /** The manifested read: exactly the current snapshot's files, with
+    * `source=` directory pruning intact (basePath). Results are always
+    * a full pre- or post-maintenance state, never a mix.
+    */
+  def documentsSnapshot(spark: SparkSession, path: String): DataFrame =
+    StoreManifest.snapshotRead(spark, path)
+
+  /** Snapshot-compact the named sources' files (each intake epoch adds
+    * files per source FOREVER — the small-files problem a year of
+    * micro-batches creates): fresh files land under new names, one
+    * manifest pointer flip swaps the source's file set, replaced files
+    * expire until GC. Readers racing the compaction see pre- or
+    * post-state, never a half-swapped source directory.
+    */
+  def compactDocumentsSources(spark: SparkSession, path: String,
+      sources: Seq[String]): Long =
+    StoreManifest.compactPartitionsSnapshot(spark, path,
+      sources.map(s => s"source=$s").toSet)
 }

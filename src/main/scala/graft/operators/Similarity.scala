@@ -619,49 +619,9 @@ object Similarity {
     * protected epoch files and every manifested file survive).
     */
   def compactIvfCellsSnapshot(spark: SparkSession, path: String,
-      cells: Seq[Int]): Long = {
-    val root = s"$path/vectors"
-    val cur = StoreManifest.files(spark, root).getOrElse(
-      throw new IllegalStateException(
-        s"$root is not manifested — publishIvfManifest first"))
-    if (cells.isEmpty) return StoreManifest.currentVersion(spark, root)
-      .getOrElse(0L)
-    val cellSet = cells.map(c => s"cid=$c").toSet
-    val (replaced, kept) = cur.partition(rel =>
-      cellSet.contains(rel.takeWhile(_ != '/')))
-    if (replaced.isEmpty) return StoreManifest
-      .currentVersion(spark, root).getOrElse(0L)
-    val hconf = spark.sessionState.newHadoopConf()
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(hconf)
-    val runId = java.util.UUID.randomUUID().toString
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/.compact-snap-$runId")
-    spark.read.option("basePath", root)
-      .parquet(replaced.map(r => s"$root/$r"): _*)
-      .repartition(cells.size, col("cid"))
-      .write.partitionBy("cid").parquet(tmp.toString)
-    val freshRel = Seq.newBuilder[String]
-    fs.listStatus(tmp).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
-      .foreach { d =>
-        val cell = d.getPath.getName
-        fs.listStatus(d.getPath).toSeq
-          .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-          .foreach { f =>
-            val destName = s"compact-$runId-${f.getPath.getName}"
-            val dest = new org.apache.hadoop.fs.Path(
-              new org.apache.hadoop.fs.Path(rootPath, cell), destName)
-            fs.mkdirs(dest.getParent)
-            require(fs.rename(f.getPath, dest),
-              s"rename failed: ${f.getPath} -> $dest")
-            freshRel += s"$cell/$destName"
-          }
-      }
-    val v = StoreManifest.publish(spark, root, kept ++ freshRel.result(),
-      expired = replaced)
-    fs.delete(tmp, true): Unit
-    v
-  }
+      cells: Seq[Int]): Long =
+    StoreManifest.compactPartitionsSnapshot(spark, s"$path/vectors",
+      cells.map(c => s"cid=$c").toSet)
 
   /** [[ivfTopKFromStore]] against the manifest SNAPSHOT — the
     * race-free probe: the file set is pinned at plan time, so a

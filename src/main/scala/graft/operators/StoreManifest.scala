@@ -140,6 +140,68 @@ object StoreManifest {
       .parquet(fl.map(f => s"$root/$f"): _*)
   }
 
+  /** Snapshot compaction over a directory-partitioned, manifested
+    * store — the generic form of the IVF cell compaction, shared with
+    * the documents store: the named partition directories' rows (read
+    * from the CURRENT manifest snapshot) are rewritten into fresh
+    * files placed UNDER NEW NAMES next to the live ones — nothing is
+    * moved or deleted — and a new manifest version swaps the partition
+    * file sets in one atomic pointer flip. Replaced files stay as the
+    * new version's `expired` set until [[gcExpired]].
+    *
+    * `partValues` are directory names like `cid=3` / `source=src1`
+    * (all must share one partition column). Returns the published
+    * version; a crash between the staged renames and the flip leaks
+    * untracked `compact-*` files — [[sweepUntracked]] collects them.
+    */
+  def compactPartitionsSnapshot(spark: SparkSession, root: String,
+      partValues: Set[String]): Long = {
+    val cur = files(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"$root is not manifested — publish a manifest first"))
+    if (partValues.isEmpty)
+      return currentVersion(spark, root).getOrElse(0L)
+    val partCols = partValues.map(_.takeWhile(_ != '='))
+    require(partCols.size == 1 && !partCols.head.isEmpty,
+      s"partValues must share one partition column, got $partValues")
+    val (replaced, kept) = cur.partition(rel =>
+      partValues.contains(rel.takeWhile(_ != '/')))
+    if (replaced.isEmpty)
+      return currentVersion(spark, root).getOrElse(0L)
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val runId = java.util.UUID.randomUUID().toString
+    // Dot-prefixed tmp INSIDE the root: invisible to listDataFiles and
+    // to plain directory readers, same filesystem for cheap renames.
+    val tmp = new Path(rootPath, s".compact-snap-$runId")
+    spark.read.option("basePath", root)
+      .parquet(replaced.map(r => s"$root/$r"): _*)
+      .repartition(partValues.size,
+        org.apache.spark.sql.functions.col(partCols.head))
+      .write.partitionBy(partCols.head).parquet(tmp.toString)
+    val freshRel = Seq.newBuilder[String]
+    fs.listStatus(tmp).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(partCols.head + "="))
+      .foreach { d =>
+        val part = d.getPath.getName
+        fs.listStatus(d.getPath).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+          .foreach { f =>
+            val destName = s"compact-$runId-${f.getPath.getName}"
+            val dest = new Path(new Path(rootPath, part), destName)
+            fs.mkdirs(dest.getParent)
+            require(fs.rename(f.getPath, dest),
+              s"rename failed: ${f.getPath} -> $dest")
+            freshRel += s"$part/$destName"
+          }
+      }
+    val v = publish(spark, root, kept ++ freshRel.result(),
+      expired = replaced)
+    fs.delete(tmp, true): Unit
+    v
+  }
+
   /** Delete data files that NO manifest version references — the
     * orphans a crash between a compaction's staged renames and its
     * manifest flip leaves behind (invisible to snapshots, but they

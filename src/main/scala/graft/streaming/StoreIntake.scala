@@ -420,21 +420,54 @@ object StoreIntake {
     * documentsStoreEvolved); type changes reject loudly before any
     * file stages.
     */
-  def documentsIntakeBatch(storePath: String, scope: String)(
-      batch: DataFrame, batchId: Long): Unit = {
+  def documentsIntakeBatch(storePath: String, scope: String,
+      compactOver: Int = 0)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) {
       if (!epochApplied(spark, storePath, scope, batchId))
         appendEpoch(spark, storePath, scope, batchId)(_ => ()): Unit
       return
     }
-    appendEpoch(spark, storePath, scope, batchId) { stageDir =>
-      graft.operators.Similarity.assertEvolvableSchema(
-        graft.operators.AtRestStores
-          .documentsStoreEvolved(spark, storePath).schema, batch.schema)
-      batch.write.partitionBy("source").mode("overwrite")
-        .parquet(stageDir)
-    }: Unit
+    val placed = appendEpoch(spark, storePath, scope, batchId) {
+      stageDir =>
+        graft.operators.Similarity.assertEvolvableSchema(
+          graft.operators.AtRestStores
+            .documentsStoreEvolved(spark, storePath).schema, batch.schema)
+        batch.write.partitionBy("source").mode("overwrite")
+          .parquet(stageDir)
+    }
+    val applied = placed.isDefined
+    val manifested = graft.operators.StoreManifest
+      .currentVersion(spark, storePath).isDefined
+    if (manifested) {
+      // Compositional publish + the replay heal, exactly the IVF-store
+      // contract: a crash between marker and publish is repaired here
+      // from the marker-held file list.
+      val live = graft.operators.StoreManifest
+        .files(spark, storePath).getOrElse(Seq.empty)
+      val fresh = placed.getOrElse(
+          markerFiles(spark, storePath, scope, batchId))
+        .filter(_.startsWith("source="))
+      val missing = fresh.filterNot(live.toSet)
+      if (missing.nonEmpty)
+        graft.operators.StoreManifest.publish(spark, storePath,
+          live ++ missing): Unit
+      if (applied && compactOver > 0) {
+        val nowLive = graft.operators.StoreManifest
+          .files(spark, storePath).getOrElse(Seq.empty)
+        val hot = nowLive.groupBy(_.takeWhile(_ != '/'))
+          .collect { case (p, fl)
+            if p.startsWith("source=") && fl.size > compactOver =>
+            p.stripPrefix("source=") }
+          .toSeq
+        if (hot.nonEmpty) {
+          graft.operators.AtRestStores.compactDocumentsSources(spark,
+            storePath, hot)
+          graft.operators.StoreManifest.gcExpired(spark, storePath,
+            keepVersions = 2): Unit
+        }
+      }
+    }
   }
 
   /** foreachBatch body: band one micro-batch of (doc_id, text)

@@ -380,6 +380,49 @@ class StoreIntakeSpec extends AnyFunSuite {
     assert(!StoreIntake.epochApplied(spark, store, "dk", 2L))
   }
 
+  test("manifested documents intake: epochs publish snapshots, the " +
+    "per-source compaction trigger bounds live files, GC reclaims " +
+    "expired ones, and the snapshot equals the full corpus") {
+    val spark = TestSpark.spark
+    val store = Files.createTempDirectory("graft-doc-manif").toString +
+      "/docs"
+    val docs = Tables.t(spark, dir, "documents")
+    graft.operators.AtRestStores.writeDocumentsStore(
+      docs.filter(col("doc_id") % 5 === 0), store)
+    assert(graft.operators.AtRestStores
+      .publishDocumentsManifest(spark, store) == 1L)
+    // Four epochs with an aggressive trigger so every source crosses
+    // it repeatedly — compactions and GCs interleave with publishes.
+    (1 until 5).foreach { i =>
+      StoreIntake.documentsIntakeBatch(store, "dm", compactOver = 2)(
+        docs.filter(col("doc_id") % 5 === i), i.toLong - 1)
+    }
+    val v = graft.operators.StoreManifest.currentVersion(spark, store)
+    assert(v.exists(_ >= 5L), s"expected ≥5 manifest versions, got $v")
+    val live = graft.operators.StoreManifest.files(spark, store).get
+    val perSource = live.groupBy(_.takeWhile(_ != '/')).values
+      .map(_.size)
+    assert(perSource.max <= 3,
+      s"live files per source exceeded the trigger: $perSource")
+    // Snapshot = the full corpus, exactly once, with pruning intact.
+    val snap = graft.operators.AtRestStores
+      .documentsSnapshot(spark, store)
+    assert(snap.count() == docs.count())
+    assert(snap.select("doc_id").distinct().count() == docs.count())
+    val one = docs.select("source").head().getString(0)
+    assert(snap.filter(col("source") === one).count()
+      == docs.filter(col("source") === one).count())
+    // Replaying an applied epoch publishes nothing new.
+    val vBefore = graft.operators.StoreManifest
+      .currentVersion(spark, store)
+    StoreIntake.documentsIntakeBatch(store, "dm", compactOver = 2)(
+      docs.filter(col("doc_id") % 5 === 1), 0L)
+    assert(graft.operators.StoreManifest.currentVersion(spark, store)
+      == vBefore)
+    assert(graft.operators.AtRestStores.documentsSnapshot(spark, store)
+      .count() == docs.count())
+  }
+
   test("signature intake: banded epochs land in the bucketed store " +
     "exactly once; stored rows equal a from-scratch banding and the " +
     "incremental probe matches the in-memory path") {
