@@ -303,6 +303,19 @@ object StreamSoak {
       val texts = docsT.select("doc_id", "text")
         .filter(col("text").isNotNull).as[(Long, String)].collect()
 
+      // Third store: the MANIFESTED documents store with its full
+      // maintenance loop (snapshot publish per epoch, per-source
+      // compaction trigger, in-loop GC) driven from a stream.
+      val docStore = s"$tmp/docs_intake"
+      operators.AtRestStores.writeDocumentsStore(
+        docsT.filter(col("doc_id") % 2 === 0), docStore)
+      operators.AtRestStores.publishDocumentsManifest(spark, docStore)
+      val docBaseRows = operators.AtRestStores
+        .documentsSnapshot(spark, docStore).count()
+      val srcRows = docsT.select("doc_id", "text", "source")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+        .as[(Long, String, String)].collect()
+
       def listingOf(path: String): Set[(String, Long)] = {
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -345,9 +358,21 @@ object StreamSoak {
             "soak")(b, id)
         }
         .start()
+      val docStoreSource = MemoryStream[(Long, String, String)](spark)
+      val docStoreQuery = docStoreSource.toDF()
+        .toDF("doc_id", "text", "source")
+        .writeStream
+        .option("checkpointLocation", s"$tmp/docs_intake_ckpt")
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          streaming.StoreIntake.documentsIntakeBatch(docStore, "soak",
+            compactOver = 3)(b, id)
+        }
+        .start()
 
       val vlog = mutable.LinkedHashMap.empty[Long, Progress]
       val fedDocs = mutable.ArrayBuffer.empty[(Long, String)]
+      var fedDocStore = 0L
       var lastListing = listingOf(s"$store/vectors")
       (0 until nB).foreach { i =>
         compactOver = if (i < phase1) 0 else 4
@@ -367,6 +392,13 @@ object StreamSoak {
         fedDocs ++= dbatch
         docSource.addData(dbatch: _*)
         docQuery.processAllAvailable()
+        val sbatch = (0 until 40).map { r =>
+          val (did, text, src) = srcRows((i * 53 + r * 11) % srcRows.length)
+          ((i + 1) * 10000000L + did * 100 + r, text, src)
+        }
+        fedDocStore += sbatch.size
+        docStoreSource.addData(sbatch: _*)
+        docStoreQuery.processAllAvailable()
         if (i < phase1) {
           val now = listingOf(s"$store/vectors")
           require(lastListing.subsetOf(now),
@@ -386,7 +418,36 @@ object StreamSoak {
       require(listingOf(s"$store/vectors") == ivfBefore &&
         listingOf(sigPath) == sigBefore,
         "replayed batches must append nothing")
-      vecQuery.stop(); docQuery.stop()
+      // Manifested documents store: versions advanced, live files per
+      // source bounded by the trigger, snapshot exact, replay silent.
+      val docV = operators.StoreManifest.currentVersion(spark, docStore)
+      require(docV.exists(_ > 1L),
+        s"documents intake published no manifest versions: $docV")
+      val docLive = operators.StoreManifest.files(spark, docStore).get
+      val perSource = docLive.groupBy(_.takeWhile(_ != '/')).values
+        .map(_.size)
+      require(perSource.max <= 6,
+        s"documents compaction failed to bound files/source: " +
+          s"${perSource.toSeq.sorted}")
+      val docSnapRows = operators.AtRestStores
+        .documentsSnapshot(spark, docStore).count()
+      require(docSnapRows == docBaseRows + fedDocStore,
+        s"documents snapshot drift: $docSnapRows vs expected " +
+          s"${docBaseRows + fedDocStore}")
+      streaming.StoreIntake.documentsIntakeBatch(docStore, "soak",
+        compactOver = 3)(
+        Seq((1L, "replayed", "srcX")).toDF("doc_id", "text", "source"),
+        0L)
+      require(operators.StoreManifest.currentVersion(spark, docStore)
+        == docV && operators.AtRestStores
+        .documentsSnapshot(spark, docStore).count() == docSnapRows,
+        "a replayed documents batch must publish and append nothing")
+      println(s"""{"metric":"stream_soak_docs_store",""" +
+        s""""epochs":$nB,"fed":$fedDocStore,""" +
+        s""""snapshot_rows":$docSnapRows,""" +
+        s""""manifest_version":${docV.get},""" +
+        s""""max_files_per_source":${perSource.max}}""")
+      vecQuery.stop(); docQuery.stop(); docStoreQuery.stop()
 
       // Exactness: stored rows = base + every fed vector, no dups.
       val storedRows = spark.read.parquet(s"$store/vectors")

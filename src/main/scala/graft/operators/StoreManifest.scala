@@ -140,6 +140,22 @@ object StoreManifest {
       .parquet(fl.map(f => s"$root/$f"): _*)
   }
 
+  /** Union of EVERY version's file list — whether a path was ever
+    * published, not merely whether it is live now. The intake replay
+    * heal needs exactly this distinction: an epoch absent from the
+    * LIVE list may be a marker-publish crash (heal it) or may have
+    * been published long ago and since compacted away + GC'd
+    * (re-publishing would resurrect deleted paths into the manifest).
+    * Version list files are never deleted, so the union is complete.
+    */
+  def everReferenced(spark: SparkSession, root: String): Set[String] = {
+    val fs = fsOf(spark, mdir(root))
+    val cur = currentVersion(spark, root).getOrElse(return Set.empty)
+    (1L to cur)
+      .flatMap(v => readList(fs, new Path(mdir(root), s"v$v.list")))
+      .toSet
+  }
+
   /** Snapshot compaction over a directory-partitioned, manifested
     * store — the generic form of the IVF cell compaction, shared with
     * the documents store: the named partition directories' rows (read

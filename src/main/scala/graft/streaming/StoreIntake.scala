@@ -205,6 +205,33 @@ object StoreIntake {
     fold.size
   }
 
+  /** Publish an applied epoch's fresh files into the manifest:
+    * current live list + fresh, one pointer flip.
+    */
+  private def publishFresh(spark: SparkSession, manifestRoot: String,
+      fresh: Seq[String]): Unit =
+    if (fresh.nonEmpty) {
+      val live = graft.operators.StoreManifest
+        .files(spark, manifestRoot).getOrElse(Seq.empty)
+      graft.operators.StoreManifest.publish(spark, manifestRoot,
+        live ++ fresh.filterNot(live.toSet)): Unit
+    }
+
+  /** The replay heal: publish an epoch's marker-held files ONLY if the
+    * epoch was never published at all — i.e. none of its files appear
+    * in ANY manifest version. A published epoch whose files were later
+    * compacted away (expired + GC'd) must NOT be re-published: that
+    * would resurrect deleted paths into the snapshot and break every
+    * read.
+    */
+  private def healMissing(spark: SparkSession, manifestRoot: String,
+      fresh: Seq[String]): Unit =
+    if (fresh.nonEmpty &&
+      !fresh.exists(graft.operators.StoreManifest
+        .everReferenced(spark, manifestRoot))) {
+      publishFresh(spark, manifestRoot, fresh)
+    }
+
   /** Operator-driven orphan sweep for a manifested IVF store: deletes
     * `vectors/` data files no manifest version references AND no
     * ledger marker protects — the compaction-crash leak (fresh
@@ -357,26 +384,26 @@ object StoreIntake {
     val vectorsRoot = s"$storePath/vectors"
     val manifested = graft.operators.StoreManifest
       .currentVersion(spark, vectorsRoot).isDefined
-    if (manifested) {
+    if (manifested) placed match {
       // Publish the epoch COMPOSITIONALLY: current live list + this
       // epoch's placed files. Snapshot readers advance to old ∪ new in
       // one pointer flip (never a partial epoch, unlike listing
       // readers) — and never a resurrected expired file, which a
       // directory relist would drag back in between compaction and GC.
-      // On a REPLAY (placed = None) the epoch's files come back from
-      // its marker: a crash between marker create and this publish
-      // would otherwise orphan the epoch from every future snapshot —
-      // the marker-held list lets the replay heal the manifest instead
-      // of skipping it.
-      val live = graft.operators.StoreManifest
-        .files(spark, vectorsRoot).getOrElse(Seq.empty)
-      val fresh = placed.getOrElse(
-          markerFiles(spark, storePath, scope, batchId))
-        .filter(_.startsWith("vectors/")).map(_.stripPrefix("vectors/"))
-      val missing = fresh.filterNot(live.toSet)
-      if (missing.nonEmpty)
-        graft.operators.StoreManifest.publish(spark, vectorsRoot,
-          live ++ missing): Unit
+      case Some(p) =>
+        publishFresh(spark, vectorsRoot,
+          p.filter(_.startsWith("vectors/"))
+            .map(_.stripPrefix("vectors/")))
+      // On a REPLAY the epoch's files come back from its marker: a
+      // crash between marker create and the publish would otherwise
+      // orphan the epoch from every future snapshot — heal it (unless
+      // the epoch WAS published and its files have since been
+      // compacted away, which healMissing distinguishes).
+      case None =>
+        healMissing(spark, vectorsRoot,
+          markerFiles(spark, storePath, scope, batchId)
+            .filter(_.startsWith("vectors/"))
+            .map(_.stripPrefix("vectors/")))
     }
     if (applied && compactOver > 0) {
       if (manifested) {
@@ -441,17 +468,17 @@ object StoreIntake {
       .currentVersion(spark, storePath).isDefined
     if (manifested) {
       // Compositional publish + the replay heal, exactly the IVF-store
-      // contract: a crash between marker and publish is repaired here
-      // from the marker-held file list.
-      val live = graft.operators.StoreManifest
-        .files(spark, storePath).getOrElse(Seq.empty)
-      val fresh = placed.getOrElse(
-          markerFiles(spark, storePath, scope, batchId))
-        .filter(_.startsWith("source="))
-      val missing = fresh.filterNot(live.toSet)
-      if (missing.nonEmpty)
-        graft.operators.StoreManifest.publish(spark, storePath,
-          live ++ missing): Unit
+      // contract: a crash between marker and publish is repaired from
+      // the marker-held file list; an epoch that was published and
+      // later compacted away is NOT resurrected (healMissing).
+      placed match {
+        case Some(p) =>
+          publishFresh(spark, storePath, p.filter(_.startsWith("source=")))
+        case None =>
+          healMissing(spark, storePath,
+            markerFiles(spark, storePath, scope, batchId)
+              .filter(_.startsWith("source=")))
+      }
       if (applied && compactOver > 0) {
         val nowLive = graft.operators.StoreManifest
           .files(spark, storePath).getOrElse(Seq.empty)

@@ -228,6 +228,23 @@ class StoreIntakeSpec extends AnyFunSuite {
       == vAfter, "an already-healed replay must not publish again")
     assert(graft.operators.StoreManifest.snapshotRead(spark, vroot)
       .count() == baseCount + b.count())
+    // The heal must NOT resurrect an epoch whose files were published,
+    // then compacted away and GC'd: replay after compaction + GC must
+    // leave the manifest untouched (re-publishing deleted paths would
+    // break every snapshot read).
+    val cells = graft.operators.StoreManifest.files(spark, vroot).get
+      .map(_.takeWhile(_ != '/').stripPrefix("cid=").toInt).distinct
+    Similarity.compactIvfCellsSnapshot(spark, store, cells)
+    graft.operators.StoreManifest.gcExpired(spark, vroot,
+      keepVersions = 1)
+    val vCompacted = graft.operators.StoreManifest.currentVersion(spark,
+      vroot)
+    StoreIntake.ivfIntakeBatch(store, "heal")(b, 0L)
+    assert(graft.operators.StoreManifest.currentVersion(spark, vroot)
+      == vCompacted,
+      "a replay of a compacted-away epoch must not resurrect its files")
+    assert(graft.operators.StoreManifest.snapshotRead(spark, vroot)
+      .count() == baseCount + b.count())
   }
 
   test("orphan sweep: a crashed compaction's untracked files are " +
