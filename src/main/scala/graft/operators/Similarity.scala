@@ -1365,9 +1365,15 @@ object Similarity {
         col("nrm").as("qn"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("qcos").desc, col("n_id"))
+    // A dequantized vector CAN be all-zero even though prepared()
+    // guaranteed the raw vector wasn't (every component can land
+    // exactly on a zero quantization level) — score it −2 like the
+    // matryoshka zero-prefix guard instead of NaN-poisoning the
+    // ranking; the oracle mirrors the same guard.
     c.crossJoin(broadcast(q))
       .select(col("q_id"), col("n_id"),
-        expr("array_dot(qv, xq) / (qn * xqn)").as("qcos"))
+        expr("if(xqn = 0, -2.0D, array_dot(qv, xq) / (qn * xqn))")
+          .as("qcos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("q_id", "n_id", "rn", "qcos")

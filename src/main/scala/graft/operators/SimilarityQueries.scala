@@ -479,7 +479,9 @@ object SimilarityQueries {
          |q AS (SELECT vec_id AS q_id, v AS qv, ${normD("v")} AS qn
          |      FROM e WHERE vec_id < $NQ),
          |s AS (SELECT q_id, n_id,
-         |             ${dotD("qv", "xq")} / (qn * xqn) AS qcos
+         |             CASE WHEN xqn = 0 THEN -2.0
+         |                  ELSE ${dotD("qv", "xq")} / (qn * xqn)
+         |             END AS qcos
          |      FROM c2 CROSS JOIN q)
          |SELECT q_id, n_id, rn, qcos FROM (
          |  SELECT q_id, n_id, qcos, row_number() OVER (

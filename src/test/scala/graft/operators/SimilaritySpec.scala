@@ -103,6 +103,32 @@ class SimilaritySpec extends AnyFunSuite {
       s"SQ8 top-5 overlap vs exact collapsed to $overlap")
   }
 
+  test("SQ8: a vector that dequantizes to all-zero scores -2, never " +
+    "NaN-poisons the ranking") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Per-dim mn = -1, mx = 254 (rng = 255, one quantization level per
+    // unit). x = 0.1 rounds to code 1 -> dequantizes to -1 + 1 = 0 on
+    // EVERY dim: a legal nonzero raw vector (passes prepared()) whose
+    // SQ8 form is the zero vector.
+    def vec(x: Double) = Seq.fill(64)(x)
+    val tiny = Seq(
+      (0L, vec(1.0)),    // the query
+      (1L, vec(0.1)),    // dequantizes to exactly zero
+      (2L, vec(-1.0)),   // pins the mins
+      (3L, vec(254.0))   // pins the maxes
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.sq8TopK(Similarity.prepared(tiny), 1, k = 3)
+      .orderBy("rn").collect()
+    assert(out.length == 3)
+    assert(out.forall(r => !r.getDouble(3).isNaN),
+      "no NaN may reach the ranking")
+    val zeroRow = out.find(_.getLong(1) == 1L).get
+    assert(zeroRow.getDouble(3) == -2.0 && zeroRow.getInt(2) == 3,
+      s"the zero-dequantized vector must score -2 and rank last: " +
+        s"${out.mkString(", ")}")
+  }
+
   test("ivfCellStats partitions the whole corpus and shares sum to ~1e6") {
     val spark = TestSpark.spark
     val e = Similarity.prepared(Tables.t(spark, dir, "embeddings"))
