@@ -348,7 +348,7 @@ object Similarity {
     */
   private def epochFrame(newVectors: DataFrame, path: String): DataFrame = {
     val spark = newVectors.sparkSession
-    val codebook = spark.read.parquet(s"$path/codebook")
+    val codebook = loadCodebook(spark, s"$path/codebook")
     val extra = newVectors.columns
       .filterNot(Set("vec_id", "v", "nrm")).toSeq
     val corpus = newVectors.select((Seq(col("vec_id").as("n_id"),
@@ -493,7 +493,10 @@ object Similarity {
   private def ivfStoreDriftOver(spark: SparkSession, path: String,
       vectors: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val cent = spark.read.parquet(s"$path/codebook")
+    // Bounded driver-local load, as on every probe path: a corpus-
+    // sized file at the codebook path must fail loudly here too, not
+    // broadcast into the anti-join.
+    val cent = loadCodebook(spark, s"$path/codebook")
     // A cid with no codebook row is store CORRUPTION (codebook dir
     // overwritten by a smaller retrain, cell dir surviving a partial
     // rebuild) — exactly what a drift monitor must surface. An inner
