@@ -247,6 +247,17 @@ object StoreIntake {
         .filter(_.startsWith("vectors/")).map(_.stripPrefix("vectors/")),
       olderThanMs = olderThanMs)
 
+  /** [[sweepIvfUntracked]] for a manifested documents store (whose
+    * manifest root IS the store root): same ledger protection, same
+    * age rail.
+    */
+  def sweepDocumentsUntracked(spark: SparkSession, storePath: String,
+      olderThanMs: Long = 0L): Seq[String] =
+    graft.operators.StoreManifest.sweepUntracked(spark, storePath,
+      protect = ledgerFiles(spark, storePath)
+        .filter(_.startsWith("source=")),
+      olderThanMs = olderThanMs)
+
   /** Exactly-once staged append of one epoch into `storeRoot`.
     * `stageWrite` produces the epoch's files under the given stage
     * directory; every non-hidden file is then renamed to

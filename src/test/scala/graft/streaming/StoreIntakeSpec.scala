@@ -438,6 +438,21 @@ class StoreIntakeSpec extends AnyFunSuite {
       == vBefore)
     assert(graft.operators.AtRestStores.documentsSnapshot(spark, store)
       .count() == docs.count())
+    // The orphan sweep works on this store too: a crashed-compaction
+    // leftover dies, everything live survives, the snapshot holds.
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val aLive = graft.operators.StoreManifest.files(spark, store).get.head
+    val orphanRel = aLive.takeWhile(_ != '/') +
+      "/compact-deadbeef-orphan.parquet"
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(store, aLive), fs,
+      new org.apache.hadoop.fs.Path(store, orphanRel), false,
+      spark.sessionState.newHadoopConf())
+    assert(StoreIntake.sweepDocumentsUntracked(spark, store)
+      == Seq(orphanRel))
+    assert(graft.operators.AtRestStores.documentsSnapshot(spark, store)
+      .count() == docs.count())
   }
 
   test("signature intake: banded epochs land in the bucketed store " +
