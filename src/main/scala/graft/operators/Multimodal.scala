@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque binary columns with typed
@@ -98,6 +98,28 @@ object Multimodal {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => MediaRow(id, renderPayload(id))))
+  }
+
+  /** File-system ingest: the media table read from actual image FILES
+    * via Spark's built-in `binaryFile` source — how a real crawl's
+    * payloads arrive (one blob per object-store key), as opposed to
+    * [[mediaTable]]'s in-plan rendering. `idOf` maps a file NAME
+    * (basename, extension included) to its doc id; non-matching files
+    * are skipped rather than failing the scan (a crawl directory
+    * carries sidecars). Payload bytes flow executor-side only — the
+    * source yields (path, content) rows per file, readable in
+    * parallel, and `pathGlobFilter`/partitioned directories prune at
+    * the listing as usual for file sources.
+    */
+  def mediaFromBinaryFiles(spark: SparkSession, dir: String,
+      idOf: String => Option[Long]): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("content"))
+      .flatMap { r =>
+        val name = r.getString(0).split('/').last
+        idOf(name).map(MediaRow(_, r.getAs[Array[Byte]](1)))
+      }
   }
 
   /** REAL decode: parse the payload with ImageIO, reading format from

@@ -209,4 +209,40 @@ class MultimodalSpec extends AnyFunSuite {
     val e = feats.toDF("vec_id", "embedding")
     assert(Similarity.prepared(e).select("nrm").head().getDouble(0) > 0)
   }
+
+  test("binaryFile ingest: image FILES on disk decode identically to " +
+    "the in-plan media table, and sidecar files are skipped") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-media-files")
+    val ids = (1L to 40L).toSeq
+    ids.foreach { id =>
+      val ext = Multimodal.ruleFormat(id) match {
+        case "jpeg" => "jpg"
+        case f => f
+      }
+      java.nio.file.Files.write(
+        dir.resolve(s"img-$id.$ext"), Multimodal.renderPayload(id))
+    }
+    // A crawl directory carries sidecars — they must be skipped, not
+    // fail the scan or fabricate rows.
+    java.nio.file.Files.write(dir.resolve("manifest.txt"),
+      "not an image".getBytes("UTF-8"))
+    val namePat = "img-(\\d+)\\.(png|jpg)".r
+    val fromFiles = Multimodal.mediaFromBinaryFiles(spark, dir.toString,
+      {
+        case namePat(id, _) => Some(id.toLong)
+        case _ => None
+      })
+    val viaFiles = Multimodal.decodeMeta(fromFiles).collect()
+      .map(d => d.doc_id -> d).toMap
+    val viaTable = Multimodal.decodeMeta(
+      Multimodal.mediaTable(ids.toDF("doc_id"))).collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(viaFiles.keySet == ids.toSet,
+      s"ingest must yield exactly the image files: ${viaFiles.keySet}")
+    assert(viaFiles == viaTable,
+      "file-ingested payloads must decode identically to in-plan ones")
+  }
 }
