@@ -256,6 +256,35 @@ object CoreQueries {
           .orderBy("source")
     },
 
+    // Flat-text file source (the rawest crawl-dump shape): each row
+    // serialized as one `doc_id\ttext` line through the text
+    // datasource, read back, re-split, and content-checked via
+    // count/char-mass/distinct-md5/id-sum — green only if every line
+    // survives byte-for-byte. Safe because the corpus text carries no
+    // newline/tab (asserted at all SFs before this query shipped);
+    // a corpus with either needs the jsonl/parquet transports instead.
+    QuerySpec("text_scan",
+      """SELECT COUNT(*) AS n_docs,
+        |       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        |       COUNT(DISTINCT md5(text)) AS n_distinct,
+        |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-text").toString + "/docs"
+      t(s, dir, "documents")
+        .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+        .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(
+          expr("cast(substring_index(value, '\t', 1) as bigint)")
+            .as("doc_id"),
+          expr("substring(value, instr(value, '\t') + 1)").as("text"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_distinct"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+    },
+
     // S6/F7: to_json(struct(...)) serialization (kafka_producer.py:79-87)
     QuerySpec("to_json_roundtrip",
       """SELECT event_id,
