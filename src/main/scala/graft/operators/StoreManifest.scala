@@ -218,6 +218,42 @@ object StoreManifest {
     v
   }
 
+  /** Snapshot compaction of a FLAT manifested directory (no partition
+    * dirs): the caller's `fold` collapses the current snapshot's rows
+    * (e.g. summing log-structured partials), the result lands under
+    * fresh `compact-*` names, and one pointer flip replaces the whole
+    * file set. Same contracts as [[compactPartitionsSnapshot]]:
+    * nothing moved or deleted, replaced files expire until
+    * [[gcExpired]], readers see pre- or post-state only.
+    */
+  def compactAllSnapshot(spark: SparkSession, root: String,
+      fold: DataFrame => DataFrame): Long = {
+    val cur = files(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"$root is not manifested — publish a manifest first"))
+    if (cur.isEmpty) return currentVersion(spark, root).getOrElse(0L)
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val runId = java.util.UUID.randomUUID().toString
+    val tmp = new Path(rootPath, s".compact-snap-$runId")
+    fold(spark.read.option("basePath", root)
+      .parquet(cur.map(r => s"$root/$r"): _*))
+      .write.parquet(tmp.toString)
+    val freshRel = Seq.newBuilder[String]
+    fs.listStatus(tmp).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .foreach { f =>
+        val destName = s"compact-$runId-${f.getPath.getName}"
+        require(fs.rename(f.getPath, new Path(rootPath, destName)),
+          s"rename failed: ${f.getPath}")
+        freshRel += destName
+      }
+    val v = publish(spark, root, freshRel.result(), expired = cur)
+    fs.delete(tmp, true): Unit
+    v
+  }
+
   /** Delete data files that NO manifest version references — the
     * orphans a crash between a compaction's staged renames and its
     * manifest flip leaves behind (invisible to snapshots, but they

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Log-structured incremental corpus term statistics — the at-rest
+  * table the df/N consumers (token_freq, tfidf, vocab_stats, bm25)
+  * refresh from in production, instead of re-tokenizing 100 TB: each
+  * intake epoch appends vocabulary-sized PARTIALS `(term, df_d, tf_d)`
+  * (document frequency and token-mass deltas from that epoch alone),
+  * reads aggregate with one `groupBy(term).sum` over the partial files,
+  * and periodic compaction folds the log back to a handful of files —
+  * the LSM cadence, with the manifest giving readers snapshot
+  * isolation through the fold exactly as for the vector stores.
+  *
+  * The corpus document count rides IN the same table as a reserved
+  * null-term row (`(NULL, n_docs_delta, 0)`): one directory, one
+  * manifest, one compaction path. `docTermsPlan` never emits a null
+  * term, so the key cannot collide.
+  *
+  * Layout: parquet partial files under `path/partials/` plus the
+  * `path/_epochs/` intake ledger (StoreIntake.termStatsIntakeBatch).
+  */
+object TermStatsStore {
+
+  /** One epoch's partials from a batch of (doc_id, text) documents:
+    * per-term (df_d, tf_d) plus the null-term doc-count row. Runs the
+    * SAME tokenize+count plan as the batch term table, so incremental
+    * stats are batch stats by construction.
+    */
+  def partialsPlan(batch: DataFrame): DataFrame = {
+    val tf = Pipeline.docTermsPlan(batch)
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df_d"), sum(col("tf")).as("tf_d"))
+      .unionByName(
+        batch.agg(
+          lit(null).cast("string").as("term"),
+          countDistinct(col("doc_id")).as("df_d"),
+          lit(0L).as("tf_d")))
+  }
+
+  /** Stage one epoch under `stageDir/partials` (the shape
+    * StoreIntake.appendEpoch renames into the store).
+    */
+  def stagePartials(batch: DataFrame, stageDir: String): Unit =
+    partialsPlan(batch).write.parquet(s"$stageDir/partials")
+
+  private def partialsRoot(path: String) = s"$path/partials"
+
+  /** The raw partials frame — manifested snapshot when a manifest
+    * exists (reader-safe through compaction), plain listing read
+    * otherwise.
+    */
+  def partials(spark: SparkSession, path: String): DataFrame = {
+    val root = partialsRoot(path)
+    if (StoreManifest.currentVersion(spark, root).isDefined)
+      StoreManifest.snapshotRead(spark, root)
+    else spark.read.parquet(root)
+  }
+
+  /** Aggregated per-term stats `(term, df, tf_total)` — ONE bounded
+    * vocabulary-keyed aggregate over the partial log.
+    */
+  def termStats(spark: SparkSession, path: String): DataFrame =
+    partials(spark, path)
+      .filter(col("term").isNotNull)
+      .groupBy("term")
+      .agg(sum(col("df_d")).as("df"), sum(col("tf_d")).as("tf_total"))
+
+  /** Total corpus document count (the N of df/N), from the reserved
+    * null-term rows.
+    */
+  def docsCount(spark: SparkSession, path: String): Long =
+    partials(spark, path)
+      .filter(col("term").isNull)
+      .agg(coalesce(sum(col("df_d")), lit(0L))).head().getLong(0)
+
+  /** Adopt snapshot manifests (pin the current partial files as v1) —
+    * required before [[compact]]; intake epochs publish compositionally
+    * from then on.
+    */
+  def publishManifest(spark: SparkSession, path: String): Long =
+    StoreManifest.publish(spark, partialsRoot(path),
+      StoreManifest.listDataFiles(spark, partialsRoot(path)))
+
+  /** Fold the partial log: every live partial collapses into fresh
+    * per-term totals (and one folded null-term row) under new file
+    * names, one pointer flip. Readers racing the fold see the old or
+    * the new log, never a mix; expired partials await
+    * `StoreManifest.gcExpired`.
+    */
+  def compact(spark: SparkSession, path: String): Long =
+    StoreManifest.compactAllSnapshot(spark, partialsRoot(path), df =>
+      df.groupBy("term")
+        .agg(sum(col("df_d")).as("df_d"), sum(col("tf_d")).as("tf_d"))
+        // Vocabulary-sized output: a handful of files regardless of
+        // how many epochs folded. At 100 TB scale raise this with the
+        // vocabulary, or repartition by term range for sorted runs.
+        .coalesce(2))
+}

@@ -508,6 +508,52 @@ object StoreIntake {
     }
   }
 
+  /** foreachBatch body: append one micro-batch's TERM-STATS partials
+    * (per-term df/tf deltas + the doc-count row —
+    * operators.TermStatsStore) to the log-structured stats store under
+    * the exactly-once epoch ledger. With a manifest adopted, epochs
+    * publish compositionally (replay heal / no-resurrection included),
+    * and `compactOver` live files trigger the log fold + GC in-loop —
+    * the LSM maintenance cadence inside the serialized writer window.
+    */
+  def termStatsIntakeBatch(storePath: String, scope: String,
+      compactOver: Int = 0)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) {
+      if (!epochApplied(spark, storePath, scope, batchId))
+        appendEpoch(spark, storePath, scope, batchId)(_ => ()): Unit
+      return
+    }
+    val placed = appendEpoch(spark, storePath, scope, batchId) {
+      stageDir =>
+        graft.operators.TermStatsStore.stagePartials(batch, stageDir)
+    }
+    val root = s"$storePath/partials"
+    val manifested = graft.operators.StoreManifest
+      .currentVersion(spark, root).isDefined
+    if (manifested) {
+      placed match {
+        case Some(p) =>
+          publishFresh(spark, root, p.filter(_.startsWith("partials/"))
+            .map(_.stripPrefix("partials/")))
+        case None =>
+          healMissing(spark, root,
+            markerFiles(spark, storePath, scope, batchId)
+              .filter(_.startsWith("partials/"))
+              .map(_.stripPrefix("partials/")))
+      }
+      if (placed.isDefined && compactOver > 0) {
+        val live = graft.operators.StoreManifest
+          .files(spark, root).getOrElse(Seq.empty)
+        if (live.size > compactOver) {
+          graft.operators.TermStatsStore.compact(spark, storePath)
+          graft.operators.StoreManifest.gcExpired(spark, root,
+            keepVersions = 2): Unit
+        }
+      }
+    }
+  }
+
   /** foreachBatch body: band one micro-batch of (doc_id, text)
     * documents and append its (doc_id, band, sig) signatures to the
     * bucketed signature store (Dedup.writeSignatureStore layout) under

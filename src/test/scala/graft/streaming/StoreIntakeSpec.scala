@@ -455,6 +455,62 @@ class StoreIntakeSpec extends AnyFunSuite {
       .count() == docs.count())
   }
 
+  test("term-stats intake: the log-structured store equals from-scratch " +
+    "batch stats after every epoch, a fold compacts the log without " +
+    "changing a number, and replays append nothing") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft-termstats").toString +
+      "/ts"
+    val docs = Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").filter(col("text").isNotNull)
+    // Adopt the manifest from the start: first epoch through the
+    // intake, then pin.
+    StoreIntake.termStatsIntakeBatch(store, "ts")(
+      docs.filter(col("doc_id") % 4 === 0), 0L)
+    assert(graft.operators.TermStatsStore
+      .publishManifest(spark, store) == 1L)
+    (1 until 4).foreach { i =>
+      StoreIntake.termStatsIntakeBatch(store, "ts", compactOver = 3)(
+        docs.filter(col("doc_id") % 4 === i), i.toLong)
+    }
+    // Incremental == from-scratch: same term table, same totals.
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("term").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaStore = canon(graft.operators.TermStatsStore
+      .termStats(spark, store))
+    val direct = canon(graft.operators.Pipeline.docTermsPlan(docs)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total")))
+    assert(viaStore == direct,
+      "incremental term stats diverged from a from-scratch tokenize")
+    assert(graft.operators.TermStatsStore.docsCount(spark, store)
+      == docs.count())
+    // The in-loop fold bounded the log (3 partial files per epoch
+    // would otherwise accumulate); numbers unchanged is asserted above
+    // AFTER folds already ran. An explicit extra fold is also a no-op
+    // on the stats.
+    val live = graft.operators.StoreManifest
+      .files(spark, s"$store/partials").get
+    assert(live.size <= 4, s"log fold failed to bound files: $live")
+    graft.operators.TermStatsStore.compact(spark, store)
+    assert(canon(graft.operators.TermStatsStore
+      .termStats(spark, store)) == direct)
+    assert(graft.operators.TermStatsStore.docsCount(spark, store)
+      == docs.count())
+    // Replay of an applied epoch: ledger skip, stats untouched.
+    StoreIntake.termStatsIntakeBatch(store, "ts", compactOver = 3)(
+      docs.filter(col("doc_id") % 4 === 1), 1L)
+    assert(canon(graft.operators.TermStatsStore
+      .termStats(spark, store)) == direct)
+    // GC reclaims expired partials; the snapshot still answers.
+    graft.operators.StoreManifest.gcExpired(spark, s"$store/partials",
+      keepVersions = 1)
+    assert(canon(graft.operators.TermStatsStore
+      .termStats(spark, store)) == direct)
+  }
+
   test("signature intake: banded epochs land in the bucketed store " +
     "exactly once; stored rows equal a from-scratch banding and the " +
     "incremental probe matches the in-memory path") {
