@@ -40,10 +40,14 @@ object TermStatsStore {
   }
 
   /** Stage one epoch under `stageDir/partials` (the shape
-    * StoreIntake.appendEpoch renames into the store).
+    * StoreIntake.appendEpoch renames into the store). Coalesced to 2
+    * files: the partials are vocabulary-sized KBs — writing one file
+    * per shuffle partition would add 32 tiny files per epoch on
+    * local[32] and re-create the small-files growth the fold exists
+    * to bound.
     */
   def stagePartials(batch: DataFrame, stageDir: String): Unit =
-    partialsPlan(batch).write.parquet(s"$stageDir/partials")
+    partialsPlan(batch).coalesce(2).write.parquet(s"$stageDir/partials")
 
   private def partialsRoot(path: String) = s"$path/partials"
 
