@@ -548,6 +548,64 @@ object PipelineQueries {
         Seq("dup", "vector", "spark", "merge"), k = 10, minTf = 3L,
         cacheKey = dir)
         .orderBy("term")
+    },
+
+    // Corpus term statistics OFF the log-structured at-rest store
+    // (TermStatsStore): the documents corpus arrives as THREE intake
+    // epochs under the exactly-once ledger, the snapshot manifest is
+    // adopted after the first, the in-loop LSM fold compacts the
+    // partial log mid-stream, and the emitted rows are the SNAPSHOT
+    // read of the folded store (plus the reserved null-term doc count
+    // as a constant n_docs column). The oracle recomputes
+    // (df, tf_total, n_docs) from scratch in one DuckDB tokenize —
+    // green only if stage → ledger → manifest publish → fold →
+    // snapshot read reproduces a single batch pass exactly (the
+    // StoreIntakeSpec equivalence, driver-checked).
+    QuerySpec("term_store_stats",
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |           WHERE text IS NOT NULL),
+         |tq AS (SELECT doc_id, unnest(${TextOps.toksD}) AS term FROM d),
+         |g AS (SELECT doc_id, term, COUNT(*) AS tf
+         |      FROM tq GROUP BY doc_id, term),
+         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM d)
+         |SELECT term, COUNT(*) AS df,
+         |       CAST(SUM(tf) AS BIGINT) AS tf_total,
+         |       nd.n_docs AS n_docs
+         |FROM g CROSS JOIN nd
+         |GROUP BY term, nd.n_docs ORDER BY term""".stripMargin) {
+      (s, dir) =>
+        // The store builds ONCE per (session, corpus) — the
+        // ivfpq_store_ann pattern: a production stats store is folded
+        // continuously and read for months, so re-runs time the
+        // snapshot READ, not the intake replay (tmp-dir bytes outside
+        // Spark's cache manager; one corpus dir per session).
+        val path = termStoreCache.synchronized(
+          termStoreCache.getOrElseUpdate((s, dir), {
+            val docs = t(s, dir, "documents")
+              .select(col("doc_id"), col("text"))
+              .filter(col("text").isNotNull)
+            val p = java.nio.file.Files
+              .createTempDirectory("graft-termstore").toString + "/ts"
+            graft.streaming.StoreIntake.termStatsIntakeBatch(p, "ts")(
+              docs.filter(col("doc_id") % 3 === 0), 0L)
+            TermStatsStore.publishManifest(s, p): Unit
+            (1 until 3).foreach { i =>
+              graft.streaming.StoreIntake.termStatsIntakeBatch(
+                p, "ts", compactOver = 3)(
+                docs.filter(col("doc_id") % 3 === i), i.toLong)
+            }
+            p
+          }))
+        TermStatsStore.termStats(s, path)
+          .withColumn("n_docs", lit(TermStatsStore.docsCount(s, path)))
+          .orderBy("term")
     }
   )
+
+  /** Session-scoped built-store paths for term_store_stats (the
+    * pqStoreCache pattern — entries are tmp paths, bytes on disk, not
+    * Spark-cached state).
+    */
+  private val termStoreCache = scala.collection.mutable.Map.empty[
+    (org.apache.spark.sql.SparkSession, String), String]
 }
