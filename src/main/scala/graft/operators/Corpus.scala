@@ -619,4 +619,42 @@ object Corpus {
         sum(col("n_bigrams").cast("long")).as("sum_bigrams"),
         sum(col("sum_pmicro")).as("sum_pmicro_total"))
   }
+
+  /** Per-source distinct-term estimates via DataSketches HLL
+    * (`hll_sketch_agg`), with the GLOBAL row derived by MERGING the
+    * per-source sketches (`hll_union_agg`) rather than re-scanning the
+    * corpus — the sketch property that matters at 100 TB: per-epoch /
+    * per-source sketches are tiny (≤ 2^lgK registers), persist
+    * alongside the stats store, and any rollup (global, per-month,
+    * per-source-group) is a union over sketches, never a second corpus
+    * pass. Exact COUNT(DISTINCT) by contrast plans an Expand or a
+    * distinct shuffle per rollup level, each corpus-sized.
+    *
+    * Output: one row per source plus the `__all__` merged row, columns
+    * (source, distinct_terms). The estimate is DETERMINISTIC
+    * (DataSketches' hash is seed-fixed), and EXACT while a sketch is
+    * still in coupon-list mode — the regime the oracle exercises; the
+    * error bound at real vocab cardinality (~1.6% rsd at lgK=12) is
+    * gated by SketchSpec, not the oracle.
+    *
+    * Plan: terms is the memoized docTerms table (one tokenize pass per
+    * session, shared with tfidf/bm25/vocab); the per-source aggregate
+    * is sources-sized, and the self-union's second consumer reuses the
+    * same exchange (ReusedExchange — SketchSpec pins it), so the
+    * corpus-sized input is scanned and shuffled ONCE.
+    */
+  def hllDistinctTerms(docs: DataFrame, lgK: Int = 12,
+      cacheKey: String = ""): DataFrame = {
+    val bySrc = Pipeline.docTerms(docs, cacheKey)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(expr(s"hll_sketch_agg(term, $lgK)").as("sk"))
+    bySrc
+      .select(col("source"),
+        expr("hll_sketch_estimate(sk)").as("distinct_terms"))
+      .unionByName(bySrc.agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .as("distinct_terms"))
+        .select(lit("__all__").as("source"), col("distinct_terms")))
+  }
 }

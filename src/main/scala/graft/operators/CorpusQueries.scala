@@ -428,6 +428,31 @@ object CorpusQueries {
             .withColumn("key_kind", lit("prefix")))
         .select("key_kind", "src_a", "src_b", "n_shared")
         .orderBy("key_kind", "src_a", "src_b")
+    },
+
+    // DataSketches HLL distinct-term estimates per source, plus the
+    // global row MERGED from the per-source sketches (hll_union_agg) —
+    // the mergeable-sketch rollup contract in the oracle gate. The
+    // oracle compares against EXACT COUNT(DISTINCT): legitimate
+    // because at the fixture's vocab cardinality every sketch is still
+    // a coupon list (estimate == exact, deterministic — DataSketches'
+    // hash is seed-fixed), so a green row proves sketch build, merge,
+    // and estimate agree with truth; the error bound in the estimation
+    // regime (~1.6% rsd at lgK=12, 200k distinct) is SketchSpec's
+    // gate, where exactness is impossible by construction.
+    QuerySpec("hll_distinct",
+      s"""WITH tq AS (SELECT doc_id, unnest(${toksD}) AS term
+         |            FROM documents),
+         |u AS (SELECT DISTINCT d.source, tq.term
+         |      FROM tq JOIN documents d USING (doc_id))
+         |SELECT source, COUNT(*) AS distinct_terms
+         |FROM u GROUP BY source
+         |UNION ALL
+         |SELECT '__all__' AS source, COUNT(DISTINCT term)
+         |FROM u
+         |ORDER BY source""".stripMargin) { (s, dir) =>
+      Corpus.hllDistinctTerms(t(s, dir, "documents"), cacheKey = dir)
+        .orderBy("source")
     }
   )
 }

@@ -115,6 +115,62 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
+    // binaryFile ingest through the oracle gate (round 11 — the PLANS
+    // candidate): the same render rule, but payloads arrive as image
+    // FILES on disk — the real crawl arrival shape — read through
+    // Spark's binaryFile source with name→doc_id extraction, a sidecar
+    // file planted to prove non-image files are skipped rather than
+    // fabricating rows. Oracle identical to multimodal_decode by
+    // construction; what the green row buys is the SOURCE path: the
+    // binaryFile scan, the filename mapping, and sidecar skipping all
+    // sit between the files and the decode. The fixture dir is built
+    // once per (session, corpus) — the files ARE the arrival state a
+    // crawl leaves on shared storage; building them is fixture
+    // generation, not the operator under test.
+    QuerySpec("multimodal_files",
+      s"""SELECT doc_id,
+        |       CAST(doc_id % 24 + 8 AS INTEGER) AS width,
+        |       CAST(doc_id % 16 + 8 AS INTEGER) AS height,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END
+        |            AS INTEGER) AS channels,
+        |       CASE WHEN doc_id % 4 = 0 THEN 'jpeg' ELSE 'png' END
+        |         AS format,
+        |       CASE WHEN doc_id % 4 = 0 THEN NULL ELSE
+        |         ${pxSumSql("x", "y", "(doc_id % 24 + 8)",
+             "(doc_id % 16 + 8)")}
+        |       END AS px_sum
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val filesDir = mediaFileCache.synchronized(
+        mediaFileCache.getOrElseUpdate((s, dir), {
+          import s.implicits._
+          // Fixture write, not the operator: corpus-id-list sized
+          // (bounded by construction), one-time per session/corpus.
+          val ids = t(s, dir, "documents")
+            .select(col("doc_id")).as[Long].collect()
+          val d = java.nio.file.Files
+            .createTempDirectory("graft-media-arrival")
+          ids.foreach { id =>
+            val ext =
+              if (Multimodal.ruleFormat(id) == "jpeg") "jpg" else "png"
+            java.nio.file.Files.write(d.resolve(s"img-$id.$ext"),
+              Multimodal.renderPayload(id)): Unit
+          }
+          java.nio.file.Files.write(d.resolve("manifest.txt"),
+            "crawl sidecar, not an image".getBytes("UTF-8")): Unit
+          d.toString
+        }))
+      val namePat = "img-(\\d+)\\.(png|jpg)".r
+      Multimodal.decodeMeta(
+        Multimodal.mediaFromBinaryFiles(s, filesDir, {
+          case namePat(id, _) => Some(id.toLong)
+          case _ => None
+        }))
+        .toDF()
+        .select("doc_id", "width", "height", "channels", "format",
+          "px_sum")
+        .orderBy("doc_id")
+    },
+
     // Byte-level plumbing over opaque payloads (no decode): frame
     // sampling — every 5th 64-byte frame — exercised through the real
     // sampleFrames operator and checked against the closed-form count.
@@ -155,4 +211,11 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }
   )
+
+  /** Session-scoped arrival-fixture dirs for multimodal_files (the
+    * termStoreCache pattern — entries are tmp paths holding rendered
+    * image files, bytes on disk, not Spark-cached state).
+    */
+  private val mediaFileCache = scala.collection.mutable.Map.empty[
+    (org.apache.spark.sql.SparkSession, String), String]
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DataSketches HLL gates for [[Corpus.hllDistinctTerms]] — the halves
+  * the DuckDB oracle cannot reach. `hll_distinct`'s oracle proves
+  * build/merge/estimate agree with exact truth in the coupon-list
+  * regime; this spec gates (1) the ERROR BOUND in the estimation
+  * regime (high cardinality, where exactness is impossible by
+  * construction), (2) merge ≡ single-pass at that cardinality — the
+  * property that lets per-epoch sketches roll up without a second
+  * corpus pass, and (3) the one-corpus-scan plan shape of the declared
+  * query's self-union.
+  */
+class SketchSpec extends AnyFunSuite {
+
+  private val lgK = 12
+
+  test("HLL estimate at 200k distinct is within the lgK=12 error " +
+    "envelope, and sharding+union reproduces the single-pass sketch") {
+    val spark = TestSpark.spark
+    val n = 200000L
+    // Distinct longs with non-sequential bit patterns (the hash input
+    // shape real ids have).
+    val vals = spark.range(n)
+      .select((col("id") * 2654435761L + 99991L).as("v"),
+        (col("id") % 4).as("shard"))
+    val single = vals
+      .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(v, $lgK))"))
+      .head().getLong(0)
+    // lgK=12 → rsd ≈ 1.04/sqrt(4096) ≈ 1.63%; gate at 3 sigma.
+    assert(math.abs(single - n).toDouble / n < 0.05,
+      s"estimate $single too far from $n")
+    val merged = vals
+      .groupBy("shard").agg(expr(s"hll_sketch_agg(v, $lgK)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))"))
+      .head().getLong(0)
+    // Union is register-wise max — order-independent and equal to the
+    // single-pass sketch over the same distinct set.
+    assert(merged == single,
+      s"sharded union $merged != single-pass $single")
+  }
+
+  test("coupon-list regime is exact: small distinct sets estimate to " +
+    "their true cardinality") {
+    val spark = TestSpark.spark
+    val est = spark.range(1000)
+      .select((col("id") % 31).as("v"))
+      .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(v, $lgK))"))
+      .head().getLong(0)
+    assert(est == 31L, s"list-mode estimate $est != 31")
+  }
+
+  test("hllDistinctTerms: the self-union's second consumer reuses the " +
+    "per-source aggregate's exchange — one corpus scan, not two") {
+    val spark = TestSpark.spark
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val out = Corpus.hllDistinctTerms(docs, cacheKey = "sketch-spec")
+    val rows = out.collect()
+    // 20 sources + the merged __all__ row, which must equal the
+    // distinct-term union across sources (vocab is corpus-wide here).
+    val bySrc = rows.filter(_.getString(0) != "__all__")
+    val all = rows.find(_.getString(0) == "__all__").get.getLong(1)
+    assert(bySrc.nonEmpty && all >= bySrc.map(_.getLong(1)).max)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") ||
+      plan.contains("TableCacheQueryStage") ||
+      plan.contains("InMemoryTableScan"),
+      s"expected the self-union to reuse the corpus-side work:\n$plan")
+  }
+}
