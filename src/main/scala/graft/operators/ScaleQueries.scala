@@ -72,6 +72,45 @@ object ScaleQueries {
           case (k, Some(v)) => s.conf.set(k, v)
           case (k, None) => s.conf.unset(k)
         }
+    },
+
+    // Z-order clustered layout + manifest file skipping
+    // (StorageLayout): documents written Morton-interleaved on
+    // (n_chars, doc_id) with a per-file min/max manifest persisted
+    // NEXT TO the data (the lakehouse checkpoint shape), then a 2-D
+    // range read that opens ONLY manifest-surviving files. Oracle is
+    // the plain WHERE — green only if write → stats → prune → residual
+    // filter loses and fabricates nothing. StorageLayoutSpec gates
+    // the part the oracle can't see: that the pruning actually skips
+    // files on EITHER dimension alone.
+    QuerySpec("zorder_scan",
+      """SELECT doc_id, n_chars, source, lang FROM documents
+        |WHERE n_chars BETWEEN 200 AND 400
+        |  AND doc_id BETWEEN 100 AND 2400
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Build once per (session, corpus) — the layout is at-rest
+      // state, written by maintenance, read for months (the
+      // termStoreCache pattern; bytes on disk, not Spark-cached).
+      val path = zStoreCache.synchronized(
+        zStoreCache.getOrElseUpdate((s, dir), {
+          val p = java.nio.file.Files
+            .createTempDirectory("graft-zstore").toString + "/docs"
+          StorageLayout.writeZOrdered(t(s, dir, "documents"), p,
+            Seq("n_chars", "doc_id"), nFiles = 16): Unit
+          StorageLayout.statsManifest(s, p, Seq("n_chars", "doc_id"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(p + ".manifest")
+          p
+        }))
+      StorageLayout.skippingRead(s, path,
+          s.read.parquet(path + ".manifest"),
+          Seq(("n_chars", 200d, 400d), ("doc_id", 100d, 2400d)))
+        .select("doc_id", "n_chars", "source", "lang")
+        .orderBy("doc_id")
     }
   )
+
+  /** Session-scoped z-ordered store paths for zorder_scan. */
+  private val zStoreCache = scala.collection.mutable.Map.empty[
+    (org.apache.spark.sql.SparkSession, String), String]
 }

@@ -71,4 +71,69 @@ class StorageLayoutSpec extends AnyFunSuite {
     spark.sql("DROP TABLE ev_a")
     spark.sql("DROP TABLE ev_b")
   }
+
+  test("mortonCode interleaves bits round-robin (known patterns)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // a=0b11, b=0b00 → bits of a at even positions: 0b0101 = 5;
+    // a=0b00, b=0b11 → odd positions: 0b1010 = 10; a=b=0b11 → 15.
+    val got = Seq((3L, 0L), (0L, 3L), (3L, 3L), (1L, 2L))
+      .toDF("a", "b")
+      .select(StorageLayout.mortonCode(Seq(col("a"), col("b")), 2))
+      .as[Long].collect().toSeq
+    assert(got == Seq(5L, 10L, 15L, 9L), got.toString)
+  }
+
+  test("z-order + manifest: skipping read equals the plain filter, and " +
+    "EITHER single dimension alone prunes files — the property a " +
+    "one-column sort cannot give") {
+    val spark = TestSpark.spark
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val zdir = Files.createTempDirectory("graft-z").toString + "/docs"
+    StorageLayout.writeZOrdered(docs, zdir, Seq("n_chars", "doc_id"),
+      nFiles = 16)
+    val man = StorageLayout.statsManifest(spark, zdir,
+      Seq("n_chars", "doc_id")).cache()
+    val nFiles = man.count()
+    assert(nFiles >= 8, s"expected a multi-file layout, got $nFiles")
+
+    // Parity: 2-D range through prune + residual == plain filter.
+    val ranges = Seq(("n_chars", 200d, 300d), ("doc_id", 100d, 250d))
+    val got = StorageLayout.skippingRead(spark, zdir, man, ranges)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = docs.filter(col("n_chars").between(200, 300) &&
+        col("doc_id").between(100, 250))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, s"skipping read diverged: ${got.size} vs ${want.size}")
+
+    // Both dimensions prune ALONE: a narrow band on either column
+    // must leave file candidates strictly below the total (z-locality
+    // gives every file a tight envelope in each dimension).
+    val byChars = StorageLayout.prunedFiles(man,
+      Seq(("n_chars", 250d, 280d))).size
+    val byId = StorageLayout.prunedFiles(man,
+      Seq(("doc_id", 200d, 260d))).size
+    assert(byChars < nFiles && byId < nFiles,
+      s"pruning ineffective: chars $byChars, id $byId of $nFiles")
+
+    // Contrast: the same data sorted by n_chars ONLY — doc_id bands
+    // then touch (nearly) every file, which is the gap z-order closes.
+    val sdir = Files.createTempDirectory("graft-s").toString + "/docs"
+    docs.repartitionByRange(16, col("n_chars"))
+      .sortWithinPartitions("n_chars").write.parquet(sdir)
+    val sman = StorageLayout.statsManifest(spark, sdir,
+      Seq("n_chars", "doc_id"))
+    val sById = StorageLayout.prunedFiles(sman,
+      Seq(("doc_id", 200d, 260d))).size
+    assert(byId < sById,
+      s"z-order ($byId files) must beat single-column sort ($sById) " +
+        "on the secondary dimension")
+
+    // Disjoint range: zero files → empty frame, schema intact.
+    val none = StorageLayout.skippingRead(spark, zdir, man,
+      Seq(("n_chars", 100000d, 200000d)))
+    assert(none.count() == 0 &&
+      none.columns.toSeq == docs.columns.toSeq)
+    man.unpersist(): Unit
+  }
 }
