@@ -643,6 +643,41 @@ object Corpus {
     * same exchange (ReusedExchange — SketchSpec pins it), so the
     * corpus-sized input is scanned and shuffled ONCE.
     */
+  /** Count–min-sketch document frequencies: one distributed pass over
+    * the memoized docTerms table builds a fixed-size sketch (width
+    * ⌈2/eps⌉ × depth ⌈ln(1/(1−confidence))⌉ counters — KBs, held
+    * driver-side exactly like an IVF codebook), then the BOUNDED
+    * candidate list (vocab-scale, `df >= minDf`) is point-queried
+    * against it. The sketch is the mergeable/streaming half of the
+    * term-stats story: per-shard sketches merge counter-wise
+    * (SketchSpec pins merge ≡ single-pass), so a 1000-executor build
+    * or a per-epoch incremental fold needs no term-keyed shuffle at
+    * all — only the candidate enumeration touches exact counts.
+    * Estimates are DETERMINISTIC (caller-fixed seed) and
+    * overestimate-only (CMS guarantee, also spec-pinned); at
+    * real-vocab width the fixture regime is collision-free, which is
+    * what lets `cms_df`'s oracle compare against EXACT df.
+    *
+    * Driver-side note: the sketch build and the per-candidate
+    * estimates are deliberate driver work over BOUNDED inputs (sketch
+    * bytes + vocab-sized candidates) — the codebook-loop pattern, not
+    * a corpus collect.
+    */
+  def cmsDocFreq(docs: DataFrame, minDf: Long = 1L, eps: Double = 1e-4,
+      confidence: Double = 0.99, seed: Int = 17,
+      cacheKey: String = ""): DataFrame = {
+    val spark = docs.sparkSession
+    val terms = Pipeline.docTerms(docs, cacheKey)
+    val sketch = terms.stat.countMinSketch("term", eps, confidence, seed)
+    val cands = terms.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("term").collect().map(_.getString(0))
+    spark.createDataFrame(
+        cands.toSeq.sorted.map(t => (t, sketch.estimateCount(t))))
+      .toDF("term", "est_df")
+  }
+
   def hllDistinctTerms(docs: DataFrame, lgK: Int = 12,
       cacheKey: String = ""): DataFrame = {
     val bySrc = Pipeline.docTerms(docs, cacheKey)

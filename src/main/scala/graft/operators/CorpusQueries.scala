@@ -440,6 +440,25 @@ object CorpusQueries {
     // and estimate agree with truth; the error bound in the estimation
     // regime (~1.6% rsd at lgK=12, 200k distinct) is SketchSpec's
     // gate, where exactness is impossible by construction.
+    // Count–min-sketch document frequencies (Corpus.cmsDocFreq): the
+    // sketch is built distributed (one pass over the memoized
+    // docTerms), candidates enumerated at df >= 1, estimates read
+    // driver-side from the KB-sized sketch. Oracle compares against
+    // EXACT df — legitimate because at width ⌈2/eps⌉ = 20,000 the
+    // fixture vocab is collision-free and the seed is fixed, so the
+    // estimate EQUALS truth deterministically; the collision regime
+    // (overestimate-only) and shard-merge ≡ single-pass are
+    // SketchSpec's gates.
+    QuerySpec("cms_df",
+      s"""WITH tq AS (SELECT doc_id, unnest(${toksD}) AS term
+         |            FROM documents),
+         |g AS (SELECT DISTINCT doc_id, term FROM tq)
+         |SELECT term, COUNT(*) AS est_df
+         |FROM g GROUP BY term ORDER BY term""".stripMargin) { (s, dir) =>
+      Corpus.cmsDocFreq(t(s, dir, "documents"), cacheKey = dir)
+        .orderBy("term")
+    },
+
     QuerySpec("hll_distinct",
       s"""WITH tq AS (SELECT doc_id, unnest(${toksD}) AS term
          |            FROM documents),

@@ -53,6 +53,50 @@ class SketchSpec extends AnyFunSuite {
     assert(est == 31L, s"list-mode estimate $est != 31")
   }
 
+  test("CMS: shard-merged sketches answer identically to the " +
+    "single-pass sketch, and estimates only ever overestimate") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Zipf-ish stream with real collisions: coarse width (eps 0.05 →
+    // 40 counters) over 5k distinct items.
+    val items = spark.range(50000)
+      .select(concat(lit("t"), (col("id") % 5000)).as("term"),
+        (col("id") % 2).as("shard")).cache()
+    val eps = 0.05
+    val single = items.stat.countMinSketch("term", eps, 0.99, 7)
+    val s0 = items.filter(col("shard") === 0)
+      .stat.countMinSketch("term", eps, 0.99, 7)
+    val s1 = items.filter(col("shard") === 1)
+      .stat.countMinSketch("term", eps, 0.99, 7)
+    s0.mergeInPlace(s1)
+    val probes = (0 until 5000 by 97).map(i => s"t$i")
+    assert(probes.forall(t =>
+      s0.estimateCount(t) == single.estimateCount(t)),
+      "shard-merge must equal the single-pass sketch")
+    val truth = items.groupBy("term").count()
+      .as[(String, Long)].collect().toMap
+    assert(probes.forall(t => single.estimateCount(t) >= truth(t)),
+      "CMS must never underestimate")
+    // In this collision-forced regime at least one probe IS inflated —
+    // the oracle's exactness claim is about width, not magic.
+    assert(probes.exists(t => single.estimateCount(t) > truth(t)),
+      "expected collisions at width 40 over 5k distinct")
+    items.unpersist(): Unit
+  }
+
+  test("cmsDocFreq matches exact document frequency at real-vocab " +
+    "width (collision-free regime, fixed seed)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val got = Corpus.cmsDocFreq(docs, cacheKey = "sketch-spec")
+      .as[(String, Long)].collect().toMap
+    val want = Pipeline.docTerms(docs, cacheKey = "sketch-spec")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want, s"CMS df diverged: ${got.size} vs ${want.size}")
+  }
+
   test("hllDistinctTerms: the self-union's second consumer reuses the " +
     "per-source aggregate's exchange — one corpus scan, not two") {
     val spark = TestSpark.spark
