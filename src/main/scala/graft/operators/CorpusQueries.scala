@@ -440,6 +440,30 @@ object CorpusQueries {
     // and estimate agree with truth; the error bound in the estimation
     // regime (~1.6% rsd at lgK=12, 200k distinct) is SketchSpec's
     // gate, where exactness is impossible by construction.
+    // Theta-sketch distinct intersections (ThetaSketches): per-source
+    // term sketches built with NO term-keyed shuffle (per-partition
+    // partials → sketch-sized per-source union), pairwise intersected
+    // driver-side over the sources-sized list. The oracle recomputes
+    // every pair's |distinct(A) ∩ distinct(B)| exactly — green because
+    // the fixture vocab keeps every sketch in exact mode (< k entries)
+    // and DataSketches' update seed is fixed; the estimation-regime
+    // envelope and partial-union ≡ direct-build are SketchSpec gates.
+    QuerySpec("theta_overlap",
+      s"""WITH tq AS (SELECT doc_id, unnest(${toksD}) AS term
+         |            FROM documents),
+         |u AS (SELECT DISTINCT d.source, tq.term
+         |      FROM tq JOIN documents d USING (doc_id))
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |       COUNT(*) AS shared_terms
+         |FROM u a JOIN u b ON a.term = b.term AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      ThetaSketches.sourceOverlapEstimates(
+          Pipeline.docTerms(docs, cacheKey = dir)
+            .join(docs.select("doc_id", "source"), "doc_id"))
+        .orderBy("src_a", "src_b")
+    },
+
     // Count–min-sketch document frequencies (Corpus.cmsDocFreq): the
     // sketch is built distributed (one pass over the memoized
     // docTerms), candidates enumerated at df >= 1, estimates read

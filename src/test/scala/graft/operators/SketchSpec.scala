@@ -97,6 +97,48 @@ class SketchSpec extends AnyFunSuite {
     assert(got == want, s"CMS df diverged: ${got.size} vs ${want.size}")
   }
 
+  test("theta: partial-union equals direct build, intersections track " +
+    "true overlap within the k=4096 envelope at 100k distinct") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Two "sources" with a designed 50% overlap: A = [0, 100k),
+    // B = [50k, 150k) — 50k shared of 100k each.
+    val n = 100000L
+    val terms = spark.range(2 * n)
+      .select(
+        when(col("id") < n, lit("a")).otherwise(lit("b")).as("source"),
+        concat(lit("t"), when(col("id") < n, col("id"))
+          .otherwise(col("id") - n + n / 2)).as("term"))
+    val sketches = ThetaSketches.sourceTermSketches(terms)
+      .collect().toSeq
+    assert(sketches.map(_._1).sorted == Seq("a", "b"))
+    val Seq((_, _, shared)) =
+      ThetaSketches.pairwiseIntersections(sketches)
+    // Intersection rse compounds (~2/sqrt(k) per operand); gate at 10%.
+    assert(math.abs(shared - n / 2).toDouble / (n / 2) < 0.10,
+      s"intersection $shared too far from ${n / 2}")
+    // Partial-path determinism: a repartitioned build (different
+    // partial split) must union to identical estimates — the
+    // order-independence that makes the no-shuffle build valid.
+    val reSketches = ThetaSketches
+      .sourceTermSketches(terms.repartition(13)).collect().toSeq
+    val Seq((_, _, shared2)) =
+      ThetaSketches.pairwiseIntersections(reSketches)
+    assert(shared2 == shared,
+      s"partition split changed the estimate: $shared2 vs $shared")
+  }
+
+  test("theta exact mode: small distinct sets intersect exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val terms = Seq(
+      ("a", "x"), ("a", "y"), ("a", "z"), ("a", "x"),
+      ("b", "y"), ("b", "z"), ("b", "w")).toDF("source", "term")
+    val out = ThetaSketches.sourceOverlapEstimates(terms).collect()
+    assert(out.length == 1 && out.head.getLong(2) == 2L,
+      out.mkString(","))
+  }
+
   test("hllDistinctTerms: the self-union's second consumer reuses the " +
     "per-source aggregate's exchange — one corpus scan, not two") {
     val spark = TestSpark.spark
