@@ -574,37 +574,71 @@ object PipelineQueries {
          |FROM g CROSS JOIN nd
          |GROUP BY term, nd.n_docs ORDER BY term""".stripMargin) {
       (s, dir) =>
-        // The store builds ONCE per (session, corpus) — the
-        // ivfpq_store_ann pattern: a production stats store is folded
-        // continuously and read for months, so re-runs time the
-        // snapshot READ, not the intake replay (tmp-dir bytes outside
-        // Spark's cache manager; one corpus dir per session).
-        val path = termStoreCache.synchronized(
-          termStoreCache.getOrElseUpdate((s, dir), {
-            val docs = t(s, dir, "documents")
-              .select(col("doc_id"), col("text"))
-              .filter(col("text").isNotNull)
-            val p = java.nio.file.Files
-              .createTempDirectory("graft-termstore").toString + "/ts"
-            graft.streaming.StoreIntake.termStatsIntakeBatch(p, "ts")(
-              docs.filter(col("doc_id") % 3 === 0), 0L)
-            TermStatsStore.publishManifest(s, p): Unit
-            (1 until 3).foreach { i =>
-              graft.streaming.StoreIntake.termStatsIntakeBatch(
-                p, "ts", compactOver = 3)(
-                docs.filter(col("doc_id") % 3 === i), i.toLong)
-            }
-            p
-          }))
+        val path = termStore(s, dir)
         TermStatsStore.termStats(s, path)
           .withColumn("n_docs", lit(TermStatsStore.docsCount(s, path)))
           .orderBy("term")
+    },
+
+    // Source-overlap answered FROM the term-stats store's theta-sketch
+    // sidecars — zero corpus access at query time: each of the three
+    // intake epochs staged per-source sketches in the same crash-safe
+    // epoch placement as its partials; the query unions them per
+    // source (epochs × sources driver-side KBs) and intersects
+    // pairwise. Same oracle as theta_overlap (union over the three
+    // epoch slices = the whole corpus per source; exact mode at
+    // fixture vocab) — green only if ledger/replay semantics kept the
+    // sidecar log duplicate-free and the epoch merge reproduces the
+    // single-pass sketch.
+    QuerySpec("theta_store_overlap",
+      s"""WITH tq AS (SELECT doc_id, unnest(${TextOps.toksD}) AS term
+         |            FROM documents WHERE text IS NOT NULL),
+         |u AS (SELECT DISTINCT d.source, tq.term
+         |      FROM tq JOIN documents d USING (doc_id))
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |       COUNT(*) AS shared_terms
+         |FROM u a JOIN u b ON a.term = b.term AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      TermStatsStore.sourceOverlapFromStore(s, termStore(s, dir))
+        .orderBy("src_a", "src_b")
     }
   )
 
-  /** Session-scoped built-store paths for term_store_stats (the
-    * pqStoreCache pattern — entries are tmp paths, bytes on disk, not
-    * Spark-cached state).
+  /** Build-once term-stats store per (session, corpus) — the
+    * ivfpq_store_ann pattern: a production stats store is folded
+    * continuously and read for months, so re-runs time the snapshot
+    * READ, not the intake replay (tmp-dir bytes outside Spark's cache
+    * manager; one corpus dir per session). The corpus arrives as
+    * THREE ledgered intake epochs (manifest adopted after the first,
+    * `compactOver = 3` so the in-loop LSM fold and GC fire
+    * mid-stream), each epoch also staging its per-source theta
+    * sidecar (`sketchSources = true`) — term_store_stats and
+    * theta_store_overlap read the same store.
+    */
+  private def termStore(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    termStoreCache.synchronized(
+      termStoreCache.getOrElseUpdate((s, dir), {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source"))
+          .filter(col("text").isNotNull)
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-termstore").toString + "/ts"
+        graft.streaming.StoreIntake.termStatsIntakeBatch(p, "ts",
+          sketchSources = true)(
+          docs.filter(col("doc_id") % 3 === 0), 0L)
+        TermStatsStore.publishManifest(s, p): Unit
+        (1 until 3).foreach { i =>
+          graft.streaming.StoreIntake.termStatsIntakeBatch(
+            p, "ts", compactOver = 3, sketchSources = true)(
+            docs.filter(col("doc_id") % 3 === i), i.toLong)
+        }
+        p
+      }))
+
+  /** Session-scoped built-store paths for term_store_stats /
+    * theta_store_overlap (the pqStoreCache pattern — entries are tmp
+    * paths, bytes on disk, not Spark-cached state).
     */
   private val termStoreCache = scala.collection.mutable.Map.empty[
     (org.apache.spark.sql.SparkSession, String), String]

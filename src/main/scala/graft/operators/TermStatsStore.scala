@@ -45,9 +45,57 @@ object TermStatsStore {
     * per shuffle partition would add 32 tiny files per epoch on
     * local[32] and re-create the small-files growth the fold exists
     * to bound.
+    *
+    * With `sketchSources = true` (batch must carry `source`) the
+    * epoch also stages a theta-sketch SIDECAR under
+    * `stageDir/sketches`: one (source, sketch-bytes) row per source
+    * in the batch — KBs, built from the same tokenize pass shape
+    * (ThetaSketches' shuffle-free partial build). Sidecar rows ride
+    * the SAME crash-safe epoch placement as the partials, so replay /
+    * ledger semantics cover them for free; they are never folded
+    * (epochs × sources rows per year is catalog-scale) — readers
+    * union per source at query time ([[sourceSketches]]).
     */
-  def stagePartials(batch: DataFrame, stageDir: String): Unit =
+  def stagePartials(batch: DataFrame, stageDir: String,
+      sketchSources: Boolean = false): Unit = {
     partialsPlan(batch).coalesce(2).write.parquet(s"$stageDir/partials")
+    if (sketchSources)
+      ThetaSketches.sourceTermSketches(
+          Pipeline.docTermsPlan(batch)
+            .join(batch.select(col("doc_id"), col("source")), "doc_id"))
+        .toDF("source", "sk")
+        .coalesce(1).write.parquet(s"$stageDir/sketches")
+  }
+
+  /** Per-source theta sketches merged across every intake epoch's
+    * sidecar rows — driver-side over the (epochs × sources)-sized
+    * list. Empty when the store was built without sidecars.
+    */
+  def sourceSketches(spark: SparkSession,
+      path: String): Seq[(String, Array[Byte])] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/sketches")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return Seq.empty
+    spark.read.parquet(s"$path/sketches")
+      .select("source", "sk").collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (src, rows) =>
+        (src, ThetaSketches.unionAll(rows.map(_._2)))
+      }
+  }
+
+  /** Pairwise distinct-term overlap between sources, answered FROM the
+    * store's sketch sidecars — no corpus access at all: union the
+    * per-epoch sketches per source, intersect pairwise. The
+    * incremental form of ThetaSketches.sourceOverlapEstimates.
+    */
+  def sourceOverlapFromStore(spark: SparkSession,
+      path: String): DataFrame = {
+    import spark.implicits._
+    ThetaSketches.pairwiseIntersections(sourceSketches(spark, path))
+      .toDF("src_a", "src_b", "shared_terms")
+  }
 
   private def partialsRoot(path: String) = s"$path/partials"
 

@@ -96,6 +96,16 @@ object ThetaSketches {
       .toDF("src_a", "src_b", "shared_terms")
   }
 
+  /** Union a list of serialized sketches into one compact sketch —
+    * the per-source epoch-sidecar merge (TermStatsStore): KB inputs,
+    * driver-side, order-independent.
+    */
+  def unionAll(sketches: Seq[Array[Byte]], lgK: Int = 12): Array[Byte] = {
+    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    sketches.foreach(b => u.union(heapify(b)))
+    u.getResult.toByteArray
+  }
+
   private def heapify(b: Array[Byte]): Sketch =
     Sketches.heapifySketch(Memory.wrap(b))
 }

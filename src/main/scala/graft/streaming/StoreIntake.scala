@@ -517,7 +517,8 @@ object StoreIntake {
     * the LSM maintenance cadence inside the serialized writer window.
     */
   def termStatsIntakeBatch(storePath: String, scope: String,
-      compactOver: Int = 0)(batch: DataFrame, batchId: Long): Unit = {
+      compactOver: Int = 0, sketchSources: Boolean = false)(
+      batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) {
       if (!epochApplied(spark, storePath, scope, batchId))
@@ -526,7 +527,8 @@ object StoreIntake {
     }
     val placed = appendEpoch(spark, storePath, scope, batchId) {
       stageDir =>
-        graft.operators.TermStatsStore.stagePartials(batch, stageDir)
+        graft.operators.TermStatsStore.stagePartials(batch, stageDir,
+          sketchSources)
     }
     val root = s"$storePath/partials"
     val manifested = graft.operators.StoreManifest

@@ -511,6 +511,47 @@ class StoreIntakeSpec extends AnyFunSuite {
       .termStats(spark, store)) == direct)
   }
 
+  test("term-stats intake with theta sidecars: the store's epoch-merged " +
+    "source overlap equals the one-pass batch estimate, replays add no " +
+    "sidecar rows, and the partials fold leaves sketches intact") {
+    val spark = TestSpark.spark
+    val store = Files.createTempDirectory("graft-termsk").toString + "/ts"
+    val docs = Tables.t(spark, dir, "documents")
+      .select("doc_id", "text", "source").filter(col("text").isNotNull)
+    StoreIntake.termStatsIntakeBatch(store, "ts", sketchSources = true)(
+      docs.filter(col("doc_id") % 3 === 0), 0L)
+    assert(graft.operators.TermStatsStore
+      .publishManifest(spark, store) == 1L)
+    (1 until 3).foreach { i =>
+      StoreIntake.termStatsIntakeBatch(store, "ts", compactOver = 3,
+        sketchSources = true)(docs.filter(col("doc_id") % 3 === i),
+        i.toLong)
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("src_a", "src_b").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val viaStore = canon(graft.operators.TermStatsStore
+      .sourceOverlapFromStore(spark, store))
+    val direct = canon(graft.operators.ThetaSketches
+      .sourceOverlapEstimates(
+        graft.operators.Pipeline.docTermsPlan(docs)
+          .join(docs.select("doc_id", "source"), "doc_id")))
+    assert(viaStore == direct,
+      "epoch-merged sketches diverged from the one-pass build")
+    // Replay: ledger skips the whole epoch — sidecar row count frozen.
+    val rowsBefore = spark.read.parquet(s"$store/sketches").count()
+    StoreIntake.termStatsIntakeBatch(store, "ts", sketchSources = true)(
+      docs.filter(col("doc_id") % 3 === 1), 1L)
+    assert(spark.read.parquet(s"$store/sketches").count() == rowsBefore,
+      "replay duplicated sidecar rows")
+    // A partials fold + GC must not touch the sidecar answers.
+    graft.operators.TermStatsStore.compact(spark, store)
+    graft.operators.StoreManifest.gcExpired(spark, s"$store/partials",
+      keepVersions = 1)
+    assert(canon(graft.operators.TermStatsStore
+      .sourceOverlapFromStore(spark, store)) == direct)
+  }
+
   test("signature intake: banded epochs land in the bucketed store " +
     "exactly once; stored rows equal a from-scratch banding and the " +
     "incremental probe matches the in-memory path") {
