@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Sustained streaming soak (VERDICT r8 directive 7): drive the three
@@ -370,6 +370,29 @@ object StreamSoak {
         }
         .start()
 
+      // Fourth store: the log-structured term-stats store WITH theta
+      // sketch sidecars (round 11) — seeded under its own ledger scope
+      // (a streamed batch 0 must not collide with the seed epoch),
+      // manifested, then streamed with the in-loop fold armed.
+      val tsStore = s"$tmp/ts_intake"
+      val tsSeed = docsT.select("doc_id", "text", "source")
+        .filter(col("text").isNotNull && col("source").isNotNull &&
+          col("doc_id") % 2 === 1)
+      streaming.StoreIntake.termStatsIntakeBatch(tsStore, "seed",
+        sketchSources = true)(tsSeed, 0L)
+      operators.TermStatsStore.publishManifest(spark, tsStore): Unit
+      val tsSource = MemoryStream[(Long, String, String)](spark)
+      val tsQuery = tsSource.toDF().toDF("doc_id", "text", "source")
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ts_intake_ckpt")
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          streaming.StoreIntake.termStatsIntakeBatch(tsStore, "soak",
+            compactOver = 4, sketchSources = true)(b, id)
+        }
+        .start()
+      val fedTs = mutable.ArrayBuffer.empty[(Long, String, String)]
+
       val vlog = mutable.LinkedHashMap.empty[Long, Progress]
       val fedDocs = mutable.ArrayBuffer.empty[(Long, String)]
       var fedDocStore = 0L
@@ -399,6 +422,13 @@ object StreamSoak {
         fedDocStore += sbatch.size
         docStoreSource.addData(sbatch: _*)
         docStoreQuery.processAllAvailable()
+        val tbatch = (0 until 30).map { r =>
+          val (did, text, src) = srcRows((i * 71 + r * 13) % srcRows.length)
+          ((i + 1) * 20000000L + did * 100 + r, text, src)
+        }
+        fedTs ++= tbatch
+        tsSource.addData(tbatch: _*)
+        tsQuery.processAllAvailable()
         if (i < phase1) {
           val now = listingOf(s"$store/vectors")
           require(lastListing.subsetOf(now),
@@ -447,7 +477,55 @@ object StreamSoak {
         s""""snapshot_rows":$docSnapRows,""" +
         s""""manifest_version":${docV.get},""" +
         s""""max_files_per_source":${perSource.max}}""")
+
+      // Term-stats store with sketch sidecars: incremental stats AND
+      // the sidecar-derived source overlap must equal from-scratch
+      // builds over seed ∪ everything fed; a replay adds neither
+      // partials nor sidecar rows; the in-loop fold bounded the log.
+      val allTs = tsSeed.unionByName(
+        fedTs.toSeq.toDF("doc_id", "text", "source"))
+      val tsDirect = operators.Pipeline.docTermsPlan(allTs)
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+        .orderBy("term").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val tsViaStore = operators.TermStatsStore
+        .termStats(spark, tsStore).orderBy("term").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      require(tsViaStore == tsDirect,
+        "streamed term-stats store diverged from from-scratch stats")
+      require(operators.TermStatsStore.docsCount(spark, tsStore)
+        == allTs.count(),
+        "streamed term-stats doc count drifted")
+      def ovCanon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("src_a", "src_b").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      val ovStore = ovCanon(operators.TermStatsStore
+        .sourceOverlapFromStore(spark, tsStore))
+      val ovDirect = ovCanon(operators.ThetaSketches
+        .sourceOverlapEstimates(operators.Pipeline.docTermsPlan(allTs)
+          .join(allTs.select("doc_id", "source"), "doc_id")))
+      require(ovStore == ovDirect,
+        "sidecar-derived source overlap diverged from one-pass build")
+      val skRows = spark.read.parquet(s"$tsStore/sketches").count()
+      streaming.StoreIntake.termStatsIntakeBatch(tsStore, "soak",
+        compactOver = 4, sketchSources = true)(
+        allTs.limit(5), 0L)
+      require(spark.read.parquet(s"$tsStore/sketches").count() == skRows,
+        "replayed term-stats batch duplicated sidecar rows")
+      require(ovCanon(operators.TermStatsStore
+        .sourceOverlapFromStore(spark, tsStore)) == ovDirect,
+        "replay changed the sidecar overlap answer")
+      val tsLive = operators.StoreManifest
+        .files(spark, s"$tsStore/partials").get
+      require(tsLive.size <= 6,
+        s"term-stats fold failed to bound the log: ${tsLive.size}")
+      println(s"""{"metric":"stream_soak_term_stats",""" +
+        s""""epochs":$nB,"fed":${fedTs.size},""" +
+        s""""sketch_rows":$skRows,"live_partials":${tsLive.size}}""")
+
       vecQuery.stop(); docQuery.stop(); docStoreQuery.stop()
+      tsQuery.stop()
 
       // Exactness: stored rows = base + every fed vector, no dups.
       val storedRows = spark.read.parquet(s"$store/vectors")
