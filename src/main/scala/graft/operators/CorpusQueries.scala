@@ -496,6 +496,50 @@ object CorpusQueries {
          |ORDER BY source""".stripMargin) { (s, dir) =>
       Corpus.hllDistinctTerms(t(s, dir, "documents"), cacheKey = dir)
         .orderBy("source")
+    },
+
+    // KLL grouped quantiles (QuantileSketches): per-source document-
+    // length p25/p50/p75/p95 from per-partition partial sketches
+    // merged per source — the shuffle moves KB sketches, never values;
+    // an exact grouped percentile would per-group-sort the corpus.
+    // Oracle compares against SQL-standard percentile_disc — legitimate
+    // because every fixture group holds ≤ k values, so the sketch has
+    // never compacted and getQuantile(q, INCLUSIVE) IS percentile_disc
+    // (smallest value whose inclusive rank reaches q), deterministically.
+    // The randomized-compaction estimation regime (rank-error envelope,
+    // merge ≡ single-pass exactness) is SketchSpec's gate.
+    QuerySpec("kll_quantiles",
+      """SELECT source,
+        |  CAST(quantile_disc(length(text), 0.25) AS BIGINT) AS p25,
+        |  CAST(quantile_disc(length(text), 0.50) AS BIGINT) AS p50,
+        |  CAST(quantile_disc(length(text), 0.75) AS BIGINT) AS p75,
+        |  CAST(quantile_disc(length(text), 0.95) AS BIGINT) AS p95,
+        |  COUNT(*) AS n_vals
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      QuantileSketches.sourceLengthQuantiles(t(s, dir, "documents"))
+        .orderBy("source")
+    },
+
+    // Frequent-items heavy hitters (HeavyHitters): terms above 2% of
+    // all token occurrences from ONE docTerms scan — per-partition
+    // Misra–Gries partials merged driver-side (partitions-sized byte
+    // list, the codebook-loop pattern), no term-keyed shuffle. Oracle
+    // compares against the exact HAVING — legitimate because the
+    // fixture vocab fits the map (no purge has occurred → estimates
+    // equal truth and NO_FALSE_POSITIVES selects exactly
+    // count > total/divisor); the purge regime (bounds hold, no false
+    // negatives, deterministic merge) is SketchSpec's gate.
+    QuerySpec("heavy_hitters",
+      s"""WITH tq AS (SELECT unnest(${toksD}) AS term FROM documents),
+         |tot AS (SELECT COUNT(*) AS n FROM tq)
+         |SELECT term, COUNT(*) AS est_count
+         |FROM tq, tot
+         |GROUP BY term, tot.n
+         |HAVING COUNT(*) > tot.n // 50
+         |ORDER BY term""".stripMargin) { (s, dir) =>
+      HeavyHitters.termHeavyHitters(t(s, dir, "documents"), cacheKey = dir)
+        .orderBy("term")
     }
   )
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+import org.apache.datasketches.memory.Memory
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Frequent-items (Misra–Gries style) heavy hitters over corpus terms
+  * — "which terms exceed x% of all token occurrences" WITHOUT the
+  * term-keyed aggregation `token_freq` pays. The exact answer groups
+  * the corpus by term; the sketch answer is one scan:
+  *
+  *   docTerms scan → per-partition ItemsSketch partials (weighted
+  *   update with tf, memory ≤ maxMapSize entries, independent of
+  *   partition size) → driver-side merge over the partitions-sized
+  *   byte list (the codebook-loop pattern) → getFrequentItems reads
+  *   off the KB-sized merged sketch.
+  *
+  * Deterministic: the purge step (subtract the median counter, evict
+  * non-positives) involves no randomness, so unlike KLL the ESTIMATION
+  * regime is also reproducible. Counts are EXACT (error 0) while no
+  * purge has occurred — guaranteed when distinct terms ≤ 0.75 ×
+  * maxMapSize, the regime the oracle exercises; after purges the
+  * per-item error is bounded by `getMaximumError` ≤ 3.5 n / maxMapSize
+  * and NO_FALSE_NEGATIVES still returns a superset of every true
+  * heavy hitter — SketchSpec's gate.
+  */
+object HeavyHitters {
+
+  private val serde = new ArrayOfStringsSerDe
+
+  /** One merged frequent-items sketch over the (term, tf) stream.
+    * Partials are collected driver-side: ≤ nPartitions serialized
+    * sketches of ≤ maxMapSize entries each — bounded by construction,
+    * never corpus-sized.
+    */
+  def termSketch(terms: DataFrame, maxMapSize: Int): ItemsSketch[String] = {
+    val spark = terms.sparkSession
+    import spark.implicits._
+    val partials = terms
+      .select(col("term").cast("string"), col("tf").cast("long"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val sk = new ItemsSketch[String](maxMapSize)
+        it.foreach { case (t, w) => sk.update(t, w) }
+        Iterator.single(sk.toByteArray(serde))
+      }
+      .collect()
+    val m = new ItemsSketch[String](maxMapSize)
+    partials.foreach(b =>
+      m.merge(ItemsSketch.getInstance[String](Memory.wrap(b), serde)): Unit)
+    m
+  }
+
+  /** Terms whose total occurrence count exceeds streamLength/divisor,
+    * with estimates. NO_FALSE_POSITIVES keeps only items whose LOWER
+    * bound clears the threshold — in the no-purge regime lower =
+    * estimate = truth, so the returned set is exactly
+    * `HAVING count > total/divisor` (the oracle shape); under purges
+    * it is the guaranteed-true subset, the conservative side for
+    * governance decisions.
+    */
+  def termHeavyHitters(docs: DataFrame, divisor: Long = 50L,
+      maxMapSize: Int = 32768, cacheKey: String = ""): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sk = termSketch(Pipeline.docTerms(docs, cacheKey), maxMapSize)
+    val threshold = sk.getStreamLength / divisor
+    sk.getFrequentItems(threshold, ErrorType.NO_FALSE_POSITIVES)
+      .toSeq
+      .map(r => (r.getItem, r.getEstimate))
+      .sortBy(_._1)
+      .toDF("term", "est_count")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** KLL quantile sketches over grouped numeric columns — the
+  * distribution question the theta/HLL/CMS pillar cannot answer:
+  * "what is the p95 document length per source" without a per-group
+  * sort. An exact grouped percentile is a per-group ORDER BY — at
+  * 100 TB that is a corpus-sized shuffle whose reduce side must hold
+  * every group's values; KLL answers any rank/quantile question from
+  * per-group sketches built with NO value shuffle at all:
+  *
+  *   scan → per-partition partial sketches (one per group seen,
+  *   ≤ ~k retained values each, independent of partition row count)
+  *   → per-group merge (the shuffle moves partitions × groups
+  *   KB-sized sketches, never values) → quantile reads off the
+  *   groups-sized sketch table.
+  *
+  * Same manual map-side combine as [[ThetaSketches]]. Answers are
+  * EXACT while a group's value count stays ≤ k (no compaction has
+  * occurred — the regime the oracle exercises, where
+  * `getQuantile(q, INCLUSIVE)` IS SQL-standard `percentile_disc(q)`:
+  * the smallest value whose inclusive rank reaches q). In the
+  * estimation regime compaction is randomized, so answers carry
+  * KLL's ~1.65%/√k normalized rank-error envelope — SketchSpec's
+  * gate, not the oracle's.
+  */
+object QuantileSketches {
+
+  /** Per-group merged KLL sketches over (group, value) pairs.
+    * Partial-per-partition then sketch-sized per-group reduce — the
+    * only group-keyed shuffle payload is serialized sketches.
+    */
+  def groupedSketches(vals: Dataset[(String, Double)],
+      k: Int): Dataset[(String, Array[Byte])] = {
+    val spark = vals.sparkSession
+    import spark.implicits._
+    vals
+      .mapPartitions { it =>
+        val partials = mutable.Map.empty[String, KllDoublesSketch]
+        it.foreach { case (g, v) =>
+          partials.getOrElseUpdate(g, KllDoublesSketch.newHeapInstance(k))
+            .update(v)
+        }
+        partials.iterator.map { case (g, sk) => (g, sk.toByteArray) }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val m = KllDoublesSketch.newHeapInstance(k)
+        it.foreach { case (_, b) =>
+          m.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
+        }
+        (g, m.toByteArray)
+      }
+  }
+
+  /** Per-source document-length quantiles (p25/p50/p75/p95 of
+    * `length(text)`) plus the sketch's exact stream count. Quantile
+    * values surface as BIGINT: lengths are integral and the INCLUSIVE
+    * answer is always one of the ingested values, so the cast is
+    * lossless and keeps the oracle hash engine-independent.
+    */
+  def sourceLengthQuantiles(docs: DataFrame, k: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vals = docs
+      .filter(col("text").isNotNull)
+      .select(col("source").cast("string"),
+        length(col("text")).cast("double"))
+      .as[(String, Double)]
+    groupedSketches(vals, k)
+      .map { case (src, b) =>
+        val sk = KllDoublesSketch.heapify(Memory.wrap(b))
+        def q(r: Double) = sk.getQuantile(r, INCLUSIVE).toLong
+        (src, q(0.25), q(0.5), q(0.75), q(0.95), sk.getN)
+      }
+      .toDF("source", "p25", "p50", "p75", "p95", "n_vals")
+  }
+}

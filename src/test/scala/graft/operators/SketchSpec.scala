@@ -139,6 +139,115 @@ class SketchSpec extends AnyFunSuite {
       out.mkString(","))
   }
 
+  test("KLL exact regime: grouped quantiles equal percentile_disc and " +
+    "survive any partial split while no compaction has occurred") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    // Driver-side truth: SQL-standard percentile_disc — the smallest
+    // value whose cumulative (inclusive) rank reaches q, i.e. the
+    // 1-based ceil(q*n)-th order statistic.
+    val truth = docs.filter(col("text").isNotNull)
+      .select(col("source"), length(col("text")).cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (s, vs) => s -> vs.map(_._2).sorted.toIndexedSeq }
+    def pdisc(vs: IndexedSeq[Long], q: Double): Long =
+      vs(math.ceil(q * vs.size).toInt - 1)
+    val got = QuantileSketches.sourceLengthQuantiles(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == truth.keySet)
+    truth.foreach { case (s, vs) =>
+      val (_, p25, p50, p75, p95, nv) = got(s)
+      assert((p25, p50, p75, p95, nv) ==
+        (pdisc(vs, 0.25), pdisc(vs, 0.5), pdisc(vs, 0.75),
+          pdisc(vs, 0.95), vs.size.toLong),
+        s"source $s quantiles diverged from percentile_disc")
+    }
+    // Partial-split invariance in the exact regime: merging
+    // never-compacted partials retains every value, so a different
+    // partition split must answer identically.
+    val re = QuantileSketches
+      .sourceLengthQuantiles(docs.repartition(13))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(re == got, "partition split changed exact-regime quantiles")
+  }
+
+  test("KLL estimation regime: rank error at 200k values stays inside " +
+    "the k=200 envelope and the stream count stays exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val n = 200000L
+    val m = 1000003L
+    val vals = spark.range(n)
+      .select(lit("g").as("_1"),
+        ((col("id") * 2654435761L) % m).cast("double").as("_2"))
+      .as[(String, Double)]
+    val Array((_, bytes)) =
+      QuantileSketches.groupedSketches(vals, 200).collect()
+    val sk = org.apache.datasketches.kll.KllDoublesSketch
+      .heapify(org.apache.datasketches.memory.Memory.wrap(bytes))
+    assert(sk.getN == n, "stream length must stay exact under merges")
+    // ε(k=200) ≈ 1.33% at 99% confidence; gate each probed rank at 2ε.
+    val eps = org.apache.datasketches.kll.KllSketch
+      .getNormalizedRankError(200, false)
+    Seq(0.1, 0.5, 0.9).foreach { frac =>
+      val x = frac * m
+      val trueRank =
+        vals.filter(col("_2") <= x).count().toDouble / n
+      val estRank = sk.getRank(x,
+        org.apache.datasketches.quantilescommon
+          .QuantileSearchCriteria.INCLUSIVE)
+      assert(math.abs(estRank - trueRank) <= 2 * eps,
+        s"rank($x): est $estRank vs true $trueRank (eps $eps)")
+    }
+  }
+
+  test("frequent-items exact regime: heavy hitters equal the exact " +
+    "HAVING set with exact counts when the vocab fits the map") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val terms = Pipeline.docTerms(docs, cacheKey = "sketch-spec")
+    val total = terms.agg(sum("tf")).head().getLong(0)
+    val want = terms.groupBy("term")
+      .agg(sum("tf").as("c")).filter(col("c") > total / 50)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val got = HeavyHitters
+      .termHeavyHitters(docs, cacheKey = "sketch-spec")
+      .as[(String, Long)].collect().toSeq
+    assert(got == want, s"${got.size} vs ${want.size} heavy hitters")
+  }
+
+  test("frequent-items purge regime: bounds bracket truth, maximum " +
+    "error honors 3.5n/maxMapSize, and no true heavy hitter is lost") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 10 hot items at 5000 occurrences over a 5k-item unit-weight tail
+    // — forced purges at maxMapSize 64 (error cap ≈ 3008 < 5000, so
+    // hot items remain provably heavy).
+    val hot = spark.range(10)
+      .select(concat(lit("h"), col("id")).as("term"),
+        lit(5000L).as("tf"))
+    val tail = spark.range(5000)
+      .select(concat(lit("t"), col("id")).as("term"), lit(1L).as("tf"))
+    val sk = HeavyHitters.termSketch(hot.unionByName(tail), 64)
+    val nTot = 10L * 5000 + 5000
+    assert(sk.getStreamLength == nTot)
+    assert(sk.getMaximumError <= (3.5 * nTot / 64).toLong,
+      s"max error ${sk.getMaximumError} above the published bound")
+    val nfn = sk.getFrequentItems(nTot / 50,
+      org.apache.datasketches.frequencies.ErrorType.NO_FALSE_NEGATIVES)
+    val names = nfn.map(_.getItem).toSet
+    assert((0 until 10).forall(i => names.contains(s"h$i")),
+      s"lost a true heavy hitter: $names")
+    nfn.filter(r => r.getItem.startsWith("h")).foreach { r =>
+      assert(r.getLowerBound <= 5000L && 5000L <= r.getUpperBound,
+        s"${r.getItem}: [${r.getLowerBound}, ${r.getUpperBound}]")
+    }
+  }
+
   test("hllDistinctTerms: the self-union's second consumer reuses the " +
     "per-source aggregate's exchange — one corpus scan, not two") {
     val spark = TestSpark.spark
