@@ -521,6 +521,27 @@ object CorpusQueries {
         .orderBy("source")
     },
 
+    // Length-outlier curation driven by the KLL cutoffs
+    // (QuantileSketches.lengthTrim): keep documents inside the
+    // per-source [p05, p95] character-length band — cutoffs off the
+    // sketch (no per-group sort), sources-sized cutoff table
+    // broadcast into the corpus filter. Oracle recomputes the band
+    // with percentile_disc — identical in the never-compacted regime.
+    QuerySpec("quantile_trim",
+      """WITH d AS (SELECT doc_id, source, length(text) AS n_chars
+        |           FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT source,
+        |        quantile_disc(n_chars, 0.05) AS lo,
+        |        quantile_disc(n_chars, 0.95) AS hi
+        |      FROM d GROUP BY source)
+        |SELECT doc_id, d.source, n_chars
+        |FROM d JOIN c USING (source)
+        |WHERE n_chars BETWEEN lo AND hi
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      QuantileSketches.lengthTrim(t(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
+
     // Frequent-items heavy hitters (HeavyHitters): terms above 2% of
     // all token occurrences from ONE docTerms scan — per-partition
     // Misra–Gries partials merged driver-side (partitions-sized byte

@@ -601,6 +601,30 @@ object PipelineQueries {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       TermStatsStore.sourceOverlapFromStore(s, termStore(s, dir))
         .orderBy("src_a", "src_b")
+    },
+
+    // Per-source length quantiles answered FROM the term-stats store's
+    // KLL sidecars — zero corpus access at query time: each intake
+    // epoch staged a per-source length sketch in the same crash-safe
+    // placement as its partials; the query merges them per source
+    // (epochs × sources driver-side KBs) and reads the ranks. Same
+    // oracle as kll_quantiles (the three epoch slices union to the
+    // whole corpus per source; merged counts stay ≤ k so the merge is
+    // exact and getQuantile(q, INCLUSIVE) IS percentile_disc) — green
+    // only if ledger/replay semantics kept the sidecar log
+    // duplicate-free and the epoch merge reproduces the one-pass
+    // sketch.
+    QuerySpec("kll_store_quantiles",
+      """SELECT source,
+        |  CAST(quantile_disc(length(text), 0.25) AS BIGINT) AS p25,
+        |  CAST(quantile_disc(length(text), 0.50) AS BIGINT) AS p50,
+        |  CAST(quantile_disc(length(text), 0.75) AS BIGINT) AS p75,
+        |  CAST(quantile_disc(length(text), 0.95) AS BIGINT) AS p95,
+        |  COUNT(*) AS n_vals
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      TermStatsStore.sourceLengthQuantilesFromStore(s, termStore(s, dir))
+        .orderBy("source")
     }
   )
 
@@ -625,12 +649,13 @@ object PipelineQueries {
         val p = java.nio.file.Files
           .createTempDirectory("graft-termstore").toString + "/ts"
         graft.streaming.StoreIntake.termStatsIntakeBatch(p, "ts",
-          sketchSources = true)(
+          sketchSources = true, sketchLengths = true)(
           docs.filter(col("doc_id") % 3 === 0), 0L)
         TermStatsStore.publishManifest(s, p): Unit
         (1 until 3).foreach { i =>
           graft.streaming.StoreIntake.termStatsIntakeBatch(
-            p, "ts", compactOver = 3, sketchSources = true)(
+            p, "ts", compactOver = 3, sketchSources = true,
+            sketchLengths = true)(
             docs.filter(col("doc_id") % 3 === i), i.toLong)
         }
         p

@@ -61,26 +61,80 @@ object QuantileSketches {
       }
   }
 
-  /** Per-source document-length quantiles (p25/p50/p75/p95 of
-    * `length(text)`) plus the sketch's exact stream count. Quantile
-    * values surface as BIGINT: lengths are integral and the INCLUSIVE
-    * answer is always one of the ingested values, so the cast is
-    * lossless and keeps the oracle hash engine-independent.
+  /** The (source, length) value stream every length-quantile consumer
+    * sketches — null-text rows carry no length to rank.
     */
-  def sourceLengthQuantiles(docs: DataFrame, k: Int = 1024): DataFrame = {
+  private def lengthVals(docs: DataFrame): Dataset[(String, Double)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val vals = docs
+    docs
       .filter(col("text").isNotNull)
       .select(col("source").cast("string"),
         length(col("text")).cast("double"))
       .as[(String, Double)]
-    groupedSketches(vals, k)
+  }
+
+  /** Merge serialized KLL sketches into one — the per-source
+    * epoch-sidecar merge (TermStatsStore): KB inputs, driver-side.
+    * Exactness survives the merge while the combined value count
+    * stays ≤ k (no compaction has ever fired).
+    */
+  def mergeAll(sketches: Seq[Array[Byte]], k: Int = 1024): Array[Byte] = {
+    val m = KllDoublesSketch.newHeapInstance(k)
+    sketches.foreach(b =>
+      m.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
+    m.toByteArray
+  }
+
+  /** (p25, p50, p75, p95, n) off one serialized sketch. Quantile
+    * values surface as BIGINT: lengths are integral and the INCLUSIVE
+    * answer is always one of the ingested values, so the cast is
+    * lossless and keeps the oracle hash engine-independent.
+    */
+  def lengthQuantileRow(b: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(b))
+    def q(r: Double) = sk.getQuantile(r, INCLUSIVE).toLong
+    (q(0.25), q(0.5), q(0.75), q(0.95), sk.getN)
+  }
+
+  /** Per-source document-length quantiles (p25/p50/p75/p95 of
+    * `length(text)`) plus the sketch's exact stream count.
+    */
+  def sourceLengthQuantiles(docs: DataFrame, k: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    groupedSketches(lengthVals(docs), k)
       .map { case (src, b) =>
-        val sk = KllDoublesSketch.heapify(Memory.wrap(b))
-        def q(r: Double) = sk.getQuantile(r, INCLUSIVE).toLong
-        (src, q(0.25), q(0.5), q(0.75), q(0.95), sk.getN)
+        val (p25, p50, p75, p95, n) = lengthQuantileRow(b)
+        (src, p25, p50, p75, p95, n)
       }
       .toDF("source", "p25", "p50", "p75", "p95", "n_vals")
+  }
+
+  /** Length-outlier curation: keep documents whose character length
+    * lies within the per-source [lo, hi] percentile band, cutoffs read
+    * off the KLL sketches instead of a per-group corpus sort. The
+    * cutoff table is sources-sized and BROADCAST — the corpus is
+    * scanned once for the sketch build and once for the filter, with
+    * no value shuffle in either pass. Emits (doc_id, source, n_chars)
+    * for the kept documents.
+    */
+  def lengthTrim(docs: DataFrame, lo: Double = 0.05, hi: Double = 0.95,
+      k: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cuts = groupedSketches(lengthVals(docs), k)
+      .map { case (src, b) =>
+        val sk = KllDoublesSketch.heapify(Memory.wrap(b))
+        (src, sk.getQuantile(lo, INCLUSIVE).toLong,
+          sk.getQuantile(hi, INCLUSIVE).toLong)
+      }
+      .toDF("source", "lo_len", "hi_len")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .join(broadcast(cuts), "source")
+      .filter(col("n_chars").between(col("lo_len"), col("hi_len")))
+      .select("doc_id", "source", "n_chars")
   }
 }

@@ -57,7 +57,8 @@ object TermStatsStore {
     * union per source at query time ([[sourceSketches]]).
     */
   def stagePartials(batch: DataFrame, stageDir: String,
-      sketchSources: Boolean = false): Unit = {
+      sketchSources: Boolean = false,
+      sketchLengths: Boolean = false): Unit = {
     partialsPlan(batch).coalesce(2).write.parquet(s"$stageDir/partials")
     if (sketchSources)
       ThetaSketches.sourceTermSketches(
@@ -65,6 +66,17 @@ object TermStatsStore {
             .join(batch.select(col("doc_id"), col("source")), "doc_id"))
         .toDF("source", "sk")
         .coalesce(1).write.parquet(s"$stageDir/sketches")
+    if (sketchLengths) {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      QuantileSketches.groupedSketches(
+          batch.filter(col("text").isNotNull)
+            .select(col("source").cast("string"),
+              length(col("text")).cast("double"))
+            .as[(String, Double)], k = 1024)
+        .toDF("source", "sk")
+        .coalesce(1).write.parquet(s"$stageDir/lenq")
+    }
   }
 
   /** Per-source theta sketches merged across every intake epoch's
@@ -95,6 +107,42 @@ object TermStatsStore {
     import spark.implicits._
     ThetaSketches.pairwiseIntersections(sourceSketches(spark, path))
       .toDF("src_a", "src_b", "shared_terms")
+  }
+
+  /** Per-source KLL document-length sketches merged across every
+    * intake epoch's `lenq` sidecar rows — driver-side over the
+    * (epochs × sources)-sized list, the theta-sidecar pattern. Empty
+    * when the store was built without length sidecars.
+    */
+  def sourceLengthSketches(spark: SparkSession,
+      path: String): Seq[(String, Array[Byte])] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/lenq")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return Seq.empty
+    spark.read.parquet(s"$path/lenq")
+      .select("source", "sk").collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (src, rows) =>
+        (src, QuantileSketches.mergeAll(rows.map(_._2)))
+      }
+  }
+
+  /** Per-source document-length quantiles answered FROM the store's
+    * KLL sidecars — no corpus access at query time: union the
+    * per-epoch sketches per source, read the ranks. The incremental
+    * form of QuantileSketches.sourceLengthQuantiles; exact while each
+    * source's total ingested count stays ≤ k.
+    */
+  def sourceLengthQuantilesFromStore(spark: SparkSession,
+      path: String): DataFrame = {
+    import spark.implicits._
+    sourceLengthSketches(spark, path)
+      .map { case (src, b) =>
+        val (p25, p50, p75, p95, n) = QuantileSketches.lengthQuantileRow(b)
+        (src, p25, p50, p75, p95, n)
+      }
+      .toDF("source", "p25", "p50", "p75", "p95", "n_vals")
   }
 
   private def partialsRoot(path: String) = s"$path/partials"

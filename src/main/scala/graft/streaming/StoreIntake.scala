@@ -517,7 +517,8 @@ object StoreIntake {
     * the LSM maintenance cadence inside the serialized writer window.
     */
   def termStatsIntakeBatch(storePath: String, scope: String,
-      compactOver: Int = 0, sketchSources: Boolean = false)(
+      compactOver: Int = 0, sketchSources: Boolean = false,
+      sketchLengths: Boolean = false)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) {
@@ -528,7 +529,7 @@ object StoreIntake {
     val placed = appendEpoch(spark, storePath, scope, batchId) {
       stageDir =>
         graft.operators.TermStatsStore.stagePartials(batch, stageDir,
-          sketchSources)
+          sketchSources, sketchLengths)
     }
     val root = s"$storePath/partials"
     val manifested = graft.operators.StoreManifest

@@ -552,6 +552,46 @@ class StoreIntakeSpec extends AnyFunSuite {
       .sourceOverlapFromStore(spark, store)) == direct)
   }
 
+  test("term-stats intake with KLL length sidecars: store-merged " +
+    "quantiles equal the one-pass build, replays add no lenq rows, " +
+    "and the partials fold leaves quantiles intact") {
+    val spark = TestSpark.spark
+    val store = Files.createTempDirectory("graft-termlq").toString + "/ts"
+    val docs = Tables.t(spark, dir, "documents")
+      .select("doc_id", "text", "source").filter(col("text").isNotNull)
+    StoreIntake.termStatsIntakeBatch(store, "ts", sketchLengths = true)(
+      docs.filter(col("doc_id") % 3 === 0), 0L)
+    assert(graft.operators.TermStatsStore
+      .publishManifest(spark, store) == 1L)
+    (1 until 3).foreach { i =>
+      StoreIntake.termStatsIntakeBatch(store, "ts", compactOver = 3,
+        sketchLengths = true)(docs.filter(col("doc_id") % 3 === i),
+        i.toLong)
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val viaStore = canon(graft.operators.TermStatsStore
+      .sourceLengthQuantilesFromStore(spark, store))
+    val direct = canon(graft.operators.QuantileSketches
+      .sourceLengthQuantiles(docs))
+    assert(viaStore == direct,
+      "epoch-merged length sketches diverged from the one-pass build")
+    // Replay: ledger skips the whole epoch — sidecar row count frozen.
+    val rowsBefore = spark.read.parquet(s"$store/lenq").count()
+    StoreIntake.termStatsIntakeBatch(store, "ts", sketchLengths = true)(
+      docs.filter(col("doc_id") % 3 === 1), 1L)
+    assert(spark.read.parquet(s"$store/lenq").count() == rowsBefore,
+      "replay duplicated lenq sidecar rows")
+    // A partials fold + GC must not touch the sidecar answers.
+    graft.operators.TermStatsStore.compact(spark, store)
+    graft.operators.StoreManifest.gcExpired(spark, s"$store/partials",
+      keepVersions = 1)
+    assert(canon(graft.operators.TermStatsStore
+      .sourceLengthQuantilesFromStore(spark, store)) == direct)
+  }
+
   test("signature intake: banded epochs land in the bucketed store " +
     "exactly once; stored rows equal a from-scratch banding and the " +
     "incremental probe matches the in-memory path") {
