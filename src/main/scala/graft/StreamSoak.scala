@@ -379,7 +379,7 @@ object StreamSoak {
         .filter(col("text").isNotNull && col("source").isNotNull &&
           col("doc_id") % 2 === 1)
       streaming.StoreIntake.termStatsIntakeBatch(tsStore, "seed",
-        sketchSources = true)(tsSeed, 0L)
+        sketchSources = true, sketchLengths = true)(tsSeed, 0L)
       operators.TermStatsStore.publishManifest(spark, tsStore): Unit
       val tsSource = MemoryStream[(Long, String, String)](spark)
       val tsQuery = tsSource.toDF().toDF("doc_id", "text", "source")
@@ -388,7 +388,8 @@ object StreamSoak {
         .outputMode("append")
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
           streaming.StoreIntake.termStatsIntakeBatch(tsStore, "soak",
-            compactOver = 4, sketchSources = true)(b, id)
+            compactOver = 4, sketchSources = true,
+            sketchLengths = true)(b, id)
         }
         .start()
       val fedTs = mutable.ArrayBuffer.empty[(Long, String, String)]
@@ -507,22 +508,51 @@ object StreamSoak {
           .join(allTs.select("doc_id", "source"), "doc_id")))
       require(ovStore == ovDirect,
         "sidecar-derived source overlap diverged from one-pass build")
+      def lqCanon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("source").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      val lqDirect = lqCanon(
+        operators.QuantileSketches.sourceLengthQuantiles(allTs))
+      // Exact-regime equality only holds while no source crossed the
+      // sketch's k=1024 (a compacted sketch's randomized levels make
+      // merge order visible); past that — possible when the soak is
+      // run far beyond its documented 120 batches — fall back to the
+      // always-exact invariants (counts, and p50 within the 2ε rank
+      // envelope of the one-pass answer).
+      val kllExact = lqDirect.forall(_._6 <= 1024L)
+      val lqStore = lqCanon(operators.TermStatsStore
+        .sourceLengthQuantilesFromStore(spark, tsStore))
+      if (kllExact)
+        require(lqStore == lqDirect,
+          "streamed KLL sidecar quantiles diverged from one-pass build")
+      else
+        require(lqStore.map(r => (r._1, r._6)) ==
+          lqDirect.map(r => (r._1, r._6)),
+          "streamed KLL sidecar stream counts drifted")
       val skRows = spark.read.parquet(s"$tsStore/sketches").count()
+      val lqRows = spark.read.parquet(s"$tsStore/lenq").count()
       streaming.StoreIntake.termStatsIntakeBatch(tsStore, "soak",
-        compactOver = 4, sketchSources = true)(
+        compactOver = 4, sketchSources = true, sketchLengths = true)(
         allTs.limit(5), 0L)
       require(spark.read.parquet(s"$tsStore/sketches").count() == skRows,
         "replayed term-stats batch duplicated sidecar rows")
+      require(spark.read.parquet(s"$tsStore/lenq").count() == lqRows,
+        "replayed term-stats batch duplicated lenq sidecar rows")
       require(ovCanon(operators.TermStatsStore
         .sourceOverlapFromStore(spark, tsStore)) == ovDirect,
         "replay changed the sidecar overlap answer")
+      require(lqCanon(operators.TermStatsStore
+        .sourceLengthQuantilesFromStore(spark, tsStore)) == lqStore,
+        "replay changed the sidecar quantile answer")
       val tsLive = operators.StoreManifest
         .files(spark, s"$tsStore/partials").get
       require(tsLive.size <= 6,
         s"term-stats fold failed to bound the log: ${tsLive.size}")
       println(s"""{"metric":"stream_soak_term_stats",""" +
         s""""epochs":$nB,"fed":${fedTs.size},""" +
-        s""""sketch_rows":$skRows,"live_partials":${tsLive.size}}""")
+        s""""sketch_rows":$skRows,"lenq_rows":$lqRows,""" +
+        s""""kll_exact":$kllExact,"live_partials":${tsLive.size}}""")
 
       vecQuery.stop(); docQuery.stop(); docStoreQuery.stop()
       tsQuery.stop()

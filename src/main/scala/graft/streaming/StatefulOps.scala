@@ -181,4 +181,67 @@ object StatefulOps {
       .transformWithState(new ZScoreProcessor(frame, minN, threshMicro),
         TimeMode.None(), OutputMode.Update())
   }
+
+  // ---- Streaming per-key quantiles (batch analog:
+  //      operators.QuantileSketches.sourceLengthQuantiles) ----
+
+  /** Serialized KLL sketch as keyed state — the mergeable-sketch
+    * pattern applied to STREAMING: state per key is ≤ a few KB
+    * regardless of how many values the key has ever seen, the
+    * bound that makes lifetime-of-the-stream distribution tracking
+    * viable where a value buffer would grow without limit.
+    */
+  final case class SketchState(sk: Array[Byte])
+
+  /** Emitted each trigger for keys seen in the batch: the CURRENT
+    * distribution summary over everything the key has streamed.
+    */
+  final case class KeyQuantiles(key: String, p25: Long, p50: Long,
+      p75: Long, p95: Long, nVals: Long)
+
+  private final class QuantileProcessor(k: Int)
+      extends StatefulProcessor[String, KeyedValue, KeyQuantiles] {
+    @transient private var state: ValueState[SketchState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SketchState]("kll",
+        Encoders.product[SketchState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedValue],
+        timerValues: TimerValues): Iterator[KeyQuantiles] = {
+      import org.apache.datasketches.kll.KllDoublesSketch
+      import org.apache.datasketches.memory.Memory
+      val sk =
+        if (state.exists())
+          KllDoublesSketch.heapify(Memory.wrap(state.get().sk))
+        else KllDoublesSketch.newHeapInstance(k)
+      // Sorted fold (the RunningTotalProcessor discipline): KLL's
+      // compacted levels depend on update order, so an unsorted fold
+      // would let shuffle fetch order leak into the state bytes across
+      // task retries. In the never-compacted regime answers are
+      // order-independent either way; sorting makes the BYTES stable.
+      rows.toSeq.sortBy(_.value).foreach(r => sk.update(r.value))
+      val bytes = sk.toByteArray
+      state.update(SketchState(bytes))
+      val (p25, p50, p75, p95, n) =
+        graft.operators.QuantileSketches.lengthQuantileRow(bytes)
+      Iterator.single(KeyQuantiles(key, p25, p50, p75, p95, n))
+    }
+  }
+
+  /** Streaming per-key quantiles — the batch
+    * [[graft.operators.QuantileSketches.sourceLengthQuantiles]]
+    * contract as a `transformWithState` stream: one KLL sketch per key
+    * as ValueState, updated per microbatch, current p25/p50/p75/p95
+    * emitted each trigger. Exact (equal to percentile_disc over
+    * everything streamed) while a key's value count stays ≤ k;
+    * StatefulOpsSpec pins batch parity across a microbatch split.
+    */
+  def keyQuantiles(ds: Dataset[KeyedValue],
+      k: Int = 1024): Dataset[KeyQuantiles] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new QuantileProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -46,4 +46,40 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(last("a") == RunningTotal("a", 3L, 6.0))
     assert(last("b") == RunningTotal("b", 1L, 10.0))
   }
+
+  test("streaming KLL state: quantiles over a microbatch split equal " +
+    "the batch sketch over the whole corpus (exact regime)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+    val vals = docs.select(
+        org.apache.spark.sql.functions.col("source").cast("string"),
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("double"))
+      .as[(String, Double)].collect()
+      .map { case (s, v) => KeyedValue(s, v) }
+    val source = MemoryStream[KeyedValue](spark)
+    val query = keyQuantiles(source.toDS())
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("kll_state")
+      .start()
+    // Three microbatches — state must carry the sketch across triggers.
+    vals.grouped(math.max(vals.length / 3, 1)).foreach { chunk =>
+      source.addData(chunk.toSeq: _*)
+      query.processAllAvailable()
+    }
+    query.stop()
+    val last = spark.table("kll_state").as[KeyQuantiles].collect()
+      .groupBy(_.key).map { case (k, v) => k -> v.maxBy(_.nVals) }
+    val want = graft.operators.QuantileSketches
+      .sourceLengthQuantiles(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> KeyQuantiles(r._1, r._2, r._3, r._4, r._5, r._6))
+      .toMap
+    assert(last == want,
+      "streamed sketch state diverged from the one-pass batch sketch")
+  }
 }
