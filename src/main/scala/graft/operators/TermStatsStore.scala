@@ -28,8 +28,11 @@ object TermStatsStore {
     * SAME tokenize+count plan as the batch term table, so incremental
     * stats are batch stats by construction.
     */
-  def partialsPlan(batch: DataFrame): DataFrame = {
-    val tf = Pipeline.docTermsPlan(batch)
+  def partialsPlan(batch: DataFrame): DataFrame =
+    partialsFromTerms(Pipeline.docTermsPlan(batch), batch)
+
+  private def partialsFromTerms(tf: DataFrame,
+      batch: DataFrame): DataFrame =
     tf.groupBy("term")
       .agg(count(lit(1)).as("df_d"), sum(col("tf")).as("tf_d"))
       .unionByName(
@@ -37,7 +40,6 @@ object TermStatsStore {
           lit(null).cast("string").as("term"),
           countDistinct(col("doc_id")).as("df_d"),
           lit(0L).as("tf_d")))
-  }
 
   /** Stage one epoch under `stageDir/partials` (the shape
     * StoreIntake.appendEpoch renames into the store). Coalesced to 2
@@ -59,24 +61,33 @@ object TermStatsStore {
   def stagePartials(batch: DataFrame, stageDir: String,
       sketchSources: Boolean = false,
       sketchLengths: Boolean = false): Unit = {
-    partialsPlan(batch).coalesce(2).write.parquet(s"$stageDir/partials")
-    if (sketchSources)
-      ThetaSketches.sourceTermSketches(
-          Pipeline.docTermsPlan(batch)
-            .join(batch.select(col("doc_id"), col("source")), "doc_id"))
-        .toDF("source", "sk")
-        .coalesce(1).write.parquet(s"$stageDir/sketches")
-    if (sketchLengths) {
-      val spark = batch.sparkSession
-      import spark.implicits._
-      QuantileSketches.groupedSketches(
-          batch.filter(col("text").isNotNull)
-            .select(col("source").cast("string"),
-              length(col("text")).cast("double"))
-            .as[(String, Double)], k = 1024)
-        .toDF("source", "sk")
-        .coalesce(1).write.parquet(s"$stageDir/lenq")
-    }
+    // The tokenize pass dominates epoch cost; when the theta sidecar
+    // is on, both it and the partials consume the SAME docTerms table
+    // — persist it for the epoch so intake tokenizes each batch once,
+    // not per consumer. (The lenq sidecar only needs text length and
+    // never touches docTerms.)
+    val tf0 = Pipeline.docTermsPlan(batch)
+    val tf = if (sketchSources) tf0.persist() else tf0
+    try {
+      partialsFromTerms(tf, batch)
+        .coalesce(2).write.parquet(s"$stageDir/partials")
+      if (sketchSources)
+        ThetaSketches.sourceTermSketches(
+            tf.join(batch.select(col("doc_id"), col("source")), "doc_id"))
+          .toDF("source", "sk")
+          .coalesce(1).write.parquet(s"$stageDir/sketches")
+      if (sketchLengths) {
+        val spark = batch.sparkSession
+        import spark.implicits._
+        QuantileSketches.groupedSketches(
+            batch.filter(col("text").isNotNull)
+              .select(col("source").cast("string"),
+                length(col("text")).cast("double"))
+              .as[(String, Double)], k = 1024)
+          .toDF("source", "sk")
+          .coalesce(1).write.parquet(s"$stageDir/lenq")
+      }
+    } finally if (sketchSources) tf.unpersist(): Unit
   }
 
   /** Per-source theta sketches merged across every intake epoch's
