@@ -32,25 +32,45 @@ object HeavyHitters {
   private val serde = new ArrayOfStringsSerDe
 
   /** One merged frequent-items sketch over the (term, tf) stream.
-    * Partials are collected driver-side: ≤ nPartitions serialized
-    * sketches of ≤ maxMapSize entries each — bounded by construction,
-    * never corpus-sized.
+    *
+    * Two-tier merge so the driver never holds per-partition state: the
+    * per-partition partials (≤ maxMapSize entries each) shuffle to at
+    * most `reducers` executor-side mergers, and the driver collects ≤
+    * `reducers` sketches regardless of input partition count — at 10k
+    * scan partitions a flat collect would hand the driver GBs of
+    * partials. DETERMINISTIC by construction even in the purge regime:
+    * tier-1 membership is `partitionId % reducers` and every merge —
+    * tier-2 and the final driver fold — happens in sorted id order, so
+    * the purge sequence (deterministic per input order) is identical
+    * run to run.
     */
-  def termSketch(terms: DataFrame, maxMapSize: Int): ItemsSketch[String] = {
+  def termSketch(terms: DataFrame, maxMapSize: Int,
+      reducers: Int = 64): ItemsSketch[String] = {
     val spark = terms.sparkSession
     import spark.implicits._
-    val partials = terms
+    val tier2 = terms
       .select(col("term").cast("string"), col("tf").cast("long"))
       .as[(String, Long)]
-      .mapPartitions { it =>
+      .rdd
+      .mapPartitionsWithIndex { (idx, it) =>
         val sk = new ItemsSketch[String](maxMapSize)
         it.foreach { case (t, w) => sk.update(t, w) }
-        Iterator.single(sk.toByteArray(serde))
+        Iterator.single((idx, sk.toByteArray(serde)))
+      }
+      .groupBy { case (idx, _) => idx % reducers }
+      .map { case (r, its) =>
+        val m = new ItemsSketch[String](maxMapSize)
+        its.toSeq.sortBy(_._1).foreach { case (_, b) =>
+          m.merge(ItemsSketch.getInstance[String](Memory.wrap(b), serde))
+            : Unit
+        }
+        (r, m.toByteArray(serde))
       }
       .collect()
     val m = new ItemsSketch[String](maxMapSize)
-    partials.foreach(b =>
-      m.merge(ItemsSketch.getInstance[String](Memory.wrap(b), serde)): Unit)
+    tier2.sortBy(_._1).foreach { case (_, b) =>
+      m.merge(ItemsSketch.getInstance[String](Memory.wrap(b), serde)): Unit
+    }
     m
   }
 

@@ -37,6 +37,12 @@ object QuantileSketches {
   /** Per-group merged KLL sketches over (group, value) pairs.
     * Partial-per-partition then sketch-sized per-group reduce — the
     * only group-keyed shuffle payload is serialized sketches.
+    *
+    * MEMORY CONTRACT: a partition holds one ~k-value sketch per group
+    * it sees, so the group key must be governance-scale (sources,
+    * domains, languages — the ThetaSketches bound). For
+    * high-cardinality keys, pre-aggregate with `groupBy(key)` +
+    * repartition on the key first so each partition sees few groups.
     */
   def groupedSketches(vals: Dataset[(String, Double)],
       k: Int): Dataset[(String, Array[Byte])] = {

@@ -216,10 +216,12 @@ object StatefulOps {
           KllDoublesSketch.heapify(Memory.wrap(state.get().sk))
         else KllDoublesSketch.newHeapInstance(k)
       // Sorted fold (the RunningTotalProcessor discipline): KLL's
-      // compacted levels depend on update order, so an unsorted fold
+      // buffer layout depends on update order, so an unsorted fold
       // would let shuffle fetch order leak into the state bytes across
-      // task retries. In the never-compacted regime answers are
-      // order-independent either way; sorting makes the BYTES stable.
+      // task retries. Sorting makes the bytes retry-stable in the
+      // never-compacted regime (≤ k values per key — no randomness has
+      // entered); past that, compaction draws random bits, so only the
+      // rank-error envelope — not byte identity — is the contract.
       rows.toSeq.sortBy(_.value).foreach(r => sk.update(r.value))
       val bytes = sk.toByteArray
       state.update(SketchState(bytes))

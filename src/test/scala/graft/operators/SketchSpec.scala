@@ -232,19 +232,25 @@ class SketchSpec extends AnyFunSuite {
         lit(5000L).as("tf"))
     val tail = spark.range(5000)
       .select(concat(lit("t"), col("id")).as("term"), lit(1L).as("tf"))
-    val sk = HeavyHitters.termSketch(hot.unionByName(tail), 64)
     val nTot = 10L * 5000 + 5000
-    assert(sk.getStreamLength == nTot)
-    assert(sk.getMaximumError <= (3.5 * nTot / 64).toLong,
-      s"max error ${sk.getMaximumError} above the published bound")
-    val nfn = sk.getFrequentItems(nTot / 50,
-      org.apache.datasketches.frequencies.ErrorType.NO_FALSE_NEGATIVES)
-    val names = nfn.map(_.getItem).toSet
-    assert((0 until 10).forall(i => names.contains(s"h$i")),
-      s"lost a true heavy hitter: $names")
-    nfn.filter(r => r.getItem.startsWith("h")).foreach { r =>
-      assert(r.getLowerBound <= 5000L && 5000L <= r.getUpperBound,
-        s"${r.getItem}: [${r.getLowerBound}, ${r.getUpperBound}]")
+    // The guarantees must survive ANY tier-1/tier-2 merge split (the
+    // purge sequence differs across reducer counts; the bounds and
+    // no-false-negative contract may not).
+    Seq(1, 3, 64).foreach { reducers =>
+      val sk = HeavyHitters.termSketch(hot.unionByName(tail), 64,
+        reducers = reducers)
+      assert(sk.getStreamLength == nTot)
+      assert(sk.getMaximumError <= (3.5 * nTot / 64).toLong,
+        s"max error ${sk.getMaximumError} above the published bound")
+      val nfn = sk.getFrequentItems(nTot / 50,
+        org.apache.datasketches.frequencies.ErrorType.NO_FALSE_NEGATIVES)
+      val names = nfn.map(_.getItem).toSet
+      assert((0 until 10).forall(i => names.contains(s"h$i")),
+        s"reducers=$reducers lost a true heavy hitter: $names")
+      nfn.filter(r => r.getItem.startsWith("h")).foreach { r =>
+        assert(r.getLowerBound <= 5000L && 5000L <= r.getUpperBound,
+          s"${r.getItem}: [${r.getLowerBound}, ${r.getUpperBound}]")
+      }
     }
   }
 
