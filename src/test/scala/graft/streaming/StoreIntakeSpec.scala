@@ -592,6 +592,67 @@ class StoreIntakeSpec extends AnyFunSuite {
       .sourceLengthQuantilesFromStore(spark, store)) == direct)
   }
 
+  test("term-stats intake: a kill mid-rename with BOTH sidecars staged " +
+    "leaves no duplicate or orphaned sidecar rows after replay") {
+    val spark = TestSpark.spark
+    val store = Files.createTempDirectory("graft-termcr").toString + "/ts"
+    val docs = Tables.t(spark, dir, "documents")
+      .select("doc_id", "text", "source").filter(col("text").isNotNull)
+    // Mod-3 split (NOT parity: doc_id = src + 20k makes parity
+    // correlate with source) so BOTH epochs cover every source — the
+    // per-(epoch, source) sidecar-row assertion below needs that.
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 =!= 0)
+    StoreIntake.termStatsIntakeBatch(store, "cr", sketchSources = true,
+      sketchLengths = true)(b0, 0L)
+    // Epoch 1 killed after ONE rename: some subset of the partials +
+    // theta + lenq files landed, the ledger has no marker — the
+    // multi-subdir crash window the intent record exists for.
+    val ex = intercept[IllegalStateException] {
+      StoreIntake.appendEpoch(spark, store, "cr", 1L,
+        faultAfterMoves = 1) { sd =>
+        graft.operators.TermStatsStore.stagePartials(b1, sd,
+          sketchSources = true, sketchLengths = true)
+      }
+    }
+    assert(ex.getMessage.contains("injected"))
+    assert(!StoreIntake.epochApplied(spark, store, "cr", 1L))
+    // Replay converges: every answer equals a from-scratch build over
+    // b0 ∪ b1, and each sidecar has exactly one row per (epoch,
+    // source) — the killed attempt's landed files were redone, not
+    // doubled.
+    StoreIntake.termStatsIntakeBatch(store, "cr", sketchSources = true,
+      sketchLengths = true)(b1, 1L)
+    assert(StoreIntake.epochApplied(spark, store, "cr", 1L))
+    def tsCanon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("term").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tsCanon(graft.operators.TermStatsStore.termStats(spark, store))
+      == tsCanon(graft.operators.TermStatsStore.partialsPlan(docs)
+        .filter(col("term").isNotNull)
+        .select(col("term"), col("df_d").as("df"),
+          col("tf_d").as("tf_total"))),
+      "post-crash stats diverged from a from-scratch build")
+    val nSources = docs.select("source").distinct().count()
+    Seq("sketches", "lenq").foreach { side =>
+      val rows = spark.read.parquet(s"$store/$side")
+        .groupBy("source").count().collect()
+      assert(rows.length == nSources &&
+        rows.forall(_.getLong(1) == 2L),
+        s"$side sidecar must hold exactly 2 epochs per source: " +
+          rows.mkString(","))
+    }
+    def lqCanon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(lqCanon(graft.operators.TermStatsStore
+        .sourceLengthQuantilesFromStore(spark, store))
+      == lqCanon(graft.operators.QuantileSketches
+        .sourceLengthQuantiles(docs)),
+      "post-crash store quantiles diverged from the one-pass build")
+  }
+
   test("signature intake: banded epochs land in the bucketed store " +
     "exactly once; stored rows equal a from-scratch banding and the " +
     "incremental probe matches the in-memory path") {
