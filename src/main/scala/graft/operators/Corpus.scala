@@ -667,14 +667,21 @@ object Corpus {
       confidence: Double = 0.99, seed: Int = 17,
       cacheKey: String = ""): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
     val terms = Pipeline.docTerms(docs, cacheKey)
     val sketch = terms.stat.countMinSketch("term", eps, confidence, seed)
-    val cands = terms.groupBy("term")
+    // The candidate enumeration and the point-queries both stay
+    // DISTRIBUTED: the KB-sized sketch broadcasts and each partition
+    // estimates its own candidate slice — the driver never
+    // materializes the vocabulary (at crawl scale it is 100M+ terms;
+    // only the sketch itself is driver-held, the codebook pattern).
+    val skB = spark.sparkContext.broadcast(sketch)
+    terms.groupBy("term")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-      .select("term").collect().map(_.getString(0))
-    spark.createDataFrame(
-        cands.toSeq.sorted.map(t => (t, sketch.estimateCount(t))))
+      .select(col("term").cast("string"))
+      .as[String]
+      .mapPartitions(it => it.map(t => (t, skB.value.estimateCount(t))))
       .toDF("term", "est_df")
   }
 
