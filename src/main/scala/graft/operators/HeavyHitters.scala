@@ -31,6 +31,38 @@ object HeavyHitters {
 
   private val serde = new ArrayOfStringsSerDe
 
+  /** Serialized-form round-trip — sidecar staging and merge reuse. */
+  def toBytes(sk: ItemsSketch[String]): Array[Byte] = sk.toByteArray(serde)
+
+  def fromBytes(b: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance[String](Memory.wrap(b), serde)
+
+  /** Merge serialized sketches in the given order into one — the
+    * per-epoch sidecar merge (TermStatsStore): KB inputs, driver-side.
+    * Callers pass a STABLY ordered list (merge order steers the purge
+    * sequence; the error bounds hold under any order, determinism
+    * needs stability).
+    */
+  def mergeAll(sketches: Seq[Array[Byte]],
+      maxMapSize: Int): ItemsSketch[String] = {
+    val m = new ItemsSketch[String](maxMapSize)
+    sketches.foreach(b => m.merge(fromBytes(b)): Unit)
+    m
+  }
+
+  /** Heavy-hitter rows off a sketch: items whose lower bound clears
+    * streamLength/divisor (NO_FALSE_POSITIVES — the guaranteed-true
+    * subset; equal to the exact `HAVING count > total/divisor` while
+    * no purge has occurred).
+    */
+  def hitterRows(sk: ItemsSketch[String],
+      divisor: Long): Seq[(String, Long)] =
+    sk.getFrequentItems(sk.getStreamLength / divisor,
+        ErrorType.NO_FALSE_POSITIVES)
+      .toSeq
+      .map(r => (r.getItem, r.getEstimate))
+      .sortBy(_._1)
+
   /** One merged frequent-items sketch over the (term, tf) stream.
     *
     * Two-tier merge so the driver never holds per-partition state: the
@@ -86,12 +118,8 @@ object HeavyHitters {
       maxMapSize: Int = 32768, cacheKey: String = ""): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sk = termSketch(Pipeline.docTerms(docs, cacheKey), maxMapSize)
-    val threshold = sk.getStreamLength / divisor
-    sk.getFrequentItems(threshold, ErrorType.NO_FALSE_POSITIVES)
-      .toSeq
-      .map(r => (r.getItem, r.getEstimate))
-      .sortBy(_._1)
+    hitterRows(termSketch(Pipeline.docTerms(docs, cacheKey), maxMapSize),
+        divisor)
       .toDF("term", "est_count")
   }
 }

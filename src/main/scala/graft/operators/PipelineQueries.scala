@@ -625,6 +625,26 @@ object PipelineQueries {
         |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       TermStatsStore.sourceLengthQuantilesFromStore(s, termStore(s, dir))
         .orderBy("source")
+    },
+
+    // Corpus heavy hitters answered FROM the store's Misra–Gries
+    // sidecars — the third sidecar family (theta: distinct overlap,
+    // KLL: distribution, MG: dominance), proving ANY mergeable sketch
+    // rides the epoch ledger: one KB row per intake epoch, merged in
+    // stable order at read, zero corpus access. Same oracle as
+    // heavy_hitters — the vocabulary never forces a purge, so the
+    // three-epoch merge carries exact counts.
+    QuerySpec("freq_store_hitters",
+      s"""WITH tq AS (SELECT unnest(${TextOps.toksD}) AS term
+         |            FROM documents),
+         |tot AS (SELECT COUNT(*) AS n FROM tq)
+         |SELECT term, COUNT(*) AS est_count
+         |FROM tq, tot
+         |GROUP BY term, tot.n
+         |HAVING COUNT(*) > tot.n // 50
+         |ORDER BY term""".stripMargin) { (s, dir) =>
+      TermStatsStore.hittersFromStore(s, termStore(s, dir))
+        .orderBy("term")
     }
   )
 
@@ -649,13 +669,14 @@ object PipelineQueries {
         val p = java.nio.file.Files
           .createTempDirectory("graft-termstore").toString + "/ts"
         graft.streaming.StoreIntake.termStatsIntakeBatch(p, "ts",
-          sketchSources = true, sketchLengths = true)(
+          sketchSources = true, sketchLengths = true,
+          sketchHitters = true)(
           docs.filter(col("doc_id") % 3 === 0), 0L)
         TermStatsStore.publishManifest(s, p): Unit
         (1 until 3).foreach { i =>
           graft.streaming.StoreIntake.termStatsIntakeBatch(
             p, "ts", compactOver = 3, sketchSources = true,
-            sketchLengths = true)(
+            sketchLengths = true, sketchHitters = true)(
             docs.filter(col("doc_id") % 3 === i), i.toLong)
         }
         p

@@ -60,14 +60,15 @@ object TermStatsStore {
     */
   def stagePartials(batch: DataFrame, stageDir: String,
       sketchSources: Boolean = false,
-      sketchLengths: Boolean = false): Unit = {
+      sketchLengths: Boolean = false,
+      sketchHitters: Boolean = false): Unit = {
     // The tokenize pass dominates epoch cost; when the theta sidecar
     // is on, both it and the partials consume the SAME docTerms table
     // — persist it for the epoch so intake tokenizes each batch once,
     // not per consumer. (The lenq sidecar only needs text length and
     // never touches docTerms.)
     val tf0 = Pipeline.docTermsPlan(batch)
-    val tf = if (sketchSources) tf0.persist() else tf0
+    val tf = if (sketchSources || sketchHitters) tf0.persist() else tf0
     try {
       partialsFromTerms(tf, batch)
         .coalesce(2).write.parquet(s"$stageDir/partials")
@@ -76,6 +77,13 @@ object TermStatsStore {
             tf.join(batch.select(col("doc_id"), col("source")), "doc_id"))
           .toDF("source", "sk")
           .coalesce(1).write.parquet(s"$stageDir/sketches")
+      if (sketchHitters) {
+        val spark = batch.sparkSession
+        import spark.implicits._
+        Seq(HeavyHitters.toBytes(HeavyHitters.termSketch(tf, 32768)))
+          .toDF("sk")
+          .coalesce(1).write.parquet(s"$stageDir/mg")
+      }
       if (sketchLengths) {
         val spark = batch.sparkSession
         import spark.implicits._
@@ -87,7 +95,7 @@ object TermStatsStore {
           .toDF("source", "sk")
           .coalesce(1).write.parquet(s"$stageDir/lenq")
       }
-    } finally if (sketchSources) tf.unpersist(): Unit
+    } finally if (sketchSources || sketchHitters) tf.unpersist(): Unit
   }
 
   /** Per-source theta sketches merged across every intake epoch's
@@ -154,6 +162,30 @@ object TermStatsStore {
         (src, p25, p50, p75, p95, n)
       }
       .toDF("source", "p25", "p50", "p75", "p95", "n_vals")
+  }
+
+  /** Corpus heavy hitters answered FROM the store's Misra–Gries
+    * sidecars — one KB row per intake epoch, merged in epoch-file-name
+    * order (a STABLE total order: merge order steers the purge
+    * sequence, and the error bounds hold under any order, so
+    * stability is all determinism needs). Zero corpus access; the
+    * incremental form of HeavyHitters.termHeavyHitters. Exact while
+    * the corpus vocabulary has never forced a purge.
+    */
+  def hittersFromStore(spark: SparkSession, path: String,
+      divisor: Long = 50L, maxMapSize: Int = 32768): DataFrame = {
+    import spark.implicits._
+    val dir = new org.apache.hadoop.fs.Path(s"$path/mg")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir))
+      return Seq.empty[(String, Long)].toDF("term", "est_count")
+    val epochs = spark.read.parquet(s"$path/mg")
+      .select(input_file_name().as("f"), col("sk")).collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1).map(_._2).toSeq
+    HeavyHitters
+      .hitterRows(HeavyHitters.mergeAll(epochs, maxMapSize), divisor)
+      .toDF("term", "est_count")
   }
 
   private def partialsRoot(path: String) = s"$path/partials"

@@ -518,7 +518,7 @@ object StoreIntake {
     */
   def termStatsIntakeBatch(storePath: String, scope: String,
       compactOver: Int = 0, sketchSources: Boolean = false,
-      sketchLengths: Boolean = false)(
+      sketchLengths: Boolean = false, sketchHitters: Boolean = false)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) {
@@ -529,7 +529,7 @@ object StoreIntake {
     val placed = appendEpoch(spark, storePath, scope, batchId) {
       stageDir =>
         graft.operators.TermStatsStore.stagePartials(batch, stageDir,
-          sketchSources, sketchLengths)
+          sketchSources, sketchLengths, sketchHitters)
     }
     val root = s"$storePath/partials"
     val manifested = graft.operators.StoreManifest

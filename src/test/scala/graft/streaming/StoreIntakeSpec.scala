@@ -604,15 +604,16 @@ class StoreIntakeSpec extends AnyFunSuite {
     val b0 = docs.filter(col("doc_id") % 3 === 0)
     val b1 = docs.filter(col("doc_id") % 3 =!= 0)
     StoreIntake.termStatsIntakeBatch(store, "cr", sketchSources = true,
-      sketchLengths = true)(b0, 0L)
+      sketchLengths = true, sketchHitters = true)(b0, 0L)
     // Epoch 1 killed after ONE rename: some subset of the partials +
-    // theta + lenq files landed, the ledger has no marker — the
+    // theta + lenq + mg files landed, the ledger has no marker — the
     // multi-subdir crash window the intent record exists for.
     val ex = intercept[IllegalStateException] {
       StoreIntake.appendEpoch(spark, store, "cr", 1L,
         faultAfterMoves = 1) { sd =>
         graft.operators.TermStatsStore.stagePartials(b1, sd,
-          sketchSources = true, sketchLengths = true)
+          sketchSources = true, sketchLengths = true,
+          sketchHitters = true)
       }
     }
     assert(ex.getMessage.contains("injected"))
@@ -622,7 +623,7 @@ class StoreIntakeSpec extends AnyFunSuite {
     // source) — the killed attempt's landed files were redone, not
     // doubled.
     StoreIntake.termStatsIntakeBatch(store, "cr", sketchSources = true,
-      sketchLengths = true)(b1, 1L)
+      sketchLengths = true, sketchHitters = true)(b1, 1L)
     assert(StoreIntake.epochApplied(spark, store, "cr", 1L))
     def tsCanon(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("term").collect()
@@ -651,6 +652,17 @@ class StoreIntakeSpec extends AnyFunSuite {
       == lqCanon(graft.operators.QuantileSketches
         .sourceLengthQuantiles(docs)),
       "post-crash store quantiles diverged from the one-pass build")
+    // The corpus-global MG sidecar: one row per epoch, and the merged
+    // hitters equal the one-pass build (exact regime).
+    assert(spark.read.parquet(s"$store/mg").count() == 2L,
+      "mg sidecar must hold exactly one row per epoch")
+    def hhCanon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("term").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(hhCanon(graft.operators.TermStatsStore
+        .hittersFromStore(spark, store))
+      == hhCanon(graft.operators.HeavyHitters.termHeavyHitters(docs)),
+      "post-crash store hitters diverged from the one-pass build")
   }
 
   test("signature intake: banded epochs land in the bucketed store " +
