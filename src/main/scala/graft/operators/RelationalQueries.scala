@@ -246,6 +246,70 @@ object RelationalQueries {
           .select(col("k").as("event_type"),
             col("total").cast(DoubleType).as("total"), col("n"))
           .orderBy("event_type")
+    },
+
+    // One-pass column profiling (Profile.dataProfile): the data-quality
+    // summary run before trusting a new drop — per column, row /
+    // non-null / exact-distinct counts plus typed min/max off ONE
+    // aggregate over one scan, reshaped in-plan via stack. Doubles
+    // surface as integer-micro BIGINTs (float rendering is
+    // engine-specific); timestamps through a pinned format; the
+    // multi-column exact countDistinct plans as an EXPAND — swap in
+    // approx_count_distinct for routine 100 TB profiles (scaladoc).
+    QuerySpec("data_profile",
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+        |         COUNT(o_orderkey) AS n_nonnull,
+        |         COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |         CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+        |         CAST(MAX(o_orderkey) AS VARCHAR) AS max_str,
+        |         CAST(NULL AS BIGINT) AS min_micro,
+        |         CAST(NULL AS BIGINT) AS max_micro
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+        |         COUNT(DISTINCT o_custkey),
+        |         CAST(MIN(o_custkey) AS VARCHAR),
+        |         CAST(MAX(o_custkey) AS VARCHAR),
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+        |         COUNT(DISTINCT o_orderstatus),
+        |         CAST(MIN(o_orderstatus) AS VARCHAR),
+        |         CAST(MAX(o_orderstatus) AS VARCHAR),
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+        |         COUNT(DISTINCT o_orderpriority),
+        |         CAST(MIN(o_orderpriority) AS VARCHAR),
+        |         CAST(MAX(o_orderpriority) AS VARCHAR),
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate),
+        |         COUNT(DISTINCT o_orderdate),
+        |         strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        |         strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+        |         COUNT(DISTINCT o_totalprice),
+        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |         CAST(floor(MIN(o_totalprice) * 1000000 + 0.5) AS BIGINT),
+        |         CAST(floor(MAX(o_totalprice) * 1000000 + 0.5) AS BIGINT)
+        |  FROM orders)
+        |SELECT * FROM p ORDER BY column_name""".stripMargin) { (s, dir) =>
+      Profile.dataProfile(t(s, dir, "orders"), Seq(
+          "o_orderkey" -> Profile.IntLike,
+          "o_custkey" -> Profile.IntLike,
+          "o_orderstatus" -> Profile.StrLike,
+          "o_orderpriority" -> Profile.StrLike,
+          "o_orderdate" -> Profile.TsLike,
+          "o_totalprice" -> Profile.DblLike))
+        .orderBy("column_name")
     }
   )
 }

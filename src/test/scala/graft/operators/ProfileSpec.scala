@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for [[Profile.dataProfile]] the oracle row cannot carry:
+  * null semantics on a designed frame, the double micro-quantization,
+  * and the single-scan plan shape (stack over ONE aggregate — not a
+  * union of per-column scans).
+  */
+class ProfileSpec extends AnyFunSuite {
+
+  test("profile counts nulls and distincts per column, quantizes " +
+    "doubles to micro, and NULLs the unused representation") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a"), Some(1.25)),
+      (Some(2L), None, Some(-0.0000015)),
+      (Some(2L), Some("b"), None),
+      (None, Some("b"), Some(1.25)))
+      .toDF("k", "s", "v")
+    val rows = Profile.dataProfile(df, Seq(
+        "k" -> Profile.IntLike, "s" -> Profile.StrLike,
+        "v" -> Profile.DblLike))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = rows("k")
+    assert(k.getLong(1) == 4L && k.getLong(2) == 3L && k.getLong(3) == 2L)
+    assert(k.getString(4) == "1" && k.getString(5) == "2")
+    assert(k.isNullAt(6) && k.isNullAt(7))
+    val s = rows("s")
+    assert(s.getLong(2) == 3L && s.getLong(3) == 2L)
+    assert(s.getString(4) == "a" && s.getString(5) == "b")
+    val v = rows("v")
+    assert(v.getLong(2) == 3L && v.getLong(3) == 2L)
+    assert(v.isNullAt(4) && v.isNullAt(5))
+    // floor(-0.0000015e6 + 0.5) = floor(-1) = -1; 1.25e6 exact.
+    assert(v.getLong(6) == -1L && v.getLong(7) == 1250000L)
+  }
+
+  test("the profile is one scan: a single aggregate under stack, " +
+    "never a per-column union of scans") {
+    val spark = TestSpark.spark
+    val df = graft.Tables.t(spark, "/root/testdata/sf0.001", "orders")
+    val plan = Profile.dataProfile(df, Seq(
+        "o_orderkey" -> Profile.IntLike,
+        "o_orderstatus" -> Profile.StrLike,
+        "o_totalprice" -> Profile.DblLike))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"),
+      s"profile must not union per-column scans:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"profile must read the input exactly once:\n$plan")
+  }
+}
