@@ -69,4 +69,57 @@ object Profile {
       .select("column_name", "n_rows", "n_nonnull", "n_distinct",
         "min_str", "max_str", "min_micro", "max_micro")
   }
+
+  /** Declarative data-quality constraints, all evaluated from ONE
+    * aggregate over one scan (the dataProfile discipline): the gate a
+    * pipeline runs before admitting a drop into the corpus stores.
+    * Observations surface integer-micro (ratios ×1e6, floor — exact
+    * integer arithmetic both engines) so pass/fail AND the observed
+    * value are oracle-comparable.
+    */
+  sealed trait Check { def name: String; def column: String }
+  /** non-null fraction ≥ minRatio (micro) */
+  final case class Complete(column: String, minRatioMicro: Long)
+      extends Check { val name = "complete" }
+  /** distinct == non-null (key candidate) */
+  final case class Unique(column: String) extends Check {
+    val name = "unique"
+  }
+  /** min/max inside [lo, hi] (micro, doubles) */
+  final case class InRange(column: String, loMicro: Long, hiMicro: Long)
+      extends Check { val name = "in_range" }
+
+  def qualityChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: checks.zipWithIndex.flatMap {
+      case (Complete(c, _), i) =>
+        Seq(count(col(c)).as(s"c$i"))
+      case (Unique(c), i) =>
+        Seq(count(col(c)).as(s"c${i}n"), countDistinct(col(c)).as(s"c$i"))
+      case (InRange(c, _, _), i) => Seq(
+        expr(s"CAST(floor(min(`$c`) * 1000000 + 0.5) AS BIGINT)")
+          .as(s"c${i}mn"),
+        expr(s"CAST(floor(max(`$c`) * 1000000 + 0.5) AS BIGINT)")
+          .as(s"c${i}mx"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val tuples = checks.zipWithIndex.map {
+      case (ch @ Complete(c, minR), i) =>
+        // observed = non-null ratio (micro); n_rows = 0 passes.
+        s"'${ch.name}', '$c', " +
+          s"CAST(floor(c$i * 1000000.0 / greatest(n_rows, 1)) AS BIGINT)" +
+          s", n_rows = 0 OR c$i * 1000000 >= $minR * n_rows"
+      case (ch @ Unique(c), i) =>
+        s"'${ch.name}', '$c', c$i, c$i = c${i}n"
+      case (ch @ InRange(c, lo, hi), i) =>
+        // observed = the worse-side violation witness (min if it
+        // breaches lo, else max); empty column (NULL min) passes.
+        s"'${ch.name}', '$c', coalesce(IF(c${i}mn < $lo, c${i}mn, " +
+          s"c${i}mx), 0L), c${i}mn IS NULL OR " +
+          s"(c${i}mn >= $lo AND c${i}mx <= $hi)"
+    }
+    wide.selectExpr(
+        s"stack(${checks.size}, ${tuples.mkString(", ")}) AS " +
+          "(check_name, column_name, observed, passed)")
+      .select("check_name", "column_name", "observed", "passed")
+  }
 }

@@ -310,6 +310,47 @@ object RelationalQueries {
           "o_orderdate" -> Profile.TsLike,
           "o_totalprice" -> Profile.DblLike))
         .orderBy("column_name")
+    },
+
+    // Declarative data-quality gate (Profile.qualityChecks): the
+    // admit-or-reject decision a pipeline runs before a drop enters
+    // the corpus stores — completeness ratios, key uniqueness, and
+    // numeric range containment, ALL off one aggregate over one scan,
+    // observations integer-micro so pass/fail AND the observed value
+    // hash identically across engines.
+    QuerySpec("quality_checks",
+      """WITH a AS (SELECT COUNT(*) AS n_rows,
+        |  COUNT(o_custkey) AS cc, COUNT(o_orderstatus) AS cs,
+        |  COUNT(o_orderkey) AS ckn,
+        |  COUNT(DISTINCT o_orderkey) AS ckd,
+        |  CAST(floor(MIN(o_totalprice) * 1000000 + 0.5) AS BIGINT)
+        |    AS mn,
+        |  CAST(floor(MAX(o_totalprice) * 1000000 + 0.5) AS BIGINT)
+        |    AS mx
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'complete' AS check_name, 'o_custkey' AS column_name,
+        |    CAST(floor(cc * 1000000.0 / greatest(n_rows, 1)) AS BIGINT)
+        |      AS observed,
+        |    n_rows = 0 OR cc * 1000000 >= 1000000 * n_rows AS passed
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'complete', 'o_orderstatus',
+        |    CAST(floor(cs * 1000000.0 / greatest(n_rows, 1)) AS BIGINT),
+        |    n_rows = 0 OR cs * 1000000 >= 900000 * n_rows FROM a
+        |  UNION ALL
+        |  SELECT 'unique', 'o_orderkey', ckd, ckd = ckn FROM a
+        |  UNION ALL
+        |  SELECT 'in_range', 'o_totalprice',
+        |    coalesce(CASE WHEN mn < 0 THEN mn ELSE mx END, 0),
+        |    mn IS NULL OR (mn >= 0 AND mx <= 600000000000) FROM a)
+        |ORDER BY check_name, column_name""".stripMargin) { (s, dir) =>
+      Profile.qualityChecks(t(s, dir, "orders"), Seq(
+          Profile.Complete("o_custkey", 1000000L),
+          Profile.Complete("o_orderstatus", 900000L),
+          Profile.Unique("o_orderkey"),
+          Profile.InRange("o_totalprice", 0L, 600000000000L)))
+        .orderBy("check_name", "column_name")
     }
   )
 }

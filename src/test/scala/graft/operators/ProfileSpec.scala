@@ -39,6 +39,36 @@ class ProfileSpec extends AnyFunSuite {
     assert(v.getLong(6) == -1L && v.getLong(7) == 1250000L)
   }
 
+  test("quality checks fail loudly on a designed bad drop and pass " +
+    "a clean or empty one, with the violation witness observed") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val bad = Seq(
+      (Some(1L), Some(10.0)), (Some(1L), Some(-3.5)),
+      (None, Some(700000.0)), (Some(3L), None))
+      .toDF("k", "v")
+    val checks = Seq(
+      Profile.Complete("k", 1000000L),
+      Profile.Unique("k"),
+      Profile.InRange("v", 0L, 600000000000L))
+    val got = Profile.qualityChecks(bad, checks).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    // 3 of 4 non-null → 750000 micro, fails the 1.0 bar.
+    assert(got(("complete", "k")) == (750000L, false))
+    // distinct 2 < non-null 3 → dup key.
+    assert(got(("unique", "k")) == (2L, false))
+    // min -3.5 breaches lo → the min is the witness.
+    assert(got(("in_range", "v")) == (-3500000L, false))
+    val empty = bad.filter(lit(false))
+    assert(Profile.qualityChecks(empty, checks).collect()
+      .forall(_.getBoolean(3)),
+      "an empty drop must pass every check (nothing to reject)")
+    val clean = Seq((1L, 10.0), (2L, 20.5)).toDF("k", "v")
+    assert(Profile.qualityChecks(clean, checks).collect()
+      .forall(_.getBoolean(3)))
+  }
+
   test("the profile is one scan: a single aggregate under stack, " +
     "never a per-column union of scans") {
     val spark = TestSpark.spark
