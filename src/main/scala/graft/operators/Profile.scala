@@ -34,9 +34,23 @@ object Profile {
   case object DblLike extends Kind
 
   def dataProfile(df: DataFrame, cols: Seq[(String, Kind)]): DataFrame = {
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, k) =>
-      Seq(count(col(c)).as(s"${c}__nn"),
-        countDistinct(col(c)).as(s"${c}__nd")) ++ (k match {
+    // TWO sort-free streaming aggregates, not one: a string min/max
+    // buffer is immutable, and mixing it into the countDistinct
+    // aggregate demotes the WHOLE thing to a SortAggregate whose
+    // grouped first level SORTS the (columns+1)x expanded input — a
+    // corpus sort at scale. Split, each pass is sortless: counts +
+    // exact distincts carry only long buffers (HashAggregate over the
+    // expand), and the ungrouped min/max SortAggregate has no keys to
+    // sort by. The two 1-row results meet on a constant-key broadcast
+    // hash join (not a crossJoin — keeps the plan inside the
+    // no-cartesian invariant).
+    val countAggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap { case (c, _) =>
+        Seq(count(col(c)).as(s"${c}__nn"),
+          countDistinct(col(c)).as(s"${c}__nd"))
+      }
+    val mmAggs = cols.flatMap { case (c, k) =>
+      k match {
         case DblLike => Seq(
           expr(s"CAST(floor(min(`$c`) * 1000000 + 0.5) AS BIGINT)")
             .as(s"${c}__mnm"),
@@ -50,9 +64,13 @@ object Profile {
         case _ => Seq(
           min(col(c)).cast("string").as(s"${c}__mns"),
           max(col(c)).cast("string").as(s"${c}__mxs"))
-      })
+      }
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide = df.agg(countAggs.head, countAggs.tail: _*)
+      .withColumn("__j", lit(1))
+      .join(broadcast(df.agg(mmAggs.head, mmAggs.tail: _*)
+        .withColumn("__j", lit(1))), "__j")
+      .drop("__j")
     val tuples = cols.map { case (c, k) =>
       val (mns, mxs, mnm, mxm) = k match {
         case DblLike => ("CAST(NULL AS STRING)", "CAST(NULL AS STRING)",

@@ -69,8 +69,8 @@ class ProfileSpec extends AnyFunSuite {
       .forall(_.getBoolean(3)))
   }
 
-  test("the profile is one scan: a single aggregate under stack, " +
-    "never a per-column union of scans") {
+  test("the profile is two sortless streaming passes: no per-column " +
+    "union of scans, and no Sort anywhere in the plan") {
     val spark = TestSpark.spark
     val df = graft.Tables.t(spark, "/root/testdata/sf0.001", "orders")
     val plan = Profile.dataProfile(df, Seq(
@@ -80,7 +80,12 @@ class ProfileSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Union"),
       s"profile must not union per-column scans:\n$plan")
-    assert("Scan parquet".r.findAllIn(plan).size == 1,
-      s"profile must read the input exactly once:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 2,
+      s"profile must be exactly the two aggregate passes:\n$plan")
+    // The regression this pins: string min/max mixed into the
+    // countDistinct aggregate demotes it to a SortAggregate that
+    // sorts the expanded input — a corpus sort at scale.
+    assert(!plan.contains("Sort ["),
+      s"profile must never sort the input:\n$plan")
   }
 }
