@@ -71,6 +71,42 @@ object Profile {
       .join(broadcast(df.agg(mmAggs.head, mmAggs.tail: _*)
         .withColumn("__j", lit(1))), "__j")
       .drop("__j")
+    stackProfile(wide, cols)
+  }
+
+  /** [[dataProfile]] with `approx_count_distinct` — the routine
+    * 100 TB form: HLL buffers are mutable AND need no expand, so the
+    * WHOLE profile (counts, distincts, min/max) fuses into ONE
+    * ungrouped aggregate over ONE streaming scan, no sort, no second
+    * pass (ungrouped SortAggregate — forced by the string min/max
+    * buffers — has no keys to sort by). n_distinct carries HLL's
+    * ~1.6% default rsd; everything else is exact.
+    */
+  def approxProfile(df: DataFrame, cols: Seq[(String, Kind)],
+      rsd: Double = 0.016): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, k) =>
+      Seq(count(col(c)).as(s"${c}__nn"),
+        approx_count_distinct(col(c), rsd).as(s"${c}__nd")) ++ (k match {
+        case DblLike => Seq(
+          expr(s"CAST(floor(min(`$c`) * 1000000 + 0.5) AS BIGINT)")
+            .as(s"${c}__mnm"),
+          expr(s"CAST(floor(max(`$c`) * 1000000 + 0.5) AS BIGINT)")
+            .as(s"${c}__mxm"))
+        case TsLike => Seq(
+          date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss")
+            .as(s"${c}__mns"),
+          date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss")
+            .as(s"${c}__mxs"))
+        case _ => Seq(
+          min(col(c)).cast("string").as(s"${c}__mns"),
+          max(col(c)).cast("string").as(s"${c}__mxs"))
+      })
+    }
+    stackProfile(df.agg(aggs.head, aggs.tail: _*), cols)
+  }
+
+  private def stackProfile(wide: DataFrame,
+      cols: Seq[(String, Kind)]): DataFrame = {
     val tuples = cols.map { case (c, k) =>
       val (mns, mxs, mnm, mxm) = k match {
         case DblLike => ("CAST(NULL AS STRING)", "CAST(NULL AS STRING)",

@@ -69,6 +69,34 @@ class ProfileSpec extends AnyFunSuite {
       .forall(_.getBoolean(3)))
   }
 
+  test("approx profile: ONE ungrouped aggregate over one scan — no " +
+    "expand, no sort — with distincts inside the HLL envelope") {
+    val spark = TestSpark.spark
+    val df = graft.Tables.t(spark, "/root/testdata/sf0.001", "orders")
+    val colsSpec = Seq(
+      "o_orderkey" -> Profile.IntLike,
+      "o_orderstatus" -> Profile.StrLike,
+      "o_totalprice" -> Profile.DblLike)
+    val out = Profile.approxProfile(df, colsSpec)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1 &&
+      !plan.contains("Expand") && !plan.contains("Sort ["),
+      s"approx profile must be one streaming pass:\n$plan")
+    val got = out.collect().map(r => r.getString(0) -> r).toMap
+    val exact = Profile.dataProfile(df, colsSpec).collect()
+      .map(r => r.getString(0) -> r).toMap
+    colsSpec.foreach { case (c, _) =>
+      val (a, e) = (got(c), exact(c))
+      // Everything but n_distinct is computed identically.
+      assert(a.getLong(1) == e.getLong(1) &&
+        a.getString(4) == e.getString(4) && a.getString(5) == e.getString(5),
+        s"$c: non-distinct fields must match the exact profile")
+      val (ad, ed) = (a.getLong(3).toDouble, e.getLong(3).toDouble)
+      assert(math.abs(ad - ed) / math.max(ed, 1.0) < 0.05,
+        s"$c: approx distinct $ad too far from exact $ed")
+    }
+  }
+
   test("the profile is two sortless streaming passes: no per-column " +
     "union of scans, and no Sort anywhere in the plan") {
     val spark = TestSpark.spark
