@@ -675,6 +675,10 @@ object Corpus {
     // estimates its own candidate slice — the driver never
     // materializes the vocabulary (at crawl scale it is 100M+ terms;
     // only the sketch itself is driver-held, the codebook pattern).
+    // Broadcast lifecycle: the returned frame is lazy, so an eager
+    // destroy here would break it; the KB-sized broadcast is left to
+    // ContextCleaner's weak-reference GC, the same policy as Spark's
+    // own broadcast joins.
     val skB = spark.sparkContext.broadcast(sketch)
     terms.groupBy("term")
       .agg(count(lit(1)).as("df"))

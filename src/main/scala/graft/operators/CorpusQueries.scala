@@ -466,8 +466,9 @@ object CorpusQueries {
 
     // Count–min-sketch document frequencies (Corpus.cmsDocFreq): the
     // sketch is built distributed (one pass over the memoized
-    // docTerms), candidates enumerated at df >= 1, estimates read
-    // driver-side from the KB-sized sketch. Oracle compares against
+    // docTerms), then BROADCAST so candidates enumerate and
+    // point-query distributed too — the driver holds only the
+    // KB-sized sketch, never the vocabulary. Oracle compares against
     // EXACT df — legitimate because at width ⌈2/eps⌉ = 20,000 the
     // fixture vocab is collision-free and the seed is fixed, so the
     // estimate EQUALS truth deterministically; the collision regime

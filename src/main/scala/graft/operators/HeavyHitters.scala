@@ -70,11 +70,15 @@ object HeavyHitters {
     * most `reducers` executor-side mergers, and the driver collects ≤
     * `reducers` sketches regardless of input partition count — at 10k
     * scan partitions a flat collect would hand the driver GBs of
-    * partials. DETERMINISTIC by construction even in the purge regime:
-    * tier-1 membership is `partitionId % reducers` and every merge —
-    * tier-2 and the final driver fold — happens in sorted id order, so
-    * the purge sequence (deterministic per input order) is identical
-    * run to run.
+    * partials. MERGE ORDER is deterministic (tier membership is
+    * `partitionId % reducers`; every merge happens in sorted id
+    * order). Full run-to-run determinism additionally needs a
+    * run-stable per-partition UPDATE order: guaranteed where it
+    * matters — the no-purge regime, where results are order-
+    * independent exact counts — while purge-regime estimates can vary
+    * with shuffle fetch order upstream (the error bounds and the
+    * no-false-negative contract hold regardless; SketchSpec gates
+    * those, not byte identity).
     */
   def termSketch(terms: DataFrame, maxMapSize: Int,
       reducers: Int = 64): ItemsSketch[String] = {
@@ -91,19 +95,11 @@ object HeavyHitters {
       }
       .groupBy { case (idx, _) => idx % reducers }
       .map { case (r, its) =>
-        val m = new ItemsSketch[String](maxMapSize)
-        its.toSeq.sortBy(_._1).foreach { case (_, b) =>
-          m.merge(ItemsSketch.getInstance[String](Memory.wrap(b), serde))
-            : Unit
-        }
-        (r, m.toByteArray(serde))
+        (r, mergeAll(its.toSeq.sortBy(_._1).map(_._2), maxMapSize)
+          .toByteArray(serde))
       }
       .collect()
-    val m = new ItemsSketch[String](maxMapSize)
-    tier2.sortBy(_._1).foreach { case (_, b) =>
-      m.merge(ItemsSketch.getInstance[String](Memory.wrap(b), serde)): Unit
-    }
-    m
+    mergeAll(tier2.sortBy(_._1).map(_._2).toSeq, maxMapSize)
   }
 
   /** Terms whose total occurrence count exceeds streamLength/divisor,

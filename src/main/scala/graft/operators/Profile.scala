@@ -158,10 +158,15 @@ object Profile {
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val tuples = checks.zipWithIndex.map {
       case (ch @ Complete(c, minR), i) =>
-        // observed = non-null ratio (micro); n_rows = 0 passes.
+        // observed = non-null ratio (micro); n_rows = 0 passes. The
+        // pass predicate compares in DECIMAL(38,0): BIGINT×1e6
+        // overflows Long past ~9.2e12 rows — precisely the scale this
+        // gate targets (ANSI mode would throw mid-admission; non-ANSI
+        // would wrap and mis-verdict).
         s"'${ch.name}', '$c', " +
           s"CAST(floor(c$i * 1000000.0 / greatest(n_rows, 1)) AS BIGINT)" +
-          s", n_rows = 0 OR c$i * 1000000 >= $minR * n_rows"
+          s", n_rows = 0 OR CAST(c$i AS DECIMAL(38,0)) * 1000000 >= " +
+          s"CAST(n_rows AS DECIMAL(38,0)) * $minR"
       case (ch @ Unique(c), i) =>
         s"'${ch.name}', '$c', c$i, c$i = c${i}n"
       case (ch @ InRange(c, lo, hi), i) =>

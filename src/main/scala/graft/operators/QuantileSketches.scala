@@ -68,9 +68,13 @@ object QuantileSketches {
   }
 
   /** The (source, length) value stream every length-quantile consumer
-    * sketches — null-text rows carry no length to rank.
+    * sketches — null-text rows carry no length to rank. ONE definition
+    * shared by the direct operator AND the store sidecar staging
+    * (TermStatsStore): the store-merged ≡ one-pass parity contract
+    * holds only while both sketch the byte-identical stream.
     */
-  private def lengthVals(docs: DataFrame): Dataset[(String, Double)] = {
+  private[operators] def lengthVals(
+      docs: DataFrame): Dataset[(String, Double)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs

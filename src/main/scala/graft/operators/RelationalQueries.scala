@@ -332,12 +332,14 @@ object RelationalQueries {
         |  SELECT 'complete' AS check_name, 'o_custkey' AS column_name,
         |    CAST(floor(cc * 1000000.0 / greatest(n_rows, 1)) AS BIGINT)
         |      AS observed,
-        |    n_rows = 0 OR cc * 1000000 >= 1000000 * n_rows AS passed
+        |    n_rows = 0 OR CAST(cc AS HUGEINT) * 1000000 >=
+        |      CAST(n_rows AS HUGEINT) * 1000000 AS passed
         |  FROM a
         |  UNION ALL
         |  SELECT 'complete', 'o_orderstatus',
         |    CAST(floor(cs * 1000000.0 / greatest(n_rows, 1)) AS BIGINT),
-        |    n_rows = 0 OR cs * 1000000 >= 900000 * n_rows FROM a
+        |    n_rows = 0 OR CAST(cs AS HUGEINT) * 1000000 >=
+        |      CAST(n_rows AS HUGEINT) * 900000 FROM a
         |  UNION ALL
         |  SELECT 'unique', 'o_orderkey', ckd, ckd = ckn FROM a
         |  UNION ALL

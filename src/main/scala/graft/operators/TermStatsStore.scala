@@ -84,37 +84,64 @@ object TermStatsStore {
           .toDF("sk")
           .coalesce(1).write.parquet(s"$stageDir/mg")
       }
-      if (sketchLengths) {
-        val spark = batch.sparkSession
-        import spark.implicits._
+      if (sketchLengths)
         QuantileSketches.groupedSketches(
-            batch.filter(col("text").isNotNull)
-              .select(col("source").cast("string"),
-                length(col("text")).cast("double"))
-              .as[(String, Double)], k = 1024)
+            QuantileSketches.lengthVals(batch), k = 1024)
           .toDF("source", "sk")
           .coalesce(1).write.parquet(s"$stageDir/lenq")
-      }
     } finally if (sketchSources || sketchHitters) tf.unpersist(): Unit
   }
 
-  /** Per-source theta sketches merged across every intake epoch's
-    * sidecar rows — driver-side over the (epochs × sources)-sized
-    * list. Empty when the store was built without sidecars.
+  /** Applied-epoch sidecar files under `path/sub`: the directory
+    * listing intersected with the epoch ledger (live markers + the
+    * consolidated `.applied`), sorted by name. The intersection is the
+    * crash-window guard: a killed epoch can leave a landed sidecar
+    * file with NO marker, and a raw directory read would count its
+    * rows while the manifested partials exclude them — mutually
+    * inconsistent store answers until the replay. Reading only
+    * ledger-listed files gives every sidecar consumer the same
+    * applied-only view the partials manifest gives the stats.
     */
-  def sourceSketches(spark: SparkSession,
-      path: String): Seq[(String, Array[Byte])] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$path/sketches")
+  private def appliedSidecarFiles(spark: SparkSession, path: String,
+      sub: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dir)) return Seq.empty
-    spark.read.parquet(s"$path/sketches")
+    val applied = graft.streaming.StoreIntake.ledgerFiles(spark, path)
+      .toSet
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filterNot(p => p.getName.startsWith(".") ||
+        p.getName.startsWith("_"))
+      .filter(p => applied.contains(s"$sub/${p.getName}"))
+      .sortBy(_.getName)
+      .map(_.toString)
+  }
+
+  /** Shared (source, sketch-bytes) sidecar reader: applied-epoch files
+    * only, grouped per source, merged with the family's own merge —
+    * driver-side over the (epochs × sources)-sized list.
+    */
+  private def mergedSourceSidecars(spark: SparkSession, path: String,
+      sub: String,
+      merge: Seq[Array[Byte]] => Array[Byte])
+      : Seq[(String, Array[Byte])] = {
+    val files = appliedSidecarFiles(spark, path, sub)
+    if (files.isEmpty) return Seq.empty
+    spark.read.parquet(files: _*)
       .select("source", "sk").collect()
       .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq
       .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (src, rows) =>
-        (src, ThetaSketches.unionAll(rows.map(_._2)))
-      }
+      .map { case (src, rows) => (src, merge(rows.map(_._2))) }
   }
+
+  /** Per-source theta sketches merged across every APPLIED intake
+    * epoch's sidecar rows. Empty when the store was built without
+    * sidecars.
+    */
+  def sourceSketches(spark: SparkSession,
+      path: String): Seq[(String, Array[Byte])] =
+    mergedSourceSidecars(spark, path, "sketches",
+      bs => ThetaSketches.unionAll(bs))
 
   /** Pairwise distinct-term overlap between sources, answered FROM the
     * store's sketch sidecars — no corpus access at all: union the
@@ -129,23 +156,13 @@ object TermStatsStore {
   }
 
   /** Per-source KLL document-length sketches merged across every
-    * intake epoch's `lenq` sidecar rows — driver-side over the
-    * (epochs × sources)-sized list, the theta-sidecar pattern. Empty
-    * when the store was built without length sidecars.
+    * APPLIED intake epoch's `lenq` sidecar rows — the theta-sidecar
+    * pattern. Empty when the store was built without length sidecars.
     */
   def sourceLengthSketches(spark: SparkSession,
-      path: String): Seq[(String, Array[Byte])] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$path/lenq")
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(dir)) return Seq.empty
-    spark.read.parquet(s"$path/lenq")
-      .select("source", "sk").collect()
-      .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (src, rows) =>
-        (src, QuantileSketches.mergeAll(rows.map(_._2)))
-      }
-  }
+      path: String): Seq[(String, Array[Byte])] =
+    mergedSourceSidecars(spark, path, "lenq",
+      bs => QuantileSketches.mergeAll(bs))
 
   /** Per-source document-length quantiles answered FROM the store's
     * KLL sidecars — no corpus access at query time: union the
@@ -175,11 +192,10 @@ object TermStatsStore {
   def hittersFromStore(spark: SparkSession, path: String,
       divisor: Long = 50L, maxMapSize: Int = 32768): DataFrame = {
     import spark.implicits._
-    val dir = new org.apache.hadoop.fs.Path(s"$path/mg")
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(dir))
+    val files = appliedSidecarFiles(spark, path, "mg")
+    if (files.isEmpty)
       return Seq.empty[(String, Long)].toDF("term", "est_count")
-    val epochs = spark.read.parquet(s"$path/mg")
+    val epochs = spark.read.parquet(files: _*)
       .select(input_file_name().as("f"), col("sk")).collect()
       .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
       .sortBy(_._1).map(_._2).toSeq

@@ -618,6 +618,27 @@ class StoreIntakeSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("injected"))
     assert(!StoreIntake.epochApplied(spark, store, "cr", 1L))
+    // Crash-window visibility: whatever subset of epoch 1's files
+    // landed has NO marker, so every sidecar reader must still answer
+    // from epoch 0 alone — the same applied-only view the manifested
+    // partials give the stats (a raw directory read would count the
+    // orphans and contradict termStats until the replay).
+    def lqCanon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    def hhCanon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("term").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(lqCanon(graft.operators.TermStatsStore
+        .sourceLengthQuantilesFromStore(spark, store))
+      == lqCanon(graft.operators.QuantileSketches
+        .sourceLengthQuantiles(b0)),
+      "a crashed, unapplied epoch leaked into the lenq sidecar answer")
+    assert(hhCanon(graft.operators.TermStatsStore
+        .hittersFromStore(spark, store))
+      == hhCanon(graft.operators.HeavyHitters.termHeavyHitters(b0)),
+      "a crashed, unapplied epoch leaked into the mg sidecar answer")
     // Replay converges: every answer equals a from-scratch build over
     // b0 ∪ b1, and each sidecar has exactly one row per (epoch,
     // source) — the killed attempt's landed files were redone, not
@@ -643,10 +664,6 @@ class StoreIntakeSpec extends AnyFunSuite {
         s"$side sidecar must hold exactly 2 epochs per source: " +
           rows.mkString(","))
     }
-    def lqCanon(df: org.apache.spark.sql.DataFrame) =
-      df.orderBy("source").collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
     assert(lqCanon(graft.operators.TermStatsStore
         .sourceLengthQuantilesFromStore(spark, store))
       == lqCanon(graft.operators.QuantileSketches
@@ -656,9 +673,6 @@ class StoreIntakeSpec extends AnyFunSuite {
     // hitters equal the one-pass build (exact regime).
     assert(spark.read.parquet(s"$store/mg").count() == 2L,
       "mg sidecar must hold exactly one row per epoch")
-    def hhCanon(df: org.apache.spark.sql.DataFrame) =
-      df.orderBy("term").collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(hhCanon(graft.operators.TermStatsStore
         .hittersFromStore(spark, store))
       == hhCanon(graft.operators.HeavyHitters.termHeavyHitters(docs)),
