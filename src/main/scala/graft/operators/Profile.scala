@@ -34,6 +34,9 @@ object Profile {
   case object DblLike extends Kind
 
   def dataProfile(df: DataFrame, cols: Seq[(String, Kind)]): DataFrame = {
+    require(cols.nonEmpty,
+      "dataProfile needs at least one column — an empty list would " +
+        "generate a malformed stack(0, ) selectExpr")
     // TWO sort-free streaming aggregates, not one: a string min/max
     // buffer is immutable, and mixing it into the countDistinct
     // aggregate demotes the WHOLE thing to a SortAggregate whose
@@ -84,6 +87,9 @@ object Profile {
     */
   def approxProfile(df: DataFrame, cols: Seq[(String, Kind)],
       rsd: Double = 0.016): DataFrame = {
+    require(cols.nonEmpty,
+      "approxProfile needs at least one column — an empty list would " +
+        "generate a malformed stack(0, ) selectExpr")
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, k) =>
       Seq(count(col(c)).as(s"${c}__nn"),
         approx_count_distinct(col(c), rsd).as(s"${c}__nd")) ++ (k match {
@@ -144,6 +150,9 @@ object Profile {
       extends Check { val name = "in_range" }
 
   def qualityChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty,
+      "qualityChecks needs at least one check — an empty list would " +
+        "generate a malformed stack(0, ) selectExpr")
     val aggs = count(lit(1)).as("n_rows") +: checks.zipWithIndex.flatMap {
       case (Complete(c, _), i) =>
         Seq(count(col(c)).as(s"c$i"))

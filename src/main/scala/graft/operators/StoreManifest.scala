@@ -42,18 +42,46 @@ object StoreManifest {
 
   private def mdir(root: String) = new Path(root, "_manifest")
 
-  /** Current published version, if the directory is manifested. */
+  /** Current published version, if the directory is manifested.
+    *
+    * A missing LATEST does NOT mean "unmanifested" when v*.list files
+    * exist: the delete-before-rename fallback in [[publish]] (taken on
+    * HDFS-semantics filesystems) has a crash window after delete(LATEST)
+    * and before the rename lands. Defaulting to None there would make
+    * readers fall back to listing-based reads (double-counting
+    * expired-but-unGC'd files) and make the next publish restart at v1,
+    * overwriting v1.list and corrupting everReferenced/gcExpired. So:
+    * recover the version as max(v&lt;N&gt;.list) on disk — list files are
+    * immutable and written BEFORE the pointer flip, so the max is always
+    * ≥ the version any crashed flip was publishing.
+    */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val latest = new Path(mdir(root), "LATEST")
     val fs = fsOf(spark, latest)
-    if (!fs.exists(latest)) None
-    else {
+    if (fs.exists(latest)) {
       val in = fs.open(latest)
       try Some(scala.io.Source.fromInputStream(in, "UTF-8")
         .mkString.trim.toLong)
       finally in.close()
-    }
+    } else maxListVersion(fs, mdir(root))
   }
+
+  /** Highest v&lt;N&gt;.list present on disk, or None if the directory is
+    * genuinely unmanifested. Crash-recovery source of truth for
+    * [[currentVersion]].
+    */
+  private def maxListVersion(fs: FileSystem, dir: Path): Option[Long] =
+    if (!fs.exists(dir)) None
+    else {
+      val vs = fs.listStatus(dir).iterator.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("v") && n.endsWith(".list"))
+          scala.util.Try(n.stripPrefix("v").stripSuffix(".list").toLong)
+            .toOption
+        else None
+      }.toSeq
+      if (vs.isEmpty) None else Some(vs.max)
+    }
 
   private def readList(fs: FileSystem, p: Path): Seq[String] =
     if (!fs.exists(p)) Seq.empty

@@ -61,7 +61,18 @@ object StoreIntake {
       if (c.isLetterOrDigit && c < 128) c else '-')
     require(s.nonEmpty && s.length <= 120,
       s"scope must be 1..120 chars, got '$scope'")
-    s
+    // Sanitization is lossy ('job_1' and 'job.1' both map to 'job-1');
+    // colliding scopes would share epoch tags, so one stream's applied
+    // marker would silently skip the other's same-numbered batch. When
+    // any character was replaced, append a short hash of the RAW scope
+    // so distinct raw scopes stay distinct. Already-clean scopes keep
+    // their historical tag (existing ledgers stay valid).
+    if (s == scope) s
+    else {
+      val h = java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(scope))
+      s"$s-h$h"
+    }
   }
 
   private def tag(scope: String, batchId: Long): String =
@@ -88,9 +99,27 @@ object StoreIntake {
     * semantics preserved — applied-check, heal file lists, sweep
     * protection all consult it.
     */
+  private def appliedTmpPath(root: Path): Path =
+    new Path(new Path(root, "_epochs"), ".applied-tmp")
+
+  /** The ledger lines, crash-safe: the publish fallback in
+    * [[compactEpochLedger]] deletes `.applied` before renaming
+    * `.applied-tmp` over it (filesystems that refuse rename-onto), so a
+    * crash in that window leaves ONLY the tmp — which holds the full
+    * merged fold (a superset of the deleted ledger). Reading the tmp
+    * when the ledger is absent means no crash point loses fold records:
+    * folded epochs keep reading as applied, sidecar readers keep their
+    * rows, and sweep protection holds.
+    */
+  private def appliedLines(fs: FileSystem, root: Path): Seq[String] = {
+    val dest = appliedPath(root)
+    if (fs.exists(dest)) readLines(fs, dest)
+    else readLines(fs, appliedTmpPath(root))
+  }
+
   private def readApplied(fs: FileSystem,
       root: Path): Map[String, Seq[String]] =
-    readLines(fs, appliedPath(root))
+    appliedLines(fs, root)
       .filter(_.nonEmpty)
       .map { l =>
         val i = l.indexOf('\t')
@@ -180,6 +209,15 @@ object StoreIntake {
     val fs = fsOf(spark, root)
     val dir = new Path(root, "_epochs")
     if (!fs.exists(dir)) return 0
+    // Heal a prior crash between delete(.applied) and the rename: the
+    // surviving tmp IS the full fold record — promote it before this
+    // run reads the ledger or overwrites the tmp with a new one.
+    val destHeal = appliedPath(root)
+    val tmpHeal = appliedTmpPath(root)
+    if (!fs.exists(destHeal) && fs.exists(tmpHeal)) {
+      require(fs.rename(tmpHeal, destHeal),
+        s"could not recover consolidated ledger from $tmpHeal")
+    }
     val markers = fs.listStatus(dir).toSeq
       .filterNot(_.getPath.getName.startsWith("."))
       .sortBy(s => (s.getModificationTime, s.getPath.getName))
@@ -191,7 +229,7 @@ object StoreIntake {
     val lines = merged.toSeq.sortBy(_._1).flatMap { case (t, fl) =>
       if (fl.isEmpty) Seq(s"$t\t") else fl.map(f => s"$t\t$f")
     }
-    val tmp = new Path(dir, ".applied-tmp")
+    val tmp = appliedTmpPath(root)
     val out = fs.create(tmp, true)
     try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
