@@ -42,6 +42,19 @@ object FlagshipQueries {
       |  FROM agg
       |)""".stripMargin
 
+  /** join_enrich's oracle, shared verbatim with `streaming_pipeline`
+    * (the streaming run converges to the same table — parity is the
+    * point, so the SQL is defined once).
+    */
+  val joinEnrichSql: String =
+    windowAggCte +
+      s"""
+        |SELECT win.*, dim.weight, dim.category,
+        |       CAST(total_value AS DOUBLE) * 1000000.0 / weight
+        |         AS value_per_million
+        |FROM win JOIN ${Tables.eventTypeDimSql} USING (event_type)
+        |ORDER BY window_start, event_type""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // A1-A5/T2: tumbling-window multi-aggregate in one pass
@@ -58,14 +71,7 @@ object FlagshipQueries {
     // J1 + P3/F4/F5: inner enrichment join + derived per-million metric
     // (spark_consumer_kafka.py:102-126). Dim broadcast like the reference's
     // 8-row countries table.
-    QuerySpec("join_enrich",
-      windowAggCte +
-        s"""
-          |SELECT win.*, dim.weight, dim.category,
-          |       CAST(total_value AS DOUBLE) * 1000000.0 / weight
-          |         AS value_per_million
-          |FROM win JOIN ${Tables.eventTypeDimSql} USING (event_type)
-          |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+    QuerySpec("join_enrich", joinEnrichSql) { (s, dir) =>
       EventPipeline.flagship(t(s, dir, "events"), Tables.eventTypeDim(s),
         Tables.eventPropsSchema)
     },

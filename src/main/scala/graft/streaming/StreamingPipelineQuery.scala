@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.{QuerySpec, Tables}
+import graft.operators.EventPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** The reference's ENTIRE streaming consumer as one oracle-checked query
+  * (VERDICT r11 #1): Kafka-shaped source → parse → null-reject →
+  * watermark → tumbling-window multi-agg (update mode) → foreachBatch
+  * keyed upsert → enrichment join over the upserted table
+  * (spark_consumer_kafka.py:55-157). Everything upstream of the final
+  * read runs as a real Structured Streaming query — MemoryStream
+  * standing in for the Kafka socket (no broker in the sandbox; the
+  * option surface is pinned by KafkaSurfaceSpec), ParquetUpsertSink
+  * standing in for the MySQL PK table with the upsert semantics the
+  * reference claims.
+  *
+  * The run is deliberately TWO AvailableNow executions over one
+  * checkpoint: the second restarts from the first's offsets/state
+  * (S7 checkpoint recovery on the oracle path, not just in specs), and
+  * windows straddling the split are re-emitted by the second run and
+  * REPLACED in the sink — exercising genuine keyed upsert, not blind
+  * append. The replay is event-time-ordered, so the 10-minute
+  * watermark (T1) drops nothing and the converged sink equals the
+  * batch aggregate — which is why `join_enrich`'s oracle SQL applies
+  * verbatim (stream/batch parity is additionally spec-proven in
+  * StreamBatchParitySpec).
+  *
+  * Scale shape: identical to the batch flagship — ONE shuffle of
+  * partial aggregates per micro-batch, state keyed by
+  * (window, event_type), dim broadcast at the final join; the sink
+  * merge is a left-anti join against the (small) changed-key set.
+  */
+object StreamingPipelineQuery {
+
+  /** Top-level for the Spark encoder (executor deserialization has no
+    * test/query outer scope).
+    */
+  final case class E(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  private def run(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.t(spark, dir, "events").as[E]
+      .collect().sortBy(_.ts.getTime).toSeq
+    val split = rows.size * 2 / 3
+    val work = Files.createTempDirectory("graft-streampipe").toString
+    val sink = new ParquetUpsertSink(s"$work/store",
+      Seq("window_start", "event_type"))
+    val source = MemoryStream[E](spark)
+
+    def drain(): Unit = {
+      val q = EventPipeline.windowAgg(
+        EventPipeline.rejectNulls(
+          EventPipeline.parse(Tables.eventPropsSchema)(source.toDF()))
+          .withWatermark("ts", "10 minutes"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(sink.upsert _)
+        .start()
+      q.awaitTermination()
+    }
+
+    source.addData(rows.take(split): _*)
+    drain()
+    source.addData(rows.drop(split): _*)
+    drain() // restart from the checkpoint; straddling windows upsert
+
+    EventPipeline.enrich(Tables.eventTypeDim(spark))(sink.read(spark))
+      .orderBy("window_start", "event_type")
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    QuerySpec("streaming_pipeline",
+      graft.operators.FlagshipQueries.joinEnrichSql)(run)
+  )
+}
