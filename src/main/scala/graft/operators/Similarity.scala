@@ -1478,11 +1478,55 @@ object Similarity {
         coalesce(!col("drp"), lit(true)).as("kept"))
   }
 
+  /** [[semDedup]] with a TRAINED codebook — the production form
+    * (VERDICT r11 #2): nCentroids scales with the corpus (⌈√n⌉, the
+    * classic IVF sizing — cell population ≈ √n, so the within-cluster
+    * quadratic is n·√n-ish TOTAL work, never n²) and the codebook is
+    * Lloyd-refined from the deterministic first-⌈√n⌉ init, so cluster
+    * mass tracks the data distribution instead of whatever the first
+    * rows happened to be. Fully deterministic (no RNG; integer-micro
+    * means) — the declared `semdedup_trained` oracle replicates the
+    * entire refinement in SQL, iteration by iteration.
+    */
+  def semDedupTrained(df: DataFrame, iters: Int, threshold: Double,
+      cacheKey: String = ""): DataFrame = {
+    val e = prepared(df)
+    val nc = math.ceil(math.sqrt(e.count().toDouble)).toInt
+    val cb = lloydRefine(e,
+      e.filter(col("vec_id") < nc)
+        .select(col("vec_id").as("cid"), col("v").as("centv"),
+          col("nrm").as("centn")),
+      nQueries = 0, iters = iters)
+    semDedupWith(e, cb, threshold,
+      if (cacheKey.isEmpty) "" else s"$cacheKey|trained|it=$iters")
+  }
+
   /** Blocked near-dup pairs: cosine ≥ threshold within a blocking-key
     * partition (label here; the LSH bucket is the unblocked scale path).
+    *
+    * SCALE WARNING (logged at runtime when detectable cheaply): the
+    * within-block join is quadratic in block size. A LOW-CARDINALITY
+    * block key (a handful of labels over a 100 TB corpus) concentrates
+    * the quadratic into a few giant blocks — that is the global
+    * all-pairs this operator exists to avoid. Production near-dup at
+    * scale wants [[semDedupTrained]] (⌈√n⌉ trained cells) or the LSH
+    * bucket path (`lshNearDup`), both of which bound block population.
     */
   def nearDupPairs(df: DataFrame, blockKey: String,
       threshold: Double): DataFrame = {
+    // Cheap skew probe: block cardinality + max share from the frame's
+    // own agg (one small job over two columns). Advisory, not fatal —
+    // fixtures and genuinely fine-grained keys pass silently.
+    val st = df.groupBy(col(blockKey)).count()
+      .agg(count(lit(1)).as("nblk"), max("count").as("mx"),
+        sum("count").as("n")).head()
+    val (nblk, mx, n) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    if (n > 0 && (nblk < math.sqrt(n.toDouble).toLong || mx * mx > 100L * n))
+      System.err.println(
+        s"[graft] nearDupPairs: block key '$blockKey' has $nblk blocks " +
+          s"over $n rows (max block $mx) — the within-block join is " +
+          s"quadratic per block; at scale use semDedupTrained or the " +
+          s"LSH bucket path instead")
     graft.functions.GraftFunctions.register(df.sparkSession)
     val e = df.select(col("vec_id"), col(blockKey).as("blk"),
       col("embedding").cast("array<double>").as("v"))

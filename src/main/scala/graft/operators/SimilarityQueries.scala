@@ -35,6 +35,33 @@ object SimilarityQueries {
       |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
       |  (acc, b) -> acc * 2 + b)""".stripMargin
 
+  /** One unrolled Lloyd iteration for the `semdedup_trained` oracle —
+    * the SQL mirror of Similarity.lloydRefine's loop body: argmax
+    * assignment against the previous codebook (same DESC-cos, ASC-cid
+    * tie-break as Spark's max(struct(csim, -cid))), integer-micro
+    * positional means (bit-deterministic: sums are over BIGINTs), and
+    * empty centroids kept in place via the left-join coalesce.
+    * Recomputing centn with normD over the coalesced array equals
+    * Spark's kept-old-norm exactly (same fold over the same bits).
+    * Emits CTEs a&lt;i&gt;/m&lt;i&gt;/g&lt;i&gt;/c&lt;i&gt;.
+    */
+  private def lloydIterD(i: Int, prev: String): String =
+    s"""a$i AS (SELECT vec_id, cid FROM (
+       |  SELECT n.vec_id, $prev.cid, row_number() OVER (
+       |    PARTITION BY n.vec_id
+       |    ORDER BY ${dotD("n.v", "centv")} / (n.nrm * centn) DESC, cid)
+       |    AS arn FROM n CROSS JOIN $prev) WHERE arn = 1),
+       |m$i AS (SELECT cid, t.p,
+       |             CAST(SUM(CAST(round(n.v[t.p] * 1000000) AS BIGINT))
+       |                  AS DOUBLE) / (1000000.0 * COUNT(*)) AS m
+       |      FROM a$i JOIN n USING (vec_id), range(1, 65) t(p)
+       |      GROUP BY cid, t.p),
+       |g$i AS (SELECT cid, list(m ORDER BY p) AS newv
+       |        FROM m$i GROUP BY cid),
+       |c$i AS (SELECT cid, centv, ${normD("centv")} AS centn FROM (
+       |  SELECT $prev.cid, coalesce(g$i.newv, $prev.centv) AS centv
+       |  FROM $prev LEFT JOIN g$i USING (cid)))""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     QuerySpec("cosine_topk",
@@ -395,6 +422,41 @@ object SimilarityQueries {
          |ORDER BY asg.vec_id""".stripMargin) { (s, dir) =>
       Similarity.semDedup(t(s, dir, "embeddings"), 8, 0.35,
         cacheKey = dir)
+        .orderBy("vec_id")
+    },
+
+    // SemDeDup, production form (VERDICT r11 #2): nCentroids = ⌈√n⌉
+    // scales with the corpus (cell population ≈ √n bounds the
+    // within-cluster quadratic at n·√n total), and the codebook is
+    // Lloyd-refined for 2 deterministic iterations so cluster mass
+    // tracks the data. The oracle replicates the ENTIRE training —
+    // both unrolled iterations' argmax assignment + integer-micro
+    // means — then the assignment and min-id drop rule, all
+    // bit-deterministic (no RNG, exact integer sums, identical double
+    // fold order).
+    QuerySpec("semdedup_trained",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, ${normD("v")} AS nrm FROM e),
+         |c0 AS (SELECT vec_id AS cid, v AS centv, nrm AS centn FROM n
+         |       WHERE vec_id < (SELECT CAST(ceil(sqrt(COUNT(*)))
+         |                                   AS BIGINT) FROM n)),
+         |${lloydIterD(1, "c0")},
+         |${lloydIterD(2, "c1")},
+         |asg AS (SELECT vec_id, v, nrm, cid FROM (
+         |  SELECT n.vec_id, n.v, n.nrm, c2.cid, row_number() OVER (
+         |    PARTITION BY n.vec_id
+         |    ORDER BY ${dotD("n.v", "centv")} / (n.nrm * centn) DESC, cid)
+         |    AS arn FROM n CROSS JOIN c2) WHERE arn = 1),
+         |drp AS (SELECT DISTINCT b.vec_id
+         |        FROM asg a JOIN asg b
+         |          ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |        WHERE ${dotD("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35)
+         |SELECT asg.vec_id, cid, (drp.vec_id IS NULL) AS kept
+         |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id
+         |ORDER BY asg.vec_id""".stripMargin) { (s, dir) =>
+      Similarity.semDedupTrained(t(s, dir, "embeddings"), iters = 2,
+        threshold = 0.35, cacheKey = dir)
         .orderBy("vec_id")
     },
 
