@@ -155,6 +155,51 @@ object DedupQueries {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** Build-once ledgered band-signature store per (session, corpus) —
+    * the termStore pattern: a production signature store is appended
+    * continuously and probed for months, so re-runs time the probe,
+    * not the intake replay. The store is born EMPTY so every resident
+    * row arrives through the exactly-once epoch ledger (three epochs,
+    * one replayed as a declared-path no-op check), then blue/green
+    * compacted to one file per bucket; the returned name is the
+    * COMPACTED table. Catalog names carry a corpus-dir hash — the
+    * three SF runs of one session must not collide.
+    */
+  private def sigStore(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    sigStoreCache.synchronized(
+      sigStoreCache.getOrElseUpdate((s, dir), {
+        val wh = java.nio.file.Files
+          .createTempDirectory("graft-sigprobe").toString
+        val tbl = "sig_probe_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
+        val sh = Dedup.docShingles(t(s, dir, "documents"),
+          cacheKey = dir)
+        val corpus = sh.filter(col("doc_id") % 5 =!= 0)
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        Dedup.writeSignatureStore(corpus.limit(0), s"$wh/sig", tbl)
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+          .filter(col("doc_id") % 5 =!= 0)
+        (0 until 3).foreach { i =>
+          graft.streaming.StoreIntake.signatureIntakeBatch(
+            tbl, s"$wh/sig", "sigprobe")(
+            docs.filter(col("doc_id") % 3 === i), i.toLong)
+        }
+        // Replay of an applied epoch on the declared path: must be a
+        // no-op before any executor work (exactly-once at store
+        // granularity) — a double-append would hash-mismatch below.
+        graft.streaming.StoreIntake.signatureIntakeBatch(
+          tbl, s"$wh/sig", "sigprobe")(
+          docs.filter(col("doc_id") % 3 === 1), 1L)
+        val ctbl = tbl + "_c"
+        s.sql(s"DROP TABLE IF EXISTS $ctbl")
+        Dedup.compactSignatureStore(s, s"$wh/sig", s"$wh/sigc", ctbl)
+        ctbl
+      }))
+
+  private val sigStoreCache = scala.collection.mutable.Map.empty[
+    (org.apache.spark.sql.SparkSession, String), String]
+
   val all: Seq[QuerySpec] = Seq(
 
     // Bag-of-words dedup: content key = md5 of sorted distinct
@@ -329,6 +374,28 @@ object DedupQueries {
     // output either way, asserted in DedupScaleSpec).
     QuerySpec("dedup_incremental_half", incrementalOracle(2)) { (s, dir) =>
       incrementalQuery(s, dir, 2)
+    },
+
+    // The band-signature STORE on the oracle path (VERDICT r11 #3,
+    // term_store_stats precedent): the resident corpus's signatures
+    // arrive as THREE ledgered intake epochs into a (band, sig)-
+    // bucketed table born empty (a replayed epoch is a proven no-op on
+    // the declared path), the appended store is blue/green-compacted
+    // to one file per bucket, and the incremental probe runs against
+    // the COMPACTED store — one-sided-exchange probe plan, the layout
+    // a 100 TB corpus maintains. Same oracle as dedup_incremental:
+    // stage → ledger → append → compact → probe must reproduce the
+    // from-scratch banding exactly.
+    QuerySpec("sig_store_probe", incrementalOracle(5)) { (s, dir) =>
+      val sh = Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir)
+      Dedup.incrementalNearDupPairs(
+        corpus = sh.filter(col("doc_id") % 5 =!= 0),
+        incoming = sh.filter(col("doc_id") % 5 === 0), 4, 5,
+        corpusBands = Dedup.signatureStore(s, sigStore(s, dir)),
+        incomingBands = Dedup.bandSignatures(sh, cacheKey = dir)
+          .filter(col("doc_id") % 5 === 0))
+        .select("new_id", "corpus_id")
+        .orderBy("new_id", "corpus_id")
     },
 
     // The dedup pipeline's end product: the corpus with non-canonical
