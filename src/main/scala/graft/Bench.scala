@@ -9,6 +9,51 @@ import org.apache.spark.sql.SparkSession
   * stderr) and excluded from the total — a broken query must not masquerade
   * as a fast one.
   */
+/** Ambient-load sampling for the bench (VERDICT r11 #4): loadavg can
+  * only gate the START of a run — mid-run it is dominated by the
+  * bench's own 32 executor threads, so neighbor load arriving after
+  * the first query was invisible to the old flag (r11's 304 s record
+  * stamped `load_contaminated: false` while ambient rose to 6.6).
+  * Instead, bracket every timed query with /proc counters and compute
+  * AMBIENT cpu-cores = (Δhost_busy − Δself_jvm) / Δwall — other
+  * processes' CPU consumption during exactly this query's window,
+  * immune to our own contribution and undamped (loadavg's 1-minute
+  * exponential decay lags 30+ s behind a load spike).
+  */
+object BenchLoad {
+  /** Linux USER_HZ — fixed at 100 on every mainstream kernel/arch. */
+  private val Hz = 100.0
+
+  /** (host busy ticks across all cpus, this-process cpu ticks incl.
+    * reaped children); None where /proc is absent.
+    */
+  def cpuTicks(): Option[(Long, Long)] = scala.util.Try {
+    val cpu = Files.readString(Paths.get("/proc/stat")).linesIterator
+      .next().trim.split("\\s+").drop(1).map(_.toLong)
+    // busy = every column except idle(3) and iowait(4)
+    val busy = cpu.zipWithIndex
+      .collect { case (v, i) if i != 3 && i != 4 => v }.sum
+    val st = Files.readString(Paths.get("/proc/self/stat"))
+    // Fields after the '(comm)' token, 0-based from state: utime=11,
+    // stime=12, cutime=13, cstime=14 (man proc(5) fields 14-17).
+    val rest = st.substring(st.lastIndexOf(')') + 2).split(" ")
+    val self = rest(11).toLong + rest(12).toLong +
+      rest(13).toLong + rest(14).toLong
+    (busy, self)
+  }.toOption
+
+  /** Ambient (non-this-JVM) CPU cores consumed between two
+    * [[cpuTicks]] samples `wallSecs` apart; -1 if either is absent.
+    */
+  def ambientCores(before: Option[(Long, Long)],
+      after: Option[(Long, Long)], wallSecs: Double): Double =
+    (before, after) match {
+      case (Some((hb, sb)), Some((ha, sa))) if wallSecs > 0 =>
+        math.max(0.0, ((ha - hb) - (sa - sb)) / Hz / wallSecs)
+      case _ => -1.0
+    }
+}
+
 object Bench {
   /** 1-minute loadavg, or -1 where /proc is absent. */
   private def load1(): Double =
@@ -40,7 +85,14 @@ object Bench {
       tries += 1
     }
     val loadAtStart = load1()
-    val contaminated = loadAtStart > maxLoad
+    // Per-query ambient sampling (VERDICT r11 #4): the start gate above
+    // only sees load ALREADY present; ambient cores are measured around
+    // every timed run (BenchLoad), so neighbor load arriving mid-suite
+    // flags the run too — no more judge re-runs to adjudicate a spike.
+    val maxAmbient = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_MAX_AMBIENT", "2.0").toDouble
+    val ambientSamples =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val spark = GraftConf.tune(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
@@ -133,13 +185,21 @@ object Bench {
     val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
       .flatMap(_.toIntOption).filter(_ >= 2)
     def timeOnce(spec: QuerySpec): Double = {
+      val c0 = BenchLoad.cpuTicks()
       val t0 = System.nanoTime()
-      try { spec.fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] ${spec.name} FAILED: ${e.getMessage}")
-          -1.0
+      val secs =
+        try { spec.fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[bench] ${spec.name} FAILED: ${e.getMessage}")
+            -1.0
+        }
+      if (secs >= 0) {
+        val amb = BenchLoad.ambientCores(c0, BenchLoad.cpuTicks(), secs)
+        if (amb >= 0) ambientSamples += ((spec.name, amb))
       }
+      secs
     }
     val coldResults = selected.map { spec =>
       val cold = timeOnce(spec)
@@ -204,14 +264,29 @@ object Bench {
     // reconstruct load windows after the fact). loadavg at suite end
     // (1- and 5-minute) rides along so every recorded bench carries
     // its own noise evidence. Non-Linux hosts just omit the field.
+    // Contamination verdict covers the WHOLE run: the start-gate
+    // loadavg plus every per-query ambient sample (cold, rerun, and
+    // repeat passes all feed ambientSamples) — a spike during any
+    // timed query flags the run, with the offending queries' ambient
+    // on record so the noise is attributable without a re-run.
+    val ambientMax =
+      if (ambientSamples.isEmpty) -1.0 else ambientSamples.map(_._2).max
+    val contaminated = loadAtStart > maxLoad ||
+      (ambientMax >= 0 && ambientMax > maxAmbient)
+    val ambientCold = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      ambientSamples.filter { case (k, _) => seen.add(k) }.toSeq
+    }
     val loadPart = scala.util.Try {
       val l = Files.readString(Paths.get("/proc/loadavg"))
         .split(" ").take(2).map(_.toDouble)
       s""","load1":${f3(l(0))},"load5":${f3(l(1))}"""
     }.getOrElse("") +
       s""","load1_start":${f3(loadAtStart)}""" +
+      s""","ambient_max":${f3(ambientMax)}""" +
       s""","load_contaminated":$contaminated"""
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"queries":$qs$warmPart,"sf":"$sfDir"$loadPart}""")
+    val ambPart = s""","ambient":${j(ambientCold)}"""
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"queries":$qs$warmPart$ambPart,"sf":"$sfDir"$loadPart}""")
     // Compact headline LAST: whatever byte window the driver tails,
     // the final line always fits whole, so the total survives even if
     // the per-query line above gets clipped.
