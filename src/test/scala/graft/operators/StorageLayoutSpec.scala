@@ -136,4 +136,68 @@ class StorageLayoutSpec extends AnyFunSuite {
       none.columns.toSeq == docs.columns.toSeq)
     man.unpersist(): Unit
   }
+
+  test("term-membership sidecar: rare-term probe skips files (named " +
+    "counts), result equals the plain containment filter, absent term " +
+    "opens zero files, and completeness holds for every term") {
+    val spark = TestSpark.spark
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val zdir = Files.createTempDirectory("graft-tm").toString + "/docs"
+    StorageLayout.writeZOrdered(docs, zdir, Seq("n_chars", "doc_id"),
+      nFiles = 16)
+    val buckets = ScaleQueries.TermBuckets
+    val man = StorageLayout.termManifest(spark, zdir, TextOps.toksS,
+      buckets).cache()
+    val nFiles = man.select("file").distinct().count()
+    assert(nFiles >= 8, s"expected a multi-file layout, got $nFiles")
+
+    // Rare term ('dup': 25 of 500 docs) — files-touched must be
+    // strictly below the total. The fixture layout scatters dup docs
+    // by doc_id, so this is the honest lower bound of the mechanism:
+    // skipped = total − touched ≥ 1 even with no term locality.
+    val touched = StorageLayout.filesWithTerm(spark, man, "dup",
+      buckets).size
+    val skipped = nFiles - touched
+    assert(touched < nFiles && skipped >= 1,
+      s"term index must skip files: touched $touched of $nFiles " +
+        s"(skipped $skipped)")
+
+    // Parity: prune + residual == plain containment over the store.
+    val got = StorageLayout.termSkippingRead(spark, zdir, man, "dup",
+        TextOps.toksS, buckets)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = spark.read.parquet(zdir)
+      .filter(array_contains(expr(TextOps.toksS), "dup"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.size == 25,
+      s"skipping read diverged: ${got.size} vs ${want.size}")
+
+    // A term the corpus does not contain: zero candidate files (no
+    // collision at fixture vocabulary scale), empty frame, schema
+    // intact.
+    val absent = "graftabsenttermxyzzy"
+    assert(StorageLayout.filesWithTerm(spark, man, absent, buckets)
+      .isEmpty, "absent term must prune everything")
+    val none = StorageLayout.termSkippingRead(spark, zdir, man, absent,
+      TextOps.toksS, buckets)
+    assert(none.count() == 0 &&
+      none.columns.toSeq == docs.columns.toSeq)
+
+    // Completeness (no false negatives, the Bloom guarantee the
+    // residual filter relies on): for EVERY vocabulary term, every
+    // file holding it is a candidate.
+    import spark.implicits._
+    val perTermFiles = spark.read.parquet(zdir)
+      .select(input_file_name().as("file"),
+        explode(expr(TextOps.toksS)).as("term"))
+      .distinct().as[(String, String)].collect()
+      .groupBy(_._2).map { case (t, fs) => t -> fs.map(_._1).toSet }
+    perTermFiles.foreach { case (term, files) =>
+      val cand = StorageLayout.filesWithTerm(spark, man, term,
+        buckets).toSet
+      assert(files.subsetOf(cand),
+        s"term '$term': file(s) ${files -- cand} missing from candidates")
+    }
+    man.unpersist(): Unit
+  }
 }
