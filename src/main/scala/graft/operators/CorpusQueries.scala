@@ -43,6 +43,20 @@ object CorpusQueries {
        |         CAST(SUM(p_micro) AS BIGINT) AS sum_pmicro
        |  FROM sc GROUP BY doc_id)""".stripMargin
 
+  /** kll_quantiles' oracle, shared verbatim with the streamed
+    * `streaming_quantiles` (the transformWithState run converges to
+    * the same per-source summary — one SQL definition, two consumers).
+    */
+  val kllQuantilesSql: String =
+    """SELECT source,
+      |  CAST(quantile_disc(length(text), 0.25) AS BIGINT) AS p25,
+      |  CAST(quantile_disc(length(text), 0.50) AS BIGINT) AS p50,
+      |  CAST(quantile_disc(length(text), 0.75) AS BIGINT) AS p75,
+      |  CAST(quantile_disc(length(text), 0.95) AS BIGINT) AS p95,
+      |  COUNT(*) AS n_vals
+      |FROM documents WHERE text IS NOT NULL
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // Source (domain) reputation table: one bounded hash-aggregate.
@@ -509,15 +523,7 @@ object CorpusQueries {
     // (smallest value whose inclusive rank reaches q), deterministically.
     // The randomized-compaction estimation regime (rank-error envelope,
     // merge ≡ single-pass exactness) is SketchSpec's gate.
-    QuerySpec("kll_quantiles",
-      """SELECT source,
-        |  CAST(quantile_disc(length(text), 0.25) AS BIGINT) AS p25,
-        |  CAST(quantile_disc(length(text), 0.50) AS BIGINT) AS p50,
-        |  CAST(quantile_disc(length(text), 0.75) AS BIGINT) AS p75,
-        |  CAST(quantile_disc(length(text), 0.95) AS BIGINT) AS p95,
-        |  COUNT(*) AS n_vals
-        |FROM documents WHERE text IS NOT NULL
-        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    QuerySpec("kll_quantiles", CorpusQueries.kllQuantilesSql) { (s, dir) =>
       QuantileSketches.sourceLengthQuantiles(t(s, dir, "documents"))
         .orderBy("source")
     },

@@ -77,8 +77,60 @@ object StreamingPipelineQuery {
       .orderBy("window_start", "event_type")
   }
 
+  /** Streamed KLL per-key quantiles on the oracle path (VERDICT r11
+    * #7): StatefulOps.keyQuantiles — one KLL sketch per source as
+    * transformWithState ValueState on RocksDB — driven over the
+    * documents corpus in three doc_id-mod-3 chunks (every chunk covers
+    * every source), with the per-trigger update-mode emissions
+    * upserted by key so the converged table is each source's summary
+    * over EVERYTHING streamed. Two AvailableNow executions over one
+    * checkpoint put RocksDB state recovery on the oracle path too.
+    * Exact vs percentile_disc because every fixture source holds ≤ k
+    * values (the sketch never compacts) — the same regime
+    * kll_quantiles' oracle relies on, shared verbatim.
+    */
+  private def runQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Tables.t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("double").as("value"))
+      .as[(Long, String, Double)].collect().toSeq
+    val work = Files.createTempDirectory("graft-streamkll").toString
+    val sink = new ParquetUpsertSink(s"$work/store", Seq("key"))
+    val source = MemoryStream[(Long, String, Double)](spark)
+
+    def drain(): Unit = {
+      val q = StatefulOps.keyQuantiles(
+        source.toDF().toDF("doc_id", "key", "value")
+          .select(col("key"), col("value"))
+          .as[StatefulOps.KeyedValue])
+        .toDF()
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(sink.upsert _)
+        .start()
+      q.awaitTermination()
+    }
+
+    source.addData(rows.filter(_._1 % 3 == 0): _*)
+    drain()
+    source.addData(rows.filter(_._1 % 3 != 0): _*)
+    drain() // restart from the checkpoint; sketches merge in state
+
+    sink.read(spark)
+      .select(col("key").as("source"), col("p25"), col("p50"),
+        col("p75"), col("p95"), col("nVals").as("n_vals"))
+      .orderBy("source")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     QuerySpec("streaming_pipeline",
-      graft.operators.FlagshipQueries.joinEnrichSql)(run)
+      graft.operators.FlagshipQueries.joinEnrichSql)(run),
+    QuerySpec("streaming_quantiles",
+      graft.operators.CorpusQueries.kllQuantilesSql)(runQuantiles)
   )
 }
