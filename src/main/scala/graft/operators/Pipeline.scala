@@ -382,6 +382,56 @@ object Pipeline {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two lexical
+    * rankers for one query-term set — the hybrid-retrieval merge step
+    * every modern pipeline runs between its rankers and its consumer
+    * (BM25 ⊕ dense is the production pair; here the second ranker is
+    * the query-restricted TF-IDF sum, which keeps the whole fusion
+    * integer-exact and oracle-replicable — the fusion operator itself
+    * is ranker-agnostic: it consumes two (doc_id, rank) lists).
+    * rrf_micro = Σ 1000000 ⌊÷⌋ (kRrf + rank) over the rankers that
+    * surfaced the doc in their top `nCand` (absent ⇒ 0) — pure
+    * integer arithmetic, no float divergence possible.
+    *
+    * Scale shape: both candidate lists are nCand-row top-k's off the
+    * memoized docTerms table (TakeOrderedAndProject, never a global
+    * sort); ranking and fusion then run on nCand-bounded frames —
+    * the single-partition row_number windows are deliberate (bounded
+    * input, not corpus-sized), and the full-outer fused join is
+    * nCand × 2 rows.
+    */
+  def rrfFusion(docs: DataFrame, terms: Seq[String], nCand: Int,
+      k: Int, kRrf: Int = 60, cacheKey: String = ""): DataFrame = {
+    val bm = bm25TopK(docs, terms, nCand, cacheKey)
+      .select(col("doc_id"), col("score_micro"))
+      .withColumn("r_bm25", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id")))
+        .cast("int"))
+      .drop("score_micro")
+    val tf = docTerms(docs, cacheKey)
+    val dfq = tf.filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = tf.select("doc_id").distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val tq = tf.filter(col("term").isin(terms: _*))
+      .join(broadcast(dfq), "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"),
+        expr("tf * n_docs * 1000000 DIV df").as("c"))
+      .groupBy("doc_id").agg(sum(col("c")).cast("long").as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(nCand)
+      .withColumn("r_tfidf", row_number().over(
+        Window.orderBy(col("s").desc, col("doc_id"))).cast("int"))
+      .drop("s")
+    bm.join(tq, Seq("doc_id"), "full")
+      .withColumn("rrf_micro",
+        (coalesce(expr(s"1000000 DIV ($kRrf + r_bm25)"), lit(0)) +
+          coalesce(expr(s"1000000 DIV ($kRrf + r_tfidf)"), lit(0)))
+          .cast("long"))
+      .orderBy(col("rrf_micro").desc, col("doc_id")).limit(k)
+      .select("doc_id", "r_bm25", "r_tfidf", "rrf_micro")
+  }
+
   /** PII detection/redaction patterns — deliberately backslash-free
     * (char-class digits, `[.]` instead of `\.`) so the same literal
     * string is a valid, identically-matching regex in Java regex

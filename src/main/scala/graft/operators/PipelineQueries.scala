@@ -180,6 +180,67 @@ object PipelineQueries {
           Seq("dup", "vector", "spark", "merge"), k = 20, cacheKey = dir)
     },
 
+    // Reciprocal-rank fusion of two rankers for the same query-term
+    // set (Pipeline.rrfFusion — the hybrid-retrieval merge step): BM25
+    // and query-restricted TF-IDF each contribute their top-50, fused
+    // by integer-micro 1/(60+rank), top-20 emitted with both source
+    // ranks (NULL where one ranker missed the doc). Everything integer
+    // after the ranks, so the oracle replicates both candidate lists
+    // and the fusion exactly.
+    QuerySpec("rrf_fusion",
+      s"""WITH tq AS (SELECT doc_id, unnest(${TextOps.toksD}) AS term
+         |            FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tq
+         |       GROUP BY doc_id, term),
+         |dlt AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf
+         |        GROUP BY doc_id),
+         |st AS (SELECT COUNT(*) AS n_docs,
+         |              CAST(SUM(dl) AS BIGINT) AS tok_total FROM dlt),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf
+         |        WHERE term IN ('dup', 'vector', 'spark', 'merge')
+         |        GROUP BY term),
+         |c AS (
+         |  SELECT tf.doc_id,
+         |         CAST(FLOOR(
+         |           ((CAST(st.n_docs AS DOUBLE) - dfq.df + 0.5)
+         |             / (CAST(dfq.df AS DOUBLE) + 0.5))
+         |           * (CAST(tf.tf AS DOUBLE) * 2.2
+         |              / (CAST(tf.tf AS DOUBLE) + 1.2
+         |                 * (0.25 + 0.75 * (CAST(dlt.dl AS DOUBLE)
+         |                    / (CAST(st.tok_total AS DOUBLE)
+         |                       / st.n_docs)))))
+         |           * 1000000.0) AS BIGINT) AS cm
+         |  FROM tf JOIN dfq USING (term) JOIN dlt USING (doc_id)
+         |  CROSS JOIN st),
+         |bml AS (SELECT doc_id, CAST(SUM(cm) AS BIGINT) AS score_micro
+         |        FROM c GROUP BY doc_id
+         |        ORDER BY score_micro DESC, doc_id LIMIT 50),
+         |bm AS (SELECT doc_id, CAST(row_number() OVER (
+         |         ORDER BY score_micro DESC, doc_id) AS INTEGER)
+         |         AS r_bm25 FROM bml),
+         |tql AS (SELECT tf.doc_id,
+         |               CAST(SUM(tf.tf * st.n_docs * 1000000 // dfq.df)
+         |                    AS BIGINT) AS s
+         |        FROM tf JOIN dfq USING (term) CROSS JOIN st
+         |        GROUP BY tf.doc_id
+         |        ORDER BY s DESC, tf.doc_id LIMIT 50),
+         |tqr AS (SELECT doc_id, CAST(row_number() OVER (
+         |          ORDER BY s DESC, doc_id) AS INTEGER)
+         |          AS r_tfidf FROM tql),
+         |f AS (SELECT coalesce(bm.doc_id, tqr.doc_id) AS doc_id,
+         |             r_bm25, r_tfidf,
+         |             CAST(coalesce(1000000 // (60 + r_bm25), 0)
+         |                + coalesce(1000000 // (60 + r_tfidf), 0)
+         |                AS BIGINT) AS rrf_micro
+         |      FROM bm FULL JOIN tqr ON bm.doc_id = tqr.doc_id)
+         |SELECT doc_id, r_bm25, r_tfidf, rrf_micro FROM f
+         |ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        Pipeline.rrfFusion(t(s, dir, "documents"),
+          Seq("dup", "vector", "spark", "merge"), nCand = 50, k = 20,
+          cacheKey = dir)
+    },
+
     // Per-language vocabulary statistics — the tokenizer-training
     // diagnostic (vocab size, token mass, hapax share): a third
     // consumer of the memoized docTerms table (with tfidf_topk and

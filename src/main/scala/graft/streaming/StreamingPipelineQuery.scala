@@ -127,10 +127,84 @@ object StreamingPipelineQuery {
       .orderBy("source")
   }
 
+  /** Stream-stream interval join on the oracle path: view events
+    * joined to click events of the same user within 60 minutes
+    * (StreamOps.intervalJoin — watermarked state on BOTH sides, the
+    * time-range predicate bounding what Spark must buffer). The replay
+    * is event-time-ordered in two chunk rounds across two AvailableNow
+    * executions of one checkpoint, so cross-chunk pairs (a view in
+    * round 1 matching a click in round 2) must survive the join-state
+    * checkpoint restart to reach the sink; matches upsert by
+    * (view_id, click_id), so a replayed batch is idempotent. Oracle is
+    * the plain batch interval join — inner stream-stream join emission
+    * is exactly the match set when nothing is late (ordered feed under
+    * a 2-hour delay).
+    */
+  private def runJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"))
+      .as[(Long, Timestamp, Long, String)].collect().toSeq
+      .sortBy(e => (e._2.getTime, e._1))
+    val cut = {
+      val ts = ev.map(_._2.getTime).sorted
+      ts(ts.size * 2 / 3)
+    }
+    val work = Files.createTempDirectory("graft-streamjoin").toString
+    val sink = new ParquetUpsertSink(s"$work/store",
+      Seq("view_id", "click_id"))
+    val vsrc = MemoryStream[(Long, Timestamp, Long)](spark)
+    val csrc = MemoryStream[(Long, Timestamp, Long)](spark)
+
+    def drain(): Unit = {
+      val joined = StreamOps.intervalJoin(
+        vsrc.toDF().toDF("view_id", "vts", "vuid"),
+        csrc.toDF().toDF("click_id", "cts", "cuid"),
+        "vuid", "cuid", "vts", "cts",
+        within = "60 MINUTES", delay = "2 hours")
+      val q = joined
+        .select(col("view_id"), col("click_id"),
+          col("vuid").as("user_id"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(sink.upsert _)
+        .start()
+      q.awaitTermination()
+    }
+
+    def feed(p: ((Long, Timestamp, Long, String)) => Boolean): Unit = {
+      val views = ev.filter(e => e._4 == "view" && p(e))
+        .map(e => (e._1, e._2, e._3))
+      val clicks = ev.filter(e => e._4 == "click" && p(e))
+        .map(e => (e._1, e._2, e._3))
+      if (views.nonEmpty) vsrc.addData(views: _*): Unit
+      if (clicks.nonEmpty) csrc.addData(clicks: _*): Unit
+    }
+
+    feed(_._2.getTime <= cut)
+    drain()
+    feed(_._2.getTime > cut)
+    drain() // restart; round-1 view state must match round-2 clicks
+
+    sink.read(spark).orderBy("view_id", "click_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     QuerySpec("streaming_pipeline",
       graft.operators.FlagshipQueries.joinEnrichSql)(run),
     QuerySpec("streaming_quantiles",
-      graft.operators.CorpusQueries.kllQuantilesSql)(runQuantiles)
+      graft.operators.CorpusQueries.kllQuantilesSql)(runQuantiles),
+    QuerySpec("streaming_join",
+      """SELECT v.event_id AS view_id, c.event_id AS click_id,
+        |       v.user_id AS user_id
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 60 minutes
+        |ORDER BY view_id, click_id""".stripMargin)(runJoin)
   )
 }
