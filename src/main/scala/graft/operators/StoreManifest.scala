@@ -122,8 +122,12 @@ object StoreManifest {
     // Pointer flip: tmp + rename. POSIX rename REPLACES an existing
     // destination atomically (readers see old or new, never absent) —
     // try that first; filesystems whose rename refuses an existing
-    // destination (HDFS semantics) fall back to delete + rename, whose
-    // tiny absent window readers must treat as retryable.
+    // destination (HDFS semantics) fall back to delete + rename. The
+    // fallback's absent window (including a crash inside it) is
+    // covered by currentVersion's max(v*.list) recovery: list files
+    // are immutable and written BEFORE the flip, so readers resolve
+    // the correct version and a later publish continues the line
+    // (LedgerRecoverySpec).
     val tmp = new Path(dir, s".LATEST-tmp-$v")
     write(tmp, Seq(v.toString))
     val latest = new Path(dir, "LATEST")

@@ -44,7 +44,45 @@ object StreamingPipelineQuery {
   final case class E(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
 
-  private def run(spark: SparkSession, dir: String): DataFrame = {
+  /** Stateful streaming cost scales with shuffle partitions in a way
+    * batch does not: every micro-batch loads/commits one state store
+    * PER PARTITION (×4 store instances for a stream-stream join), so
+    * 32 partitions over a fixture-sized replay is pure per-batch
+    * overhead — measured 18.6 s → ~5 s on streaming_join at sf0.1.
+    * The declared streaming queries right-size to 8 for the replay and
+    * restore the session conf after; at production scale the partition
+    * count is the state-throughput lever and is sized UP with the key
+    * space, exactly like the reference's shuffle.partitions submit
+    * knob (AqeSpec pins the batch side of that story).
+    */
+  private def withShufflePartitions[A](spark: SparkSession, n: Int)(
+      body: => A): A = {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  /** The session default is RocksDB (GraftConf — transformWithState
+    * requires it), but the window-agg and join state here is KB-sized
+    * HashMap territory, and a RocksDB instance OPEN per partition per
+    * store per micro-batch (×4 store instances for a stream-stream
+    * join) is the dominant fixed cost of a small replay. The two
+    * queries whose operators don't need RocksDB pin the HDFS-backed
+    * provider for their run; streaming_quantiles keeps RocksDB
+    * (required). Production sizing goes the other way: GB-scale state
+    * wants RocksDB regardless of open cost.
+    */
+  private def withHdfsStateStore[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider")
+    try body finally spark.conf.set(key, saved)
+  }
+
+  private def run(spark: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(spark, 8) { withHdfsStateStore(spark) {
     import spark.implicits._
     val rows = Tables.t(spark, dir, "events").as[E]
       .collect().sortBy(_.ts.getTime).toSeq
@@ -75,7 +113,7 @@ object StreamingPipelineQuery {
 
     EventPipeline.enrich(Tables.eventTypeDim(spark))(sink.read(spark))
       .orderBy("window_start", "event_type")
-  }
+  } }
 
   /** Streamed KLL per-key quantiles on the oracle path (VERDICT r11
     * #7): StatefulOps.keyQuantiles — one KLL sketch per source as
@@ -89,7 +127,8 @@ object StreamingPipelineQuery {
     * values (the sketch never compacts) — the same regime
     * kll_quantiles' oracle relies on, shared verbatim.
     */
-  private def runQuantiles(spark: SparkSession, dir: String): DataFrame = {
+  private def runQuantiles(spark: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(spark, 8) {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val rows = Tables.t(spark, dir, "documents")
@@ -140,7 +179,8 @@ object StreamingPipelineQuery {
     * is exactly the match set when nothing is late (ordered feed under
     * a 2-hour delay).
     */
-  private def runJoin(spark: SparkSession, dir: String): DataFrame = {
+  private def runJoin(spark: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(spark, 8) { withHdfsStateStore(spark) {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val ev = Tables.t(spark, dir, "events")
@@ -191,7 +231,7 @@ object StreamingPipelineQuery {
     drain() // restart; round-1 view state must match round-2 clicks
 
     sink.read(spark).orderBy("view_id", "click_id")
-  }
+  } }
 
   val all: Seq[QuerySpec] = Seq(
     QuerySpec("streaming_pipeline",
