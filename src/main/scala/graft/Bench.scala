@@ -30,9 +30,12 @@ object BenchLoad {
   def cpuTicks(): Option[(Long, Long)] = scala.util.Try {
     val cpu = Files.readString(Paths.get("/proc/stat")).linesIterator
       .next().trim.split("\\s+").drop(1).map(_.toLong)
-    // busy = every column except idle(3) and iowait(4)
+    // busy = every column except idle(3), iowait(4), and guest(8)/
+    // guest_nice(9) — the kernel already folds guest time into
+    // user/nice, so summing the guest columns too would double-count
+    // VM load and over-flag runs on hypervisor hosts.
     val busy = cpu.zipWithIndex
-      .collect { case (v, i) if i != 3 && i != 4 => v }.sum
+      .collect { case (v, i) if i != 3 && i != 4 && i < 8 => v }.sum
     val st = Files.readString(Paths.get("/proc/self/stat"))
     // Fields after the '(comm)' token, 0-based from state: utime=11,
     // stime=12, cutime=13, cstime=14 (man proc(5) fields 14-17).

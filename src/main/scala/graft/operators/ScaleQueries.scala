@@ -115,6 +115,7 @@ object ScaleQueries {
          |  AND list_contains(${TextOps.toksD}, 'dup')
          |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       val path = zStore(s, dir)
+      termManifest(s, path)
       StorageLayout.termSkippingRead(s, path,
           s.read.parquet(path + ".terms"), "dup",
           TextOps.toksS, TermBuckets)
@@ -133,11 +134,13 @@ object ScaleQueries {
   val TermBuckets = 16384
 
   /** Build-once z-ordered documents store per (session, corpus) with
-    * BOTH skipping sidecars — min/max envelope manifest and the term-
-    * membership index (the layout is at-rest state, written by
-    * maintenance, read for months; the termStoreCache pattern — bytes
-    * on disk, not Spark-cached). Shared by zorder_scan and
-    * term_pruned_scan, whichever runs first builds.
+    * its min/max envelope manifest (the layout is at-rest state,
+    * written by maintenance, read for months; the termStoreCache
+    * pattern — bytes on disk, not Spark-cached). Shared by zorder_scan
+    * and term_pruned_scan, whichever runs first builds. The term-
+    * membership sidecar builds separately ([[termManifest]]) so a
+    * zorder_scan-only run never pays the full-corpus tokenize its
+    * result doesn't use.
     */
   private def zStore(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
@@ -150,11 +153,22 @@ object ScaleQueries {
         StorageLayout.statsManifest(s, p, Seq("n_chars", "doc_id"))
           .coalesce(1).write.mode("overwrite")
           .parquet(p + ".manifest")
-        StorageLayout.termManifest(s, p, TextOps.toksS, TermBuckets)
-          .coalesce(1).write.mode("overwrite")
-          .parquet(p + ".terms")
         p
       }))
+
+  /** Lazily add the term-membership sidecar to a built z-store. */
+  private def termManifest(s: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    termManifestBuilt.synchronized {
+      if (termManifestBuilt.add((s, path))) {
+        StorageLayout.termManifest(s, path, TextOps.toksS, TermBuckets)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(path + ".terms")
+      }
+    }
+
+  private val termManifestBuilt = scala.collection.mutable.Set.empty[
+    (org.apache.spark.sql.SparkSession, String)]
 
   /** Session-scoped z-ordered store paths for zorder_scan. */
   private val zStoreCache = scala.collection.mutable.Map.empty[

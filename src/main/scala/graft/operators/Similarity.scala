@@ -1531,20 +1531,27 @@ object Similarity {
     * bucket path (`lshNearDup`), both of which bound block population.
     */
   def nearDupPairs(df: DataFrame, blockKey: String,
-      threshold: Double): DataFrame = {
-    // Cheap skew probe: block cardinality + max share from the frame's
-    // own agg (one small job over two columns). Advisory, not fatal —
-    // fixtures and genuinely fine-grained keys pass silently.
-    val st = df.groupBy(col(blockKey)).count()
-      .agg(count(lit(1)).as("nblk"), max("count").as("mx"),
-        sum("count").as("n")).head()
-    val (nblk, mx, n) = (st.getLong(0), st.getLong(1), st.getLong(2))
-    if (n > 0 && (nblk < math.sqrt(n.toDouble).toLong || mx * mx > 100L * n))
-      System.err.println(
-        s"[graft] nearDupPairs: block key '$blockKey' has $nblk blocks " +
-          s"over $n rows (max block $mx) — the within-block join is " +
-          s"quadratic per block; at scale use semDedupTrained or the " +
-          s"LSH bucket path instead")
+      threshold: Double, warnSkew: Boolean = true): DataFrame = {
+    // Skew probe: block cardinality + max share from the frame's own
+    // agg — one extra job over two pruned columns. Advisory, not
+    // fatal; coalesce guards the empty frame (a global max/sum over
+    // zero rows is null). The probe is a full 2-column pass of the
+    // input, so callers on corpus-scale frames who already know their
+    // key distribution pass warnSkew = false to skip it.
+    if (warnSkew) {
+      val st = df.groupBy(col(blockKey)).count()
+        .agg(count(lit(1)).as("nblk"),
+          coalesce(max("count"), lit(0L)).as("mx"),
+          coalesce(sum("count"), lit(0L)).as("n")).head()
+      val (nblk, mx, n) = (st.getLong(0), st.getLong(1), st.getLong(2))
+      if (n > 0 &&
+        (nblk < math.sqrt(n.toDouble).toLong || mx * mx > 100L * n))
+        System.err.println(
+          s"[graft] nearDupPairs: block key '$blockKey' has $nblk " +
+            s"blocks over $n rows (max block $mx) — the within-block " +
+            s"join is quadratic per block; at scale use " +
+            s"semDedupTrained or the LSH bucket path instead")
+    }
     graft.functions.GraftFunctions.register(df.sparkSession)
     val e = df.select(col("vec_id"), col(blockKey).as("blk"),
       col("embedding").cast("array<double>").as("v"))

@@ -168,11 +168,20 @@ object StorageLayout {
       .distinct()
   }
 
-  /** The bucket a term probes — same hash as [[termManifest]]. */
-  def termBucket(spark: SparkSession, term: String, buckets: Int): Long =
-    spark.range(1)
-      .select(pmod(xxhash64(lit(term)), lit(buckets.toLong)))
-      .head().getLong(0)
+  /** The bucket a term probes — the same hash [[termManifest]] wrote,
+    * evaluated DRIVER-SIDE on the literal (Catalyst XxHash64 with the
+    * xxhash64() function's default seed): computing a pure function of
+    * one constant must not submit a Spark job, and the probe path may
+    * be called per term in a planning loop.
+    */
+  def termBucket(spark: SparkSession, term: String, buckets: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = new XxHash64(Seq(Literal.create(term,
+      org.apache.spark.sql.types.StringType)))
+      .eval(null).asInstanceOf[Long]
+    val m = buckets.toLong
+    ((h % m) + m) % m
+  }
 
   /** Files whose index says the term MAY be present (complete: never
     * misses a file that holds it). Driver-side over the files-sized

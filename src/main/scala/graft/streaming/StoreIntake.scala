@@ -56,11 +56,16 @@ object StoreIntake {
     * bucketed-file reader parses (bucket id = the LAST `_NNNNN` before
     * the extension), so the tag must never introduce `_` or `.`.
     */
-  private def cleanScope(scope: String): String = {
+  private def sanitize(scope: String): String = {
     val s = scope.map(c =>
       if (c.isLetterOrDigit && c < 128) c else '-')
     require(s.nonEmpty && s.length <= 120,
       s"scope must be 1..120 chars, got '$scope'")
+    s
+  }
+
+  private def cleanScope(scope: String): String = {
+    val s = sanitize(scope)
     // Sanitization is lossy ('job_1' and 'job.1' both map to 'job-1');
     // colliding scopes would share epoch tags, so one stream's applied
     // marker would silently skip the other's same-numbered batch. When
@@ -77,6 +82,21 @@ object StoreIntake {
 
   private def tag(scope: String, batchId: Long): String =
     s"epoch-${cleanScope(scope)}-$batchId"
+
+  /** Every tag (scope, batchId) may be recorded under, newest-first:
+    * the hash-suffixed current form, plus — for scopes the sanitizer
+    * had to rewrite — the pre-hash legacy form, so a ledger written
+    * BEFORE the hash suffix existed still reads as applied after an
+    * upgrade (a replayed batch must skip, not double-append; the
+    * collision the hash closes was silent data LOSS between two live
+    * colliding streams, which legacy single-stream stores by
+    * definition never had). New writes always use the current form.
+    */
+  private def tagAliases(scope: String, batchId: Long): Seq[String] = {
+    val cur = tag(scope, batchId)
+    val legacy = s"epoch-${sanitize(scope)}-$batchId"
+    if (legacy == cur) Seq(cur) else Seq(cur, legacy)
+  }
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -136,9 +156,9 @@ object StoreIntake {
       batchId: Long): Boolean = {
     val root = new Path(storeRoot)
     val fs = fsOf(spark, root)
-    val t = tag(scope, batchId)
-    fs.exists(new Path(new Path(root, "_epochs"), t)) ||
-      readApplied(fs, root).contains(t)
+    tagAliases(scope, batchId).exists(t =>
+      fs.exists(new Path(new Path(root, "_epochs"), t)) ||
+        readApplied(fs, root).contains(t))
   }
 
   /** The root-relative files an applied epoch placed, re-read from its
@@ -150,10 +170,13 @@ object StoreIntake {
       scope: String, batchId: Long): Seq[String] = {
     val root = new Path(storeRoot)
     val fs = fsOf(spark, root)
-    val marker = new Path(new Path(root, "_epochs"), tag(scope, batchId))
-    if (fs.exists(marker)) readLines(fs, marker).filter(_.nonEmpty)
-    else readApplied(fs, root)
-      .getOrElse(tag(scope, batchId), Seq.empty)
+    tagAliases(scope, batchId).collectFirst {
+      case t if fs.exists(new Path(new Path(root, "_epochs"), t)) =>
+        readLines(fs, new Path(new Path(root, "_epochs"), t))
+          .filter(_.nonEmpty)
+      case t if readApplied(fs, root).contains(t) =>
+        readApplied(fs, root)(t)
+    }.getOrElse(Seq.empty)
   }
 
   /** Recorded (scope, batchId) epochs under a store — live markers
@@ -329,8 +352,13 @@ object StoreIntake {
       return None
     }
     // An epoch folded into the consolidated ledger is applied too — a
-    // replay arriving after compactEpochLedger must skip, not re-append.
-    if (readApplied(fs, root).contains(t)) return None
+    // replay arriving after compactEpochLedger must skip, not
+    // re-append. Legacy tag aliases (pre-hash-suffix ledgers) count:
+    // a store written before the scope-hash upgrade must not
+    // double-append on its first post-upgrade replay.
+    if (tagAliases(scope, batchId).exists(a =>
+      (a != t && fs.exists(new Path(epochs, a))) ||
+        readApplied(fs, root).contains(a))) return None
     if (fs.exists(intent)) {
       // Crash mid-renames: delete exactly the destinations the failed
       // attempt declared (whichever subset landed), then fall through

@@ -118,8 +118,9 @@ object StreamingPipelineQuery {
   /** Streamed KLL per-key quantiles on the oracle path (VERDICT r11
     * #7): StatefulOps.keyQuantiles — one KLL sketch per source as
     * transformWithState ValueState on RocksDB — driven over the
-    * documents corpus in three doc_id-mod-3 chunks (every chunk covers
-    * every source), with the per-trigger update-mode emissions
+    * documents corpus in TWO rounds split on doc_id mod 3 ({0} then
+    * {1,2} — each side covers every source), with the per-trigger
+    * update-mode emissions
     * upserted by key so the converged table is each source's summary
     * over EVERYTHING streamed. Two AvailableNow executions over one
     * checkpoint put RocksDB state recovery on the oracle path too.

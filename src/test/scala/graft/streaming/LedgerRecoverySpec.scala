@@ -139,5 +139,25 @@ class LedgerRecoverySpec extends AnyFunSuite {
     assert(fs.exists(new Path(new Path(new Path(store), "_epochs"),
       "epoch-job-1-0")),
       "clean scopes must keep their historical tag text")
+
+    // Upgrade compatibility: a ledger written BEFORE the hash suffix
+    // existed recorded dirty scopes under the bare sanitized tag. A
+    // post-upgrade replay of that (scope, batch) must read as applied
+    // through the legacy alias — re-staging would double-append the
+    // exact rows the ledger exists to protect.
+    val store2 = Files.createTempDirectory("graft-scope-legacy").toString
+    val epochs2 = new Path(new Path(store2), "_epochs")
+    fs.mkdirs(epochs2)
+    fs.create(new Path(epochs2, "epoch-old-job-7"), true).close()
+    assert(StoreIntake.epochApplied(spark, store2, "old.job", 7L),
+      "legacy bare-sanitized tag must still read as applied")
+    assert(StoreIntake.appendEpoch(spark, store2, "old.job", 7L)(
+      _ => fail("pre-upgrade epoch must not re-stage")).isEmpty)
+    // ...while a NEW batch of the same scope applies under the
+    // hash-suffixed tag.
+    assert(StoreIntake.appendEpoch(spark, store2, "old.job", 8L)(
+      _ => ()).isDefined)
+    assert(!fs.exists(new Path(epochs2, "epoch-old-job-8")),
+      "new epochs must use the hash-suffixed tag, not the legacy one")
   }
 }
