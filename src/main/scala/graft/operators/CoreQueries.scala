@@ -256,6 +256,41 @@ object CoreQueries {
           .orderBy("source")
     },
 
+    // Additive schema evolution on the READ path — the lakehouse
+    // contract every long-lived corpus store hits: epoch 1 was written
+    // before a column existed, epoch 2 after, and a mergeSchema read
+    // over both must surface the union schema with the old epoch's
+    // rows NULL in the new column (no rewrite of resident files, no
+    // rows lost, no values fabricated). The split is doc_id parity so
+    // both epochs cover every source; the oracle replicates the NULL
+    // pattern with FILTER clauses. The WRITE-side gate (type changes
+    // rejected against the merged resident schema) is
+    // StoreMaintenanceSpec's.
+    QuerySpec("schema_merge",
+      """SELECT source, COUNT(*) AS n_docs,
+        |       COUNT(*) FILTER (WHERE doc_id % 2 = 1) AS n_evolved,
+        |       CAST(COALESCE(SUM(n_chars) FILTER (WHERE doc_id % 2 = 1),
+        |                     0) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-evolve").toString + "/docs"
+        val docs = t(s, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "source")
+          .write.mode("overwrite").parquet(path)
+        docs.filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "source", "n_chars")
+          .write.mode("append").parquet(path)
+        s.read.option("mergeSchema", "true").parquet(path)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("n_chars")).as("n_evolved"),
+            coalesce(sum("n_chars"), lit(0L)).cast("long")
+              .as("sum_chars"))
+          .orderBy("source")
+    },
+
     // Flat-text file source (the rawest crawl-dump shape): each row
     // serialized as one `doc_id\ttext` line through the text
     // datasource, read back, re-split, and content-checked via
