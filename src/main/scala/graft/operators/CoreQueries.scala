@@ -266,7 +266,7 @@ object CoreQueries {
     // pattern with FILTER clauses. The WRITE-side gate (type changes
     // rejected against the merged resident schema) is
     // StoreMaintenanceSpec's.
-    QuerySpec("schema_merge",
+    QuerySpec.build("schema_merge",
       """SELECT source, COUNT(*) AS n_docs,
         |       COUNT(*) FILTER (WHERE doc_id % 2 = 1) AS n_evolved,
         |       CAST(COALESCE(SUM(n_chars) FILTER (WHERE doc_id % 2 = 1),

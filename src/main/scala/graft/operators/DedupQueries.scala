@@ -386,7 +386,7 @@ object DedupQueries {
     // a 100 TB corpus maintains. Same oracle as dedup_incremental:
     // stage → ledger → append → compact → probe must reproduce the
     // from-scratch banding exactly.
-    QuerySpec("sig_store_probe", incrementalOracle(5)) { (s, dir) =>
+    QuerySpec.build("sig_store_probe", incrementalOracle(5)) { (s, dir) =>
       val sh = Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir)
       Dedup.incrementalNearDupPairs(
         corpus = sh.filter(col("doc_id") % 5 =!= 0),

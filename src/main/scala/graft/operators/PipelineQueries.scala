@@ -622,7 +622,7 @@ object PipelineQueries {
     // green only if stage → ledger → manifest publish → fold →
     // snapshot read reproduces a single batch pass exactly (the
     // StoreIntakeSpec equivalence, driver-checked).
-    QuerySpec("term_store_stats",
+    QuerySpec.build("term_store_stats",
       s"""WITH d AS (SELECT doc_id, text FROM documents
          |           WHERE text IS NOT NULL),
          |tq AS (SELECT doc_id, unnest(${TextOps.toksD}) AS term FROM d),
@@ -651,7 +651,7 @@ object PipelineQueries {
     // fixture vocab) — green only if ledger/replay semantics kept the
     // sidecar log duplicate-free and the epoch merge reproduces the
     // single-pass sketch.
-    QuerySpec("theta_store_overlap",
+    QuerySpec.build("theta_store_overlap",
       s"""WITH tq AS (SELECT doc_id, unnest(${TextOps.toksD}) AS term
          |            FROM documents WHERE text IS NOT NULL),
          |u AS (SELECT DISTINCT d.source, tq.term
@@ -675,7 +675,7 @@ object PipelineQueries {
     // only if ledger/replay semantics kept the sidecar log
     // duplicate-free and the epoch merge reproduces the one-pass
     // sketch.
-    QuerySpec("kll_store_quantiles",
+    QuerySpec.build("kll_store_quantiles",
       """SELECT source,
         |  CAST(quantile_disc(length(text), 0.25) AS BIGINT) AS p25,
         |  CAST(quantile_disc(length(text), 0.50) AS BIGINT) AS p50,
@@ -695,7 +695,7 @@ object PipelineQueries {
     // stable order at read, zero corpus access. Same oracle as
     // heavy_hitters — the vocabulary never forces a purge, so the
     // three-epoch merge carries exact counts.
-    QuerySpec("freq_store_hitters",
+    QuerySpec.build("freq_store_hitters",
       s"""WITH tq AS (SELECT unnest(${TextOps.toksD}) AS term
          |            FROM documents),
          |tot AS (SELECT COUNT(*) AS n FROM tq)

@@ -83,7 +83,7 @@ object ScaleQueries {
     // filter loses and fabricates nothing. StorageLayoutSpec gates
     // the part the oracle can't see: that the pruning actually skips
     // files on EITHER dimension alone.
-    QuerySpec("zorder_scan",
+    QuerySpec.build("zorder_scan",
       """SELECT doc_id, n_chars, source, lang FROM documents
         |WHERE n_chars BETWEEN 200 AND 400
         |  AND doc_id BETWEEN 100 AND 2400
@@ -107,7 +107,7 @@ object ScaleQueries {
     // fabricates nothing. StorageLayoutSpec gates what the oracle
     // can't see: that files ARE skipped (named counts) and that an
     // absent term opens zero files.
-    QuerySpec("term_pruned_scan",
+    QuerySpec.build("term_pruned_scan",
       s"""SELECT source, COUNT(*) AS n_docs,
          |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          |FROM documents

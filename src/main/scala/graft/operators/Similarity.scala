@@ -1510,8 +1510,14 @@ object Similarity {
       cacheKey: String = ""): DataFrame = {
     val e = prepared(df)
     val nc = math.ceil(math.sqrt(e.count().toDouble)).toInt
+    // Init = the FIRST ⌈√n⌉ vectors in vec_id order — by rank, not by
+    // id value (ADVICE r12): `vec_id < nc` assumed dense 0-based ids
+    // and yields an empty/undersized codebook on sparse or offset id
+    // spaces. orderBy+limit is a TakeOrderedAndProject (partial top-k
+    // per partition — never a global sort), and on dense 0-based ids
+    // it selects exactly the old set, so existing oracles carry over.
     val cb = lloydRefine(e,
-      e.filter(col("vec_id") < nc)
+      e.orderBy(col("vec_id")).limit(nc)
         .select(col("vec_id").as("cid"), col("v").as("centv"),
           col("nrm").as("centn")),
       nQueries = 0, iters = iters)

@@ -279,7 +279,7 @@ object SimilarityQueries {
     // The store is a materialization, not different semantics, so the
     // oracle is ivfpq_ann's verbatim — green only if write + read +
     // pruned search reproduce the in-memory arithmetic bit-for-bit.
-    QuerySpec("ivfpq_store_ann", ivfPqAnnOracle) { (s, dir) =>
+    QuerySpec.build("ivfpq_store_ann", ivfPqAnnOracle) { (s, dir) =>
       val e = Similarity.prepared(t(s, dir, "embeddings"))
       // The store builds ONCE per (session, corpus) — the Memo
       // pattern applied to an at-rest artifact: a production index is
@@ -438,9 +438,12 @@ object SimilarityQueries {
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
          |           FROM embeddings),
          |n AS (SELECT vec_id, v, ${normD("v")} AS nrm FROM e),
-         |c0 AS (SELECT vec_id AS cid, v AS centv, nrm AS centn FROM n
-         |       WHERE vec_id < (SELECT CAST(ceil(sqrt(COUNT(*)))
-         |                                   AS BIGINT) FROM n)),
+         |c0 AS (SELECT cid, centv, centn FROM (
+         |         SELECT vec_id AS cid, v AS centv, nrm AS centn,
+         |                row_number() OVER (ORDER BY vec_id) AS r
+         |         FROM n)
+         |       WHERE r <= (SELECT CAST(ceil(sqrt(COUNT(*)))
+         |                               AS BIGINT) FROM n)),
          |${lloydIterD(1, "c0")},
          |${lloydIterD(2, "c1")},
          |asg AS (SELECT vec_id, v, nrm, cid FROM (

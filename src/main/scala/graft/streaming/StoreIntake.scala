@@ -85,18 +85,39 @@ object StoreIntake {
 
   /** Every tag (scope, batchId) may be recorded under, newest-first:
     * the hash-suffixed current form, plus — for scopes the sanitizer
-    * had to rewrite — the pre-hash legacy form, so a ledger written
-    * BEFORE the hash suffix existed still reads as applied after an
-    * upgrade (a replayed batch must skip, not double-append; the
-    * collision the hash closes was silent data LOSS between two live
-    * colliding streams, which legacy single-stream stores by
-    * definition never had). New writes always use the current form.
+    * had to rewrite, on stores whose ledger PREDATES the hash upgrade
+    * — the pre-hash legacy form, so a ledger written BEFORE the hash
+    * suffix existed still reads as applied after an upgrade (a
+    * replayed batch must skip, not double-append; the collision the
+    * hash closes was silent data LOSS between two live colliding
+    * streams, which legacy single-stream stores by definition never
+    * had). New writes always use the current form.
+    *
+    * The legacy alias is gated on store provenance (ADVICE r12): a
+    * dirty scope's legacy alias ('job.1' → 'epoch-job-1-N') EQUALS the
+    * current tag of the colliding clean scope ('job-1'), so consulting
+    * it unconditionally reopens the collision the hash closed — if
+    * live stream 'job-1' applies batch N first, 'job.1' batch N reads
+    * as applied and silently skips. Stores born under the current
+    * format carry `_epochs/.format-v2` (stamped when [[appendEpoch]]
+    * CREATES the `_epochs` dir) and never consult the alias; only
+    * pre-upgrade stores — `_epochs` exists without the stamp — do,
+    * and those by definition hold single-stream pre-hash history.
     */
-  private def tagAliases(scope: String, batchId: Long): Seq[String] = {
+  private def tagAliases(fs: FileSystem, root: Path, scope: String,
+      batchId: Long): Seq[String] = {
     val cur = tag(scope, batchId)
     val legacy = s"epoch-${sanitize(scope)}-$batchId"
-    if (legacy == cur) Seq(cur) else Seq(cur, legacy)
+    if (legacy == cur || fs.exists(formatV2Path(root))) Seq(cur)
+    else Seq(cur, legacy)
   }
+
+  /** Format-provenance stamp: present iff the store's `_epochs` dir
+    * was created by a post-hash-upgrade writer (see [[tagAliases]]).
+    * Dot-prefixed, so every marker listing already skips it.
+    */
+  private def formatV2Path(root: Path): Path =
+    new Path(new Path(root, "_epochs"), ".format-v2")
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -156,7 +177,7 @@ object StoreIntake {
       batchId: Long): Boolean = {
     val root = new Path(storeRoot)
     val fs = fsOf(spark, root)
-    tagAliases(scope, batchId).exists(t =>
+    tagAliases(fs, root, scope, batchId).exists(t =>
       fs.exists(new Path(new Path(root, "_epochs"), t)) ||
         readApplied(fs, root).contains(t))
   }
@@ -170,7 +191,7 @@ object StoreIntake {
       scope: String, batchId: Long): Seq[String] = {
     val root = new Path(storeRoot)
     val fs = fsOf(spark, root)
-    tagAliases(scope, batchId).collectFirst {
+    tagAliases(fs, root, scope, batchId).collectFirst {
       case t if fs.exists(new Path(new Path(root, "_epochs"), t)) =>
         readLines(fs, new Path(new Path(root, "_epochs"), t))
           .filter(_.nonEmpty)
@@ -340,7 +361,12 @@ object StoreIntake {
     val root = new Path(storeRoot)
     val fs = fsOf(spark, root)
     val epochs = new Path(root, "_epochs")
+    // Provenance stamp (see tagAliases): only a store whose ledger is
+    // BORN here — `_epochs` did not exist — is v2-born; an existing
+    // dir may hold pre-upgrade markers and must keep alias reads.
+    val born2 = !fs.exists(epochs)
     fs.mkdirs(epochs)
+    if (born2) scala.util.Try(fs.create(formatV2Path(root), false).close())
     val marker = new Path(epochs, t)
     val intent = new Path(epochs, s".intent-$t")
     val stageDir = new Path(root, s".intake-stage-$t")
@@ -353,10 +379,11 @@ object StoreIntake {
     }
     // An epoch folded into the consolidated ledger is applied too — a
     // replay arriving after compactEpochLedger must skip, not
-    // re-append. Legacy tag aliases (pre-hash-suffix ledgers) count:
-    // a store written before the scope-hash upgrade must not
+    // re-append. Legacy tag aliases (pre-hash-suffix ledgers) count
+    // on pre-upgrade stores only (tagAliases' provenance gate): a
+    // store written before the scope-hash upgrade must not
     // double-append on its first post-upgrade replay.
-    if (tagAliases(scope, batchId).exists(a =>
+    if (tagAliases(fs, root, scope, batchId).exists(a =>
       (a != t && fs.exists(new Path(epochs, a))) ||
         readApplied(fs, root).contains(a))) return None
     if (fs.exists(intent)) {

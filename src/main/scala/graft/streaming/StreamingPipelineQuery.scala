@@ -81,11 +81,32 @@ object StreamingPipelineQuery {
     try body finally spark.conf.set(key, saved)
   }
 
+  /** MemoryStream feeds collect the source table to the driver — the
+    * declared streaming replays are sandbox stand-ins for the Kafka
+    * reader (no broker jar), and a driver-side feed is inherent to
+    * MemoryStream. Fine at fixture scale (≤ 100k rows at sf0.1) but a
+    * driver-memory cliff on a real corpus, so the feed REFUSES
+    * anything beyond an explicit ceiling instead of OOMing mid-bench
+    * (ADVICE r12); production swaps in the pinned Kafka source
+    * (DEPLOY.md) and never collects.
+    */
+  private[streaming] val MaxReplayRows = 2000000
+
+  private[streaming] def boundedFeed[T](rows: Seq[T],
+      what: String): Seq[T] = {
+    require(rows.size <= MaxReplayRows,
+      s"streaming fixture replay of $what is ${rows.size} rows — over " +
+        s"the $MaxReplayRows-row driver-collect ceiling; the " +
+        "MemoryStream feed is a sandbox stand-in, not a production " +
+        "source")
+    rows
+  }
+
   private def run(spark: SparkSession, dir: String): DataFrame =
     withShufflePartitions(spark, 8) { withHdfsStateStore(spark) {
     import spark.implicits._
-    val rows = Tables.t(spark, dir, "events").as[E]
-      .collect().sortBy(_.ts.getTime).toSeq
+    val rows = boundedFeed(Tables.t(spark, dir, "events").as[E]
+      .collect().sortBy(_.ts.getTime).toSeq, "events")
     val split = rows.size * 2 / 3
     val work = Files.createTempDirectory("graft-streampipe").toString
     val sink = new ParquetUpsertSink(s"$work/store",
@@ -132,11 +153,11 @@ object StreamingPipelineQuery {
     withShufflePartitions(spark, 8) {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val rows = Tables.t(spark, dir, "documents")
+    val rows = boundedFeed(Tables.t(spark, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
         length(col("text")).cast("double").as("value"))
-      .as[(Long, String, Double)].collect().toSeq
+      .as[(Long, String, Double)].collect().toSeq, "documents")
     val work = Files.createTempDirectory("graft-streamkll").toString
     val sink = new ParquetUpsertSink(s"$work/store", Seq("key"))
     val source = MemoryStream[(Long, String, Double)](spark)
@@ -184,11 +205,11 @@ object StreamingPipelineQuery {
     withShufflePartitions(spark, 8) { withHdfsStateStore(spark) {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val ev = Tables.t(spark, dir, "events")
+    val ev = boundedFeed(Tables.t(spark, dir, "events")
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"))
       .as[(Long, Timestamp, Long, String)].collect().toSeq
-      .sortBy(e => (e._2.getTime, e._1))
+      .sortBy(e => (e._2.getTime, e._1)), "events")
     val cut = {
       val ts = ev.map(_._2.getTime).sorted
       ts(ts.size * 2 / 3)
@@ -235,11 +256,11 @@ object StreamingPipelineQuery {
   } }
 
   val all: Seq[QuerySpec] = Seq(
-    QuerySpec("streaming_pipeline",
+    QuerySpec.replay("streaming_pipeline",
       graft.operators.FlagshipQueries.joinEnrichSql)(run),
-    QuerySpec("streaming_quantiles",
+    QuerySpec.replay("streaming_quantiles",
       graft.operators.CorpusQueries.kllQuantilesSql)(runQuantiles),
-    QuerySpec("streaming_join",
+    QuerySpec.replay("streaming_join",
       """SELECT v.event_id AS view_id, c.event_id AS click_id,
         |       v.user_id AS user_id
         |FROM events v JOIN events c

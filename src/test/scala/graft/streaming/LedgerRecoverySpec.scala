@@ -159,5 +159,24 @@ class LedgerRecoverySpec extends AnyFunSuite {
       _ => ()).isDefined)
     assert(!fs.exists(new Path(epochs2, "epoch-old-job-8")),
       "new epochs must use the hash-suffixed tag, not the legacy one")
+
+    // Provenance gate (ADVICE r12): on a V2-BORN store the legacy
+    // alias must not be consulted at all — a dirty scope's alias
+    // ('job.1' → 'epoch-job-1-N') equals the clean scope 'job-1''s
+    // CURRENT tag, so consulting it would make 'job.1' batch N read
+    // as applied the moment live stream 'job-1' applies its batch N
+    // (silent data loss between two live streams). `store` above is
+    // v2-born (its _epochs was created by appendEpoch post-upgrade).
+    assert(fs.exists(new Path(new Path(new Path(store), "_epochs"),
+      ".format-v2")), "a store born under appendEpoch must be stamped")
+    assert(applyEmpty("job-1", 1L).isDefined)
+    assert(!StoreIntake.epochApplied(spark, store, "job.1", 1L),
+      "v2-born store: 'job-1' batch 1 must not mask 'job.1' batch 1")
+    assert(applyEmpty("job.1", 1L).isDefined,
+      "'job.1' batch 1 must apply, not silently skip via the alias")
+    // ...while the pre-upgrade store (manually created _epochs, no
+    // stamp) keeps alias reads — asserted above via 'old.job' 7.
+    assert(!fs.exists(new Path(epochs2, ".format-v2")),
+      "a pre-upgrade store must not acquire the stamp retroactively")
   }
 }
