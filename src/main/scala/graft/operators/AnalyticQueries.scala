@@ -34,6 +34,35 @@ object AnalyticQueries {
     (v, c, p)
   }
 
+  /** The rolling z-score oracle, shared VERBATIM by `anomaly_zscore`
+    * (batch, ScaleOps.rollingZScore) and the streaming replay
+    * `streaming_zscore` (StatefulOps.zScores) — stream/batch parity
+    * on an in-order feed is the declared contract, so the converged
+    * streamed table must equal the batch window query exactly.
+    */
+  val anomalyZscoreSql: String =
+    """SELECT event_id, user_id, n_w, z_micro,
+      |       z_micro IS NOT NULL AND abs(z_micro) >= 2000000
+      |         AS is_anomaly
+      |FROM (
+      |  SELECT event_id, user_id, CAST(n AS INTEGER) AS n_w,
+      |         CASE WHEN n >= 5 AND n*ss - s*s > 0
+      |              THEN CAST(round(CAST(n*x - s AS DOUBLE)
+      |                     / sqrt(CAST(n*ss - s*s AS DOUBLE))
+      |                     * 1000000) AS BIGINT)
+      |              ELSE NULL END AS z_micro
+      |  FROM (
+      |    SELECT event_id, user_id, x,
+      |           COUNT(*) OVER w AS n,
+      |           CAST(SUM(x) OVER w AS BIGINT) AS s,
+      |           CAST(SUM(x*x) OVER w AS BIGINT) AS ss
+      |    FROM (SELECT event_id, user_id, ts,
+      |                 CAST(round(value * 1000) AS BIGINT) AS x
+      |          FROM events)
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)))
+      |ORDER BY event_id""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // X5: ranking + analytic window functions over an ordered partition.
@@ -360,28 +389,7 @@ object AnalyticQueries {
     // exactness argument and the per-user shuffle shape). Testdata
     // headroom for the int64 moments: x ≤ ~5.6e5 millis ⇒ n·SS ≤
     // ~1.3e14 ≪ int64 max.
-    QuerySpec("anomaly_zscore",
-      """SELECT event_id, user_id, n_w, z_micro,
-        |       z_micro IS NOT NULL AND abs(z_micro) >= 2000000
-        |         AS is_anomaly
-        |FROM (
-        |  SELECT event_id, user_id, CAST(n AS INTEGER) AS n_w,
-        |         CASE WHEN n >= 5 AND n*ss - s*s > 0
-        |              THEN CAST(round(CAST(n*x - s AS DOUBLE)
-        |                     / sqrt(CAST(n*ss - s*s AS DOUBLE))
-        |                     * 1000000) AS BIGINT)
-        |              ELSE NULL END AS z_micro
-        |  FROM (
-        |    SELECT event_id, user_id, x,
-        |           COUNT(*) OVER w AS n,
-        |           CAST(SUM(x) OVER w AS BIGINT) AS s,
-        |           CAST(SUM(x*x) OVER w AS BIGINT) AS ss
-        |    FROM (SELECT event_id, user_id, ts,
-        |                 CAST(round(value * 1000) AS BIGINT) AS x
-        |          FROM events)
-        |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)))
-        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    QuerySpec("anomaly_zscore", anomalyZscoreSql) { (s, dir) =>
       ScaleOps.rollingZScore(t(s, dir, "events"),
         frame = 20, minN = 5, threshMicro = 2000000L)
         .orderBy("event_id")

@@ -255,6 +255,56 @@ object StreamingPipelineQuery {
     sink.read(spark).orderBy("view_id", "click_id")
   } }
 
+  /** Streaming rolling z-score on the oracle path (VERDICT r12 #4):
+    * StatefulOps.zScores — one bounded ValueState ring (≤ frame−1
+    * quantized Longs) per user on RocksDB via transformWithState —
+    * replayed over the events table in (ts, event_id) order across
+    * TWO AvailableNow executions of one checkpoint, each event's
+    * emission upserted by event_id. On an in-order feed the streamed
+    * per-event z-scores equal the batch window query exactly
+    * (StreamingZScoreSpec pins row parity; the ring state restored
+    * from the checkpoint carries users' rolling moments across the
+    * split), so `anomaly_zscore`'s oracle SQL applies verbatim.
+    */
+  private def runZScore(spark: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(spark, 8) {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = boundedFeed(Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+      .sortBy(e => (e._3, e._1))
+      .map(e => StatefulOps.ZEvent(e._1, e._2, e._3, e._4)), "events")
+    val split = rows.size * 2 / 3
+    val work = Files.createTempDirectory("graft-streamz").toString
+    val sink = new ParquetUpsertSink(s"$work/store", Seq("event_id"))
+    val source = MemoryStream[StatefulOps.ZEvent](spark)
+
+    def drain(): Unit = {
+      val q = StatefulOps.zScores(source.toDS())
+        .toDF()
+        .select(col("eventId").as("event_id"),
+          col("userId").as("user_id"), col("nW").as("n_w"),
+          col("zMicro").as("z_micro"),
+          col("isAnomaly").as("is_anomaly"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(sink.upsert _)
+        .start()
+      q.awaitTermination()
+    }
+
+    source.addData(rows.take(split): _*)
+    drain()
+    source.addData(rows.drop(split): _*)
+    drain() // restart; ring state carries rolling moments over the split
+
+    sink.read(spark).orderBy("event_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     QuerySpec.replay("streaming_pipeline",
       graft.operators.FlagshipQueries.joinEnrichSql)(run),
@@ -267,6 +317,8 @@ object StreamingPipelineQuery {
         |  ON v.user_id = c.user_id
         | AND v.event_type = 'view' AND c.event_type = 'click'
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 60 minutes
-        |ORDER BY view_id, click_id""".stripMargin)(runJoin)
+        |ORDER BY view_id, click_id""".stripMargin)(runJoin),
+    QuerySpec.replay("streaming_zscore",
+      graft.operators.AnalyticQueries.anomalyZscoreSql)(runZScore)
   )
 }
