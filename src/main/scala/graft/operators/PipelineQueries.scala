@@ -11,6 +11,27 @@ object PipelineQueries {
 
   import Tables.t
 
+  /** From-scratch (df, tf_total, n_docs) recompute — shared VERBATIM
+    * by `term_store_stats` (batch intake loop) and the streaming
+    * replay `streaming_intake` (the SAME StoreIntake.termStatsIntakeBatch
+    * driven by a real foreachBatch query with a replayed epoch): both
+    * must converge to a single-pass tokenize of the corpus exactly.
+    * (Declared BEFORE `all` — object vals initialize in order, and
+    * `all`'s term_store_stats row reads it.)
+    */
+  val termStoreStatsSql: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents
+       |           WHERE text IS NOT NULL),
+       |tq AS (SELECT doc_id, unnest(${TextOps.toksD}) AS term FROM d),
+       |g AS (SELECT doc_id, term, COUNT(*) AS tf
+       |      FROM tq GROUP BY doc_id, term),
+       |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM d)
+       |SELECT term, COUNT(*) AS df,
+       |       CAST(SUM(tf) AS BIGINT) AS tf_total,
+       |       nd.n_docs AS n_docs
+       |FROM g CROSS JOIN nd
+       |GROUP BY term, nd.n_docs ORDER BY term""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // Benchmark decontamination: the "eval set" is the deterministic
@@ -622,18 +643,7 @@ object PipelineQueries {
     // green only if stage → ledger → manifest publish → fold →
     // snapshot read reproduces a single batch pass exactly (the
     // StoreIntakeSpec equivalence, driver-checked).
-    QuerySpec.build("term_store_stats",
-      s"""WITH d AS (SELECT doc_id, text FROM documents
-         |           WHERE text IS NOT NULL),
-         |tq AS (SELECT doc_id, unnest(${TextOps.toksD}) AS term FROM d),
-         |g AS (SELECT doc_id, term, COUNT(*) AS tf
-         |      FROM tq GROUP BY doc_id, term),
-         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM d)
-         |SELECT term, COUNT(*) AS df,
-         |       CAST(SUM(tf) AS BIGINT) AS tf_total,
-         |       nd.n_docs AS n_docs
-         |FROM g CROSS JOIN nd
-         |GROUP BY term, nd.n_docs ORDER BY term""".stripMargin) {
+    QuerySpec.build("term_store_stats", termStoreStatsSql) {
       (s, dir) =>
         val path = termStore(s, dir)
         TermStatsStore.termStats(s, path)

@@ -305,6 +305,80 @@ object StreamingPipelineQuery {
     sink.read(spark).orderBy("event_id")
   }
 
+  /** Streaming at-rest store intake on the oracle path (VERDICT r12
+    * #3): the documents corpus arrives at a TermStatsStore as three
+    * MemoryStream micro-batches through a REAL foreachBatch query
+    * running [[StoreIntake.termStatsIntakeBatch]] under the
+    * exactly-once epoch ledger — with a checkpoint restart AND a
+    * genuinely REPLAYED epoch: batch 0's commit record is deleted
+    * between executions, so the engine re-delivers it (foreachBatch's
+    * documented at-least-once semantics) and the ledger must skip the
+    * applied epoch instead of double-appending. The manifest is
+    * adopted after epoch 0 (compositional publish + replay heal from
+    * then on) and the in-loop LSM fold compacts the partial log
+    * mid-stream. The emitted rows are the SNAPSHOT read of the folded
+    * store — `term_store_stats`' from-scratch oracle applies verbatim,
+    * and is only green if stage → ledger → replay-skip → manifest →
+    * fold reproduces a single batch tokenize exactly.
+    */
+  private def runIntake(spark: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(spark, 8) {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = boundedFeed(Tables.t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)].collect().toSeq, "documents")
+    val work = Files.createTempDirectory("graft-streamintake").toString
+    val store = s"$work/ts"
+    val source = MemoryStream[(Long, String, String)](spark)
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+    def drain(): Unit = {
+      val q = source.toDF().toDF("doc_id", "text", "source")
+        .writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          delivered += id
+          graft.streaming.StoreIntake
+            .termStatsIntakeBatch(store, "si", compactOver = 3)(b, id)
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    source.addData(docs.filter(_._1 % 3 == 0): _*)
+    drain() // epoch 0 staged + applied under the ledger
+    graft.operators.TermStatsStore.publishManifest(spark, store): Unit
+    // Kill-window injection: with batch 0's commit record gone, the
+    // next execution re-delivers batch 0 before new data — the
+    // replayed epoch must read as applied and skip.
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$work/ckpt/commits/0"))
+    // The local ChecksumFileSystem keeps a .crc sidecar per commit
+    // file; left behind it blocks the replayed batch's commit rename.
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$work/ckpt/commits/.0.crc")): Unit
+    source.addData(docs.filter(_._1 % 3 == 1): _*)
+    drain() // restart: epoch 0 REPLAYED (ledger no-op), epoch 1 applied
+    source.addData(docs.filter(_._1 % 3 == 2): _*)
+    drain() // epoch 2; crossing compactOver folds the partial log
+
+    // The exactly-once claim is only tested if the replay actually
+    // happened: batch 0 must have been DELIVERED twice (original +
+    // re-delivery after its commit record was dropped) — if engine
+    // behavior ever changes to skip the re-delivery, fail loudly
+    // rather than greening a vacuous claim.
+    require(delivered.count(_ == 0L) == 2 && delivered.size == 4,
+      s"expected batch 0 delivered twice then 1,2 — got $delivered")
+
+    graft.operators.TermStatsStore.termStats(spark, store)
+      .withColumn("n_docs",
+        lit(graft.operators.TermStatsStore.docsCount(spark, store)))
+      .orderBy("term")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     QuerySpec.replay("streaming_pipeline",
       graft.operators.FlagshipQueries.joinEnrichSql)(run),
@@ -319,6 +393,8 @@ object StreamingPipelineQuery {
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 60 minutes
         |ORDER BY view_id, click_id""".stripMargin)(runJoin),
     QuerySpec.replay("streaming_zscore",
-      graft.operators.AnalyticQueries.anomalyZscoreSql)(runZScore)
+      graft.operators.AnalyticQueries.anomalyZscoreSql)(runZScore),
+    QuerySpec.replay("streaming_intake",
+      graft.operators.PipelineQueries.termStoreStatsSql)(runIntake)
   )
 }
