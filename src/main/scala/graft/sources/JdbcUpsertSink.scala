@@ -241,7 +241,7 @@ final class JdbcUpsertSink(url: String, table: String,
     * identifiers are quoted because Spark's dialects write them
     * quoted; table names stay unquoted so both sides fold identically.
     */
-  private def ansiMerge(stage: String, cols: Seq[String],
+  private[sources] def ansiMerge(stage: String, cols: Seq[String],
       nonKey: Seq[String]): String = {
     val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
     val insert = s"WHEN NOT MATCHED THEN INSERT " +
@@ -258,7 +258,7 @@ final class JdbcUpsertSink(url: String, table: String,
     * (README.md:74-82); ON DUPLICATE KEY fires on exactly that index.
     * MySQL quotes identifiers with backticks.
     */
-  private def mysqlUpsert(stage: String, cols: Seq[String],
+  private[sources] def mysqlUpsert(stage: String, cols: Seq[String],
       nonKey: Seq[String]): String = {
     def bq(id: String) = s"`$id`"
     val dup = if (nonKey.isEmpty) keyCols.take(1) else nonKey
