@@ -126,6 +126,10 @@ object GraftFunctions {
         exprs => NormTokens(exprs.head),
         "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "scrub_spans64",
+        exprs => ScrubSpans64(exprs.head, exprs(1)),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "pair_expand_sz",
         exprs => PairExpandSz(exprs.head,
           litInt(exprs(1), "pair_expand_sz p"),

@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("winnow_fps")(es => WinnowFps(es.head))
     inject("winnow_fps64")(es => WinnowFps64(es.head))
     inject("norm_tokens")(es => NormTokens(es.head))
+    inject("scrub_spans64")(es => ScrubSpans64(es.head, es(1)))
     inject("pair_expand_sz")(es => PairExpandSz(es.head,
       GraftFunctions.litIntArg(es(1), "pair_expand_sz p"),
       GraftFunctions.litIntArg(es(2), "pair_expand_sz q")))

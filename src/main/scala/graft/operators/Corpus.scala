@@ -366,6 +366,51 @@ object Corpus {
       .withColumn("contaminated", col("bench_frac") >= lit(minFrac))
   }
 
+  /** Span-level dedup SCRUB — the Lee-et-al TRANSFORM the measures
+    * above ([[spanDupRate]], [[noveltyScore]], [[Corpus.topDupSpans]])
+    * only report: remove from every document the spans whose
+    * winnowing fingerprint has an EARLIER carrier (lower doc_id — the
+    * same arrival-order stand-in as [[noveltyScore]], whose dual this
+    * is: the first carrier keeps its text untouched, every re-crawl
+    * loses exactly the copied characters). Span semantics — which
+    * positions a stale fingerprint covers, the degenerate sub-8-char
+    * gram, the union-of-intervals complement — live in ONE place, the
+    * [[graft.functions.ScrubSpans64]] contract; this method is the
+    * relational shell around it.
+    *
+    * Scale shape (every exchange corpus-sized at most once, all keys
+    * 8-byte): first-carrier is one fp-keyed partial-agg min over the
+    * memoized [[docFps]] table; stale spans join back 1:1 on fp (the
+    * spanDupRate precedent — a boilerplate span shared by millions of
+    * docs amplifies nothing) and regroup to one bounded array per doc
+    * (≤ the doc's selected-span count); the text pass is ONE
+    * doc_id-keyed join onto the corpus and an O(chars) codegen'd
+    * expression per row — no per-character or per-gram explode exists
+    * on this side (the oracle's char-level reconstruction is
+    * DuckDB-only). Emits (doc_id, kept_chars, scrubbed_spans,
+    * kept_digest = md5 of the kept text — the cheap cross-engine
+    * witness that the TEXTS match, not just the counts; a pipeline
+    * materializing the scrub selects `kept_text` off the same struct).
+    */
+  def spanScrub(docs: DataFrame, fps: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val first = fps.groupBy("fp").agg(min("doc_id").as("first_doc"))
+    val stale = fps.join(first, "fp")
+      .filter(col("first_doc") < col("doc_id"))
+      .groupBy("doc_id").agg(collect_list("fp").as("stale_fps"))
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), expr(TextOps.normS).as("norm"))
+      .join(stale, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), expr(
+        "scrub_spans64(norm, coalesce(stale_fps, " +
+          "cast(array() as array<bigint>)))").as("r"))
+      .select(col("doc_id"),
+        col("r.kept_chars").as("kept_chars"),
+        col("r.n_scrubbed").as("scrubbed_spans"),
+        md5(col("r.kept_text")).as("kept_digest"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * via Importance Resampling"): score every raw document by how much
     * more probable its hashed n-gram features are under a TARGET

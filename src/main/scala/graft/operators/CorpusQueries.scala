@@ -260,6 +260,61 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // Span-level dedup SCRUB (Lee et al.) — the transform the span
+    // measures above only report: every span whose winnowing
+    // fingerprint has an earlier carrier (min doc_id — novelty_score's
+    // first-carrier attribution) is removed; the first carrier keeps
+    // its text untouched. The digest-of-kept-text column makes the
+    // oracle witness the reconstructed TEXTS, not just counts — green
+    // only if both engines keep exactly the same characters. Spark
+    // side is one O(chars) codegen'd pass per doc
+    // (functions.ScrubSpans64); the per-character reconstruction below
+    // is the DuckDB-only formulation.
+    QuerySpec("span_scrub",
+      s"""WITH ${TextOps.spanFpsCteD},
+         |fst AS (SELECT fp, MIN(doc_id) AS first_doc FROM e GROUP BY fp),
+         |stale AS (SELECT doc_id, fp FROM e JOIN fst USING (fp)
+         |          WHERE first_doc < doc_id),
+         |dl AS (SELECT doc_id, norm, length(norm) AS ln
+         |       FROM (SELECT doc_id, ${TextOps.normD} AS norm
+         |             FROM documents WHERE text IS NOT NULL)),
+         |g AS (SELECT doc_id, norm, ln,
+         |        unnest(range(1, (CASE WHEN ln >= 8 THEN ln - 7
+         |                              ELSE 1 END) + 1)) AS pos
+         |      FROM dl),
+         |gf AS (SELECT doc_id, pos,
+         |         CASE WHEN ln >= 8 THEN pos + 7 ELSE ln END AS fin,
+         |         CAST(('0x' || substring(md5(CASE WHEN ln >= 8
+         |             THEN substring(norm, pos, 8) ELSE norm END), 1, 15))
+         |           AS BIGINT) AS gfp
+         |       FROM g),
+         |sc AS (SELECT gf.doc_id, gf.pos, gf.fin
+         |       FROM gf JOIN stale s ON gf.doc_id = s.doc_id
+         |                           AND gf.gfp = s.fp),
+         |cov AS (SELECT DISTINCT doc_id, p FROM (
+         |          SELECT doc_id, unnest(range(pos, fin + 1)) AS p
+         |          FROM sc)),
+         |ch AS (SELECT doc_id, norm, unnest(range(1, ln + 1)) AS p
+         |       FROM dl),
+         |kept AS (SELECT ch.doc_id, ch.p, substring(ch.norm, ch.p, 1) AS c
+         |         FROM ch LEFT JOIN cov ON ch.doc_id = cov.doc_id
+         |                              AND ch.p = cov.p
+         |         WHERE cov.p IS NULL),
+         |ks AS (SELECT doc_id, COUNT(*) AS kc,
+         |              string_agg(c, '' ORDER BY p) AS kt
+         |       FROM kept GROUP BY doc_id),
+         |ns AS (SELECT doc_id, COUNT(*) AS n_sc FROM sc GROUP BY doc_id)
+         |SELECT doc_id,
+         |       CAST(COALESCE(kc, 0) AS INTEGER) AS kept_chars,
+         |       CAST(COALESCE(n_sc, 0) AS INTEGER) AS scrubbed_spans,
+         |       md5(COALESCE(kt, '')) AS kept_digest
+         |FROM dl LEFT JOIN ks USING (doc_id) LEFT JOIN ns USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Corpus.spanScrub(t(s, dir, "documents"),
+        Corpus.docFps(t(s, dir, "documents"), cacheKey = dir))
+        .orderBy("doc_id")
+    },
+
     // Per-source distinctive terms by exact integer-micro lift —
     // PMI's transcendental-free monotone surrogate (top-k by lift IS
     // top-k by PMI). Min support 5 guards the hapax blowup; the term
