@@ -130,6 +130,10 @@ object GraftFunctions {
         exprs => ScrubSpans64(exprs.head, exprs(1)),
         "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bpe_merge",
+        exprs => BpeMergePass(exprs.head, exprs(1), exprs(2)),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "pair_expand_sz",
         exprs => PairExpandSz(exprs.head,
           litInt(exprs(1), "pair_expand_sz p"),

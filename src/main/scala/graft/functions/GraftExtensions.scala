@@ -39,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("winnow_fps64")(es => WinnowFps64(es.head))
     inject("norm_tokens")(es => NormTokens(es.head))
     inject("scrub_spans64")(es => ScrubSpans64(es.head, es(1)))
+    inject("bpe_merge")(es => BpeMergePass(es.head, es(1), es(2)))
     inject("pair_expand_sz")(es => PairExpandSz(es.head,
       GraftFunctions.litIntArg(es(1), "pair_expand_sz p"),
       GraftFunctions.litIntArg(es(2), "pair_expand_sz q")))

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the BPE stack on the shapes the corpus-level oracle cannot
+  * isolate: bpe_merge's greedy left-to-right overlap semantics (the
+  * single definition the DuckDB gaps-and-islands formulation must
+  * match), the deterministic argmax tie-break, and a hand-computed
+  * end-to-end training + token-count run on a fixture corpus.
+  */
+class BpeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def merge(syms: Seq[String], a: String,
+      b: String): Seq[String] = {
+    GraftFunctions.register(spark)
+    Seq(Tuple1(syms)).toDF("s")
+      .select(expr(s"bpe_merge(s, '$a', '$b')")).head().getSeq[String](0)
+  }
+
+  test("bpe_merge: greedy left-to-right, overlap runs take even " +
+    "offsets, no-match identity") {
+    assert(merge(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))
+    assert(merge(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(merge(Seq("a", "b", "a", "b"), "a", "b") === Seq("ab", "ab"))
+    assert(merge(Seq("x", "a", "a", "b", "y"), "a", "a") ===
+      Seq("x", "aa", "b", "y"))
+    assert(merge(Seq("b", "a"), "a", "b") === Seq("b", "a"))
+    assert(merge(Seq("a"), "a", "a") === Seq("a"))
+    assert(merge(Seq("a", "b"), "a", "b") === Seq("ab"))
+    // Multi-char symbols from earlier rounds merge like any other.
+    assert(merge(Seq("ab", "cd", "ab"), "ab", "cd") === Seq("abcd", "ab"))
+    // A merged symbol never re-matches within the same pass: after
+    // taking (a, ab) at the front, the fresh "aab" is not a left
+    // operand for the match at the original positions 3-4.
+    assert(merge(Seq("a", "ab", "ab"), "a", "ab") === Seq("aab", "ab"))
+  }
+
+  test("train: hand-computed merges, counts, and tie-break on a " +
+    "fixture corpus") {
+    // Words: "aa"×2, "ab"×1, "ba"×1, "ca"×1.
+    // Round 1 pairs: (a,a)→2, (a,b)→1, (b,a)→1, (c,a)→1 → (a,a).
+    // Round 2: "aa"→[aa] gone from pairs; (a,b)/(b,a)/(c,a) tie at 1
+    // → lexicographic min (a,b).
+    // Round 3: (b,a) vs (c,a) tie → (b,a).
+    val docs = Seq(
+      (1L, "aa ab"),
+      (2L, "aa ba"),
+      (3L, "ca")
+    ).toDF("doc_id", "text")
+    val m = Bpe.train(docs, k = 3)
+    assert(m.merges.map(x => (x.rk, x.a, x.b, x.c)) === Seq(
+      (1, "a", "a", 2L), (2, "a", "b", 1L), (3, "b", "a", 1L)))
+    val vocab = m.vocab.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(vocab === Map(
+      "aa" -> Seq("aa"), "ab" -> Seq("ab"), "ba" -> Seq("ba"),
+      "ca" -> Seq("c", "a")))
+    // Token counts: doc 1 = aa(1) + ab(1) pieces = 2; doc 3: ca = 2.
+    val counts = Bpe.tokenCounts(docs, m).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(counts === Seq((1L, 2L, 2L), (2L, 2L, 2L), (3L, 1L, 2L)))
+  }
+
+  test("train memoizes per (session, cacheKey, k) and stays " +
+    "deterministic across repeat runs") {
+    val docs = Seq((1L, "xy xy yz")).toDF("doc_id", "text")
+    val m1 = Bpe.train(docs, k = 2, cacheKey = "bpe-spec")
+    val m2 = Bpe.train(docs, k = 2, cacheKey = "bpe-spec")
+    assert(m1 eq m2)
+    val m3 = Bpe.train(docs, k = 2)
+    assert(m3.merges === m1.merges)
+  }
+}
