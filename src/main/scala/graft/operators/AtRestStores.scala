@@ -87,4 +87,67 @@ object AtRestStores {
       sources: Seq[String]): Long =
     StoreManifest.compactPartitionsSnapshot(spark, path,
       sources.map(s => s"source=$s").toSet)
+
+  /** Compaction-time RE-CLUSTERING (VERDICT r12 #5): intake appends
+    * land arrival-ordered, so every epoch's files carry near-full-range
+    * (n_chars, doc_id) envelopes and a range probe opens all of them —
+    * the skipping layout `zorder_scan` proves on a write-once store
+    * decays under streaming intake. This maintenance pass rewrites the
+    * named sources' rows Morton-clustered on `zCols` (one range
+    * exchange over (source, z), in-partition sort — fresh files get
+    * disjoint z-ranges and tight envelopes in BOTH dimensions) under
+    * the same snapshot contract as [[compactDocumentsSources]]: fresh
+    * names, one pointer flip, replaced files expire until GC, racing
+    * readers see pre- or post-state only.
+    *
+    * The min/max normalization is computed over the rows being
+    * compacted (one stats job — maintenance-path cost, like
+    * StorageLayout.writeZOrdered's). `filesPerSource` sizes the
+    * output — production sets it to compacted-bytes / target-file-size.
+    *
+    * Returns the published version. Refresh the skipping sidecars
+    * AFTER the flip with [[refreshDocumentsSidecars]] — stats computed
+    * over the new snapshot, not the directory listing (expired files
+    * must not re-enter the index).
+    */
+  def compactDocumentsSourcesClustered(spark: SparkSession, path: String,
+      sources: Seq[String], zCols: Seq[String],
+      filesPerSource: Int = 4, bits: Int = 16): Long = {
+    import org.apache.spark.sql.functions._
+    require(sources.nonEmpty && zCols.nonEmpty,
+      "clustered compaction needs sources and z-order columns")
+    StoreManifest.compactPartitionsSnapshot(spark, path,
+      sources.map(s => s"source=$s").toSet,
+      layout = Some { df =>
+        val aggs = zCols.flatMap(c => Seq(min(col(c)).cast("double"),
+          max(col(c)).cast("double")))
+        val stats = df.agg(aggs.head, aggs.tail: _*).head()
+        val z = StorageLayout.mortonCode(
+          zCols.zipWithIndex.map { case (c, i) =>
+            StorageLayout.normBucket(col(c),
+              stats.getDouble(2 * i), stats.getDouble(2 * i + 1), bits)
+          }, bits)
+        df.withColumn("__z", z)
+          .repartitionByRange(sources.size * filesPerSource,
+            col("source"), col("__z"))
+          .sortWithinPartitions("source", "__z")
+          .drop("__z")
+      })
+  }
+
+  /** Rebuild the documents store's skipping sidecars — the per-file
+    * (min, max) envelope manifest (`&lt;path&gt;.manifest`) and the
+    * term-membership index (`&lt;path&gt;.terms`) — over the CURRENT
+    * snapshot's files. Run after intake epochs and after compactions;
+    * both probe paths (StorageLayout.skippingRead / termSkippingRead)
+    * read these locations.
+    */
+  def refreshDocumentsSidecars(spark: SparkSession, path: String,
+      zCols: Seq[String], tokensExpr: String, termBuckets: Int): Unit = {
+    val snap = documentsSnapshot(spark, path)
+    StorageLayout.statsManifestOf(snap, zCols)
+      .coalesce(1).write.mode("overwrite").parquet(path + ".manifest")
+    StorageLayout.termManifestOf(snap, tokensExpr, termBuckets)
+      .coalesce(1).write.mode("overwrite").parquet(path + ".terms")
+  }
 }

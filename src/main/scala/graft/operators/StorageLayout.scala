@@ -91,8 +91,16 @@ object StorageLayout {
     */
   def statsManifest(spark: SparkSession, path: String,
       cols: Seq[String]): DataFrame =
-    spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
+    statsManifestOf(spark.read.parquet(path), cols)
+
+  /** [[statsManifest]] over an already-resolved frame — the variant a
+    * MANIFESTED store needs: its live file set is the snapshot's, not
+    * the directory listing's (expired-but-unGC'd files must not
+    * re-enter the index). Pass [[AtRestStores.documentsSnapshot]] (or
+    * any frame whose scan reads exactly the files to index).
+    */
+  def statsManifestOf(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy(input_file_name().as("file"))
       .agg(min(col(cols.head)).as(s"${cols.head}_mn"),
         cols.tail.flatMap(c => Seq(min(col(c)).as(s"${c}_mn"),
           max(col(c)).as(s"${c}_mx"))) :+
@@ -160,8 +168,18 @@ object StorageLayout {
   def termManifest(spark: SparkSession, path: String,
       tokensExpr: String, buckets: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    spark.read.parquet(path)
-      .select(input_file_name().as("file"),
+    termManifestOf(spark.read.parquet(path), tokensExpr, buckets)
+  }
+
+  /** [[termManifest]] over an already-resolved frame (see
+    * [[statsManifestOf]] — the snapshot-scoped variant for manifested
+    * stores). Caller registers graft functions if `tokensExpr` needs
+    * them.
+    */
+  def termManifestOf(df: DataFrame, tokensExpr: String,
+      buckets: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(input_file_name().as("file"),
         explode(expr(tokensExpr)).as("term"))
       .select(col("file"),
         pmod(xxhash64(col("term")), lit(buckets.toLong)).as("b"))

@@ -203,7 +203,8 @@ object StoreManifest {
     * untracked `compact-*` files — [[sweepUntracked]] collects them.
     */
   def compactPartitionsSnapshot(spark: SparkSession, root: String,
-      partValues: Set[String]): Long = {
+      partValues: Set[String],
+      layout: Option[DataFrame => DataFrame] = None): Long = {
     val cur = files(spark, root).getOrElse(
       throw new IllegalStateException(
         s"$root is not manifested — publish a manifest first"))
@@ -222,10 +223,18 @@ object StoreManifest {
     // Dot-prefixed tmp INSIDE the root: invisible to listDataFiles and
     // to plain directory readers, same filesystem for cheap renames.
     val tmp = new Path(rootPath, s".compact-snap-$runId")
-    spark.read.option("basePath", root)
+    // Default layout: one output partition per compacted partition
+    // value (the pure small-files fold). A caller-supplied `layout`
+    // re-CLUSTERS the rows instead (e.g. z-order within each source —
+    // AtRestStores.compactDocumentsSourcesClustered): it receives the
+    // replaced rows WITH the partition column and must return a frame
+    // still carrying it; everything else (fresh names, pointer flip,
+    // expiry) is identical.
+    val replacedRows = spark.read.option("basePath", root)
       .parquet(replaced.map(r => s"$root/$r"): _*)
-      .repartition(partValues.size,
-        org.apache.spark.sql.functions.col(partCols.head))
+    layout.getOrElse((df: DataFrame) => df.repartition(partValues.size,
+        org.apache.spark.sql.functions.col(partCols.head)))
+      .apply(replacedRows)
       .write.partitionBy(partCols.head).parquet(tmp.toString)
     val freshRel = Seq.newBuilder[String]
     fs.listStatus(tmp).toSeq

@@ -137,6 +137,87 @@ class StorageLayoutSpec extends AnyFunSuite {
     man.unpersist(): Unit
   }
 
+  test("clustered compaction (documents store): arrival-ordered intake " +
+    "decays skipping, the z-order rewrite restores it — pruned-file " +
+    "counts improve across the compaction while range reads stay exact") {
+    val spark = TestSpark.spark
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val path = Files.createTempDirectory("graft-recluster").toString + "/d"
+    // Four arrival-ordered intake epochs — hash-sliced so every epoch
+    // hits every source with a random id/length spread (doc_id mod N
+    // would alias the fixture's source = doc_id % 20 and give each
+    // source ONE single-epoch file): one file per (source, epoch),
+    // every file's (n_chars, doc_id) envelope near-global, so range
+    // probes open almost everything — the decayed streaming-intake
+    // layout.
+    def epoch(i: Int) =
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(4)) === i)
+        .repartition(1)
+    AtRestStores.writeDocumentsStore(epoch(0), path)
+    (1 to 3).foreach(i => AtRestStores.appendToDocumentsStore(
+      epoch(i), path))
+    AtRestStores.publishDocumentsManifest(spark, path)
+    val zCols = Seq("n_chars", "doc_id")
+    AtRestStores.refreshDocumentsSidecars(spark, path, zCols,
+      TextOps.toksS, ScaleQueries.TermBuckets)
+
+    // A selective rectangle in the lower z-quadrant of both dimensions
+    // (the forensic-probe shape) plus zorder_scan's wide rectangle for
+    // the result-parity check.
+    val probe = Seq(("n_chars", 60d, 160d), ("doc_id", 0d, 120d))
+    val wide = Seq(("n_chars", 200d, 400d), ("doc_id", 100d, 2400d))
+    def man = spark.read.parquet(path + ".manifest")
+    def got(rs: Seq[(String, Double, Double)]): Seq[Long] =
+      StorageLayout.skippingRead(spark, path, man, rs)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    def want(rs: Seq[(String, Double, Double)]): Seq[Long] =
+      rs.foldLeft(docs) { case (df, (c, lo, hi)) =>
+        df.filter(col(c).cast("double").between(lo, hi)) }
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    val preTotal = man.count()
+    val preTouched = StorageLayout.prunedFiles(man, probe).size
+    assert(got(probe) == want(probe) && got(wide) == want(wide),
+      "pre-compaction skipping read diverged from the plain filter")
+
+    AtRestStores.compactDocumentsSourcesClustered(spark, path,
+      (0 until 20).map(i => s"src$i"), zCols, filesPerSource = 4)
+    AtRestStores.refreshDocumentsSidecars(spark, path, zCols,
+      TextOps.toksS, ScaleQueries.TermBuckets)
+
+    val postTotal = man.count()
+    val postTouched = StorageLayout.prunedFiles(man, probe).size
+    info(s"probe files touched: $preTouched/$preTotal before " +
+      s"compaction, $postTouched/$postTotal after")
+    assert(postTouched < preTouched,
+      s"re-clustering must shrink touched files: " +
+        s"$preTouched/$preTotal -> $postTouched/$postTotal")
+    assert(postTouched.toDouble / postTotal <
+      preTouched.toDouble / preTotal,
+      s"touched FRACTION must improve: $preTouched/$preTotal -> " +
+        s"$postTouched/$postTotal")
+    // Result parity survives the compaction (the zorder_scan oracle's
+    // in-test stand-in: prune + residual loses and fabricates nothing
+    // on the compacted snapshot).
+    assert(got(probe) == want(probe) && got(wide) == want(wide),
+      "post-compaction skipping read diverged from the plain filter")
+
+    // The refreshed term sidecar stays complete on the compacted
+    // store: the rare-term probe matches the plain containment scan,
+    // and an absent term opens zero files.
+    val terms = spark.read.parquet(path + ".terms")
+    val gotDup = StorageLayout.termSkippingRead(spark, path, terms,
+        "dup", TextOps.toksS, ScaleQueries.TermBuckets)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val wantDup = docs
+      .filter(array_contains(expr(TextOps.toksS), "dup"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotDup == wantDup, "term probe diverged after compaction")
+    assert(StorageLayout.filesWithTerm(spark, terms, "qqqabsent",
+      ScaleQueries.TermBuckets).isEmpty,
+      "absent term must touch zero files")
+  }
+
   test("term-membership sidecar: rare-term probe skips files (named " +
     "counts), result equals the plain containment filter, absent term " +
     "opens zero files, and completeness holds for every term") {
