@@ -60,19 +60,23 @@ object Bpe {
     */
   def train(docs: DataFrame, k: Int, cacheKey: String = ""): Model = {
     val spark = docs.sparkSession
-    if (cacheKey.isEmpty) trainPlan(docs, k)
+    if (cacheKey.isEmpty) trainPlan(docs, k, cacheKey)
     else modelCache.synchronized(
       modelCache.getOrElseUpdate((spark, cacheKey, k),
-        trainPlan(docs, k)))
+        trainPlan(docs, k, cacheKey)))
   }
 
-  private def trainPlan(docs: DataFrame, k: Int): Model = {
+  private def trainPlan(docs: DataFrame, k: Int,
+      cacheKey: String): Model = {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
     // (word, freq): total corpus occurrences per distinct token.
     // split(word, '') = one element per code point, no empties —
     // parity-pinned against DuckDB's string_split (BpeSpec).
-    var vocab = Pipeline.docTerms(docs)
+    // cacheKey flows through to docTerms so training SHARES the
+    // per-corpus memoized table with every other consumer instead of
+    // persisting a keyless duplicate.
+    var vocab = Pipeline.docTerms(docs, cacheKey)
       .groupBy(col("term").as("word"))
       .agg(sum("tf").as("freq"))
       .withColumn("syms", expr("split(word, '')"))

@@ -149,6 +149,15 @@ object MultimodalQueries {
             .select(col("doc_id")).as[Long].collect()
           val d = java.nio.file.Files
             .createTempDirectory("graft-media-arrival")
+          // Fixture-only and bounded, but tidy up on JVM exit
+          // (VERDICT r12 minor #4) — the session map never evicts.
+          sys.addShutdownHook {
+            def rm(p: java.io.File): Unit = {
+              Option(p.listFiles).foreach(_.foreach(rm))
+              p.delete(): Unit
+            }
+            rm(d.toFile)
+          }
           ids.foreach { id =>
             val ext =
               if (Multimodal.ruleFormat(id) == "jpeg") "jpg" else "png"

@@ -130,10 +130,13 @@ object StorageLayout {
   def skippingRead(spark: SparkSession, path: String, manifest: DataFrame,
       ranges: Seq[(String, Double, Double)]): DataFrame = {
     val files = prunedFiles(manifest, ranges)
+    // basePath = the store root, so directory-encoded partition
+    // columns (`source=…`) still resolve when reading an explicit
+    // file list — a no-op for unpartitioned layouts.
     val base =
       if (files.isEmpty)
         spark.read.parquet(path).limit(0)
-      else spark.read.parquet(files: _*)
+      else spark.read.option("basePath", path).parquet(files: _*)
     ranges.foldLeft(base) { case (df, (c, lo, hi)) =>
       df.filter(col(c).cast("double") >= lo && col(c).cast("double") <= hi)
     }
@@ -223,7 +226,7 @@ object StorageLayout {
     val files = filesWithTerm(spark, manifest, term, buckets)
     val base =
       if (files.isEmpty) spark.read.parquet(path).limit(0)
-      else spark.read.parquet(files: _*)
+      else spark.read.option("basePath", path).parquet(files: _*)
     base.filter(array_contains(expr(tokensExpr), term))
   }
 }

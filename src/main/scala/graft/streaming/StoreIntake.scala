@@ -364,9 +364,13 @@ object StoreIntake {
     // Provenance stamp (see tagAliases): only a store whose ledger is
     // BORN here — `_epochs` did not exist — is v2-born; an existing
     // dir may hold pre-upgrade markers and must keep alias reads.
-    val born2 = !fs.exists(epochs)
+    // The stamp is created FIRST (create() makes the parent dir), so
+    // no crash point leaves a v2-born `_epochs` without its stamp —
+    // mkdirs-then-stamp had a window where the crashed store would
+    // read as pre-upgrade forever and re-enter the alias hazard.
+    if (!fs.exists(epochs))
+      scala.util.Try(fs.create(formatV2Path(root), false).close())
     fs.mkdirs(epochs)
-    if (born2) scala.util.Try(fs.create(formatV2Path(root), false).close())
     val marker = new Path(epochs, t)
     val intent = new Path(epochs, s".intent-$t")
     val stageDir = new Path(root, s".intake-stage-$t")
