@@ -129,6 +129,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // The qualitative witness of the trained tokenizer: the corpus's
+    // top-50 words with their piece segmentation under the k merges —
+    // pieces joined with '|' so the oracle compares the SEGMENTATION
+    // string, not just counts (top-k off the vocabulary-sized trained
+    // table; TakeOrderedAndProject, never a global sort).
+    QuerySpec("bpe_segment",
+      s"""WITH ${bpeCtesD(BpeMerges)}
+         |SELECT word, freq, CAST(len(syms) AS INTEGER) AS n_pieces,
+         |       array_to_string(syms, '|') AS pieces
+         |FROM w$BpeMerges
+         |ORDER BY freq DESC, word LIMIT 50""".stripMargin) { (s, dir) =>
+      Bpe.train(t(s, dir, "documents"), BpeMerges, cacheKey = dir)
+        .vocab
+        .select(col("word"), col("freq"),
+          size(col("syms")).as("n_pieces"),
+          array_join(col("syms"), "|").as("pieces"))
+        .orderBy(col("freq").desc, col("word")).limit(50)
+    },
+
     // Benchmark decontamination: the "eval set" is the deterministic
     // doc_id % 97 slice; corpus docs sharing ≥ 1 shingle with it are
     // reported with their overlap count, flagged at ≥ 5 (overlap
