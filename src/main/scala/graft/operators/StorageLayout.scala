@@ -56,6 +56,63 @@ object StorageLayout {
         lit(top.toDouble)).cast("long")))
   }
 
+  /** Interior quantile cut points for [[quantileBucket]] — the
+    * skew-robust alternative to [[normBucket]]'s linear min/max the
+    * latter's scaladoc promises: one approxQuantile pass (GK sketch,
+    * error a quarter-bucket) yields 2^bits − 1 boundaries at equal
+    * POPULATION mass. Linear normalization is outlier-fragile — one
+    * 1e12 value in a ~1e4 column crushes every normal row into bucket
+    * 0, the z-code stops varying in that dimension, and range probes
+    * on the normal region touch every file. Quantile boundaries track
+    * the mass, so the normal region spreads across buckets no matter
+    * how wild the tail. Boundary placement only shapes LAYOUT;
+    * correctness never depends on it (reads prune by real min/max
+    * envelopes + residual filters).
+    */
+  def quantileBoundaries(df: DataFrame, col: String,
+      bits: Int): Seq[Double] = {
+    val buckets = 1 << bits
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    df.stat.approxQuantile(col, probs.toArray, 0.25 / buckets).toSeq
+  }
+
+  /** Bucket = count of boundaries ≤ value — monotone, so file
+    * z-ranges stay envelope-tight; nulls land in bucket 0 like
+    * [[normBucket]]. The per-row cost is |boundaries| comparisons
+    * (an array HOF) — a maintenance-time write cost, never a read
+    * cost.
+    */
+  def quantileBucket(c: Column, boundaries: Seq[Double]): Column = {
+    val arr = array(boundaries.map(lit): _*)
+    size(filter(arr,
+      b => b <= coalesce(c.cast("double"),
+        lit(Double.NegativeInfinity)))).cast("long")
+  }
+
+  /** [[writeZOrdered]] with quantile-bucket normalization on every
+    * dimension — same range exchange, in-partition sort, and disjoint
+    * per-file z-ranges; only the bucket function differs. `bits`
+    * defaults lower (64 buckets/dim) because equal-population buckets
+    * saturate usefulness at files-per-dimension, not value precision.
+    * Returns the per-column boundaries so callers can persist them
+    * next to the manifest.
+    */
+  def writeZOrderedQuantile(df: DataFrame, path: String,
+      cols: Seq[String], nFiles: Int,
+      bits: Int = 6): Seq[Seq[Double]] = {
+    require(cols.nonEmpty, "z-order needs at least one column")
+    val bounds = cols.map(c => quantileBoundaries(df, c, bits))
+    val z = mortonCode(
+      cols.zip(bounds).map { case (c, b) => quantileBucket(col(c), b) },
+      bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+    bounds
+  }
+
   /** Write `df` z-order clustered on `cols` into `nFiles` files:
     * one stats job for the per-column (min, max) (driver scalars,
     * bounded by k), then ONE range exchange on the Morton code and an

@@ -137,6 +137,54 @@ class StorageLayoutSpec extends AnyFunSuite {
     man.unpersist(): Unit
   }
 
+  test("quantile-bucket z-order: an outlier-skewed dimension keeps " +
+    "pruning where linear min/max collapses, and reads stay exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // x is a pseudo-random permutation of [0, 2000) — decorrelated
+    // from id — except five 1e12 outliers. Linear normalization over
+    // [0, 1e12] crushes every normal x into bucket 0: the z-code stops
+    // varying in x, files split by id alone, and every file's
+    // x-envelope spans the whole normal range.
+    val df = (0L until 2000L).map(i =>
+      (i, if (i % 400 == 399) 1e12 else ((i * 7919) % 2000).toDouble))
+      .toDF("id", "x")
+    val base = Files.createTempDirectory("graft-skewz").toString
+    StorageLayout.writeZOrdered(df, s"$base/lin", Seq("x", "id"),
+      nFiles = 16)
+    StorageLayout.writeZOrderedQuantile(df, s"$base/quant",
+      Seq("x", "id"), nFiles = 16)
+    val lman = StorageLayout.statsManifest(spark, s"$base/lin",
+      Seq("x", "id")).cache()
+    val qman = StorageLayout.statsManifest(spark, s"$base/quant",
+      Seq("x", "id")).cache()
+    val probe = Seq(("x", 500d, 600d))
+    val lTouch = StorageLayout.prunedFiles(lman, probe).size
+    val qTouch = StorageLayout.prunedFiles(qman, probe).size
+    val lTotal = lman.count()
+    info(s"x-band probe under outlier skew: linear layout touches " +
+      s"$lTouch/$lTotal files, quantile layout $qTouch/${qman.count()}")
+    assert(qTouch < lTouch,
+      s"quantile bucketing must out-prune linear under skew: " +
+        s"linear $lTouch vs quantile $qTouch")
+    // Reads stay exact on BOTH layouts — boundary placement shapes
+    // layout only, never results.
+    def ids(dir: String, man: org.apache.spark.sql.DataFrame): Seq[Long] =
+      StorageLayout.skippingRead(spark, dir, man, probe)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = df.filter(col("x").between(500, 600))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(s"$base/lin", lman) == want &&
+      ids(s"$base/quant", qman) == want)
+    // The outlier tail itself stays findable on the quantile layout.
+    val tail = Seq(("x", 1e11, 2e12))
+    val gotTail = StorageLayout.skippingRead(spark, s"$base/quant",
+      qman, tail).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotTail == df.filter(col("x") >= 1e11)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    lman.unpersist(); qman.unpersist(): Unit
+  }
+
   test("clustered compaction (documents store): arrival-ordered intake " +
     "decays skipping, the z-order rewrite restores it — pruned-file " +
     "counts improve across the compaction while range reads stay exact") {
