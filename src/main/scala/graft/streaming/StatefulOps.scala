@@ -182,6 +182,59 @@ object StatefulOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  // ---- Streaming canonical-keeper election (batch analog: the
+  //      min-doc_id-per-content-key keep rule of dedup_content /
+  //      Dedup.exactDedup) ----
+
+  /** One streamed document reference: its content key (e.g. md5 of a
+    * normalized-text prefix) and its id.
+    */
+  final case class DocKey(h: String, docId: Long)
+
+  /** The elected canonical carrier for a content key — the document
+    * every later duplicate defers to.
+    */
+  final case class Keeper(h: String, keeper: Long)
+
+  /** min(docId) per content key as ValueState — the DETERMINISTIC
+    * streaming dedup: `dropDuplicatesWithinWatermark` keeps whichever
+    * duplicate its shuffle happened to deliver first within a
+    * micro-batch, so replays and retries can elect different rows;
+    * electing the MINIMUM makes the winner a pure function of the
+    * data regardless of batch boundaries, within-batch arrival order,
+    * or restarts — and equal to the batch keep-lowest-doc_id rule, so
+    * the streamed store converges to the batch oracle. State is one
+    * Long per distinct content key; an unbounded-key production
+    * deployment scopes it with a TTLConfig (the arrival-horizon
+    * analog of dropDuplicatesWithinWatermark's delay).
+    */
+  private final class KeeperProcessor
+      extends StatefulProcessor[String, DocKey, Keeper] {
+    @transient private var state: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Long]("keeper",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[DocKey],
+        timerValues: TimerValues): Iterator[Keeper] = {
+      var mn = if (state.exists()) state.get() else Long.MaxValue
+      rows.foreach(r => if (r.docId < mn) mn = r.docId)
+      state.update(mn)
+      Iterator.single(Keeper(key, mn))
+    }
+  }
+
+  /** Per-trigger emission of each seen key's current keeper; upsert
+    * by `h` downstream and the store converges to min-per-key.
+    */
+  def canonicalKeepers(ds: Dataset[DocKey]): Dataset[Keeper] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.h)
+      .transformWithState(new KeeperProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   // ---- Streaming per-key quantiles (batch analog:
   //      operators.QuantileSketches.sourceLengthQuantiles) ----
 

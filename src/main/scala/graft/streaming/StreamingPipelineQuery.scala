@@ -305,6 +305,59 @@ object StreamingPipelineQuery {
     sink.read(spark).orderBy("event_id")
   }
 
+  /** Streaming exact dedup on the oracle path: canonical-keeper
+    * election ([[StatefulOps.canonicalKeepers]] — min doc_id per
+    * content key as ValueState, the DETERMINISTIC form of streaming
+    * dedup; see its scaladoc for why dropDuplicatesWithinWatermark's
+    * keep-first-delivered is replay-unstable) over the documents
+    * corpus replayed in doc_id order across TWO AvailableNow
+    * executions of one checkpoint. The content key (md5 of the
+    * 60-char normalized prefix — dedup_content's boilerplate-prefix
+    * key, duplicated at EVERY SF so the election is exercised at
+    * every gate) is computed INSIDE the streamed plan; ~10 duplicate
+    * groups straddle the 2/3 split at each SF, so round-2 duplicates
+    * of round-1 keepers prove the election state recovered from the
+    * checkpoint. Per-trigger emissions upsert by key; the converged
+    * store equals the batch min-per-key rule, which is the oracle.
+    */
+  private def runDedup(spark: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(spark, 8) {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val rows = boundedFeed(Tables.t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1), "documents")
+    val split = rows.size * 2 / 3
+    val work = Files.createTempDirectory("graft-streamdedup").toString
+    val sink = new ParquetUpsertSink(s"$work/store", Seq("h"))
+    val source = MemoryStream[(Long, String)](spark)
+
+    def drain(): Unit = {
+      val keyed = source.toDF().toDF("doc_id", "text")
+        .selectExpr("md5(substring(norm_text(text), 1, 60)) AS h",
+          "doc_id AS docId")
+        .as[StatefulOps.DocKey]
+      val q = StatefulOps.canonicalKeepers(keyed)
+        .toDF()
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(sink.upsert _)
+        .start()
+      q.awaitTermination()
+    }
+
+    source.addData(rows.take(split): _*)
+    drain()
+    source.addData(rows.drop(split): _*)
+    drain() // restart; recovered elections suppress round-2 duplicates
+
+    sink.read(spark).orderBy("h")
+  }
+
   /** Streaming at-rest store intake on the oracle path (VERDICT r12
     * #3): the documents corpus arrives at a TermStatsStore as three
     * MemoryStream micro-batches through a REAL foreachBatch query
@@ -395,6 +448,12 @@ object StreamingPipelineQuery {
     QuerySpec.replay("streaming_zscore",
       graft.operators.AnalyticQueries.anomalyZscoreSql)(runZScore),
     QuerySpec.replay("streaming_intake",
-      graft.operators.PipelineQueries.termStoreStatsSql)(runIntake)
+      graft.operators.PipelineQueries.termStoreStatsSql)(runIntake),
+    QuerySpec.replay("streaming_dedup",
+      s"""SELECT md5(substring(${graft.operators.TextOps.normD}, 1, 60))
+         |         AS h,
+         |       MIN(doc_id) AS keeper
+         |FROM documents WHERE text IS NOT NULL
+         |GROUP BY 1 ORDER BY h""".stripMargin)(runDedup)
   )
 }

@@ -47,6 +47,34 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(last("b") == RunningTotal("b", 1L, 10.0))
   }
 
+  test("canonical-keeper election: order- and batching-insensitive, " +
+    "converges to min per content key") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Adversarial feed: duplicates arrive LATE-keeper-first, split so
+    // group "k2" straddles the batch boundary — the second batch's
+    // lower id must beat the recovered state's earlier election.
+    val feed = Seq(
+      DocKey("k1", 7L), DocKey("k1", 3L), DocKey("k2", 9L),
+      DocKey("k3", 4L)) ++ Seq(
+      DocKey("k2", 2L), DocKey("k1", 5L), DocKey("k3", 8L))
+    val source = MemoryStream[DocKey](spark)
+    val query = canonicalKeepers(source.toDS())
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("keeper_state")
+      .start()
+    feed.grouped(4).foreach { chunk =>
+      source.addData(chunk.toSeq: _*)
+      query.processAllAvailable()
+    }
+    query.stop()
+    val last = spark.table("keeper_state").as[Keeper].collect()
+      .groupBy(_.h).map { case (k, v) => k -> v.map(_.keeper).min }
+    assert(last == Map("k1" -> 3L, "k2" -> 2L, "k3" -> 4L))
+  }
+
   test("streaming KLL state: quantiles over a microbatch split equal " +
     "the batch sketch over the whole corpus (exact regime)") {
     val spark = TestSpark.spark
