@@ -352,11 +352,24 @@ object Bench {
       s""","ambient_max":${f3(ambientMax)}""" +
       s""","load_contaminated":$contaminated"""
     val ambPart = s""","ambient":${j(ambientCold)}"""
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"queries":$qs$warmPart$ambPart,"sf":"$sfDir"$catPart$loadPart}""")
+    val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"queries":$qs$warmPart$ambPart,"sf":"$sfDir"$catPart$loadPart}"""
+    println(fullJson)
     // Compact headline LAST: whatever byte window the driver tails,
     // the final line always fits whole, so the total survives even if
     // the per-query line above gets clipped.
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"sf":"$sfDir"$warmTotalOnly$catPart$loadPart}""")
+    // Self-contained artifact (VERDICT r13 #7): the driver's BENCH_r*
+    // capture keeps only a stdout TAIL, which truncates the per-query
+    // timing map out of the committed record — also write the full
+    // JSON to a file so the artifact survives without prose.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "target/bench.json")
+    scala.util.Try {
+      Option(Paths.get(outFile).getParent)
+        .foreach(p => Files.createDirectories(p): Unit)
+      Files.writeString(Paths.get(outFile), fullJson + "\n")
+    }.failed.foreach(e => System.err.println(
+      s"[bench] could not write $outFile: ${e.getMessage}"))
     operators.Dedup.clearCaches(spark)
     spark.stop()
   }

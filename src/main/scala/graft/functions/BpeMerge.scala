@@ -37,8 +37,17 @@ case class BpeMergePass(first: Expression, second: Expression,
           s"(${s.catalogString}, ${a.catalogString}, ${b.catalogString})")
     }
 
+  // containsNull mirrors the INPUT's: symbols never occur null on the
+  // training path (char splits and concatenations thereof), but the
+  // static type of e.g. a Seq[String]-encoded column is
+  // containsNull=true, and declaring false over such an input would
+  // lie to downstream null handling (ADVICE r13). compute propagates
+  // null elements untouched (a null is never a merge operand).
   override def dataType: DataType =
-    ArrayType(StringType, containsNull = false)
+    ArrayType(StringType, containsNull = first.dataType match {
+      case ArrayType(_, n) => n
+      case _ => false
+    })
 
   override def prettyName: String = "bpe_merge"
 
@@ -60,21 +69,30 @@ object BpeMergePass {
 
   /** Greedy left-to-right merge of adjacent (a, b) into a||b. Public so
     * generated code can call it. Output strings are fresh copies —
-    * inputs may alias transient row buffers.
+    * inputs may alias transient row buffers. Null elements (possible
+    * under a containsNull=true input type, never on the training path)
+    * pass through unchanged and never match either operand — without
+    * the explicit isNullAt guard, getUTF8String on a null slot would
+    * NPE (ADVICE r13).
     */
   def compute(syms: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
     val n = syms.numElements()
     val out = new java.util.ArrayList[AnyRef](n)
     var i = 0
     while (i < n) {
-      val cur = syms.getUTF8String(i)
-      if (i + 1 < n && cur.equals(a) &&
-          syms.getUTF8String(i + 1).equals(b)) {
-        out.add(UTF8String.concat(a, b))
-        i += 2
-      } else {
-        out.add(UTF8String.fromBytes(cur.getBytes))
+      if (syms.isNullAt(i)) {
+        out.add(null)
         i += 1
+      } else {
+        val cur = syms.getUTF8String(i)
+        if (i + 1 < n && cur.equals(a) && !syms.isNullAt(i + 1) &&
+            syms.getUTF8String(i + 1).equals(b)) {
+          out.add(UTF8String.concat(a, b))
+          i += 2
+        } else {
+          out.add(UTF8String.fromBytes(cur.getBytes))
+          i += 1
+        }
       }
     }
     ArrayData.toArrayData(out.toArray)

@@ -109,13 +109,19 @@ object ScrubSpans64 {
     val nStale = stale.numElements()
     if (nStale == 0)
       return InternalRow(UTF8String.fromBytes(bytes), nChars, 0)
+    // Null elements (possible under a containsNull=true static type —
+    // e.g. coalesce against a DDL-cast empty array) are SKIPPED, not
+    // read: getLong on a null slot silently yields 0, and 0 is a
+    // legitimate 60-bit fingerprint value (ADVICE r13).
     val staleSet = new java.util.HashSet[java.lang.Long](
       Math.max(4, nStale * 2))
     var i = 0
     while (i < nStale) {
-      staleSet.add(stale.getLong(i))
+      if (!stale.isNullAt(i)) staleSet.add(stale.getLong(i))
       i += 1
     }
+    if (staleSet.isEmpty)
+      return InternalRow(UTF8String.fromBytes(bytes), nChars, 0)
     val md = tlMd5.get()
     var nScrubbed = 0
     val covered = new Array[Boolean](nChars)

@@ -124,7 +124,14 @@ object AtRestStores {
         val stats = df.agg(aggs.head, aggs.tail: _*).head()
         val z = StorageLayout.mortonCode(
           zCols.zipWithIndex.map { case (c, i) =>
-            StorageLayout.normBucket(col(c),
+            // An entirely-null z column has null min/max — getDouble
+            // would NPE mid-compaction (ADVICE r13). Fall back to a
+            // constant bucket: the dimension carries no range signal,
+            // normBucket sends every (null) value to bucket 0, and the
+            // other dimensions still cluster.
+            if (stats.isNullAt(2 * i))
+              StorageLayout.normBucket(col(c), 0d, 0d, bits)
+            else StorageLayout.normBucket(col(c),
               stats.getDouble(2 * i), stats.getDouble(2 * i + 1), bits)
           }, bits)
         df.withColumn("__z", z)

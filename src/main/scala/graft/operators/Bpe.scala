@@ -83,7 +83,8 @@ object Bpe {
       .localCheckpoint()
     val merges = Seq.newBuilder[Merge]
     var r = 1
-    while (r <= k) {
+    var dry = false
+    while (r <= k && !dry) {
       val best = vocab
         .filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(
@@ -94,20 +95,28 @@ object Bpe {
         .agg(sum("freq").as("c"))
         .orderBy(col("c").desc, col("a"), col("b"))
         .limit(1).collect()
-      require(best.nonEmpty,
-        s"bpe: no adjacent pairs left at round $r — corpus too small " +
-          s"for $k merges")
-      val (a, b, c) =
-        (best.head.getString(0), best.head.getString(1),
-          best.head.getLong(2))
-      // Tokens are norm_tokens output ([a-z0-9]+), so symbols embed
-      // safely as SQL string literals; guard the assumption anyway.
-      require((a + b).matches("[a-z0-9]+"),
-        s"bpe symbol escaped the normalized charset: '$a'+'$b'")
-      merges += Merge(r, a, b, c)
-      vocab = vocab.withColumn("syms",
-        expr(s"bpe_merge(syms, '$a', '$b')")).localCheckpoint()
-      r += 1
+      if (best.isEmpty) {
+        // Adjacent pairs ran dry before k merges (every word is one
+        // symbol): STOP and return the merges found so far — the
+        // oracle's unrolled rounds mirror this exactly (an empty
+        // argmax round leaves w_r = w_{r-1} via the LEFT JOIN and
+        // contributes no merge row), so a degenerate corpus keeps
+        // engine ≡ oracle instead of diverging require-vs-empty
+        // (ADVICE r13).
+        dry = true
+      } else {
+        val (a, b, c) =
+          (best.head.getString(0), best.head.getString(1),
+            best.head.getLong(2))
+        // Tokens are norm_tokens output ([a-z0-9]+), so symbols embed
+        // safely as SQL string literals; guard the assumption anyway.
+        require((a + b).matches("[a-z0-9]+"),
+          s"bpe symbol escaped the normalized charset: '$a'+'$b'")
+        merges += Merge(r, a, b, c)
+        vocab = vocab.withColumn("syms",
+          expr(s"bpe_merge(syms, '$a', '$b')")).localCheckpoint()
+        r += 1
+      }
     }
     Model(merges.result(), vocab)
   }

@@ -48,6 +48,12 @@ object PipelineQueries {
     * even offsets via gaps-and-islands, consumed successors dropped —
     * the relational formulation of graft.functions.BpeMergePass's
     * single scan (BpeSpec pins the two equal on the overlap shapes).
+    * b{r} joins as LEFT JOIN ON TRUE (not CROSS JOIN): when pairs run
+    * dry before round r, b{r} is EMPTY and a cross join would empty
+    * w{r} — dropping every word — where the engine stops early and
+    * keeps the vocab; with the left join, mt = 0 everywhere and
+    * w{r} = w{r-1}, mirroring Bpe.train's early stop (ADVICE r13;
+    * BpeSpec pins the degenerate corpus).
     */
   private def bpeCtesD(k: Int): String = {
     val rounds = (1 to k).map { r =>
@@ -64,7 +70,7 @@ object PipelineQueries {
          |m$r AS (SELECT e.word, e.freq, e.i, e.s, e.nx,
          |          CASE WHEN e.s = b.a AND e.nx = b.b THEN 1 ELSE 0 END
          |            AS mt
-         |        FROM e$r e CROSS JOIN b$r b),
+         |        FROM e$r e LEFT JOIN b$r b ON TRUE),
          |r$r AS (SELECT *, i - ROW_NUMBER() OVER (
          |          PARTITION BY word, mt ORDER BY i) AS grp FROM m$r),
          |t$r AS (SELECT *, CASE WHEN mt = 1 AND (i - MIN(i) OVER (

@@ -70,10 +70,21 @@ object StorageLayout {
     * envelopes + residual filters).
     */
   def quantileBoundaries(df: DataFrame, col: String,
-      bits: Int): Seq[Double] = {
+      bits: Int): Seq[Double] =
+    quantileBoundariesMulti(df, Seq(col), bits).head
+
+  /** [[quantileBoundaries]] for several columns in ONE stats job —
+    * `approxQuantile`'s multi-column overload runs all GK sketches in
+    * a single aggregation pass, so a k-dimension z-order write costs
+    * one scan, not k (ADVICE r13: the per-column loop contradicted the
+    * "one approxQuantile pass" claim).
+    */
+  def quantileBoundariesMulti(df: DataFrame, cols: Seq[String],
+      bits: Int): Seq[Seq[Double]] = {
     val buckets = 1 << bits
     val probs = (1 until buckets).map(_.toDouble / buckets)
-    df.stat.approxQuantile(col, probs.toArray, 0.25 / buckets).toSeq
+    df.stat.approxQuantile(cols.toArray, probs.toArray, 0.25 / buckets)
+      .toSeq.map(_.toSeq)
   }
 
   /** Bucket = count of boundaries ≤ value — monotone, so file
@@ -101,7 +112,7 @@ object StorageLayout {
       cols: Seq[String], nFiles: Int,
       bits: Int = 6): Seq[Seq[Double]] = {
     require(cols.nonEmpty, "z-order needs at least one column")
-    val bounds = cols.map(c => quantileBoundaries(df, c, bits))
+    val bounds = quantileBoundariesMulti(df, cols, bits)
     val z = mortonCode(
       cols.zip(bounds).map { case (c, b) => quantileBucket(col(c), b) },
       bits)

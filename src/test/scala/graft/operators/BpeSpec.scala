@@ -67,6 +67,26 @@ class BpeSpec extends AnyFunSuite {
     assert(counts === Seq((1L, 2L, 2L), (2L, 2L, 2L), (3L, 1L, 2L)))
   }
 
+  test("train stops early when adjacent pairs run dry and returns the " +
+    "merges found so far (engine ≡ oracle on degenerate corpora)") {
+    // All single-char words: zero mergeable pairs at round 1.
+    val single = Seq((1L, "a b c"), (2L, "b c")).toDF("doc_id", "text")
+    val m0 = Bpe.train(single, k = 3)
+    assert(m0.merges.isEmpty)
+    assert(m0.vocab.orderBy("word").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toSeq ===
+      Seq("a" -> Seq("a"), "b" -> Seq("b"), "c" -> Seq("c")))
+    // Dries after one merge: "ab" collapses to one symbol, round 2 has
+    // no pairs left — k = 3 yields exactly 1 merge, vocab intact.
+    val one = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m1 = Bpe.train(one, k = 3)
+    assert(m1.merges.map(x => (x.rk, x.a, x.b, x.c)) ===
+      Seq((1, "a", "b", 2L)))
+    val counts = Bpe.tokenCounts(one, m1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(counts === Seq((1L, 2L, 2L)))
+  }
+
   test("train memoizes per (session, cacheKey, k) and stays " +
     "deterministic across repeat runs") {
     val docs = Seq((1L, "xy xy yz")).toDF("doc_id", "text")

@@ -59,20 +59,39 @@ class StatefulOpsSpec extends AnyFunSuite {
       DocKey("k3", 4L)) ++ Seq(
       DocKey("k2", 2L), DocKey("k1", 5L), DocKey("k3", 8L))
     val source = MemoryStream[DocKey](spark)
+    // Per-batch emissions captured WITH their batch id (ADVICE r13: a
+    // min over all emissions would mask a broken ValueState recovery —
+    // an early correct emission hides a wrong later one; the property
+    // under test is the LAST emission per key).
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Keeper)]
     val query = canonicalKeepers(source.toDS())
       .writeStream
       .outputMode("update")
-      .format("memory")
-      .queryName("keeper_state")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Keeper],
+          id: Long) =>
+        val rows = b.collect()
+        emitted.synchronized { emitted ++= rows.map(id -> _) }: Unit
+      }
       .start()
     feed.grouped(4).foreach { chunk =>
       source.addData(chunk.toSeq: _*)
       query.processAllAvailable()
     }
     query.stop()
-    val last = spark.table("keeper_state").as[Keeper].collect()
-      .groupBy(_.h).map { case (k, v) => k -> v.map(_.keeper).min }
+    val last = emitted.synchronized {
+      emitted.groupBy(_._2.h)
+        .map { case (k, v) => k -> v.maxBy(_._1)._2.keeper }
+    }
     assert(last == Map("k1" -> 3L, "k2" -> 2L, "k3" -> 4L))
+    // The straddling group's batch-2 emissions specifically: k2's new
+    // minimum wins AND k1/k3's recovered round-1 elections beat their
+    // higher round-2 arrivals — state recovery asserted on the
+    // emissions themselves, not on a convergence artifact.
+    val batch2 = emitted.synchronized {
+      emitted.filter(_._1 == 1L).map(e => e._2.h -> e._2.keeper).toMap
+    }
+    assert(batch2 == Map("k1" -> 3L, "k2" -> 2L, "k3" -> 4L))
   }
 
   test("streaming KLL state: quantiles over a microbatch split equal " +
