@@ -154,6 +154,73 @@ object PipelineQueries {
         .orderBy(col("freq").desc, col("word")).limit(50)
     },
 
+    // BPE-metered token budget (VERDICT r13 #2 — model-true curation
+    // units): token_budget's greedy per-language admission with BOTH
+    // the cost and the ordering metered in BPE pieces under the
+    // trained vocab, not characters — the unit a training run actually
+    // budgets. Same banded two-stage prefix-sum shape
+    // (Pipeline.budgetSelectBy); the oracle substitutes the unrolled
+    // BPE piece-count CTE for n_chars in token_budget's plain-window
+    // intent. Docs with zero tokens have no piece row and are excluded
+    // on both engines (the docTerms population).
+    QuerySpec("token_budget_bpe",
+      s"""WITH ${bpeCtesD(BpeMerges)},
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tq
+         |       GROUP BY doc_id, term),
+         |wl AS (SELECT word, len(syms) AS n_syms FROM w$BpeMerges),
+         |c AS (SELECT doc_id, CAST(SUM(tf * n_syms) AS BIGINT)
+         |        AS n_tok_bpe
+         |      FROM tf JOIN wl ON tf.term = wl.word GROUP BY doc_id),
+         |dd AS (SELECT c.doc_id, d.lang, n_tok_bpe
+         |       FROM c JOIN documents d ON c.doc_id = d.doc_id)
+         |SELECT doc_id, lang, n_tok_bpe FROM (
+         |  SELECT doc_id, lang, n_tok_bpe,
+         |         COALESCE(SUM(n_tok_bpe) OVER (PARTITION BY lang
+         |           ORDER BY n_tok_bpe DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS cum
+         |  FROM dd)
+         |WHERE cum + n_tok_bpe <= 8000 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val docs = t(s, dir, "documents")
+        Pipeline.budgetSelectBy(
+          bpeLengths(s, dir, docs, "n_tok_bpe"),
+          budget = 8000L, scoreCol = "n_tok_bpe", costCol = "n_tok_bpe")
+          .orderBy("doc_id")
+    },
+
+    // BPE-metered sequence packing (VERDICT r13 #2): seq_pack's
+    // per-language exclusive prefix-sum layout with documents costed
+    // in BPE pieces — bins now hold 2048 MODEL tokens. Same banded
+    // shape (Pipeline.packSequencesBy over the Bpe.tokenCounts
+    // lengths); population is docs with ≥ 1 token, as above.
+    QuerySpec("seq_pack_bpe",
+      s"""WITH ${bpeCtesD(BpeMerges)},
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tq
+         |       GROUP BY doc_id, term),
+         |wl AS (SELECT word, len(syms) AS n_syms FROM w$BpeMerges),
+         |c AS (SELECT doc_id, CAST(SUM(tf * n_syms) AS BIGINT)
+         |        AS n_tok_bpe
+         |      FROM tf JOIN wl ON tf.term = wl.word GROUP BY doc_id),
+         |dd AS (SELECT c.doc_id, d.lang, n_tok_bpe
+         |       FROM c JOIN documents d ON c.doc_id = d.doc_id)
+         |SELECT doc_id, lang, n_tok_bpe, tok_offset,
+         |       CAST(floor(tok_offset / 2048) AS BIGINT) AS bin
+         |FROM (
+         |  SELECT doc_id, lang, n_tok_bpe,
+         |         CAST(COALESCE(SUM(n_tok_bpe) OVER (
+         |           PARTITION BY lang ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS BIGINT) AS tok_offset
+         |  FROM dd)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Pipeline.packSequencesBy(
+        bpeLengths(s, dir, docs, "n_tok"), cap = 2048)
+        .withColumnRenamed("n_tok", "n_tok_bpe")
+        .orderBy("doc_id")
+    },
+
     // Benchmark decontamination: the "eval set" is the deterministic
     // doc_id % 97 slice; corpus docs sharing ≥ 1 shingle with it are
     // reported with their overlap count, flagged at ≥ 5 (overlap
@@ -838,6 +905,19 @@ object PipelineQueries {
         .orderBy("term")
     }
   )
+
+  /** (doc_id, lang, <alias>) BPE-piece lengths for the budget/packing
+    * variants: one docTerms join against the session-shared trained
+    * model (Bpe.train memo, same key as bpe_vocab — training runs ONCE
+    * per corpus across all four BPE queries).
+    */
+  private def bpeLengths(s: org.apache.spark.sql.SparkSession,
+      dir: String, docs: org.apache.spark.sql.DataFrame,
+      alias: String): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("lang"))
+      .join(Bpe.tokenCounts(docs,
+          Bpe.train(docs, BpeMerges, cacheKey = dir), cacheKey = dir)
+        .select(col("doc_id"), col("n_tokens_bpe").as(alias)), "doc_id")
 
   /** Build-once term-stats store per (session, corpus) — the
     * ivfpq_store_ann pattern: a production stats store is folded
