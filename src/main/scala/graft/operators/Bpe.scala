@@ -66,35 +66,45 @@ object Bpe {
         trainPlan(docs, k, cacheKey)))
   }
 
-  private def trainPlan(docs: DataFrame, k: Int,
-      cacheKey: String): Model = {
-    val spark = docs.sparkSession
-    graft.functions.GraftFunctions.register(spark)
-    // (word, freq): total corpus occurrences per distinct token.
-    // split(word, '') = one element per code point, no empties —
-    // parity-pinned against DuckDB's string_split (BpeSpec).
-    // cacheKey flows through to docTerms so training SHARES the
-    // per-corpus memoized table with every other consumer instead of
-    // persisting a keyless duplicate.
-    var vocab = Pipeline.docTerms(docs, cacheKey)
+  /** The initial (word, freq, syms) vocabulary table — shared by the
+    * sequential and batched trainers. cacheKey flows through to
+    * docTerms so training SHARES the per-corpus memoized table with
+    * every other consumer instead of persisting a keyless duplicate.
+    * split(word, '') = one element per code point, no empties —
+    * parity-pinned against DuckDB's string_split (BpeSpec).
+    */
+  private def initialVocab(docs: DataFrame,
+      cacheKey: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    Pipeline.docTerms(docs, cacheKey)
       .groupBy(col("term").as("word"))
       .agg(sum("tf").as("freq"))
       .withColumn("syms", expr("split(word, '')"))
       .localCheckpoint()
+  }
+
+  /** Adjacent-pair counts over the current vocab, ranked by the total
+    * tie-break (count DESC, then (a, b)) — the shared argmax plan of
+    * both trainers; one vocabulary-sized shuffle.
+    */
+  private def rankedPairs(vocab: DataFrame): DataFrame = vocab
+    .filter(size(col("syms")) >= 2)
+    .select(col("freq"), explode(expr(
+      "transform(sequence(1, size(syms) - 1), i -> " +
+        "struct(element_at(syms, i) as a, " +
+        "element_at(syms, i + 1) as b))")).as("p"))
+    .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+    .agg(sum("freq").as("c"))
+    .orderBy(col("c").desc, col("a"), col("b"))
+
+  private def trainPlan(docs: DataFrame, k: Int,
+      cacheKey: String): Model = {
+    var vocab = initialVocab(docs, cacheKey)
     val merges = Seq.newBuilder[Merge]
     var r = 1
     var dry = false
     while (r <= k && !dry) {
-      val best = vocab
-        .filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), i -> " +
-            "struct(element_at(syms, i) as a, " +
-            "element_at(syms, i + 1) as b))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum("freq").as("c"))
-        .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(1).collect()
+      val best = rankedPairs(vocab).limit(1).collect()
       if (best.isEmpty) {
         // Adjacent pairs ran dry before k merges (every word is one
         // symbol): STOP and return the merges found so far — the
@@ -119,6 +129,101 @@ object Bpe {
       }
     }
     Model(merges.result(), vocab)
+  }
+
+  /** Batched training — the k=32k scale path (VERDICT r13 #3):
+    * [[train]] runs ONE Spark round (pair-count job + single-row
+    * collect) per merge, which is correct and bounded at the declared
+    * k=8 but means 32k sequential driver rounds for a real vocab. This
+    * mode selects up to `m` merges per round from one ranked pair-count
+    * job — greedily, in the same total order, deferring a candidate
+    * (a, b) to the next round iff an already-selected (aᵢ, bᵢ → mintᵢ)
+    * can perturb its occurrences: `a = bᵢ` (the candidate's head can be
+    * consumed as merge i's trailing symbol — "aᵢ bᵢ b" destroys one),
+    * `b = aᵢ` (tail consumed as merge i's leading — "a aᵢ bᵢ"), or
+    * either operand equals mintᵢ (pairs touching the fresh mint have
+    * no batch-start count). Sharing a HEAD (a = aᵢ) or a TAIL (b = bᵢ)
+    * is provably safe — "o r" cannot lose its r to an (e, r) merge,
+    * since that r is preceded by o, not e — which is what lets natural
+    * text batch at all (top pairs share frequent letters constantly).
+    * The batch applies as `m` nested [[graft.functions.BpeMergePass]]
+    * calls in ONE projection pass over the vocabulary table.
+    *
+    * Round-count bound: the first-ranked candidate is always selected,
+    * so every round learns ≥ 1 and ≤ m merges — between ⌈k/m⌉ and k
+    * driver rounds (k/m when the top-m are pairwise disjoint, the
+    * common case on natural text where top pairs come from different
+    * words).
+    *
+    * Equivalence contract (honest limit): symbol-disjointness makes
+    * every selected pair's count invariant under the batch's earlier
+    * merges (merging (a1,b1) only perturbs pairs touching a1, b1, or
+    * the mint, and creates no new (aj,bj) adjacency), so WHEN the
+    * sequential trainer's next m argmaxes are exactly these pairs,
+    * batched ≡ sequential — merge list, counts, and final vocab
+    * bit-for-bit (BpeSpec pins a corpus where m=4 reproduces the
+    * sequential list in one round). It can diverge when a mid-batch
+    * mint creates a NEW pair whose count overtakes a later selection
+    * (sequential would pick the new pair; batched cannot see it until
+    * the next round) — the standard batched-BPE approximation, traded
+    * for the k/m round count.
+    *
+    * `candCap` bounds the driver-side candidate collect (the bounded-
+    * collect contract): scanning more rows only helps find disjoint
+    * pairs, never changes which pair ranks first.
+    *
+    * Returns the model plus the number of driver rounds actually run.
+    */
+  def trainBatched(docs: DataFrame, k: Int, m: Int,
+      cacheKey: String = ""): (Model, Int) = {
+    require(m >= 1, s"batch size must be >= 1, got $m")
+    val candCap = math.max(16, 8 * m)
+    var vocab = initialVocab(docs, cacheKey)
+    val merges = Seq.newBuilder[Merge]
+    var learned = 0
+    var rounds = 0
+    var dry = false
+    while (learned < k && !dry) {
+      val cands = rankedPairs(vocab).limit(candCap).collect()
+      if (cands.isEmpty) dry = true
+      else {
+        rounds += 1
+        val picked = Seq.newBuilder[(String, String, Long)]
+        // Conflict sets per the scaladoc's invariance rule.
+        val heads = scala.collection.mutable.Set.empty[String]
+        val tails = scala.collection.mutable.Set.empty[String]
+        val mints = scala.collection.mutable.Set.empty[String]
+        var i = 0
+        var n = 0
+        while (i < cands.length && n < math.min(m, k - learned)) {
+          val (a, b, c) = (cands(i).getString(0), cands(i).getString(1),
+            cands(i).getLong(2))
+          val mint = a + b
+          if (!tails(a) && !heads(b) && !mints(a) && !mints(b)) {
+            require(mint.matches("[a-z0-9]+"),
+              s"bpe symbol escaped the normalized charset: '$a'+'$b'")
+            picked += ((a, b, c))
+            heads += a; tails += b; mints += mint
+            n += 1
+          }
+          i += 1
+        }
+        val batch = picked.result()
+        batch.foreach { case (a, b, c) =>
+          learned += 1
+          merges += Merge(learned, a, b, c)
+        }
+        // One projection pass applies the whole batch: nested
+        // bpe_merge calls, selection order innermost — order is
+        // immaterial under the disjointness guard, but matching the
+        // selection order keeps the plan readable.
+        val applied = batch.foldLeft("syms") { case (e, (a, b, _)) =>
+          s"bpe_merge($e, '$a', '$b')"
+        }
+        vocab = vocab.withColumn("syms", expr(applied)).localCheckpoint()
+      }
+    }
+    (Model(merges.result(), vocab), rounds)
   }
 
   /** The merge list as a DataFrame — `bpe_vocab`'s result shape:

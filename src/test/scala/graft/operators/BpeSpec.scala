@@ -87,6 +87,72 @@ class BpeSpec extends AnyFunSuite {
     assert(counts === Seq((1L, 2L, 2L)))
   }
 
+  test("trainBatched: m=4 reproduces the sequential merge list in ONE " +
+    "driver round on a disjoint-top-pairs corpus (the k/m bound)") {
+    // Four pairwise-disjoint top pairs with strictly ordered counts:
+    // (a,b)×8, (c,d)×4, (e,f)×2, (g,h)×1. Sequential learns them in 4
+    // rounds; each merge collapses its 2-char word to one symbol, so
+    // no mint ever creates a competing pair — batched ≡ sequential by
+    // construction, in a single batch.
+    val docs = Seq(
+      (1L, "ab ab ab ab ab ab ab ab cd cd"),
+      (2L, "cd cd ef ef gh")
+    ).toDF("doc_id", "text")
+    val seq4 = Bpe.train(docs, k = 4)
+    val (bat4, rounds) = Bpe.trainBatched(docs, k = 4, m = 4)
+    assert(rounds === 1)
+    assert(bat4.merges === seq4.merges)
+    assert(bat4.merges.map(x => (x.rk, x.a, x.b, x.c)) === Seq(
+      (1, "a", "b", 8L), (2, "c", "d", 4L), (3, "e", "f", 2L),
+      (4, "g", "h", 1L)))
+    val sv = seq4.vocab.orderBy("word").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toSeq
+    val bv = bat4.vocab.orderBy("word").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toSeq
+    assert(bv === sv)
+  }
+
+  test("trainBatched: overlapping candidates defer to later rounds and " +
+    "still reproduce the sequential list (shared-symbol guard)") {
+    // BpeSpec's hand-computed corpus: round-1 candidates (a,a)→2,
+    // (a,b)→1, (b,a)→1, (c,a)→1 ALL share 'a' — the guard admits only
+    // the argmax per round, so batching degrades to sequential (3
+    // rounds) instead of corrupting counts.
+    val docs = Seq(
+      (1L, "aa ab"), (2L, "aa ba"), (3L, "ca")
+    ).toDF("doc_id", "text")
+    val (bat, rounds) = Bpe.trainBatched(docs, k = 3, m = 4)
+    assert(rounds === 3)
+    assert(bat.merges.map(x => (x.rk, x.a, x.b, x.c)) === Seq(
+      (1, "a", "a", 2L), (2, "a", "b", 1L), (3, "b", "a", 1L)))
+    assert(bat.merges === Bpe.train(docs, k = 3).merges)
+  }
+
+  test("trainBatched: m=4 reproduces the sequential list on the " +
+    "sf0.001 documents corpus up to the documented mint-pair limit") {
+    val docs = graft.Tables.t(TestSpark.spark, "/root/testdata/sf0.001",
+      "documents")
+    // k=7: every sequential argmax through round 7 is a batch-start
+    // pair — m=4 batching reproduces the list in 2 rounds instead
+    // of 7.
+    val seq7 = Bpe.train(docs, k = 7)
+    val (bat7, rounds7) = Bpe.trainBatched(docs, k = 7, m = 4)
+    assert(bat7.merges === seq7.merges,
+      s"batched diverged within 7 merges after $rounds7 rounds")
+    assert(rounds7 < 7, s"batching bought nothing: $rounds7 rounds")
+    // k=8 names the HONEST LIMIT the scaladoc documents: sequential
+    // round 8 picks (p, ar) — a pair of round 7's MINT, invisible to
+    // batch-start counts — so batched diverges exactly there.
+    val seq8 = Bpe.train(docs, k = 8)
+    assert(seq8.merges(7).b === "ar",
+      "fixture drift: merge 8 no longer selects the round-7 mint")
+    val (bat8, _) = Bpe.trainBatched(docs, k = 8, m = 4)
+    assert(bat8.merges.take(7) === seq8.merges.take(7))
+    assert(bat8.merges(7) !== seq8.merges(7),
+      "mint-pair divergence expected at merge 8 — if batching now " +
+        "sees mint pairs, strengthen the equivalence contract")
+  }
+
   test("train memoizes per (session, cacheKey, k) and stays " +
     "deterministic across repeat runs") {
     val docs = Seq((1L, "xy xy yz")).toDF("doc_id", "text")
