@@ -16,7 +16,8 @@ object SparkEntry {
     CoreQueries.all ++ FlagshipQueries.all ++ AnalyticQueries.all ++
       RelationalQueries.all ++ FunctionQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ PipelineQueries.all ++
-      CorpusQueries.all ++ MultimodalQueries.all ++ ScaleQueries.all ++
+      CorpusQueries.all ++ ChainQueries.all ++
+      MultimodalQueries.all ++ ScaleQueries.all ++
       graft.streaming.StreamingPipelineQuery.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

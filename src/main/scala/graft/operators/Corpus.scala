@@ -411,6 +411,35 @@ object Corpus {
         md5(col("r.kept_text")).as("kept_digest"))
   }
 
+  /** [[spanScrub]] preserving the document row itself — the variant a
+    * chained curation pipeline consumes (the scrubbed documents flow
+    * on to budget/mix/pack with lang and source intact, and `text` /
+    * `n_chars` REPLACED by the scrubbed text and its length, so every
+    * downstream stage meters post-scrub mass). Same scrub semantics
+    * and plan shape: per-doc stale-fp lists attach by one keyed join,
+    * then one codegen'd scrub_spans64 pass per document — null-text
+    * docs drop (there is nothing to scrub or pack), first carriers
+    * pass through byte-identical.
+    */
+  def spanScrubDocs(docs: DataFrame, fps: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val first = fps.groupBy("fp").agg(min("doc_id").as("first_doc"))
+    val stale = fps.join(first, "fp")
+      .filter(col("first_doc") < col("doc_id"))
+      .groupBy("doc_id").agg(collect_list("fp").as("stale_fps"))
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr(TextOps.normS).as("norm"))
+      .join(stale, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"), col("source"), expr(
+        "scrub_spans64(norm, coalesce(stale_fps, " +
+          "cast(array() as array<bigint>)))").as("r"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("r.kept_text").as("text"),
+        col("r.kept_chars").cast("long").as("n_chars"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * via Importance Resampling"): score every raw document by how much
     * more probable its hashed n-gram features are under a TARGET

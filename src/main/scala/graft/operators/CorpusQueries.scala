@@ -57,6 +57,51 @@ object CorpusQueries {
       |FROM documents WHERE text IS NOT NULL
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** The span-scrub CTE chain over `table` (doc_id, text …): winnowing
+    * fingerprints `e`, first-carrier attribution, and the per-character
+    * DuckDB-only reconstruction of each doc's scrubbed text — ends in
+    * `dl` (normed docs), `ks` (doc_id, kc kept-char count, kt kept
+    * text) and `ns` (doc_id, n_sc scrubbed-span count). Shared verbatim
+    * by `span_scrub` (over documents) and the composed `curation_chain`
+    * oracle (over the dedup survivor set). The Spark twin is the
+    * O(chars) codegen'd scrub_spans64 pass (functions.ScrubSpans64).
+    */
+  private[operators] def scrubCtes(table: String): String =
+    s"""${TextOps.spanFpsCte(table)},
+       |fst AS (SELECT fp, MIN(doc_id) AS first_doc FROM e GROUP BY fp),
+       |stale AS (SELECT doc_id, fp FROM e JOIN fst USING (fp)
+       |          WHERE first_doc < doc_id),
+       |dl AS (SELECT doc_id, norm, length(norm) AS ln
+       |       FROM (SELECT doc_id, ${TextOps.normD} AS norm
+       |             FROM $table WHERE text IS NOT NULL)),
+       |g AS (SELECT doc_id, norm, ln,
+       |        unnest(range(1, (CASE WHEN ln >= 8 THEN ln - 7
+       |                              ELSE 1 END) + 1)) AS pos
+       |      FROM dl),
+       |gf AS (SELECT doc_id, pos,
+       |         CASE WHEN ln >= 8 THEN pos + 7 ELSE ln END AS fin,
+       |         CAST(('0x' || substring(md5(CASE WHEN ln >= 8
+       |             THEN substring(norm, pos, 8) ELSE norm END), 1, 15))
+       |           AS BIGINT) AS gfp
+       |       FROM g),
+       |sc AS (SELECT gf.doc_id, gf.pos, gf.fin
+       |       FROM gf JOIN stale s ON gf.doc_id = s.doc_id
+       |                           AND gf.gfp = s.fp),
+       |cov AS (SELECT DISTINCT doc_id, p FROM (
+       |          SELECT doc_id, unnest(range(pos, fin + 1)) AS p
+       |          FROM sc)),
+       |ch AS (SELECT doc_id, norm, unnest(range(1, ln + 1)) AS p
+       |       FROM dl),
+       |kept AS (SELECT ch.doc_id, ch.p, substring(ch.norm, ch.p, 1) AS c
+       |         FROM ch LEFT JOIN cov ON ch.doc_id = cov.doc_id
+       |                              AND ch.p = cov.p
+       |         WHERE cov.p IS NULL),
+       |ks AS (SELECT doc_id, COUNT(*) AS kc,
+       |              string_agg(c, '' ORDER BY p) AS kt
+       |       FROM kept GROUP BY doc_id),
+       |ns AS (SELECT doc_id, COUNT(*) AS n_sc FROM sc GROUP BY doc_id)"""
+      .stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // Source (domain) reputation table: one bounded hash-aggregate.
@@ -271,39 +316,7 @@ object CorpusQueries {
     // (functions.ScrubSpans64); the per-character reconstruction below
     // is the DuckDB-only formulation.
     QuerySpec("span_scrub",
-      s"""WITH ${TextOps.spanFpsCteD},
-         |fst AS (SELECT fp, MIN(doc_id) AS first_doc FROM e GROUP BY fp),
-         |stale AS (SELECT doc_id, fp FROM e JOIN fst USING (fp)
-         |          WHERE first_doc < doc_id),
-         |dl AS (SELECT doc_id, norm, length(norm) AS ln
-         |       FROM (SELECT doc_id, ${TextOps.normD} AS norm
-         |             FROM documents WHERE text IS NOT NULL)),
-         |g AS (SELECT doc_id, norm, ln,
-         |        unnest(range(1, (CASE WHEN ln >= 8 THEN ln - 7
-         |                              ELSE 1 END) + 1)) AS pos
-         |      FROM dl),
-         |gf AS (SELECT doc_id, pos,
-         |         CASE WHEN ln >= 8 THEN pos + 7 ELSE ln END AS fin,
-         |         CAST(('0x' || substring(md5(CASE WHEN ln >= 8
-         |             THEN substring(norm, pos, 8) ELSE norm END), 1, 15))
-         |           AS BIGINT) AS gfp
-         |       FROM g),
-         |sc AS (SELECT gf.doc_id, gf.pos, gf.fin
-         |       FROM gf JOIN stale s ON gf.doc_id = s.doc_id
-         |                           AND gf.gfp = s.fp),
-         |cov AS (SELECT DISTINCT doc_id, p FROM (
-         |          SELECT doc_id, unnest(range(pos, fin + 1)) AS p
-         |          FROM sc)),
-         |ch AS (SELECT doc_id, norm, unnest(range(1, ln + 1)) AS p
-         |       FROM dl),
-         |kept AS (SELECT ch.doc_id, ch.p, substring(ch.norm, ch.p, 1) AS c
-         |         FROM ch LEFT JOIN cov ON ch.doc_id = cov.doc_id
-         |                              AND ch.p = cov.p
-         |         WHERE cov.p IS NULL),
-         |ks AS (SELECT doc_id, COUNT(*) AS kc,
-         |              string_agg(c, '' ORDER BY p) AS kt
-         |       FROM kept GROUP BY doc_id),
-         |ns AS (SELECT doc_id, COUNT(*) AS n_sc FROM sc GROUP BY doc_id)
+      s"""WITH ${scrubCtes("documents")}
          |SELECT doc_id,
          |       CAST(COALESCE(kc, 0) AS INTEGER) AS kept_chars,
          |       CAST(COALESCE(n_sc, 0) AS INTEGER) AS scrubbed_spans,

@@ -200,6 +200,43 @@ object DedupQueries {
   private val sigStoreCache = scala.collection.mutable.Map.empty[
     (org.apache.spark.sql.SparkSession, String), String]
 
+  /** CTE prefix ending in `dupes` — the doc_ids the near-dup clustering
+    * removes (non-canonical cluster members: transitive closure over
+    * the verified pair graph, keeper = min doc_id). Shared verbatim by
+    * `dedup_keep` and the composed `curation_chain` oracle (the chain's
+    * survivor set must be EXACTLY dedup_keep's). Requires WITH
+    * RECURSIVE on the enclosing statement.
+    */
+  private[operators] val dupesCtes: String =
+    s"""${TextOps.docShinglesCteD},
+       |inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
+       |rare AS (SELECT s FROM inv GROUP BY s
+       |         HAVING COUNT(*) <= ${Dedup.DfCap}),
+       |pruned AS (SELECT doc_id, s FROM inv
+       |           WHERE s IN (SELECT s FROM rare)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM pruned a JOIN pruned b
+       |    ON a.s = b.s AND a.doc_id < b.doc_id
+       |), p AS (
+       |  SELECT da, db FROM (
+       |    SELECT da, db,
+       |           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |             / len(list_distinct(x.sh || y.sh)) AS jaccard
+       |    FROM cand JOIN d x ON x.doc_id = da JOIN d y ON y.doc_id = db
+       |  ) WHERE jaccard >= 0.8
+       |), edges AS (
+       |  SELECT da AS a, db AS b FROM p
+       |  UNION SELECT db, da FROM p
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), dupes AS (
+       |  SELECT a AS doc_id FROM reach
+       |  GROUP BY a HAVING least(a, MIN(b)) != a
+       |)""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // Bag-of-words dedup: content key = md5 of sorted distinct
@@ -402,34 +439,7 @@ object DedupQueries {
     // near-dup cluster members removed (left-anti join against the
     // clustering's duplicate set).
     QuerySpec("dedup_keep",
-      s"""WITH RECURSIVE ${TextOps.docShinglesCteD},
-         |inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
-         |rare AS (SELECT s FROM inv GROUP BY s
-         |         HAVING COUNT(*) <= ${Dedup.DfCap}),
-         |pruned AS (SELECT doc_id, s FROM inv
-         |           WHERE s IN (SELECT s FROM rare)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |  FROM pruned a JOIN pruned b
-         |    ON a.s = b.s AND a.doc_id < b.doc_id
-         |), p AS (
-         |  SELECT da, db FROM (
-         |    SELECT da, db,
-         |           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-         |             / len(list_distinct(x.sh || y.sh)) AS jaccard
-         |    FROM cand JOIN d x ON x.doc_id = da JOIN d y ON y.doc_id = db
-         |  ) WHERE jaccard >= 0.8
-         |), edges AS (
-         |  SELECT da AS a, db AS b FROM p
-         |  UNION SELECT db, da FROM p
-         |), reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-         |), dupes AS (
-         |  SELECT a AS doc_id FROM reach
-         |  GROUP BY a HAVING least(a, MIN(b)) != a
-         |)
+      s"""WITH RECURSIVE $dupesCtes
          |SELECT doc_id, lang FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>

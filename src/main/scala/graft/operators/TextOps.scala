@@ -115,7 +115,7 @@ object TextOps {
     * formulation, tie cases included — see WinnowFps64's parity
     * contract).
     */
-  val spanFpsCteD: String =
+  def spanFpsCte(table: String): String =
     s"""e AS (
        |  SELECT doc_id,
        |    CAST(('0x' || substring(fph, 1, 15)) AS BIGINT) AS fp
@@ -133,8 +133,10 @@ object TextOps {
        |            i -> md5(substring(norm, i, 8)))
        |        ELSE [md5(norm)] END AS grams
        |      FROM (SELECT doc_id, $normD AS norm
-       |            FROM documents))))
+       |            FROM $table))))
        |)""".stripMargin
+
+  val spanFpsCteD: String = spanFpsCte("documents")
 
   // ---- Stopword lists for language-ID / quality heuristics ----
 

@@ -116,7 +116,7 @@ private[graft] object SinkOps {
         .orderBy(nonKey.map(c => batch0(c).desc): _*)
       batch0
         .withColumn("__rn",
-          org.apache.spark.sql.functions.row_number.over(w))
+          org.apache.spark.sql.functions.row_number().over(w))
         .filter(org.apache.spark.sql.functions.col("__rn") === 1)
         .drop("__rn")
     }

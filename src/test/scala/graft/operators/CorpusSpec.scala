@@ -342,4 +342,39 @@ class CorpusSpec extends AnyFunSuite {
     }
     Memo.clearCaches(spark)
   }
+
+  test("spanScrubDocs: scrubbed text matches spanScrub's digest and " +
+    "counts per doc, metadata passes through, null-text docs drop") {
+    val sp = spark
+    import sp.implicits._
+    val fps = Corpus.docFps(docs)
+    val byDigest = Corpus.spanScrub(docs, fps)
+      .select("doc_id", "kept_chars", "kept_digest")
+      .as[(Long, Int, String)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    val rows = Corpus.spanScrubDocs(docs, fps)
+      .select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).as("lc"), md5(col("text")).as("dg"),
+        col("n_chars"))
+      .collect()
+    // Same doc set (both drop null-text rows) and, per doc, the SAME
+    // reconstructed characters — digest equality, not just counts.
+    assert(rows.length == byDigest.size)
+    rows.foreach { r =>
+      val (kc, dg) = byDigest(r.getLong(0))
+      assert(r.getLong(5) == kc.toLong && r.getInt(3) == kc,
+        s"doc ${r.getLong(0)}: n_chars ${r.getLong(5)} != $kc")
+      assert(r.getString(4) == dg,
+        s"doc ${r.getLong(0)}: scrubbed text digest diverged")
+    }
+    // Metadata survives: lang/source equal the source rows'.
+    val meta = docs.filter(col("text").isNotNull)
+      .select("doc_id", "lang", "source").collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)),
+        Option(r.getString(2)))).toMap
+    rows.foreach { r =>
+      assert(meta(r.getLong(0)) ==
+        (Option(r.getString(1)), Option(r.getString(2))))
+    }
+  }
 }
