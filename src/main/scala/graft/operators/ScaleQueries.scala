@@ -148,8 +148,66 @@ object ScaleQueries {
           Seq(("n_chars", 200d, 400d), ("doc_id", 100d, 2400d)))
         .select("doc_id", "n_chars", "source", "lang")
         .orderBy("doc_id")
+    },
+
+    // Time-travel read on the oracle path (VERDICT r13 next-round #6):
+    // the manifested documents store accumulates four intake epochs
+    // (doc_id % 4 slices — the portable split), each publishing an
+    // immutable manifest version v1..v4, then a clustered snapshot
+    // compaction rewrites the whole layout as v5. The query reads
+    // AS-OF VERSION 2 — a snapshot whose CONTENT differs from the
+    // current one (epochs 0 and 1 only), resolved after the compaction
+    // replaced every arrival file — and the oracle recomputes that
+    // historical state from scratch. Green means retention + the
+    // pointer flip preserve history a reader can actually use: v2's
+    // files all still exist (compaction expires, only gcExpired
+    // deletes) and the version list pins exactly the old file set.
+    // md5-of-text witnesses full row content, not just keys.
+    QuerySpec.build("snapshot_asof_scan",
+      """SELECT doc_id, lang, source, n_chars,
+        |       md5(COALESCE(text, '')) AS h
+        |FROM documents WHERE doc_id % 4 IN (0, 1)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      StoreManifest.snapshotReadAsOf(s, asofStore(s, dir), 2L)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), md5(coalesce(col("text"), lit(""))).as("h"))
+        .orderBy("doc_id")
     }
   )
+
+  /** Build-once per (session, corpus): the manifested documents store
+    * with PER-EPOCH manifest versions — v1..v4 are the four intake
+    * publishes (doc_id % 4 slices, so each version's content is
+    * oracle-expressible), v5 the clustered compaction that replaced
+    * every arrival file. Backs `snapshot_asof_scan`; GC is never run
+    * here, so every version stays readable (the retention contract —
+    * StoreMaintenanceSpec pins what gcExpired(0) does to history).
+    */
+  private def asofStore(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    asofStoreCache.synchronized(
+      asofStoreCache.getOrElseUpdate((s, dir), {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-asofstore").toString + "/docs"
+        val docs = t(s, dir, "documents")
+        def epoch(i: Int) = docs
+          .filter(pmod(col("doc_id"), lit(4)) === i)
+          .repartition(1)
+        AtRestStores.writeDocumentsStore(epoch(0), p)
+        AtRestStores.publishDocumentsManifest(s, p): Unit
+        (1 to 3).foreach { i =>
+          AtRestStores.appendToDocumentsStore(epoch(i), p)
+          AtRestStores.publishDocumentsManifest(s, p): Unit
+        }
+        val sources = docs.select("source").distinct()
+          .collect().map(_.getString(0)).toSeq
+        AtRestStores.compactDocumentsSourcesClustered(s, p, sources,
+          Seq("n_chars", "doc_id"), filesPerSource = 2): Unit
+        p
+      }))
+
+  private val asofStoreCache = scala.collection.mutable.Map.empty[
+    (org.apache.spark.sql.SparkSession, String), String]
 
   /** Build-once per (session, corpus): the documents store as a year
     * of intake leaves it — four hash-sliced epochs appended under the

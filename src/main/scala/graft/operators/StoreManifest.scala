@@ -163,11 +163,25 @@ object StoreManifest {
     * columns (`cid=N`) still resolve AND prune. Throws if the
     * directory is not manifested.
     */
-  def snapshotRead(spark: SparkSession, root: String): DataFrame = {
-    val fl = files(spark, root).getOrElse(
-      throw new IllegalStateException(
-        s"$root carries no manifest — publish one first"))
-    require(fl.nonEmpty, s"manifest at $root lists no files")
+  def snapshotRead(spark: SparkSession, root: String): DataFrame =
+    snapshotReadAsOf(spark, root,
+      currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"$root carries no manifest — publish one first")))
+
+  /** Time-travel read: exactly version `version`'s file list — the
+    * reader-visible payoff of the snapshot contract (versions are
+    * immutable lists, compactions never move or delete live files,
+    * and only [[gcExpired]] reclaims replaced ones). Any version whose
+    * expired files have not been GC'd reconstructs its full historical
+    * state; a version older than the GC retention window fails loudly
+    * at read time (its files are gone), never silently partially.
+    */
+  def snapshotReadAsOf(spark: SparkSession, root: String,
+      version: Long): DataFrame = {
+    val fl = files(spark, root, Some(version)).getOrElse(Seq.empty)
+    require(fl.nonEmpty,
+      s"manifest at $root has no version $version (or it lists no files)")
     spark.read.option("basePath", root)
       .parquet(fl.map(f => s"$root/$f"): _*)
   }

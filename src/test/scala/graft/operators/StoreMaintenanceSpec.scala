@@ -353,4 +353,56 @@ class StoreMaintenanceSpec extends AnyFunSuite {
       assert(after == expected)
     } finally e.unpersist(): Unit
   }
+
+  test("time travel: every pre-GC version reconstructs its exact " +
+    "historical content across a compaction; gcExpired(0) reclaims " +
+    "history and an as-of read of a collected version fails loudly") {
+    val spark = TestSpark.spark
+    val path = Files.createTempDirectory("graft-asof").toString + "/d"
+    val docs = Tables.t(spark, dir, "documents")
+    def epoch(i: Int) =
+      docs.filter(pmod(col("doc_id"), lit(4)) === i).repartition(1)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    def wantIds(mods: Int*): Seq[Long] = ids(
+      docs.filter(pmod(col("doc_id"), lit(4)).isin(mods.map(Int.box): _*)))
+
+    AtRestStores.writeDocumentsStore(epoch(0), path)
+    AtRestStores.publishDocumentsManifest(spark, path)
+    (1 to 3).foreach { i =>
+      AtRestStores.appendToDocumentsStore(epoch(i), path)
+      AtRestStores.publishDocumentsManifest(spark, path): Unit
+    }
+    val sources = docs.select("source").distinct()
+      .collect().map(_.getString(0)).toSeq
+    AtRestStores.compactDocumentsSourcesClustered(spark, path, sources,
+      Seq("n_chars", "doc_id"), filesPerSource = 2)
+    assert(StoreManifest.currentVersion(spark, path).contains(5L))
+
+    // Every retained version answers with exactly its historical
+    // content — including v1..v4 whose arrival files the compaction
+    // replaced (expired, not deleted).
+    (1 to 4).foreach { v =>
+      assert(ids(StoreManifest.snapshotReadAsOf(spark, path, v.toLong))
+        == wantIds(0 until v: _*), s"version $v content diverged")
+    }
+    // v4 (pre-compaction) and v5 (post) carry the SAME rows through
+    // DIFFERENT file sets — the pointer flip swapped layout only.
+    assert(ids(StoreManifest.snapshotReadAsOf(spark, path, 4L)) ==
+      ids(StoreManifest.snapshotReadAsOf(spark, path, 5L)))
+    assert(StoreManifest.files(spark, path, Some(4L)).get.toSet !=
+      StoreManifest.files(spark, path, Some(5L)).get.toSet)
+
+    // Retention is what makes time travel work: gcExpired(0) deletes
+    // the compaction's replaced files, after which the historical
+    // versions' file lists dangle and an as-of read fails loudly
+    // (never a silent partial result).
+    val deleted = StoreManifest.gcExpired(spark, path, keepVersions = 0)
+    assert(deleted.nonEmpty)
+    assert(ids(StoreManifest.snapshotReadAsOf(spark, path, 5L)) ==
+      wantIds(0, 1, 2, 3))
+    intercept[Exception] {
+      StoreManifest.snapshotReadAsOf(spark, path, 2L).collect()
+    }
+  }
 }
