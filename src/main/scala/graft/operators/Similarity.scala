@@ -626,15 +626,72 @@ object Similarity {
     StoreManifest.compactPartitionsSnapshot(spark, s"$path/vectors",
       cells.map(c => s"cid=$c").toSet)
 
+  /** Codebook-drift remediation (VERDICT r13 next-round #5): retrain
+    * produced `newCodebook`; this publishes the RE-CLUSTERED layout —
+    * every resident vector reassigned to its nearest NEW centroid, the
+    * whole cell-partitioned file set rewritten under fresh names, one
+    * manifest pointer flip — as a snapshot compaction (nothing moved
+    * or deleted; replaced files expire until gcExpired, old versions
+    * stay readable). The retrained codebook is published VERSIONED:
+    * it lands at `codebook-v&lt;N&gt;` BEFORE the flip, and
+    * [[ivfTopKFromSnapshot]] resolves the codebook matching the
+    * version it reads — a reader is never left probing new cells with
+    * the old centroids (or vice versa), and an as-of reader of an old
+    * version still finds the codebook that layout was built with.
+    *
+    * Scale shape: the reassignment is the same one-pass broadcast-
+    * codebook argmax as the original build (withCellIds) — the corpus
+    * streams once, shuffles once on the new cid for clustering.
+    * Single-maintenance-writer, as every store mutation here.
+    */
+  def recompactIvfStoreClustered(spark: SparkSession, path: String,
+      newCodebook: DataFrame): Long = {
+    val root = s"$path/vectors"
+    val cur = StoreManifest.files(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"$root is not manifested — publish a manifest first"))
+    val cellDirs = cur.map(_.takeWhile(_ != '/')).toSet
+    require(cellDirs.forall(_.startsWith("cid=")),
+      s"unexpected non-cell entries in the manifest: $cellDirs")
+    val nCells = newCodebook.count().toInt
+    // Versioned codebook first: invisible to current-version readers
+    // until the flip below publishes the layout trained against it.
+    val nextV = StoreManifest.currentVersion(spark, root)
+      .getOrElse(0L) + 1
+    newCodebook.write.mode("overwrite")
+      .parquet(s"$path/codebook-v$nextV")
+    val v = StoreManifest.compactPartitionsSnapshot(spark, root,
+      cellDirs, layout = Some { df =>
+        withCellIds(
+          df.select(col("n_id"), col("cv"), col("cn")), newCodebook)
+          .repartition(math.max(nCells, 1), col("cid"))
+      })
+    require(v == nextV,
+      s"concurrent manifest publish detected: staged codebook-v$nextV " +
+        s"but the compaction published v$v — single-writer violated")
+    v
+  }
+
   /** [[ivfTopKFromStore]] against the manifest SNAPSHOT — the
-    * race-free probe: the file set is pinned at plan time, so a
-    * concurrent snapshot compaction (or epoch publish) cannot change
-    * what this query reads. Partition pruning survives the explicit
-    * file list (basePath keeps `cid=` directory resolution).
+    * race-free probe: the VERSION is resolved once, pinning both the
+    * file set and (since [[recompactIvfStoreClustered]]) the matching
+    * codebook generation (`codebook-v&lt;N&gt;` when present, the build-time
+    * `codebook` otherwise), so a concurrent snapshot compaction, epoch
+    * publish, or codebook retrain cannot change what this query reads
+    * or tear layout from centroids. Partition pruning survives the
+    * explicit file list (basePath keeps `cid=` directory resolution).
     */
   def ivfTopKFromSnapshot(spark: SparkSession, path: String,
       queries: DataFrame, nProbe: Int, k: Int): DataFrame = {
-    val cent = loadCodebook(spark, s"$path/codebook")
+    val root = s"$path/vectors"
+    val version = StoreManifest.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"$root carries no manifest — publish one first"))
+    val vBook = new org.apache.hadoop.fs.Path(s"$path/codebook-v$version")
+    val hasVBook = vBook.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(vBook)
+    val cent = loadCodebook(spark,
+      if (hasVBook) vBook.toString else s"$path/codebook")
     val wp = Window.partitionBy(col("q_id"))
       .orderBy(col("psim").desc, col("cid"))
     val probes = queries.crossJoin(broadcast(cent))
@@ -645,7 +702,7 @@ object Similarity {
         col("cid").cast("int").as("cid"))
     val cells = probes.select("cid").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val store = StoreManifest.snapshotRead(spark, s"$path/vectors")
+    val store = StoreManifest.snapshotReadAsOf(spark, root, version)
       .filter(col("cid").isin(cells: _*))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))

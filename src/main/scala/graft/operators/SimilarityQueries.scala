@@ -43,18 +43,24 @@ object SimilarityQueries {
     * empty centroids kept in place via the left-join coalesce.
     * Recomputing centn with normD over the coalesced array equals
     * Spark's kept-old-norm exactly (same fold over the same bits).
-    * Emits CTEs a&lt;i&gt;/m&lt;i&gt;/g&lt;i&gt;/c&lt;i&gt;.
+    * Emits CTEs a&lt;i&gt;/m&lt;i&gt;/g&lt;i&gt;/c&lt;i&gt;. `over` names the
+    * (vec_id, v, nrm) CTE the iteration trains on — all vectors for
+    * semdedup_trained, the corpus slice for ivf_recompacted_ann
+    * (Spark's lloydRefine trains on vec_id ≥ nQueries).
     */
-  private def lloydIterD(i: Int, prev: String): String =
+  private def lloydIterD(i: Int, prev: String,
+      over: String = "n"): String =
     s"""a$i AS (SELECT vec_id, cid FROM (
-       |  SELECT n.vec_id, $prev.cid, row_number() OVER (
-       |    PARTITION BY n.vec_id
-       |    ORDER BY ${dotD("n.v", "centv")} / (n.nrm * centn) DESC, cid)
-       |    AS arn FROM n CROSS JOIN $prev) WHERE arn = 1),
+       |  SELECT $over.vec_id, $prev.cid, row_number() OVER (
+       |    PARTITION BY $over.vec_id
+       |    ORDER BY ${dotD(s"$over.v", "centv")} / ($over.nrm * centn)
+       |      DESC, cid)
+       |    AS arn FROM $over CROSS JOIN $prev) WHERE arn = 1),
        |m$i AS (SELECT cid, t.p,
-       |             CAST(SUM(CAST(round(n.v[t.p] * 1000000) AS BIGINT))
+       |             CAST(SUM(CAST(round($over.v[t.p] * 1000000)
+       |                  AS BIGINT))
        |                  AS DOUBLE) / (1000000.0 * COUNT(*)) AS m
-       |      FROM a$i JOIN n USING (vec_id), range(1, 65) t(p)
+       |      FROM a$i JOIN $over USING (vec_id), range(1, 65) t(p)
        |      GROUP BY cid, t.p),
        |g$i AS (SELECT cid, list(m ORDER BY p) AS newv
        |        FROM m$i GROUP BY cid),
@@ -211,6 +217,74 @@ object SimilarityQueries {
          |FROM g ORDER BY cid""".stripMargin) { (s, dir) =>
       Similarity.ivfCellStats(
         Similarity.prepared(t(s, dir, "embeddings")), NQ, 8)
+    },
+
+    // Codebook-drift remediation on the oracle path (what
+    // ivf_cell_stats only reports): the IVF store is built with the
+    // untrained first-8 codebook and manifested, the codebook is
+    // RETRAINED (2 deterministic Lloyd iterations — the
+    // semdedup_trained training path, over the corpus slice), and ONE
+    // snapshot compaction reassigns every resident vector to the
+    // retrained cells, publishing the new codebook VERSIONED alongside
+    // the atomic pointer flip (a reader never probes new cells with
+    // old centroids). The probe then runs over the re-clustered
+    // layout. The oracle unrolls the training as CTEs and replays
+    // assignment + probe against the trained centroids from scratch —
+    // green only if retrain + full-store reassignment + versioned-
+    // codebook flip + partition-pruned snapshot read reproduce the
+    // in-memory trained IVF bit-for-bit.
+    QuerySpec.build("ivf_recompacted_ann",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, ${normD("v")} AS nrm FROM e),
+         |crp AS (SELECT vec_id, v, nrm FROM n WHERE vec_id >= $NQ),
+         |c0 AS (SELECT vec_id AS cid, v AS centv, nrm AS centn
+         |       FROM n WHERE vec_id >= $NQ AND vec_id < $NQ + 8),
+         |${lloydIterD(1, "c0", "crp")},
+         |${lloydIterD(2, "c1", "crp")},
+         |corpus AS (SELECT vec_id AS n_id, v AS cv, nrm AS cn
+         |           FROM n WHERE vec_id >= $NQ),
+         |asg AS (
+         |  SELECT n_id, cv, cn, cid FROM (
+         |    SELECT n_id, cv, cn, cid, row_number() OVER (
+         |      PARTITION BY n_id
+         |      ORDER BY ${dotD("cv", "centv")} / (cn * centn) DESC, cid)
+         |      AS arn
+         |    FROM corpus CROSS JOIN c2) WHERE arn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn
+         |      FROM n WHERE vec_id < $NQ),
+         |probe AS (
+         |  SELECT q_id, qv, qn, cid FROM (
+         |    SELECT q_id, qv, qn, cid, row_number() OVER (
+         |      PARTITION BY q_id
+         |      ORDER BY ${dotD("qv", "centv")} / (qn * centn) DESC, cid)
+         |      AS prn
+         |    FROM q CROSS JOIN c2) WHERE prn <= 2),
+         |s AS (SELECT q_id, n_id,
+         |             ${dotD("qv", "cv")} / (qn * cn) AS cos
+         |      FROM asg JOIN probe USING (cid))
+         |SELECT q_id, n_id, rn, cos FROM (
+         |  SELECT q_id, n_id, cos, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val e = Similarity.prepared(t(s, dir, "embeddings"))
+      // Build-once per (session, corpus) — the pqStoreCache pattern:
+      // production retrains and recompacts on a drift criterion, then
+      // probes the re-clustered layout for months.
+      val path = recompactedCache.synchronized(
+        recompactedCache.getOrElseUpdate((s, dir), {
+          val p = java.nio.file.Files
+            .createTempDirectory("graft-ivfrecompact").toString + "/ivf"
+          val cent0 = Similarity.firstNCodebook(e, NQ, 8)
+          Similarity.writeIvfStore(e, cent0, NQ, p)
+          Similarity.publishIvfManifest(s, p): Unit
+          val trained = Similarity.lloydRefine(e, cent0, NQ, iters = 2)
+          Similarity.recompactIvfStoreClustered(s, p, trained): Unit
+          p
+        }))
+      Similarity.ivfTopKFromSnapshot(s, path,
+        Similarity.querySide(e, NQ), nProbe = 2, k = 10)
+        .orderBy("q_id", "rn")
     },
 
     // Product-quantization ADC search: corpus encoded to 4 sub-codes
@@ -634,6 +708,12 @@ object SimilarityQueries {
     * Spark-cached state, so invalidation concerns don't apply).
     */
   private val pqStoreCache = scala.collection.mutable.Map.empty[
+    (org.apache.spark.sql.SparkSession, String), String]
+
+  /** Session-scoped built-store paths for ivf_recompacted_ann (same
+    * contract as [[pqStoreCache]]).
+    */
+  private val recompactedCache = scala.collection.mutable.Map.empty[
     (org.apache.spark.sql.SparkSession, String), String]
 
   private def ivfPqAnnOracle: String = {
