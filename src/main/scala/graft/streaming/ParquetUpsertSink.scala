@@ -18,8 +18,18 @@ import org.apache.spark.sql.DataFrame
   * scale is a broadcast of the (small) changed-keys set against the
   * store. Batches are applied atomically via write-to-temp + directory
   * swap.
+  *
+  * `mergeMin = true` switches the collision rule from replace-with-
+  * latest to MERGE BY MIN over every non-key column (union + one
+  * keyed min-aggregate — the LSM-fold shape): the store converges to
+  * the per-key minimum across every batch ever applied, which is what
+  * a TTL-bounded canonical-keeper election requires — an evicted key's
+  * re-emission carries a locally-elected (higher) keeper, and the
+  * store-side min re-canonicalizes it against the resident value
+  * (StatefulOps.canonicalKeepersBounded's contract).
   */
-final class ParquetUpsertSink(val path: String, val keyCols: Seq[String]) {
+final class ParquetUpsertSink(val path: String, val keyCols: Seq[String],
+    val mergeMin: Boolean = false) {
 
   def upsert(batch: DataFrame, batchId: Long): Unit = synchronized {
     // If a previous swap crashed between its two moves, the store lives
@@ -41,16 +51,31 @@ final class ParquetUpsertSink(val path: String, val keyCols: Seq[String]) {
     // Enforce the PK invariant WITHIN the batch too: a non-key-unique
     // batch (anything other than a key-unique streaming aggregate)
     // would union intra-batch duplicates straight into the store.
-    val batch = SinkOps.keyUniqueLatest(batch0, keyCols)
+    // Under mergeMin the keyed min-aggregate below is already
+    // key-unique and order-free — no winner selection needed.
+    val batch =
+      if (mergeMin) batch0 else SinkOps.keyUniqueLatest(batch0, keyCols)
     val spark = batch.sparkSession
     val dir = new File(path)
+    val nonKey = batch.columns.filterNot(keyCols.contains).toSeq
+    require(!mergeMin || nonKey.nonEmpty,
+      "mergeMin needs at least one non-key column to take the min of")
+    def minMerged(rows: DataFrame): DataFrame = rows
+      .groupBy(keyCols.map(rows(_)): _*)
+      .agg(org.apache.spark.sql.functions.min(nonKey.head)
+          .as(nonKey.head),
+        nonKey.tail.map(c => org.apache.spark.sql.functions.min(c)
+          .as(c)): _*)
     val merged =
-      if (dir.exists()) {
+      if (!dir.exists()) { if (mergeMin) minMerged(batch) else batch }
+      else if (mergeMin)
+        minMerged(spark.read.parquet(path).unionByName(batch))
+      else {
         val existing = spark.read.parquet(path)
         existing.join(batch.select(keyCols.map(batch(_)): _*),
             keyCols, "left_anti")
           .unionByName(batch)
-      } else batch
+      }
     val tmp = path + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
     // Crash-safe swap: park the old store aside BEFORE moving the new one

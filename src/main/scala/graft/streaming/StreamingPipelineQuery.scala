@@ -358,6 +358,103 @@ object StreamingPipelineQuery {
     sink.read(spark).orderBy("h")
   }
 
+  /** [[runDedup]] with BOUNDED election state (VERDICT r13 #4): the
+    * KeeperProcessor's ValueState carries a processing-time TTL, so
+    * stream state holds only the hot arrival window — never one entry
+    * per content key the stream has ever seen — and the at-rest store
+    * becomes the source of truth through a MIN-MERGING upsert
+    * (ParquetUpsertSink mergeMin; see canonicalKeepersBounded's safety
+    * argument: the min over all emissions equals the global min
+    * regardless of evictions, because every emission is the min of a
+    * subset and every row is covered by its batch's emission).
+    *
+    * Three executions over one checkpoint, with sleeps longer than the
+    * TTL between them so earlier windows genuinely expire. Execution 3
+    * re-delivers execution 1's documents under salted ids
+    * (+10_000_000 — same text, same content key, ids that never win a
+    * min, so the batch oracle over `documents` is untouched): the
+    * evicted keys re-elect LOCALLY and emit salted keepers —
+    * `require`d to happen, else the run proves nothing — and the
+    * store-side min re-canonicalizes every one of them against the
+    * resident value. Green = eviction + recurrence + restart replay
+    * still converge to the batch keep-lowest-doc_id rule.
+    */
+  private def runDedupBounded(spark: SparkSession,
+      dir: String): DataFrame = withShufflePartitions(spark, 8) {
+    withNoDataBatchesOff(spark) {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val rows = boundedFeed(Tables.t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1), "documents")
+    val split = rows.size * 2 / 3
+    val work = Files.createTempDirectory("graft-streamdedupb").toString
+    val sink = new ParquetUpsertSink(s"$work/store", Seq("h"),
+      mergeMin = true)
+    val source = MemoryStream[(Long, String)](spark)
+    val ttl = java.time.Duration.ofMillis(200)
+    val saltedEmissions = new java.util.concurrent.atomic.AtomicLong
+
+    def drain(): Unit = {
+      val keyed = source.toDF().toDF("doc_id", "text")
+        .selectExpr("md5(substring(norm_text(text), 1, 60)) AS h",
+          "doc_id AS docId")
+        .as[StatefulOps.DocKey]
+      val q = StatefulOps.canonicalKeepersBounded(keyed, ttl)
+        .toDF()
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          saltedEmissions.addAndGet(
+            b.filter(col("keeper") >= 10000000L).count()): Unit
+          sink.upsert(b, id)
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    source.addData(rows.take(split): _*)
+    drain()
+    Thread.sleep(ttl.toMillis * 3)
+    source.addData(rows.drop(split): _*)
+    drain() // restart; execution-1 window expired
+    Thread.sleep(ttl.toMillis * 3)
+    // Re-deliver execution 1's documents under salted ids: duplicates
+    // of COLD keys, arriving after their election state expired.
+    source.addData(rows.take(split).map { case (id, txt) =>
+      (id + 10000000L, txt) }: _*)
+    drain()
+    // The bounded-state claim is only tested if eviction actually
+    // bit: every execution-3 key was elected in execution 1, so with
+    // live state NO emission could carry a salted keeper.
+    require(saltedEmissions.get() > 0,
+      "no evicted key re-elected a salted keeper — the TTL never " +
+        "fired and the run proved nothing about bounded state")
+
+    sink.read(spark).orderBy("h")
+    }
+  }
+
+  /** Under TimeMode.ProcessingTime, every TTL-cleanup no-data batch
+    * advances the processing-time clock, which schedules ANOTHER
+    * cleanup batch — Trigger.AvailableNow never terminates (observed:
+    * 100+ empty commits). Disabling no-data batches for the run is
+    * safe for the bounded keeper: TTL reads already filter expired
+    * values (eviction is lazy-on-access), and the store-side min-merge
+    * is correct under ANY eviction timing by construction.
+    */
+  private def withNoDataBatchesOff[A](spark: SparkSession)(
+      body: => A): A = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, saved)
+  }
+
   /** Streaming at-rest store intake on the oracle path (VERDICT r12
     * #3): the documents corpus arrives at a TermStatsStore as three
     * MemoryStream micro-batches through a REAL foreachBatch query
@@ -454,6 +551,15 @@ object StreamingPipelineQuery {
          |         AS h,
          |       MIN(doc_id) AS keeper
          |FROM documents WHERE text IS NOT NULL
-         |GROUP BY 1 ORDER BY h""".stripMargin)(runDedup)
+         |GROUP BY 1 ORDER BY h""".stripMargin)(runDedup),
+    // Identical oracle to streaming_dedup — bounding the election
+    // state must not change WHAT the store converges to, only how
+    // much of the key space lives in RocksDB.
+    QuerySpec.replay("streaming_dedup_bounded",
+      s"""SELECT md5(substring(${graft.operators.TextOps.normD}, 1, 60))
+         |         AS h,
+         |       MIN(doc_id) AS keeper
+         |FROM documents WHERE text IS NOT NULL
+         |GROUP BY 1 ORDER BY h""".stripMargin)(runDedupBounded)
   )
 }

@@ -94,6 +94,75 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(batch2 == Map("k1" -> 3L, "k2" -> 2L, "k3" -> 4L))
   }
 
+  test("bounded keeper election: TTL evicts cold keys from state, a " +
+    "recurring cold key re-elects locally (the eviction witness), and " +
+    "min-over-emissions still equals the global minimum") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Under TimeMode.ProcessingTime every TTL-cleanup no-data batch
+    // advances the clock and schedules another — processAllAvailable
+    // never settles (the declared streaming_dedup_bounded run hit the
+    // same livelock under AvailableNow). Eviction is lazy-on-access
+    // with these off; the assertions below account for that.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndSaved = spark.conf.get(ndKey)
+    spark.conf.set(ndKey, "false")
+    try {
+    val ttl = java.time.Duration.ofMillis(300)
+    val source = MemoryStream[DocKey](spark)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Keeper)]
+    val query = canonicalKeepersBounded(source.toDS(), ttl)
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Keeper],
+          id: Long) =>
+        val rows = b.collect()
+        emitted.synchronized { emitted ++= rows.map(id -> _) }: Unit
+      }
+      .start()
+    def stateRows: Long = query.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+
+    source.addData(DocKey("a", 1L), DocKey("b", 2L), DocKey("c", 3L),
+      DocKey("d", 4L), DocKey("e", 5L))
+    query.processAllAvailable()
+    val hotRows = stateRows
+    Thread.sleep(ttl.toMillis * 3)
+    // "a" recurs COLD with a higher id: live state would emit 1; an
+    // evicted key re-elects locally and must emit 50.
+    source.addData(DocKey("x", 100L), DocKey("a", 50L))
+    query.processAllAvailable()
+    val aBatch2 = emitted.synchronized {
+      emitted.filter(e => e._1 == 1L && e._2.h == "a").map(_._2.keeper)
+    }
+    Thread.sleep(ttl.toMillis * 3)
+    source.addData(DocKey("y", 200L))
+    query.processAllAvailable()
+    val finalRows = stateRows
+    query.stop()
+
+    assert(hotRows == 5L, s"hot window must hold all 5 keys: $hotRows")
+    assert(aBatch2 == Seq(50L),
+      s"evicted key must re-elect locally, got $aBatch2")
+    // The bound: state after eviction holds the hot window, not the
+    // 7-key lifetime key space (batch-3 cleanup removes the expired
+    // batch-1/2 entries; only keys touched within the TTL remain).
+    assert(finalRows >= 1L && finalRows < 7L,
+      s"state did not shrink below the lifetime key count: $finalRows")
+    // The safety argument canonicalKeepersBounded documents: min over
+    // ALL emissions equals the global min per key, evictions included
+    // — which is exactly what a mergeMin ParquetUpsertSink stores.
+    val byMin = emitted.synchronized {
+      emitted.groupBy(_._2.h)
+        .map { case (k, v) => k -> v.map(_._2.keeper).min }
+    }
+    assert(byMin == Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L,
+      "e" -> 5L, "x" -> 100L, "y" -> 200L))
+    } finally spark.conf.set(ndKey, ndSaved)
+  }
+
   test("streaming KLL state: quantiles over a microbatch split equal " +
     "the batch sketch over the whole corpus (exact regime)") {
     val spark = TestSpark.spark

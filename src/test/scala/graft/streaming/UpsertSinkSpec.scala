@@ -22,6 +22,25 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(out == Map("a" -> 1, "b" -> 20, "c" -> 30))
   }
 
+  test("mergeMin converges to the per-key minimum across batches and " +
+    "within a batch — a later higher value never overwrites") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-upsertmin").toString + "/s"
+    val sink = new ParquetUpsertSink(dir, Seq("k"), mergeMin = true)
+
+    // Intra-batch duplicate keys: the keyed min-aggregate resolves them
+    // (no winner-selection window needed under merge-by-min).
+    sink.upsert(Seq(("a", 7L), ("a", 3L), ("b", 9L)).toDF("k", "v"), 0L)
+    // A cold key recurring with a HIGHER value (the TTL-evicted
+    // re-election shape) must NOT displace the resident minimum; a
+    // lower value must.
+    sink.upsert(Seq(("a", 50L), ("b", 2L), ("c", 4L)).toDF("k", "v"), 1L)
+
+    val out = sink.read(spark).as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 3L, "b" -> 2L, "c" -> 4L))
+  }
+
   test("recover restores the store after a crash between the two moves") {
     val spark = TestSpark.spark
     import spark.implicits._
