@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
 /** End-to-end curation-chain soak at ≥100× amplification — the whole
   * training-data pipeline COMPOSED, not per-operator:
   *
-  *   docShingles → minhash pairs → clusters → dedupKeep → pii_redact
-  *     → budgetSelectDocs → mixtureSample → packSequences
+  *   docShingles → minhash pairs → clusters → dedupKeep → spanScrubDocs
+  *     → pii_redact → budgetSelectDocs → mixtureSample → packSequences
   *
   * The amplified corpus uses a MIXED duplication profile: of the N
   * copies of each base document, `dupCopies` share the text verbatim
@@ -274,7 +274,30 @@ object ChainSoak {
     val keptCached = kept.persist()
     keptCached.count()
 
-    val redacted = operators.Pipeline.redactPii(keptCached)
+    // Span-level scrub over the survivors (the declared
+    // curation_chain's transform stage, at amplification): winnowing
+    // fingerprints of the kept docs, first-carrier attribution, one
+    // codegen'd scrub pass per doc. The fp-keyed groupBy is an honest
+    // corpus-sized shuffle of 8-byte longs (the span_dup_rate
+    // contract); the scrub itself must plan no unbounded join. The
+    // fps come off the memoized span_fps table restricted by one
+    // semi-join. Under the mixed-dup profile the hard negatives share
+    // most 8-char grams with their base doc, so roughly half the
+    // surviving corpus gets materially scrubbed — downstream budget/
+    // mix/pack run over genuinely post-scrub masses.
+    val keptFps = operators.Corpus.docFps(docs, cacheKey = soakDir)
+      .join(keptCached.select("doc_id"), Seq("doc_id"), "left_semi")
+    val scrubbed = operators.Corpus.spanScrubDocs(keptCached, keptFps)
+    val scrQe = scrubbed.queryExecution
+    stage("span_scrub") {
+      val c = scrQe.toRdd.count()
+      noUnbounded(planNodes(scrQe.executedPlan), "span_scrub")
+      (c, Seq(scrQe.executedPlan))
+    }
+    val scrCached = scrubbed.persist()
+    scrCached.count()
+
+    val redacted = operators.Pipeline.redactPii(scrCached)
     val redQe = redacted.queryExecution
     stage("pii_redact") {
       val c = redQe.toRdd.count()
@@ -344,7 +367,7 @@ object ChainSoak {
       s""""shuffle_write_mb":${mb(tot._2)},""" +
       s""""spill_mem_mb":${mb(tot._3)},"spill_disk_mb":${mb(tot._4)}}""")
 
-    Seq(samCached, selCached, redCached, keptCached)
+    Seq(samCached, selCached, redCached, scrCached, keptCached)
       .foreach(_.unpersist(blocking = false))
     operators.Dedup.clearCaches(spark)
     spark.stop()
