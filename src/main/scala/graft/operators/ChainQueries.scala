@@ -191,6 +191,14 @@ object ChainQueries {
          |       (SELECT COALESCE(BIT_XOR(hr), 0) FROM ph) AS pack_xor,
          |       (SELECT CAST(COALESCE(SUM(hr), 0) AS BIGINT) FROM ph)
          |         AS pack_sum""".stripMargin) { (s, dir) =>
+    // The whole 1-row summary memoizes LINEAGE-TRUNCATED (the
+    // clusters-memo pattern): a plain persist still re-ANALYZES the
+    // full nested chain plan on every count — measured 2.7-3.1 s of
+    // pure driver planning per warm call over already-cached data.
+    // localCheckpoint replaces the plan with a 1-row LogicalRDD, so a
+    // warm call costs milliseconds; Memo's release path owns the
+    // checkpoint blocks.
+    Memo.memo("chain_summary", s, dir, persistIt = false) {
       val docs = t(s, dir, "documents")
       val sel = selected(s, dir)
       val sam = sampled(s, dir)
@@ -219,5 +227,7 @@ object ChainQueries {
         .crossJoin(broadcast(aSam))
         .crossJoin(broadcast(aPacks))
         .crossJoin(broadcast(aLayout))
+        .localCheckpoint()
+    }
     })
 }
