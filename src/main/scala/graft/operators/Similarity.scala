@@ -662,8 +662,11 @@ object Similarity {
       .parquet(s"$path/codebook-v$nextV")
     val v = StoreManifest.compactPartitionsSnapshot(spark, root,
       cellDirs, layout = Some { df =>
-        withCellIds(
-          df.select(col("n_id"), col("cv"), col("cn")), newCodebook)
+        // Drop only the OLD cid; every other column (including any
+        // additively-evolved epoch metadata) rides through the
+        // reassignment — withCellIds joins the new cid back by n_id
+        // onto the full row width.
+        withCellIds(df.drop("cid"), newCodebook)
           .repartition(math.max(nCells, 1), col("cid"))
       })
     require(v == nextV,

@@ -186,6 +186,38 @@ object StoreManifest {
       .parquet(fl.map(f => s"$root/$f"): _*)
   }
 
+  /** Incremental read between two snapshot versions: exactly the data
+    * files `toVersion` lists that `fromVersion` does not — for
+    * APPEND-ONLY version ranges (intake epochs) this is precisely the
+    * rows added in the range, read without any data-level diff: the
+    * manifest IS the changelog, so an incremental consumer (the
+    * Iceberg incremental-scan cadence) processes a year of epochs by
+    * reading each delta's files and nothing else. Ranges that cross a
+    * COMPACTION are rejected loudly: a compaction's fresh files
+    * restate old rows, so the file-level delta would double-count —
+    * detectable exactly as `fromVersion` listing files absent from
+    * `toVersion`.
+    */
+  def deltaRead(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"delta range must ascend, got v$fromVersion..v$toVersion")
+    val from = files(spark, root, Some(fromVersion)).getOrElse(Seq.empty)
+    val to = files(spark, root, Some(toVersion)).getOrElse(Seq.empty)
+    require(to.nonEmpty,
+      s"manifest at $root has no version $toVersion")
+    val removed = from.toSet -- to.toSet
+    require(removed.isEmpty,
+      s"v$fromVersion..v$toVersion is not append-only (${removed.size} " +
+        "files replaced — a compaction intervened); read a full " +
+        "snapshot instead")
+    val fresh = to.filterNot(from.toSet)
+    require(fresh.nonEmpty,
+      s"v$fromVersion..v$toVersion adds no files")
+    spark.read.option("basePath", root)
+      .parquet(fresh.map(f => s"$root/$f"): _*)
+  }
+
   /** Union of EVERY version's file list — whether a path was ever
     * published, not merely whether it is live now. The intake replay
     * heal needs exactly this distinction: an epoch absent from the

@@ -393,6 +393,21 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     assert(StoreManifest.files(spark, path, Some(4L)).get.toSet !=
       StoreManifest.files(spark, path, Some(5L)).get.toSet)
 
+    // Incremental reads: an append-only version range's file delta is
+    // exactly the rows the range added; a range crossing the
+    // compaction rejects loudly (its file delta would restate old
+    // rows) — as does an empty or descending range.
+    assert(ids(StoreManifest.deltaRead(spark, path, 1L, 4L)) ==
+      wantIds(1, 2, 3))
+    assert(ids(StoreManifest.deltaRead(spark, path, 3L, 4L)) ==
+      wantIds(3))
+    intercept[IllegalArgumentException] {
+      StoreManifest.deltaRead(spark, path, 4L, 5L)
+    }
+    intercept[IllegalArgumentException] {
+      StoreManifest.deltaRead(spark, path, 4L, 4L)
+    }
+
     // Retention is what makes time travel work: gcExpired(0) deletes
     // the compaction's replaced files, after which the historical
     // versions' file lists dangle and an as-of read fails loudly
