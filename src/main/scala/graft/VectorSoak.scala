@@ -112,19 +112,6 @@ object VectorSoak {
       spark.read.parquet(s"$soakDir/intake.parquet")).persist()
     val nIntake = intake.count()
 
-    // ---- codebook: deterministic first-N seed refined by Lloyd. The
-    // only driver-side materialization in the chain is the KB-sized
-    // centroid table (collected each iteration inside lloydRefine).
-    val cb = {
-      var out: DataFrame = null
-      stage("codebook") {
-        val cb0 = operators.Similarity.firstNCodebook(e, NQ, 32)
-        out = operators.Similarity.lloydRefine(e, cb0, NQ, iters = 3)
-        (out.count(), Nil)
-      }
-      out
-    }
-
     // ---- exact ground truth over the resident corpus (pre-append).
     val bruteMain = operators.Similarity.cosineTopK(e, NQ, 10).persist()
     val nBruteMain = stage("brute_truth") {
@@ -213,16 +200,15 @@ object VectorSoak {
     val nCand = sys.env.getOrElse("SPARK_GRAFT_RERANK_NCAND",
       (500 * n).toString).toInt
     stage("ivfpq_rerank") {
-      // Lloyd-trained coarse codebook (like the store's): trained
-      // centroids balance cell mass — the production lever for cell
-      // recall at a given nProbe, and the rerank's ceiling. Finer than
-      // the 32-cell store codebook (same training path): recall per
-      // scanned byte improves with cell resolution, the production
-      // sizing rule (~sqrt(n) cells) in miniature.
-      val cb2 = if (nCells == 32) cb
-        else operators.Similarity.lloydRefine(e,
-          operators.Similarity.firstNCodebook(e, NQ, nCells), NQ,
-          iters = 3)
+      // Lloyd-trained coarse codebook: trained centroids balance cell
+      // mass — the production lever for cell recall at a given nProbe,
+      // and the rerank's ceiling (the ~sqrt(n)-cells sizing rule in
+      // miniature). Trained HERE, its only consumer — since the store
+      // moved to the stale-book drift story, a standalone codebook
+      // stage would be dead corpus-wide Lloyd work.
+      val cb2 = operators.Similarity.lloydRefine(e,
+        operators.Similarity.firstNCodebook(e, NQ, nCells), NQ,
+        iters = 3)
       val cell = operators.Similarity.ivfTopKWith(e, cb2, NQ, P, 10)
       recallCell = recallOf(cell, bruteMain, nBruteMain)
       val memoKey = s"$soakDir|rerank"

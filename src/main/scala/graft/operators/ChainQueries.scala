@@ -84,11 +84,16 @@ object ChainQueries {
     Memo.memo("chain_sel", s, dir, persistIt = true) {
       val scr = scrubbedKept(s, dir)
       // Languages-sized driver aggregate (ChainSoak's budget shape):
-      // half the smallest language's post-scrub char mass.
+      // half the smallest language's post-scrub char mass. An EMPTY
+      // scrubbed corpus (all null-text) budgets 0 and flows zero rows
+      // through — the oracle's MIN over an empty bud is NULL with the
+      // same effect, so the degenerate corpus keeps engine ≡ oracle
+      // (the Bpe dry-pairs rule, ADVICE r13) instead of erroring
+      // engine-side only.
       val langMass = scr.groupBy("lang").agg(sum("n_chars").as("c"))
         .collect().map(_.getLong(1))
-      require(langMass.nonEmpty, "curation_chain: empty scrubbed corpus")
-      Pipeline.budgetSelectDocs(scr, langMass.min / 2)
+      val budget = if (langMass.isEmpty) 0L else langMass.min / 2
+      Pipeline.budgetSelectDocs(scr, budget)
     }
 
   private def sampled(s: SparkSession, dir: String): DataFrame =

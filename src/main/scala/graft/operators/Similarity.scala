@@ -346,9 +346,47 @@ object Similarity {
     * [[assertEvolvableSchema]]: shared columns must keep their exact
     * type — a silently coerced column would corrupt every probe.
     */
+  /** The codebook generation in force at `version` (or at the current
+    * version when None): the greatest `codebook-v&lt;M&gt;` with M ≤ the
+    * bound, falling back to the build-time `codebook`. Exact-match
+    * resolution would silently REVERT readers to the original book as
+    * soon as any post-recompaction publish (an epoch append) advanced
+    * the version past the retrain's — old centroids probing the
+    * retrained layout. Greatest-≤ keeps every later version on the
+    * newest book it was built under. Residual crash window (documented,
+    * single-writer): a retrain that wrote `codebook-v&lt;N&gt;` but died
+    * before its flip leaves an orphan that the NEXT publish landing on
+    * version N would activate — recompactIvfStoreClustered `require`s
+    * its staged version is the one published, and the orphan sweep is
+    * the same operator-driven cleanup as compact-* leaks.
+    */
+  private def codebookPathAsOf(spark: SparkSession, path: String,
+      version: Option[Long]): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val bound = version
+      .orElse(StoreManifest.currentVersion(spark, s"$path/vectors"))
+      .getOrElse(Long.MaxValue)
+    val gens =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory && n.startsWith("codebook-v"))
+          scala.util.Try(n.stripPrefix("codebook-v").toLong).toOption
+        else None
+      }.filter(_ <= bound)
+    if (gens.isEmpty) s"$path/codebook"
+    else s"$path/codebook-v${gens.max}"
+  }
+
   private def epochFrame(newVectors: DataFrame, path: String): DataFrame = {
     val spark = newVectors.sparkSession
-    val codebook = loadCodebook(spark, s"$path/codebook")
+    // Intake assigns against the codebook generation currently in
+    // force — after a recompaction that is codebook-v<N>, not the
+    // build-time book (old centroids would scatter new vectors into
+    // cells the retrained layout no longer means).
+    val codebook = loadCodebook(spark,
+      codebookPathAsOf(spark, path, None))
     val extra = newVectors.columns
       .filterNot(Set("vec_id", "v", "nrm")).toSeq
     val corpus = newVectors.select((Seq(col("vec_id").as("n_id"),
@@ -690,11 +728,8 @@ object Similarity {
     val version = StoreManifest.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(
         s"$root carries no manifest — publish one first"))
-    val vBook = new org.apache.hadoop.fs.Path(s"$path/codebook-v$version")
-    val hasVBook = vBook.getFileSystem(spark.sessionState.newHadoopConf())
-      .exists(vBook)
     val cent = loadCodebook(spark,
-      if (hasVBook) vBook.toString else s"$path/codebook")
+      codebookPathAsOf(spark, path, Some(version)))
     val wp = Window.partitionBy(col("q_id"))
       .orderBy(col("psim").desc, col("cid"))
     val probes = queries.crossJoin(broadcast(cent))

@@ -202,10 +202,23 @@ object StoreManifest {
       toVersion: Long): DataFrame = {
     require(fromVersion < toVersion,
       s"delta range must ascend, got v$fromVersion..v$toVersion")
+    // Versions are dense 1..current (publish assigns sequentially,
+    // recovery takes the max list on disk), so bounding the range
+    // against the current version guarantees BOTH endpoints' list
+    // files exist — a nonexistent fromVersion would otherwise read as
+    // an empty list and return the whole toVersion snapshot as the
+    // "delta" (every historical row double-ingested). A legitimately
+    // EMPTY early version (a store born empty, the signature-store
+    // pattern) stays valid: existence is checked by range, not by
+    // list length.
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"$root carries no manifest — publish one first"))
+    require(fromVersion >= 1 && toVersion <= cur,
+      s"delta range v$fromVersion..v$toVersion outside the published " +
+        s"line 1..$cur")
     val from = files(spark, root, Some(fromVersion)).getOrElse(Seq.empty)
     val to = files(spark, root, Some(toVersion)).getOrElse(Seq.empty)
-    require(to.nonEmpty,
-      s"manifest at $root has no version $toVersion")
     val removed = from.toSet -- to.toSet
     require(removed.isEmpty,
       s"v$fromVersion..v$toVersion is not append-only (${removed.size} " +

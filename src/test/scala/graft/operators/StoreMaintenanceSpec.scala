@@ -407,6 +407,12 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       StoreManifest.deltaRead(spark, path, 4L, 4L)
     }
+    // A range outside the published line rejects — a nonexistent
+    // fromVersion must NOT read as an empty list and return the whole
+    // toVersion snapshot as the "delta".
+    intercept[IllegalArgumentException] {
+      StoreManifest.deltaRead(spark, path, 2L, 9L)
+    }
 
     // Retention is what makes time travel work: gcExpired(0) deletes
     // the compaction's replaced files, after which the historical
