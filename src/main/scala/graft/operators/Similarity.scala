@@ -435,6 +435,31 @@ object Similarity {
       .write.partitionBy("cid").mode("append")
       .parquet(s"$path/vectors")
 
+  /** [[appendToIvfStore]] for a MANIFESTED store: appends the epoch
+    * and publishes current-snapshot ∪ fresh-files COMPOSITIONALLY,
+    * returning the new version. The compositional form matters: a
+    * listing-based re-publish (publishIvfManifest) after a snapshot
+    * compaction would resurrect the compaction's expired-but-unGC'd
+    * files into the manifest — every pre-compaction row double-counted
+    * by snapshot readers until GC. (The ledgered streaming intake,
+    * StoreIntake, composes for the same reason; this is the direct
+    * batch-append counterpart.)
+    */
+  def appendToIvfStoreManifested(newVectors: DataFrame,
+      path: String): Long = {
+    val spark = newVectors.sparkSession
+    val root = s"$path/vectors"
+    val cur = StoreManifest.files(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"$root is not manifested — use appendToIvfStore + an initial " +
+          "publishIvfManifest for unmanifested stores"))
+    val before = StoreManifest.listDataFiles(spark, root).toSet
+    appendToIvfStore(newVectors, path)
+    val fresh = StoreManifest.listDataFiles(spark, root)
+      .filterNot(before)
+    StoreManifest.publish(spark, root, cur ++ fresh)
+  }
+
   /** The STAGED form of [[appendToIvfStore]] (streaming intake —
     * graft.streaming.StoreIntake): same assignment against the stored
     * codebook, but the epoch's cell-partitioned files land in

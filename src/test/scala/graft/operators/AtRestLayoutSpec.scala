@@ -106,6 +106,71 @@ class AtRestLayoutSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     } finally e.unpersist(): Unit
   }
 
+  test("codebook generations: appends AFTER a recompaction assign " +
+    "against the retrained book, later publishes keep it, and as-of " +
+    "readers resolve the generation their layout was built under") {
+    val spark = TestSpark.spark
+    val path = Files.createTempDirectory("graft-ivfgen").toString + "/v"
+    val e = Similarity.prepared(Tables.t(spark, dir, "embeddings"))
+      .persist()
+    try {
+      val NQ = 5
+      val stale = Similarity.firstNCodebook(e, NQ, 8)
+      // Resident corpus = even vec_ids; odd ones arrive as intake
+      // AFTER the recompaction.
+      val resident = e.filter(col("vec_id") >= NQ &&
+        col("vec_id") % 2 === 0)
+      val intake = e.filter(col("vec_id") >= NQ &&
+        col("vec_id") % 2 === 1)
+      Similarity.writeIvfStore(resident, stale, NQ, path)
+      Similarity.publishIvfManifest(spark, path) // v1, stale book
+      val trained = Similarity.lloydRefine(resident, stale, NQ,
+        iters = 2)
+      Similarity.recompactIvfStoreClustered(spark, path, trained) // v2
+      // The intake must assign against codebook-v2 (exact-match
+      // resolution — the reverted bug — would use the stale build-time
+      // book and scatter new vectors into cells the retrained layout
+      // no longer means). COMPOSITIONAL publish: a listing re-publish
+      // here would resurrect v1's expired stale-assigned files into
+      // v3 — the trap appendToIvfStoreManifested exists to close.
+      val v3 = Similarity.appendToIvfStoreManifested(intake, path)
+      assert(v3 == 3L) // v3, NO codebook-v3 → resolves codebook-v2
+      val union = resident.unionByName(intake)
+        .select(col("vec_id").as("n_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      // Every stored row sits in the cell the TRAINED book assigns —
+      // including the post-recompaction epoch's. Read the SNAPSHOT:
+      // a listing read would also see the compaction's expired
+      // stale-assigned files (the adoption contract).
+      val storedCells = StoreManifest
+        .snapshotRead(spark, s"$path/vectors")
+        .select("n_id", "cid").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val wantCells = union.crossJoin(broadcast(trained))
+        .withColumn("csim", expr("array_dot(cv, centv) / (cn * centn)"))
+        .groupBy(col("n_id"))
+        .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
+        .select(col("n_id"), (-col("m.ncid")).cast("int").as("cid"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(storedCells == wantCells,
+        "a stored vector's cell diverged from the trained assignment")
+      // The v3 snapshot probe resolves the v2 book (greatest <= 3)
+      // and is bit-identical to the in-memory trained IVF over the
+      // union.
+      val viaStore = Similarity.ivfTopKFromSnapshot(spark, path,
+        Similarity.querySide(e, NQ), nProbe = 2, k = 5)
+        .orderBy("q_id", "rn").collect().toSeq
+      val direct = Similarity.ivfTopKWith(
+        e.filter(col("vec_id") < NQ).unionByName(
+          e.filter(col("vec_id") >= NQ)),
+        trained, NQ, nProbe = 2, k = 5)
+        .orderBy("q_id", "rn").collect().toSeq
+      assert(viaStore == direct,
+        "post-append snapshot probe diverged from the trained " +
+          "in-memory IVF")
+    } finally e.unpersist(): Unit
+  }
+
   test("IVFPQ code store: pruned codes scan, ADC search bit-identical " +
     "to the in-memory composite, and store-fed exact rerank equal to " +
     "the in-memory rerank") {
