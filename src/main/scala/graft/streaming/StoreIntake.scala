@@ -187,8 +187,8 @@ object StoreIntake {
     * markers written before the content carried the list (legacy
     * `files=N` lines are filtered by the caller's prefix check).
     */
-  private def markerFiles(spark: SparkSession, storeRoot: String,
-      scope: String, batchId: Long): Seq[String] = {
+  private[streaming] def markerFiles(spark: SparkSession,
+      storeRoot: String, scope: String, batchId: Long): Seq[String] = {
     val root = new Path(storeRoot)
     val fs = fsOf(spark, root)
     tagAliases(fs, root, scope, batchId).collectFirst {
@@ -290,8 +290,8 @@ object StoreIntake {
   /** Publish an applied epoch's fresh files into the manifest:
     * current live list + fresh, one pointer flip.
     */
-  private def publishFresh(spark: SparkSession, manifestRoot: String,
-      fresh: Seq[String]): Unit =
+  private[streaming] def publishFresh(spark: SparkSession,
+      manifestRoot: String, fresh: Seq[String]): Unit =
     if (fresh.nonEmpty) {
       val live = graft.operators.StoreManifest
         .files(spark, manifestRoot).getOrElse(Seq.empty)
@@ -306,8 +306,8 @@ object StoreIntake {
     * would resurrect deleted paths into the snapshot and break every
     * read.
     */
-  private def healMissing(spark: SparkSession, manifestRoot: String,
-      fresh: Seq[String]): Unit =
+  private[streaming] def healMissing(spark: SparkSession,
+      manifestRoot: String, fresh: Seq[String]): Unit =
     if (fresh.nonEmpty &&
       !fresh.exists(graft.operators.StoreManifest
         .everReferenced(spark, manifestRoot))) {

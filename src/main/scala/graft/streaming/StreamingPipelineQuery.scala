@@ -362,22 +362,33 @@ object StreamingPipelineQuery {
     * KeeperProcessor's ValueState carries a processing-time TTL, so
     * stream state holds only the hot arrival window — never one entry
     * per content key the stream has ever seen — and the at-rest store
-    * becomes the source of truth through a MIN-MERGING upsert
-    * (ParquetUpsertSink mergeMin; see canonicalKeepersBounded's safety
-    * argument: the min over all emissions equals the global min
-    * regardless of evictions, because every emission is the min of a
-    * subset and every row is covered by its batch's emission).
+    * becomes the source of truth through MIN-MERGE semantics (see
+    * canonicalKeepersBounded's safety argument: the min over all
+    * emissions equals the global min regardless of evictions, because
+    * every emission is the min of a subset and every row is covered by
+    * its batch's emission).
+    *
+    * The store is [[EpochMinStore]] (VERDICT r14 #1): each trigger
+    * APPENDS its batch-sized per-key minima as a ledgered epoch —
+    * per-trigger write volume ∝ batch, never ∝ the content-key-sized
+    * index the old rewrite-per-batch upsert paid — the min-merge fold
+    * runs as snapshot COMPACTION (triggered mid-run here, so the LSM
+    * fold is on the oracle path), and the final read resolves
+    * min-at-read across the resident epochs.
     *
     * Three executions over one checkpoint, with sleeps longer than the
     * TTL between them so earlier windows genuinely expire. Execution 3
-    * re-delivers execution 1's documents under salted ids
-    * (+10_000_000 — same text, same content key, ids that never win a
-    * min, so the batch oracle over `documents` is untouched): the
-    * evicted keys re-elect LOCALLY and emit salted keepers —
-    * `require`d to happen, else the run proves nothing — and the
-    * store-side min re-canonicalizes every one of them against the
-    * resident value. Green = eviction + recurrence + restart replay
-    * still converge to the batch keep-lowest-doc_id rule.
+    * re-delivers execution 1's documents under salted ids (offset =
+    * max(doc_id)+1 — same text, same content key, ids that never win a
+    * min at ANY corpus size, so the batch oracle over `documents` is
+    * untouched): the evicted keys re-elect LOCALLY and emit salted
+    * keepers — `require`d to happen, else the run proves nothing —
+    * and the store-side min re-canonicalizes every one of them against
+    * the resident value. Green = eviction + recurrence + restart
+    * replay + epoch fold still converge to the batch
+    * keep-lowest-doc_id rule. TTL is env-tunable
+    * (SPARK_GRAFT_KEEPER_TTL_MS) for slow hosts where the default
+    * 200 ms window could race the drain (ADVICE r14).
     */
   private def runDedupBounded(spark: SparkSession,
       dir: String): DataFrame = withShufflePartitions(spark, 8) {
@@ -390,11 +401,16 @@ object StreamingPipelineQuery {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)].collect().toSeq.sortBy(_._1), "documents")
     val split = rows.size * 2 / 3
+    // Salt ABOVE every real id, derived from the data (ADVICE r14: a
+    // constant offset silently breaks on a corpus whose ids reach it).
+    val salt = rows.map(_._1).max + 1L
     val work = Files.createTempDirectory("graft-streamdedupb").toString
-    val sink = new ParquetUpsertSink(s"$work/store", Seq("h"),
-      mergeMin = true)
+    val store = new EpochMinStore(s"$work/store", Seq("h"),
+      scope = "keeper", compactOver = 2)
     val source = MemoryStream[(Long, String)](spark)
-    val ttl = java.time.Duration.ofMillis(200)
+    val ttl = java.time.Duration.ofMillis(
+      sys.env.get("SPARK_GRAFT_KEEPER_TTL_MS")
+        .flatMap(_.toLongOption).getOrElse(200L))
     val saltedEmissions = new java.util.concurrent.atomic.AtomicLong
 
     def drain(): Unit = {
@@ -410,8 +426,8 @@ object StreamingPipelineQuery {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: DataFrame, id: Long) =>
           saltedEmissions.addAndGet(
-            b.filter(col("keeper") >= 10000000L).count()): Unit
-          sink.upsert(b, id)
+            b.filter(col("keeper") >= salt).count()): Unit
+          store.append(b, id)
         }
         .start()
       q.awaitTermination()
@@ -419,14 +435,14 @@ object StreamingPipelineQuery {
 
     source.addData(rows.take(split): _*)
     drain()
-    Thread.sleep(ttl.toMillis * 3)
+    Thread.sleep(ttl.toMillis * 5)
     source.addData(rows.drop(split): _*)
     drain() // restart; execution-1 window expired
-    Thread.sleep(ttl.toMillis * 3)
+    Thread.sleep(ttl.toMillis * 5)
     // Re-deliver execution 1's documents under salted ids: duplicates
     // of COLD keys, arriving after their election state expired.
     source.addData(rows.take(split).map { case (id, txt) =>
-      (id + 10000000L, txt) }: _*)
+      (id + salt, txt) }: _*)
     drain()
     // The bounded-state claim is only tested if eviction actually
     // bit: every execution-3 key was elected in execution 1, so with
@@ -434,8 +450,14 @@ object StreamingPipelineQuery {
     require(saltedEmissions.get() > 0,
       "no evicted key re-elected a salted keeper — the TTL never " +
         "fired and the run proved nothing about bounded state")
+    // The LSM fold must have run on the declared path (compactOver = 2
+    // with three epochs guarantees it) — otherwise the "epoch-append +
+    // fold-at-compaction" claim would green on appends alone.
+    require(graft.operators.StoreManifest
+      .currentVersion(spark, s"$work/store").exists(_ >= 4),
+      "the min-merge compaction never ran — the fold is off the path")
 
-    sink.read(spark).orderBy("h")
+    store.read(spark).orderBy("h")
     }
   }
 

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import graft.operators.StoreManifest
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The epoch-appended min-merge keeper store (VERDICT r14 #1): the
+  * properties that make it the scale-correct replacement for the
+  * rewrite-per-batch mergeMin upsert — per-trigger write volume ∝ the
+  * BATCH (resident files untouched), exactly-once replay skip, the
+  * min-merge fold at compaction, and min-at-read convergence across
+  * unfolded epochs.
+  */
+class EpochMinStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def mkStore(compactOver: Int = 0) = {
+    val p = Files.createTempDirectory("graft-eminstore").toString +
+      "/store"
+    new EpochMinStore(p, Seq("h"), scope = "spec",
+      compactOver = compactOver)
+  }
+
+  private def df(rows: (String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("h", "keeper")
+  }
+
+  private def readMap(store: EpochMinStore): Map[String, Long] =
+    store.read(spark).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("min-at-read converges across overlapping epochs") {
+    val store = mkStore()
+    store.append(df("a" -> 5L, "b" -> 9L), 0L)
+    store.append(df("a" -> 3L, "c" -> 7L), 1L)
+    store.append(df("b" -> 11L, "c" -> 2L), 2L)
+    assert(readMap(store) === Map("a" -> 3L, "b" -> 9L, "c" -> 2L))
+  }
+
+  test("per-trigger write volume is batch-sized, resident untouched") {
+    val store = mkStore()
+    // A "large" resident index...
+    store.append(df((1 to 500).map(i => (s"k$i", i.toLong)): _*), 0L)
+    val resident = StoreManifest.files(spark, store.path).get
+    // ...then a 2-key micro-batch. The new version must add files
+    // holding exactly the batch's 2 keyed-min rows and keep every
+    // resident file in place — the O(batch) append contract that kills
+    // the per-trigger O(index) rewrite.
+    store.append(df("k1" -> 0L, "zz" -> 42L), 1L)
+    val after = StoreManifest.files(spark, store.path).get
+    assert(resident.forall(after.contains),
+      "an append must never remove or rewrite resident files")
+    val fresh = after.filterNot(resident.toSet)
+    assert(fresh.nonEmpty)
+    val freshRows = spark.read
+      .parquet(fresh.map(f => s"${store.path}/$f"): _*)
+    assert(freshRows.count() === 2L,
+      "epoch files must hold the batch's keyed minima, not the store")
+    assert(readMap(store).get("k1").contains(0L))
+    assert(readMap(store).get("zz").contains(42L))
+    assert(readMap(store).get("k500").contains(500L))
+  }
+
+  test("replayed batchId skips before touching the store") {
+    val store = mkStore()
+    store.append(df("a" -> 5L), 0L)
+    val v = StoreManifest.currentVersion(spark, store.path)
+    // foreachBatch's at-least-once: same (scope, batchId) re-delivered
+    // — must be a ledger no-op, or the store double-counts epochs.
+    store.append(df("a" -> 1L), 0L)
+    assert(StoreManifest.currentVersion(spark, store.path) === v)
+    assert(readMap(store) === Map("a" -> 5L))
+  }
+
+  test("compaction folds to one row per key and preserves the answer") {
+    val store = mkStore()
+    store.append(df("a" -> 5L, "b" -> 9L), 0L)
+    store.append(df("a" -> 3L, "b" -> 12L), 1L)
+    store.append(df("a" -> 8L, "c" -> 1L), 2L)
+    val before = readMap(store)
+    val v = store.compact(spark)
+    assert(readMap(store) === before,
+      "the fold must not change what the store converges to")
+    // Post-fold the snapshot IS one row per key (the read's aggregate
+    // becomes a near-no-op over the folded file set).
+    val folded = StoreManifest.snapshotRead(spark, store.path)
+    assert(folded.count() === 3L)
+    assert(StoreManifest.currentVersion(spark, store.path)
+      .contains(v))
+    // Appends continue on the folded line.
+    store.append(df("a" -> 2L, "d" -> 4L), 3L)
+    assert(readMap(store) ===
+      Map("a" -> 2L, "b" -> 9L, "c" -> 1L, "d" -> 4L))
+  }
+
+  test("in-loop compactOver trigger keeps file count bounded") {
+    val store = mkStore(compactOver = 2)
+    (0 until 6).foreach { i =>
+      store.append(df(s"k${i % 3}" -> (10L - i), "shared" -> i.toLong),
+        i.toLong)
+    }
+    val live = StoreManifest.files(spark, store.path).get
+    assert(live.size <= 3,
+      s"compactOver=2 must bound resident files, got ${live.size}")
+    assert(readMap(store).get("shared").contains(0L))
+    assert(readMap(store).get("k0").contains(7L)) // min(10, 7) at i=0,3
+  }
+
+  test("empty batch records its epoch and changes nothing") {
+    val store = mkStore()
+    store.append(df("a" -> 5L), 0L)
+    store.append(df().filter(col("keeper") < 0L), 1L)
+    assert(StoreIntake.epochApplied(spark, store.path, "spec", 1L))
+    assert(readMap(store) === Map("a" -> 5L))
+  }
+
+  test("batch-internal duplicates reduce before landing") {
+    val store = mkStore()
+    store.append(df("a" -> 9L, "a" -> 4L, "a" -> 6L), 0L)
+    val files = StoreManifest.files(spark, store.path).get
+    val rows = spark.read
+      .parquet(files.map(f => s"${store.path}/$f"): _*)
+    assert(rows.count() === 1L,
+      "the epoch must hold per-key minima, not raw emissions")
+    assert(readMap(store) === Map("a" -> 4L))
+  }
+}
