@@ -353,11 +353,6 @@ object Bench {
       s""","load_contaminated":$contaminated"""
     val ambPart = s""","ambient":${j(ambientCold)}"""
     val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"queries":$qs$warmPart$ambPart,"sf":"$sfDir"$catPart$loadPart}"""
-    println(fullJson)
-    // Compact headline LAST: whatever byte window the driver tails,
-    // the final line always fits whole, so the total survives even if
-    // the per-query line above gets clipped.
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"sf":"$sfDir"$warmTotalOnly$catPart$loadPart}""")
     // Self-contained artifact (VERDICT r13 #7): the driver's BENCH_r*
     // capture keeps only a stdout TAIL, which truncates the per-query
     // timing map out of the committed record — also write the full
@@ -370,7 +365,20 @@ object Bench {
       Files.writeString(Paths.get(outFile), fullJson + "\n")
     }.failed.foreach(e => System.err.println(
       s"[bench] could not write $outFile: ${e.getMessage}"))
+    // Teardown BEFORE the metric lines print, with logging cut to
+    // ERROR (VERDICT r14 #2): clearCaches unpersists localCheckpointed
+    // blocks, which logs one WARN per RDD — r14's curation_chain memo
+    // made that a flood that pushed the bench JSON out of the driver's
+    // 2000-char stdout tail (BENCH_r14 parsed: null). With the session
+    // fully stopped and silenced first, the compact headline below is
+    // the ABSOLUTE last stdout line of the process.
+    spark.sparkContext.setLogLevel("ERROR")
     operators.Dedup.clearCaches(spark)
     spark.stop()
+    println(fullJson)
+    // Compact headline LAST: whatever byte window the driver tails,
+    // the final line always fits whole, so the total survives even if
+    // the per-query line above gets clipped.
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"sf":"$sfDir"$warmTotalOnly$catPart$loadPart}""")
   }
 }

@@ -286,6 +286,14 @@ object VectorSoak {
     println(s"""{"metric":"vector_recall","n_copies":$n,""" +
       s""""recall_store_pre":$recallPre,""" +
       s""""recall_store_post":$recallPost}""")
+    // Gate calibration (ADVICE r14): the 0.3 floors (and the
+    // recallRecompact >= recallPost ordering below) were validated at
+    // the DEFAULT amplification only (~0.40 pre / ~0.49 post
+    // measured); a different SPARK_GRAFT_VECTOR_COPIES can shift
+    // stale-book recall below the floor or let retraining tie at equal
+    // nProbe — a spurious failure at non-default n is a calibration
+    // artifact, not a regression. Re-baseline the floors when changing
+    // the amplification.
     require(recallPre >= 0.3 && recallPost >= 0.3,
       s"IVF recall collapsed: pre=$recallPre post=$recallPost")
 

@@ -714,6 +714,14 @@ object Similarity {
       throw new IllegalStateException(
         s"$root is not manifested — publish a manifest first"))
     val cellDirs = cur.map(_.takeWhile(_ != '/')).toSet
+    // Fail fast BEFORE staging the versioned codebook (ADVICE r14): an
+    // empty manifest makes compactPartitionsSnapshot return without
+    // publishing, so the version require below would fire with a
+    // misleading concurrent-publish message and leave an orphaned
+    // codebook-v directory that a later publish landing on that
+    // version number would silently activate.
+    require(cellDirs.nonEmpty,
+      s"$root manifest lists no cell files — nothing to re-cluster")
     require(cellDirs.forall(_.startsWith("cid=")),
       s"unexpected non-cell entries in the manifest: $cellDirs")
     val nCells = newCodebook.count().toInt
