@@ -176,19 +176,23 @@ object ScaleQueries {
 
     // Incremental consumption between snapshot versions (the Iceberg
     // incremental-scan cadence): the manifest IS the changelog, so
-    // "what did epochs v2..v4 add" reads EXACTLY the files those
-    // versions appended — no data-level diff, no full-snapshot scan.
-    // Green means the version file lists alone reconstruct the exact
-    // added rows (epochs 2 and 3 = doc_id % 4 IN (2, 3)); crossing a
-    // compaction rejects loudly instead of double-counting
-    // (StoreMaintenanceSpec pins that). Reuses snapshot_asof_scan's
-    // store, so the epochs/compaction build once per session.
+    // "what did v2..v5 add" reads EXACTLY the files the range's APPEND
+    // versions placed — no data-level diff, no full-snapshot scan. The
+    // range deliberately CROSSES the v5 clustered compaction (VERDICT
+    // r14 next-round #5): v5 is op-tagged `compact`, so the walk skips
+    // its restating rewrite files and still returns precisely epochs
+    // 3 and 4's rows (doc_id % 4 IN (2, 3)) — read from their ORIGINAL
+    // arrival files, which retention keeps until gcExpired. Green
+    // means one compaction no longer breaks every incremental consumer
+    // (the old loud-reject), without double-counting a single restated
+    // row. Reuses snapshot_asof_scan's store, so the epochs/compaction
+    // build once per session.
     QuerySpec.build("snapshot_delta_scan",
       """SELECT doc_id, lang, source, n_chars,
         |       md5(COALESCE(text, '')) AS h
         |FROM documents WHERE doc_id % 4 IN (2, 3)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      StoreManifest.deltaRead(s, asofStore(s, dir), 2L, 4L)
+      StoreManifest.deltaRead(s, asofStore(s, dir), 2L, 5L)
         .select(col("doc_id"), col("lang"), col("source"),
           col("n_chars"), md5(coalesce(col("text"), lit(""))).as("h"))
         .orderBy("doc_id")

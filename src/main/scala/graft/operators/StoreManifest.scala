@@ -105,6 +105,13 @@ object StoreManifest {
   /** Publish a new version whose list is `fileList` (root-relative),
     * recording `expired` as the files this version replaced. Returns
     * the new version number.
+    *
+    * Every version also records its OPERATION TYPE (`v&lt;N&gt;.op` —
+    * the Iceberg snapshot-operation cadence): `append` when it only
+    * adds files, `compact` when it replaced any (a compaction's fresh
+    * files RESTATE old rows — they carry no new data). The tag is
+    * immutable and never GC'd, so [[deltaRead]] can classify versions
+    * long after `v&lt;N&gt;.expired` was consumed by [[gcExpired]].
     */
   def publish(spark: SparkSession, root: String, fileList: Seq[String],
       expired: Seq[String] = Seq.empty): Long = {
@@ -118,6 +125,8 @@ object StoreManifest {
       finally out.close()
     }
     write(new Path(dir, s"v$v.list"), fileList)
+    write(new Path(dir, s"v$v.op"),
+      Seq(if (expired.nonEmpty) "compact" else "append"))
     if (expired.nonEmpty) write(new Path(dir, s"v$v.expired"), expired)
     // Pointer flip: tmp + rename. POSIX rename REPLACES an existing
     // destination atomically (readers see old or new, never absent) —
@@ -176,27 +185,74 @@ object StoreManifest {
     * expired files have not been GC'd reconstructs its full historical
     * state; a version older than the GC retention window fails loudly
     * at read time (its files are gone), never silently partially.
+    *
+    * A version OUTSIDE the published line rejects loudly; a version in
+    * the line that legitimately lists no files (a store born empty —
+    * the signature-store pattern) returns an EMPTY frame, with the
+    * schema inferred from the nearest version that does list files
+    * (ADVICE r14: the two cases used to share one error).
     */
   def snapshotReadAsOf(spark: SparkSession, root: String,
       version: Long): DataFrame = {
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"$root carries no manifest — publish one first"))
+    require(version >= 1 && version <= cur,
+      s"manifest at $root has no version $version (published line " +
+        s"1..$cur)")
     val fl = files(spark, root, Some(version)).getOrElse(Seq.empty)
-    require(fl.nonEmpty,
-      s"manifest at $root has no version $version (or it lists no files)")
-    spark.read.option("basePath", root)
-      .parquet(fl.map(f => s"$root/$f"): _*)
+    if (fl.nonEmpty)
+      spark.read.option("basePath", root)
+        .parquet(fl.map(f => s"$root/$f"): _*)
+    else emptyWithStoreSchema(spark, root, cur,
+      s"version $version lists no files and no version ever has")
   }
 
-  /** Incremental read between two snapshot versions: exactly the data
-    * files `toVersion` lists that `fromVersion` does not — for
-    * APPEND-ONLY version ranges (intake epochs) this is precisely the
-    * rows added in the range, read without any data-level diff: the
-    * manifest IS the changelog, so an incremental consumer (the
-    * Iceberg incremental-scan cadence) processes a year of epochs by
-    * reading each delta's files and nothing else. Ranges that cross a
-    * COMPACTION are rejected loudly: a compaction's fresh files
-    * restate old rows, so the file-level delta would double-count —
-    * detectable exactly as `fromVersion` listing files absent from
-    * `toVersion`.
+  /** Zero-row frame carrying the store's schema, inferred from the
+    * nearest published version that lists any file (earliest first —
+    * additive evolution means later versions only widen). Throws
+    * `what` when the whole line is fileless (no schema exists to
+    * infer).
+    */
+  private def emptyWithStoreSchema(spark: SparkSession, root: String,
+      cur: Long, what: String): DataFrame = {
+    val fs = fsOf(spark, mdir(root))
+    val donor = (1L to cur).iterator
+      .map(v => readList(fs, new Path(mdir(root), s"v$v.list")))
+      .find(_.nonEmpty)
+    donor match {
+      case Some(fl) => spark.read.option("basePath", root)
+        .parquet(fl.map(f => s"$root/$f"): _*).limit(0)
+      case None => throw new IllegalStateException(
+        s"manifest at $root: $what — cannot infer a schema")
+    }
+  }
+
+  /** Incremental read between two snapshot versions: exactly the rows
+    * the range's APPEND versions added — the manifest IS the
+    * changelog, so an incremental consumer (the Iceberg
+    * incremental-scan cadence) processes a year of epochs by reading
+    * each delta's files and nothing else.
+    *
+    * The range may CROSS a compaction (VERDICT r14 next-round #5): the
+    * walk classifies each version by its recorded operation (`v.op`,
+    * or the `v.expired` record on pre-tag stores) — `append` versions
+    * contribute their fresh files; `compact` versions are SKIPPED
+    * entirely, because a compaction's fresh files only RESTATE rows
+    * already counted (the snapshot-compaction contract, spec-pinned as
+    * pre ≡ post row equivalence in StoreMaintenanceSpec). An appended
+    * file later replaced by an in-range compaction is still read from
+    * its ORIGINAL path — retention keeps it until [[gcExpired]]; a
+    * range whose appended files fell past retention rejects loudly
+    * with the GC'd paths named, never silently partially. A version
+    * that removed files but cannot be classified as a compaction
+    * (legacy store, tag and expired record both gone) also rejects
+    * loudly — unknown rewrite semantics must not be guessed at.
+    *
+    * A legitimate NO-OP delta (the range appends nothing — e.g. a
+    * republish or a compaction-only window) returns an EMPTY frame
+    * with the store's schema (ADVICE r14), not an error: incremental
+    * consumers poll on a cadence and "nothing new" is a normal answer.
     */
   def deltaRead(spark: SparkSession, root: String, fromVersion: Long,
       toVersion: Long): DataFrame = {
@@ -204,9 +260,9 @@ object StoreManifest {
       s"delta range must ascend, got v$fromVersion..v$toVersion")
     // Versions are dense 1..current (publish assigns sequentially,
     // recovery takes the max list on disk), so bounding the range
-    // against the current version guarantees BOTH endpoints' list
-    // files exist — a nonexistent fromVersion would otherwise read as
-    // an empty list and return the whole toVersion snapshot as the
+    // against the current version guarantees every step's list file
+    // exists — a nonexistent fromVersion would otherwise read as an
+    // empty list and return the whole toVersion snapshot as the
     // "delta" (every historical row double-ingested). A legitimately
     // EMPTY early version (a store born empty, the signature-store
     // pattern) stays valid: existence is checked by range, not by
@@ -217,16 +273,43 @@ object StoreManifest {
     require(fromVersion >= 1 && toVersion <= cur,
       s"delta range v$fromVersion..v$toVersion outside the published " +
         s"line 1..$cur")
-    val from = files(spark, root, Some(fromVersion)).getOrElse(Seq.empty)
-    val to = files(spark, root, Some(toVersion)).getOrElse(Seq.empty)
-    val removed = from.toSet -- to.toSet
-    require(removed.isEmpty,
-      s"v$fromVersion..v$toVersion is not append-only (${removed.size} " +
-        "files replaced — a compaction intervened); read a full " +
-        "snapshot instead")
-    val fresh = to.filterNot(from.toSet)
-    require(fresh.nonEmpty,
-      s"v$fromVersion..v$toVersion adds no files")
+    val fs = fsOf(spark, mdir(root))
+    def listOf(v: Long): Seq[String] =
+      files(spark, root, Some(v)).getOrElse(Seq.empty)
+    def opOf(v: Long): Option[String] = {
+      val op = new Path(mdir(root), s"v$v.op")
+      if (fs.exists(op)) Some(readList(fs, op).headOption
+        .getOrElse("").trim)
+      else if (fs.exists(new Path(mdir(root), s"v$v.expired")))
+        Some("compact")
+      else None
+    }
+    val appended = Seq.newBuilder[String]
+    var prev = listOf(fromVersion).toSet
+    (fromVersion + 1 to toVersion).foreach { v =>
+      val curList = listOf(v)
+      val removed = prev -- curList.toSet
+      val isCompact = opOf(v).contains("compact")
+      require(removed.isEmpty || isCompact,
+        s"v$v removed ${removed.size} files but is not recorded as a " +
+          "compaction — unknown rewrite semantics; read a full " +
+          "snapshot instead")
+      if (!isCompact) appended ++= curList.filterNot(prev)
+      prev = curList.toSet
+    }
+    val fresh = appended.result().distinct
+    if (fresh.isEmpty)
+      return emptyWithStoreSchema(spark, root, cur,
+        s"v$fromVersion..v$toVersion appends nothing and no version " +
+          "ever listed a file")
+    // Appended-then-compacted files must still exist (retention): a
+    // consumer reading past the GC window gets the honest rejection,
+    // not a partial delta.
+    val gone = fresh.filterNot(f => fs.exists(new Path(root, f)))
+    require(gone.isEmpty,
+      s"v$fromVersion..v$toVersion: ${gone.size} appended files were " +
+        s"GC'd past retention (${gone.take(3).mkString(", ")}…); " +
+        "read a full snapshot instead")
     spark.read.option("basePath", root)
       .parquet(fresh.map(f => s"$root/$f"): _*)
   }

