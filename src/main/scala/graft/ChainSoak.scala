@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   * training-data pipeline COMPOSED, not per-operator:
   *
   *   docShingles → minhash pairs → clusters → dedupKeep → spanScrubDocs
-  *     → pii_redact → budgetSelectDocs → mixtureSample → packSequences
+  *     → decontaminate → gopher admission → pii_redact
+  *     → budgetSelectDocs → mixtureSample → packSequences
   *
   * The amplified corpus uses a MIXED duplication profile: of the N
   * copies of each base document, `dupCopies` share the text verbatim
@@ -297,7 +298,51 @@ object ChainSoak {
     val scrCached = scrubbed.persist()
     scrCached.count()
 
-    val redacted = operators.Pipeline.redactPii(scrCached)
+    // Safety gates at amplification (the declared chain's
+    // decontaminate + gopher admission — VERDICT r14 #7). The bench
+    // slice uses a RARE modulus (%9973, not the fixture's %97):
+    // contamination propagates along SHARED SHINGLES, and the
+    // amplified profile shares them two ways — every copy of a base
+    // holds the base's shingles, and every copy-index shares its
+    // deterministic salt shingles ACROSS bases — so each bench doc
+    // contaminates its whole base cluster AND its whole copy stratum.
+    // Measured at 100×: ~50 bench docs drop ~half the survivors
+    // (the stratum effect); %97 would have gutted everything. The
+    // stage's scale shape is what's audited: bench shingles broadcast,
+    // corpus streams once, no unbounded join.
+    val contaminated = operators.Pipeline.decontaminate(sh,
+      col("doc_id") % 9973 === 0, minOverlap = 5)
+      .filter(col("contaminated")).select("doc_id")
+    val clean = scrCached.filter(col("doc_id") % 9973 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val cleanQe = clean.queryExecution
+    stage("decontaminate") {
+      val c = cleanQe.toRdd.count()
+      noUnbounded(planNodes(cleanQe.executedPlan), "decontaminate")
+      (c, Seq(cleanQe.executedPlan))
+    }
+    val cleanCached = clean.persist()
+    cleanCached.count()
+
+    // Gopher admission off the memoized term table — one extra
+    // corpus tokenize (docTerms) at amplification, the stage's honest
+    // cost; the pass-list semi-join must stay bounded.
+    val pass = operators.Pipeline.gopherRules(docs, cacheKey = soakDir)
+      .filter(col("pass")).select("doc_id")
+    val admitted = cleanCached.join(pass, Seq("doc_id"), "left_semi")
+    val admQe = admitted.queryExecution
+    val nAdmitted = stage("gopher_admit") {
+      val c = admQe.toRdd.count()
+      noUnbounded(planNodes(admQe.executedPlan), "gopher_admit")
+      (c, Seq(admQe.executedPlan))
+    }
+    require(nAdmitted > 0,
+      "gopher admission dropped the whole amplified corpus — the " +
+        "downstream stages would soak nothing")
+    val admCached = admitted.persist()
+    admCached.count()
+
+    val redacted = operators.Pipeline.redactPii(admCached)
     val redQe = redacted.queryExecution
     stage("pii_redact") {
       val c = redQe.toRdd.count()
@@ -367,7 +412,8 @@ object ChainSoak {
       s""""shuffle_write_mb":${mb(tot._2)},""" +
       s""""spill_mem_mb":${mb(tot._3)},"spill_disk_mb":${mb(tot._4)}}""")
 
-    Seq(samCached, selCached, redCached, scrCached, keptCached)
+    Seq(samCached, selCached, redCached, admCached, cleanCached,
+      scrCached, keptCached)
       .foreach(_.unpersist(blocking = false))
     operators.Dedup.clearCaches(spark)
     spark.stop()

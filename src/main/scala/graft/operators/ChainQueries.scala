@@ -5,38 +5,62 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The curation chain COMPOSED into one oracle-gated query (VERDICT r13
-  * next-round #1): ChainSoak proves the composition's row counts and
-  * plan invariants at 100× amplification, but until now no CORRECTNESS
-  * row hash-gated the composed OUTPUT. `curation_chain` runs the whole
-  * training-data pipeline end to end —
+  * next-round #1; safety gates added per VERDICT r14 #7): ChainSoak
+  * proves the composition's row counts and plan invariants at 100×
+  * amplification, but until now no CORRECTNESS row hash-gated the
+  * composed OUTPUT. `curation_chain` runs the whole training-data
+  * pipeline end to end —
   *
   *   shingle → minhash pairs → clusters → dedupKeep → spanScrubDocs
+  *     → decontaminate → gopher admission → pii redact
   *     → budgetSelectDocs → mixtureSample → packSequences
   *
   * — and emits a single summary row: per-stage survivor counts plus
   * order-independent digests of the packed corpus (its layout rows AND
-  * its exact scrubbed texts), so the DuckDB oracle witnesses every
-  * stage's composed effect, not just each stage in isolation. The
-  * oracle chains the SAME per-stage CTEs the individual queries gate
-  * (DedupQueries.dupesCtes, CorpusQueries.scrubCtes, and the
-  * token_budget / mix_sample / seq_pack window SQL), so a divergence
-  * anywhere in the composition hash-mismatches here even while every
-  * stage stays green alone.
+  * its exact scrubbed-redacted texts), so the DuckDB oracle witnesses
+  * every stage's composed effect, not just each stage in isolation.
+  * The oracle chains the SAME per-stage CTEs the individual queries
+  * gate (DedupQueries.dupesCtes, CorpusQueries.scrubCtes, and the
+  * decontaminate / gopher_rules / pii_redact / token_budget /
+  * mix_sample / seq_pack formulations), so a divergence anywhere in
+  * the composition hash-mismatches here even while every stage stays
+  * green alone.
+  *
+  * The safety gates (the stages a production curation run always
+  * includes):
+  *  - **decontaminate** — the benchmark slice (doc_id % 97 = 0, the
+  *    decontaminate query's eval set) leaves the training corpus
+  *    entirely, and survivors sharing ≥ 5 shingles with it are dropped
+  *    as contaminated. Contamination is a property of the ORIGINAL
+  *    content, so the stage reuses the memoized full-corpus shingle
+  *    table — zero extra tokenize passes.
+  *  - **gopher admission** — only docs passing all five quality rules
+  *    (gopher_rules' integer predicates, off the memoized term table)
+  *    proceed. Runs BEFORE redaction so dropped docs never pay the
+  *    redact pass.
+  *  - **pii redact** — the synthetic corpus carries no natural PII, so
+  *    (the pii_redact query's own device) a deterministic
+  *    doc_id-derived PII suffix is appended before scrubbing; the
+  *    redaction then provably fires on every surviving row and its
+  *    effect (tags in the text, shifted char masses) flows through
+  *    budget, mixing, and packing on BOTH engines — a dropped or
+  *    divergent redact stage hash-mismatches the whole summary.
   *
   * Scale shape: inherits each stage's design — bucketed candidate
   * generation over the memoized shingle cache, one codegen'd scrub
-  * pass, banded prefix-sum budget/pack (no whole-language reducer),
-  * broadcast mixture weights — and the summary scalars are ungrouped
-  * aggregates combined by crossJoin(broadcast(1-row)) (the
-  * PlanInvariantsSpec-sanctioned scalar-stats shape). The only
-  * driver-side collect is the languages-sized budget table (the
-  * ChainSoak precedent). Digests are 40-bit md5 prefixes (bit_xor +
-  * sum both BIGINT-safe at any SF; xor alone misses even-multiplicity
-  * differences, sum alone misses xor-symmetric swaps — FaultSoak's
-  * digest argument).
+  * pass, broadcast bench-shingle and pass-list joins, per-row regex
+  * redaction (no shuffle — ChainSoak pins that), banded prefix-sum
+  * budget/pack (no whole-language reducer), broadcast mixture weights
+  * — and the summary scalars are ungrouped aggregates combined by
+  * crossJoin(broadcast(1-row)) (the PlanInvariantsSpec-sanctioned
+  * scalar-stats shape). The only driver-side collect is the
+  * languages-sized budget table (the ChainSoak precedent). Digests are
+  * 40-bit md5 prefixes (bit_xor + sum both BIGINT-safe at any SF; xor
+  * alone misses even-multiplicity differences, sum alone misses
+  * xor-symmetric swaps — FaultSoak's digest argument).
   *
   * The per-language admission budget is data-derived (half the
-  * smallest language's post-scrub char mass — SF-proportional, so the
+  * smallest language's post-redact char mass — SF-proportional, so the
   * boundary machinery engages at every fixture instead of admitting
   * or rejecting whole languages), computed identically by both
   * engines.
@@ -72,8 +96,52 @@ object ChainQueries {
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
 
-  /** Budget-admitted scrubbed docs, memoized: the summary row reads
-    * the chain's tail frames several times (counts, xor digests, sum
+  /** Decontaminated survivors: the benchmark slice itself is excluded
+    * from training, and survivors overlapping it in ≥ 5 shingles drop
+    * as contaminated — the decontaminate query's rule, over the
+    * memoized shingle table (bench side broadcasts).
+    */
+  private def cleaned(s: SparkSession, dir: String): DataFrame =
+    Memo.memo("chain_clean", s, dir, persistIt = true) {
+      val contaminated = Pipeline.decontaminate(
+        Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir),
+        col("doc_id") % 97 === 0, minOverlap = 5)
+        .filter(col("contaminated")).select("doc_id")
+      scrubbedKept(s, dir)
+        .filter(col("doc_id") % 97 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+    }
+
+  /** Quality-gated + redacted survivors: gopher_rules' five-predicate
+    * pass set admits (computed over the ORIGINAL corpus off the
+    * memoized term table — quality is an intake-time property), then
+    * the deterministic PII suffix is appended and redacted, `text` /
+    * `n_chars` replaced by the post-redact values and the per-doc PII
+    * hit count kept as `n_pii` — every downstream stage meters
+    * post-redact mass.
+    */
+  private def gated(s: SparkSession, dir: String): DataFrame =
+    Memo.memo("chain_gated", s, dir, persistIt = true) {
+      val pass = Pipeline.gopherRules(t(s, dir, "documents"),
+        cacheKey = dir).filter(col("pass")).select("doc_id")
+      val injected = cleaned(s, dir)
+        .join(pass, Seq("doc_id"), "left_semi")
+        .withColumn("txt", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or +1555"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ip 10.2."), (col("doc_id") % 256).cast("string"),
+          lit(".77")))
+      Pipeline.redactPii(injected, textCol = "txt")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("red").as("text"),
+          length(col("red")).cast("long").as("n_chars"),
+          (col("n_email") + col("n_phone") + col("n_ip")).cast("long")
+            .as("n_pii"))
+    }
+
+  /** Budget-admitted gated docs, memoized: the summary row reads the
+    * chain's tail frames several times (counts, xor digests, sum
     * digests, the distinct-pack count), and without persistence every
     * scalar aggregate would re-run budget→mix→pack from scratch —
     * 3-7 recomputations of the corpus tail per execution. Keyed memos
@@ -82,18 +150,18 @@ object ChainQueries {
     */
   private def selected(s: SparkSession, dir: String): DataFrame =
     Memo.memo("chain_sel", s, dir, persistIt = true) {
-      val scr = scrubbedKept(s, dir)
+      val g = gated(s, dir)
       // Languages-sized driver aggregate (ChainSoak's budget shape):
-      // half the smallest language's post-scrub char mass. An EMPTY
-      // scrubbed corpus (all null-text) budgets 0 and flows zero rows
-      // through — the oracle's MIN over an empty bud is NULL with the
-      // same effect, so the degenerate corpus keeps engine ≡ oracle
-      // (the Bpe dry-pairs rule, ADVICE r13) instead of erroring
-      // engine-side only.
-      val langMass = scr.groupBy("lang").agg(sum("n_chars").as("c"))
+      // half the smallest language's post-redact char mass. An EMPTY
+      // gated corpus budgets 0 and flows zero rows through — the
+      // oracle's MIN over an empty bud is NULL with the same effect,
+      // so the degenerate corpus keeps engine ≡ oracle (the Bpe
+      // dry-pairs rule, ADVICE r13) instead of erroring engine-side
+      // only.
+      val langMass = g.groupBy("lang").agg(sum("n_chars").as("c"))
         .collect().map(_.getLong(1))
       val budget = if (langMass.isEmpty) 0L else langMass.min / 2
-      Pipeline.budgetSelectDocs(scr, budget)
+      Pipeline.budgetSelectDocs(g, budget)
     }
 
   private def sampled(s: SparkSession, dir: String): DataFrame =
@@ -132,9 +200,63 @@ object ChainQueries {
          |               CAST(COALESCE(ks.kc, 0) AS BIGINT) AS n_chars
          |        FROM dl LEFT JOIN ks USING (doc_id)
          |        JOIN surv k ON dl.doc_id = k.doc_id),
+         |bsh AS (SELECT DISTINCT unnest(sh) AS s FROM d
+         |        WHERE doc_id % 97 = 0),
+         |cont AS (SELECT doc_id FROM (
+         |           SELECT doc_id, unnest(sh) AS s FROM d
+         |           WHERE doc_id % 97 != 0)
+         |         WHERE s IN (SELECT s FROM bsh)
+         |         GROUP BY doc_id HAVING COUNT(*) >= 5),
+         |cln AS MATERIALIZED (
+         |        SELECT * FROM scr WHERE doc_id % 97 != 0
+         |          AND doc_id NOT IN (SELECT doc_id FROM cont)),
+         |gtq AS (SELECT doc_id, unnest(${TextOps.toksD}) AS term
+         |        FROM documents),
+         |gtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM gtq
+         |        GROUP BY doc_id, term),
+         |gagg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |          COUNT(*) AS n_distinct,
+         |          CAST(MAX(tf) AS BIGINT) AS top_tf,
+         |          CAST(SUM(tf * length(term)) AS BIGINT) AS sum_len,
+         |          COUNT(*) FILTER (WHERE term IN
+         |            (${TextOps.stopEn.map(w => s"'$w'").mkString(", ")}))
+         |            AS n_stop_distinct
+         |         FROM gtf GROUP BY doc_id),
+         |gok AS (SELECT doc_id FROM gagg
+         |        WHERE n_tokens >= 20 AND n_tokens <= 100000
+         |          AND sum_len >= 4 * n_tokens
+         |          AND sum_len <= 10 * n_tokens
+         |          AND n_stop_distinct >= 2
+         |          AND n_distinct * 10 >= n_tokens * 3
+         |          AND top_tf * 5 <= n_tokens),
+         |prd AS (SELECT doc_id, lang, source,
+         |          text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |          '@mail.example.com or +1555' ||
+         |          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |          ' ip 10.2.' || CAST(doc_id % 256 AS VARCHAR) ||
+         |          '.77' AS txt
+         |        FROM cln
+         |        WHERE doc_id IN (SELECT doc_id FROM gok)),
+         |red AS MATERIALIZED (
+         |        SELECT doc_id, lang, source,
+         |          CAST(len(regexp_extract_all(txt,
+         |              '${Pipeline.EmailRe}')) AS BIGINT)
+         |          + CAST(len(regexp_extract_all(txt,
+         |              '${Pipeline.PhoneRe}')) AS BIGINT)
+         |          + CAST(len(regexp_extract_all(txt,
+         |              '${Pipeline.Ipv4Re}')) AS BIGINT) AS n_pii,
+         |          regexp_replace(regexp_replace(regexp_replace(txt,
+         |            '${Pipeline.EmailRe}', '<EMAIL>', 'g'),
+         |            '${Pipeline.PhoneRe}', '<PHONE>', 'g'),
+         |            '${Pipeline.Ipv4Re}', '<IP>', 'g') AS text
+         |        FROM prd),
+         |rdc AS MATERIALIZED (
+         |        SELECT doc_id, lang, source, text,
+         |               CAST(length(text) AS BIGINT) AS n_chars, n_pii
+         |        FROM red),
          |bud AS (SELECT MIN(c) // 2 AS b FROM (
          |          SELECT CAST(SUM(n_chars) AS BIGINT) AS c
-         |          FROM scr GROUP BY lang)),
+         |          FROM rdc GROUP BY lang)),
          |sel AS MATERIALIZED (
          |        SELECT doc_id, lang, source, text, n_chars FROM (
          |          SELECT doc_id, lang, source, text, n_chars,
@@ -143,7 +265,7 @@ object ChainQueries {
          |                   ROWS BETWEEN UNBOUNDED PRECEDING
          |                     AND 1 PRECEDING),
          |                   0) AS cum
-         |          FROM scr)
+         |          FROM rdc)
          |        WHERE cum + n_chars <= (SELECT b FROM bud)),
          |ms AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars_tot
          |       FROM sel GROUP BY source),
@@ -184,6 +306,10 @@ object ChainQueries {
          |       FROM pk)
          |SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
          |       (SELECT COUNT(*) FROM surv) AS n_kept,
+         |       (SELECT COUNT(*) FROM cln) AS n_clean,
+         |       (SELECT COUNT(*) FROM rdc) AS n_quality,
+         |       (SELECT CAST(COALESCE(SUM(n_pii), 0) AS BIGINT)
+         |        FROM rdc) AS n_pii,
          |       (SELECT COUNT(*) FROM sel) AS n_selected,
          |       (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT)
          |        FROM sel) AS sel_chars,
@@ -205,6 +331,7 @@ object ChainQueries {
     // checkpoint blocks.
     Memo.memo("chain_summary", s, dir, persistIt = false) {
       val docs = t(s, dir, "documents")
+      val g = gated(s, dir)
       val sel = selected(s, dir)
       val sam = sampled(s, dir)
       val packed = packedLayout(s, dir)
@@ -217,6 +344,9 @@ object ChainQueries {
       val aDocs = docs.agg(count(lit(1)).as("n_docs"))
       val aKept = docs.join(chainDupes(s, dir), Seq("doc_id"), "left_anti")
         .agg(count(lit(1)).as("n_kept"))
+      val aClean = cleaned(s, dir).agg(count(lit(1)).as("n_clean"))
+      val aGated = g.agg(count(lit(1)).as("n_quality"),
+        coalesce(sum("n_pii"), lit(0L)).as("n_pii"))
       val aSel = sel.agg(count(lit(1)).as("n_selected"),
         coalesce(sum("n_chars"), lit(0L)).as("sel_chars"))
       val aSam = sam.select(h40(col("text")).as("th"))
@@ -228,6 +358,8 @@ object ChainQueries {
         .agg(coalesce(expr("bit_xor(hr)"), lit(0L)).as("pack_xor"),
           coalesce(sum("hr"), lit(0L)).as("pack_sum"))
       aDocs.crossJoin(broadcast(aKept))
+        .crossJoin(broadcast(aClean))
+        .crossJoin(broadcast(aGated))
         .crossJoin(broadcast(aSel))
         .crossJoin(broadcast(aSam))
         .crossJoin(broadcast(aPacks))
