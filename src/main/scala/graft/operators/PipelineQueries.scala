@@ -93,6 +93,104 @@ object PipelineQueries {
       +: rounds).mkString(",\n")
   }
 
+  /** One greedy left-to-right merge application, relationally — the
+    * e/m/r/t/o/w block of [[bpeCtesD]] with the source vocab, merge
+    * table, and output names parameterized so the batched unroll can
+    * chain TWO applications per round. An EMPTY merge table is a
+    * no-op (LEFT JOIN ON TRUE → mt = 0 everywhere), which is what
+    * makes fixed-depth unrolls of data-dependent round counts sound.
+    */
+  private def bpeApplyCteD(src: String, mergeCte: String, pfx: String,
+      out: String): String =
+    s"""${pfx}e AS (SELECT word, freq, i, syms[i] AS s, syms[i+1] AS nx
+       |       FROM (SELECT word, freq, syms,
+       |               unnest(range(1, len(syms) + 1)) AS i FROM $src)),
+       |${pfx}m AS (SELECT e.word, e.freq, e.i, e.s, e.nx,
+       |         CASE WHEN e.s = b.a AND e.nx = b.b THEN 1 ELSE 0 END
+       |           AS mt
+       |       FROM ${pfx}e e LEFT JOIN $mergeCte b ON TRUE),
+       |${pfx}r AS (SELECT *, i - ROW_NUMBER() OVER (
+       |         PARTITION BY word, mt ORDER BY i) AS grp FROM ${pfx}m),
+       |${pfx}t AS (SELECT *, CASE WHEN mt = 1 AND (i - MIN(i) OVER (
+       |         PARTITION BY word, mt, grp)) % 2 = 0
+       |         THEN 1 ELSE 0 END AS tk FROM ${pfx}r),
+       |${pfx}o AS (SELECT word, freq, i,
+       |         CASE WHEN tk = 1 THEN s || nx ELSE s END AS s2,
+       |         COALESCE(LAG(tk) OVER (PARTITION BY word ORDER BY i),
+       |           0) AS consumed
+       |       FROM ${pfx}t),
+       |$out AS MATERIALIZED (SELECT word, MIN(freq) AS freq,
+       |         list(s2 ORDER BY i) AS syms
+       |       FROM ${pfx}o WHERE consumed = 0 GROUP BY word)"""
+      .stripMargin
+
+  /** DuckDB mirror of [[Bpe.trainBatched]] at m = 2, ALL rounds
+    * unrolled — the batched-selection semantics exactly, NOT the
+    * sequential trainer's (the two provably diverge when a mid-batch
+    * mint creates an overtaking pair, and the fixture corpora DO
+    * leave the equivalence regime — sf0.001 diverges at merge 5, so
+    * gating batched against the sequential oracle would be red there
+    * and vacuous everywhere). Per round r over vocab zw{r-1}:
+    *
+    *  - zr$r ranks the pair counts by the total order
+    *    (c DESC, a, b);
+    *  - zb1$r takes rank 1 — gated on merges-so-far &lt; k (the outer
+    *    loop bound), so post-cap rounds select nothing and the
+    *    fixed k-round unroll covers every data-dependent round count;
+    *  - zb2$r takes the FIRST rank in (1, candCap] passing the
+    *    conflict rule against zb1 (head consumed as b1's tail, tail
+    *    consumed as b1's head, either operand equal to b1's mint —
+    *    trainBatched's invariance conditions verbatim), gated on
+    *    merges-so-far &lt; k−1 (the per-round min(m, k−learned) cap);
+    *  - both merges apply as chained [[bpeApplyCteD]] blocks (an
+    *    empty zb2 is a no-op);
+    *  - zc$r accumulates (round, sub, a, b, c) — selection order,
+    *    batch-start counts, exactly what the engine records.
+    *
+    * candCap mirrors the engine's driver-collect bound
+    * (max(16, 8m) = 16 at m = 2).
+    */
+  private def bpeBatchedCtesD(k: Int): String = {
+    val candCap = 16
+    val rounds = (1 to k).map { r =>
+      s"""zp$r AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b,
+         |          CAST(SUM(freq) AS BIGINT) AS c
+         |        FROM (SELECT freq, syms,
+         |                unnest(range(1, len(syms))) AS i
+         |              FROM zw${r - 1})
+         |        GROUP BY 1, 2),
+         |zr$r AS MATERIALIZED (SELECT a, b, c,
+         |          ROW_NUMBER() OVER (ORDER BY c DESC, a, b) AS rnk
+         |        FROM zp$r),
+         |zb1$r AS MATERIALIZED (SELECT a, b, c FROM zr$r
+         |         WHERE rnk = 1
+         |           AND (SELECT COUNT(*) FROM zc${r - 1}) < $k),
+         |zb2$r AS MATERIALIZED (SELECT a, b, c FROM (
+         |           SELECT z.a, z.b, z.c, z.rnk
+         |           FROM zr$r z JOIN zb1$r o ON TRUE
+         |           WHERE z.rnk > 1 AND z.rnk <= $candCap
+         |             AND (SELECT COUNT(*) FROM zc${r - 1}) < ${k - 1}
+         |             AND z.a != o.b AND z.b != o.a
+         |             AND z.a != (o.a || o.b) AND z.b != (o.a || o.b))
+         |         ORDER BY rnk LIMIT 1),
+         |${bpeApplyCteD(s"zw${r - 1}", s"zb1$r", s"za$r", s"zx$r")},
+         |${bpeApplyCteD(s"zx$r", s"zb2$r", s"zz$r", s"zw$r")},
+         |zc$r AS MATERIALIZED (SELECT * FROM zc${r - 1}
+         |         UNION ALL SELECT $r AS rnd, 1 AS sub, a, b, c
+         |                   FROM zb1$r
+         |         UNION ALL SELECT $r AS rnd, 2 AS sub, a, b, c
+         |                   FROM zb2$r)""".stripMargin
+    }
+    (s"""ztq AS (SELECT doc_id, unnest(${TextOps.toksD}) AS term
+        |        FROM documents),
+        |zw0 AS MATERIALIZED (SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS freq,
+        |          string_split(term, '') AS syms
+        |        FROM ztq GROUP BY term),
+        |zc0 AS MATERIALIZED (SELECT 0 AS rnd, 0 AS sub, '' AS a, '' AS b,
+        |          CAST(0 AS BIGINT) AS c WHERE 1 = 0)""".stripMargin
+      +: rounds).mkString(",\n")
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // In-engine BPE tokenizer training (VERDICT r12 #6): the k learned
@@ -113,6 +211,34 @@ object PipelineQueries {
       Bpe.mergesDf(s,
         Bpe.train(t(s, dir, "documents"), BpeMerges, cacheKey = dir))
         .orderBy("rk")
+    },
+
+    // Batched BPE training on the oracle path (VERDICT r14 #3): the
+    // k=32k scale trainer (Bpe.trainBatched — up to m mutually
+    // non-overlapping merges selected per driver round, ⌈k/m⌉..k
+    // rounds instead of k) hash-gated against its OWN fully-unrolled
+    // oracle (bpeBatchedCtesD — ranked candidates, candCap window,
+    // conflict filter, per-round k-cap, all mirrored relationally).
+    // The sequential oracle would NOT do: the fixture corpora leave
+    // the batched≡sequential equivalence regime (sf0.001 diverges at
+    // merge 5 even at m=2 — a mid-batch mint creates an overtaking
+    // pair, the honest case BpeSpec names), so this query gates the
+    // batched SEMANTICS at every SF rather than an equivalence that
+    // only sometimes holds. The round-count mechanism must engage:
+    // fewer driver rounds than merges learned, or the run rejects.
+    // Large-k evidence (k=256, m=32 at sf0.1) is BpeSoak's job.
+    QuerySpec.build("bpe_vocab_batched",
+      s"""WITH ${bpeBatchedCtesD(BpeMerges)}
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rnd, sub) AS INTEGER)
+         |         AS rk,
+         |       a, b, a || b AS merged, c
+         |FROM zc$BpeMerges ORDER BY rk""".stripMargin) { (s, dir) =>
+      val (model, rounds) = Bpe.trainBatched(t(s, dir, "documents"),
+        BpeMerges, m = 2, cacheKey = dir)
+      require(rounds < math.max(2, model.merges.size),
+        s"batched trainer degenerated to sequential: $rounds rounds " +
+          s"for ${model.merges.size} merges")
+      Bpe.mergesDf(s, model).orderBy("rk")
     },
 
     // Tokenizer-aware token accounting: per-doc whitespace tokens next
