@@ -186,6 +186,75 @@ object ChainQueries {
       : org.apache.spark.sql.Column =
     conv(substring(md5(c), 1, 10), 16, 10).cast("long")
 
+  // ---- The incremental (daily-crawl) cadence: curation_chain_incr ----
+
+  /** Incoming docs that near-dup a RESIDENT doc (the new-batch drop
+    * set) — cross-split incremental dedup off the memoized shingle and
+    * band caches, the dedup_incremental production layout (corpus
+    * signatures precomputed, not re-derived per intake batch).
+    */
+  private def incrNewDups(s: SparkSession, dir: String): DataFrame =
+    Memo.memo("incr_dups", s, dir, persistIt = true) {
+      val sh = Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir)
+      val bands = Dedup.bandSignatures(sh, cacheKey = dir)
+      Dedup.incrementalNearDupPairs(
+        corpus = sh.filter(col("doc_id") % 2 =!= 0),
+        incoming = sh.filter(col("doc_id") % 2 === 0), 4, 5,
+        corpusBands = bands.filter(col("doc_id") % 2 =!= 0),
+        incomingBands = bands.filter(col("doc_id") % 2 === 0))
+        .select(col("new_id").as("doc_id")).distinct()
+    }
+
+  /** The new batch's admitted survivors: incoming docs (doc_id even —
+    * the dedup_incremental_half split) minus resident near-dups, span-
+    * scrubbed with first-carrier attribution over the UNION (resident
+    * fps participate, so a span a resident doc already carries scrubs
+    * out of the new batch), then budget-admitted under half the
+    * smallest language's post-scrub char mass.
+    */
+  private def incrAdmitted(s: SparkSession, dir: String): DataFrame =
+    Memo.memo("incr_admitted", s, dir, persistIt = true) {
+      val docs = t(s, dir, "documents")
+      val surv = docs.filter(col("doc_id") % 2 === 0)
+        .join(incrNewDups(s, dir), Seq("doc_id"), "left_anti")
+      val unionIds = docs.filter(col("doc_id") % 2 =!= 0)
+        .select("doc_id").unionByName(surv.select("doc_id"))
+      val fps = Corpus.docFps(docs, cacheKey = dir)
+        .join(unionIds, Seq("doc_id"), "left_semi")
+      val scr = Corpus.spanScrubDocs(surv, fps)
+      val langMass = scr.groupBy("lang").agg(sum("n_chars").as("c"))
+        .collect().map(_.getLong(1))
+      val budget = if (langMass.isEmpty) 0L else langMass.min / 2
+      Pipeline.budgetSelectDocs(scr, budget)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }
+
+  /** Build-once per (session, corpus): the RESIDENT half materialized
+    * as a manifested documents store, then the admitted new batch
+    * epoch-appended through the exactly-once intake ledger
+    * (StoreIntake.documentsIntakeBatch — staged write, intent record,
+    * compositional manifest publish). The declared query reads the
+    * POST-APPEND snapshot, so the summary is green only if intake →
+    * dedup-against-resident → scrub → admission → ledgered append →
+    * manifest flip reproduces the oracle's union exactly.
+    */
+  private def incrStore(s: SparkSession, dir: String): String =
+    incrStoreCache.synchronized(
+      incrStoreCache.getOrElseUpdate((s, dir), {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-incrstore").toString + "/docs"
+        val docs = t(s, dir, "documents")
+        AtRestStores.writeDocumentsStore(
+          docs.filter(col("doc_id") % 2 =!= 0), p)
+        AtRestStores.publishDocumentsManifest(s, p): Unit
+        graft.streaming.StoreIntake.documentsIntakeBatch(p, "incr")(
+          incrAdmitted(s, dir), 0L)
+        p
+      }))
+
+  private val incrStoreCache = scala.collection.mutable.Map.empty[
+    (SparkSession, String), String]
+
   val all: Seq[QuerySpec] = Seq(
 
     QuerySpec("curation_chain",
@@ -364,6 +433,126 @@ object ChainQueries {
         .crossJoin(broadcast(aSam))
         .crossJoin(broadcast(aPacks))
         .crossJoin(broadcast(aLayout))
+        .localCheckpoint()
+    }
+    },
+
+    // The incremental curation chain — the daily-crawl production
+    // cadence (VERDICT r14 next-round #2): curation_chain gates the
+    // full-corpus composition and dedup_incremental gates
+    // new-batch-vs-corpus dedup in isolation; this gates the whole
+    // intake path END TO END — resident half materialized as a
+    // manifested store, the new batch (doc_id even, the
+    // dedup_incremental_half split) incrementally deduped AGAINST the
+    // resident corpus off the shared band caches, span-scrubbed with
+    // union-wide first-carrier attribution (a span a resident doc
+    // already carries scrubs out of the batch), budget-admitted, and
+    // EPOCH-APPENDED through the exactly-once intake ledger with a
+    // compositional manifest publish. The summary reads the
+    // POST-APPEND SNAPSHOT: counts, char masses, and a full
+    // (doc_id, text) digest pair over the store — so a double-applied
+    // epoch, a lost row, a mis-attributed scrub, or a wrong admission
+    // all hash-mismatch against the oracle's from-scratch union.
+    // Batch-INTERNAL near-dups are deliberately out of this query's
+    // contract (dedup_incremental's cross-split semantics, shared CTE
+    // and all); the full-corpus chain gates those. Category `build`:
+    // the cold time is the one-time store build + append.
+    QuerySpec.build("curation_chain_incr",
+      s"""WITH ${TextOps.docShinglesCteD},
+         |${DedupQueries.verifiedPairsCtes},
+         |newdup AS (SELECT DISTINCT
+         |             CASE WHEN da % 2 = 0 THEN da ELSE db END AS doc_id
+         |           FROM p WHERE (da % 2 = 0) != (db % 2 = 0)),
+         |surv AS MATERIALIZED (
+         |        SELECT doc_id, text, lang, source FROM documents
+         |        WHERE doc_id % 2 = 0
+         |          AND doc_id NOT IN (SELECT doc_id FROM newdup)),
+         |uni AS MATERIALIZED (
+         |        SELECT doc_id, text FROM documents WHERE doc_id % 2 != 0
+         |        UNION ALL SELECT doc_id, text FROM surv),
+         |${CorpusQueries.scrubCtes("uni")},
+         |scr AS MATERIALIZED (
+         |        SELECT dl.doc_id, k.lang, k.source,
+         |               COALESCE(ks.kt, '') AS text,
+         |               CAST(COALESCE(ks.kc, 0) AS BIGINT) AS n_chars
+         |        FROM dl LEFT JOIN ks USING (doc_id)
+         |        JOIN surv k ON dl.doc_id = k.doc_id),
+         |bud AS (SELECT MIN(c) // 2 AS b FROM (
+         |          SELECT CAST(SUM(n_chars) AS BIGINT) AS c
+         |          FROM scr GROUP BY lang)),
+         |sel AS MATERIALIZED (
+         |        SELECT doc_id, lang, source, text, n_chars FROM (
+         |          SELECT doc_id, lang, source, text, n_chars,
+         |                 COALESCE(SUM(n_chars) OVER (PARTITION BY lang
+         |                   ORDER BY n_chars DESC, doc_id
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING
+         |                     AND 1 PRECEDING),
+         |                   0) AS cum
+         |          FROM scr)
+         |        WHERE cum + n_chars <= (SELECT b FROM bud)),
+         |store AS MATERIALIZED (
+         |        SELECT doc_id, lang, source, text,
+         |               CAST(n_chars AS BIGINT) AS n_chars
+         |        FROM documents WHERE doc_id % 2 != 0
+         |        UNION ALL
+         |        SELECT doc_id, lang, source, text, n_chars FROM sel),
+         |sh40 AS (SELECT CAST(('0x' || substring(md5(
+         |             CAST(doc_id AS VARCHAR) || ':' ||
+         |             COALESCE(text, '<null>')), 1, 10)) AS BIGINT)
+         |           AS hr
+         |         FROM store)
+         |SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 2 != 0)
+         |         AS n_resident,
+         |       (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)
+         |         AS n_incoming,
+         |       (SELECT COUNT(*) FROM newdup) AS n_new_dups,
+         |       (SELECT COUNT(*) FROM scr) AS n_scrubbed,
+         |       (SELECT COUNT(*) FROM sel) AS n_admitted,
+         |       (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT)
+         |        FROM sel) AS adm_chars,
+         |       (SELECT COUNT(*) FROM store) AS n_store,
+         |       (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT)
+         |        FROM store) AS store_chars,
+         |       (SELECT COALESCE(BIT_XOR(hr), 0) FROM sh40)
+         |         AS store_xor,
+         |       (SELECT CAST(COALESCE(SUM(hr), 0) AS BIGINT) FROM sh40)
+         |         AS store_sum""".stripMargin) { (s, dir) =>
+    Memo.memo("incr_summary", s, dir, persistIt = false) {
+      val docs = t(s, dir, "documents")
+      val snap = StoreManifest.snapshotRead(s, incrStore(s, dir))
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          col("n_chars").cast("long").as("n_chars"))
+      val adm = incrAdmitted(s, dir)
+      val scrCount = {
+        // n_scrubbed = the scrub stage's population (pre-budget):
+        // incoming survivors with non-null text — recomputed off the
+        // memoized dup set, not the admitted memo, so the count
+        // witnesses the stage boundary the oracle's scr draws.
+        docs.filter(col("doc_id") % 2 === 0 && col("text").isNotNull)
+          .join(incrNewDups(s, dir), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n_scrubbed"))
+      }
+      val aRes = docs.filter(col("doc_id") % 2 =!= 0)
+        .agg(count(lit(1)).as("n_resident"))
+      val aInc = docs.filter(col("doc_id") % 2 === 0)
+        .agg(count(lit(1)).as("n_incoming"))
+      val aDup = incrNewDups(s, dir)
+        .agg(count(lit(1)).as("n_new_dups"))
+      val aAdm = adm.agg(count(lit(1)).as("n_admitted"),
+        coalesce(sum("n_chars"), lit(0L)).as("adm_chars"))
+      val aStore = snap.agg(count(lit(1)).as("n_store"),
+        coalesce(sum("n_chars"), lit(0L)).as("store_chars"))
+      val aDigest = snap.select(h40(concat_ws(":",
+          col("doc_id").cast("string"),
+          coalesce(col("text"), lit("<null>")))).as("hr"))
+        .agg(coalesce(expr("bit_xor(hr)"), lit(0L)).as("store_xor"),
+          coalesce(sum("hr"), lit(0L)).as("store_sum"))
+      aRes.crossJoin(broadcast(aInc))
+        .crossJoin(broadcast(aDup))
+        .crossJoin(broadcast(scrCount))
+        .crossJoin(broadcast(aAdm))
+        .crossJoin(broadcast(aStore))
+        .crossJoin(broadcast(aDigest))
         .localCheckpoint()
     }
     })

@@ -108,12 +108,14 @@ object DedupQueries {
        |  FROM reach GROUP BY a
        |)""".stripMargin
 
-  /** Oracle for the incremental split (incoming = doc_id % mod == 0):
-    * cross-split restriction of the exhaustive blocked pair scan.
+  /** CTE block `inv` .. `p` — the exhaustive blocked near-dup pair
+    * scan (df-capped inverted index → candidate pairs → exact-Jaccard
+    * verify at 0.8). Requires docShinglesCteD's `d` in scope. Shared
+    * by the incremental oracles here and by
+    * ChainQueries.curation_chain_incr.
     */
-  private def incrementalOracle(mod: Int): String =
-    s"""WITH ${TextOps.docShinglesCteD},
-       |inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
+  private[operators] val verifiedPairsCtes: String =
+    s"""inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
        |rare AS (SELECT s FROM inv GROUP BY s
        |         HAVING COUNT(*) <= ${Dedup.DfCap}),
        |pruned AS (SELECT doc_id, s FROM inv
@@ -129,7 +131,14 @@ object DedupQueries {
        |             / len(list_distinct(x.sh || y.sh)) AS jaccard
        |    FROM cand JOIN d x ON x.doc_id = da JOIN d y ON y.doc_id = db
        |  ) WHERE jaccard >= 0.8
-       |)
+       |)""".stripMargin
+
+  /** Oracle for the incremental split (incoming = doc_id % mod == 0):
+    * cross-split restriction of the exhaustive blocked pair scan.
+    */
+  private def incrementalOracle(mod: Int): String =
+    s"""WITH ${TextOps.docShinglesCteD},
+       |$verifiedPairsCtes
        |SELECT CASE WHEN da % $mod = 0 THEN da ELSE db END AS new_id,
        |       CASE WHEN da % $mod = 0 THEN db ELSE da END AS corpus_id
        |FROM p
