@@ -280,6 +280,73 @@ object StatefulOps {
         TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
+  /** [[DocKey]] carrying its event time — the input of the
+    * watermark-evicted election.
+    */
+  final case class DocKeyT(h: String, docId: Long,
+      ts: java.sql.Timestamp)
+
+  /** [[BoundedKeeperProcessor]] with EVENT-TIME eviction (VERDICT r14
+    * next-round #6): the reference's streaming semantics (SURVEY §2.7)
+    * bound state by WATERMARK, not wall clock — a key's election state
+    * drops when the watermark passes its last-seen event time plus
+    * `delayMs` (the `dropDuplicatesWithinWatermark` shape, with the
+    * deterministic-min election instead of keep-first-delivered).
+    * Mechanism: one event-time timer per key, re-registered at every
+    * arrival (previous timers deleted — a key's state must outlive
+    * recurring arrivals), cleared state on expiry. The min-merge
+    * safety argument is eviction-rule-agnostic — every emission is
+    * still the min of a subset and every row is covered — so the SAME
+    * [[EpochMinStore]] downstream converges to the global min under
+    * either clock (StatefulOpsSpec pins eviction + re-election +
+    * store-side convergence against the batch rule).
+    */
+  private final class EventTimeKeeperProcessor(delayMs: Long)
+      extends StatefulProcessor[String, DocKeyT, Keeper] {
+    @transient private var state: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Long]("keeper",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[DocKeyT],
+        timerValues: TimerValues): Iterator[Keeper] = {
+      val rs = rows.toSeq
+      var mn = if (state.exists()) state.get() else Long.MaxValue
+      rs.foreach(r => if (r.docId < mn) mn = r.docId)
+      state.update(mn)
+      // Slide the eviction horizon to last-seen + delay: delete any
+      // previously registered timer first, or a stale earlier timer
+      // would evict a key that is still arriving.
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      rs.map(_.ts.getTime).maxOption.foreach(last =>
+        getHandle.registerTimer(last + delayMs))
+      Iterator.single(Keeper(key, mn))
+    }
+
+    override def handleExpiredTimer(key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[Keeper] = {
+      state.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[canonicalKeepersBounded]] with watermark (event-time) eviction —
+    * the input must carry a watermark on `ts` (set it upstream with
+    * `withWatermark` before the groupByKey). Pair with a min-merging
+    * store, exactly as the processing-time form.
+    */
+  def canonicalKeepersEventTime(ds: Dataset[DocKeyT],
+      delayMs: Long): Dataset[Keeper] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.h)
+      .transformWithState(new EventTimeKeeperProcessor(delayMs),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   // ---- Streaming per-key quantiles (batch analog:
   //      operators.QuantileSketches.sourceLengthQuantiles) ----
 

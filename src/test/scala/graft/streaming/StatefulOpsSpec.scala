@@ -163,6 +163,66 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally spark.conf.set(ndKey, ndSaved)
   }
 
+  test("event-time keeper election: watermark passage evicts a cold " +
+    "key's state, a post-eviction recurrence re-elects locally, and " +
+    "min-over-emissions still equals the global minimum") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // (h, docId, event-time epoch seconds)
+    val source = MemoryStream[(String, Long, Long)](spark)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Keeper)]
+    val keyed = source.toDS().toDF("h", "docId", "sec")
+      .select(col("h"), col("docId"),
+        col("sec").cast("timestamp").as("ts"))
+      .as[DocKeyT]
+      .withWatermark("ts", "10 seconds")
+    val query = canonicalKeepersEventTime(keyed, delayMs = 5000L)
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Keeper],
+          id: Long) =>
+        val rows = b.collect()
+        emitted.synchronized { emitted ++= rows.map(id -> _) }: Unit
+      }
+      .start()
+
+    // Event time 10s: timers land at 15s; watermark after the batch is
+    // 0s (10s − 10s delay), so nothing can fire yet.
+    source.addData(("a", 5L, 10L), ("b", 9L, 10L))
+    query.processAllAvailable()
+    // A far-future key advances the watermark to 190s AFTER this batch
+    // (watermark updates post-batch — the a/b timers survive it).
+    source.addData(("c", 1L, 200L))
+    query.processAllAvailable()
+    // This batch opens with watermark 190s ≥ the 15s expiry: the a/b
+    // timers fire and their election state clears.
+    source.addData(("d", 2L, 201L))
+    query.processAllAvailable()
+    // "a" recurs with a HIGHER id: live state would emit min(5,7)=5;
+    // watermark-evicted state re-elects locally and must emit 7 — the
+    // eviction witness.
+    source.addData(("a", 7L, 202L))
+    query.processAllAvailable()
+    query.stop()
+
+    val aEmissions = emitted.synchronized {
+      emitted.filter(_._2.h == "a").sortBy(_._1).map(_._2.keeper)
+    }
+    assert(aEmissions == Seq(5L, 7L),
+      s"expected live election then evicted re-election, got $aEmissions")
+    // The min-merge safety argument is eviction-rule-agnostic: min over
+    // ALL emissions equals the global min per key — exactly what the
+    // EpochMinStore downstream converges to under either clock.
+    val byMin = emitted.synchronized {
+      emitted.groupBy(_._2.h)
+        .map { case (k, v) => k -> v.map(_._2.keeper).min }
+    }
+    assert(byMin ==
+      Map("a" -> 5L, "b" -> 9L, "c" -> 1L, "d" -> 2L))
+  }
+
   test("streaming KLL state: quantiles over a microbatch split equal " +
     "the batch sketch over the whole corpus (exact regime)") {
     val spark = TestSpark.spark
