@@ -121,7 +121,7 @@ object ChainQueries {
     * post-redact mass.
     */
   private def gated(s: SparkSession, dir: String): DataFrame =
-    Memo.memo("chain_gated", s, dir, persistIt = true) {
+    Memo.memo("chain_gated", s, dir, persistIt = false) {
       val pass = Pipeline.gopherRules(t(s, dir, "documents"),
         cacheKey = dir).filter(col("pass")).select("doc_id")
       val injected = cleaned(s, dir)
@@ -132,12 +132,20 @@ object ChainQueries {
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
           lit(" ip 10.2."), (col("doc_id") % 256).cast("string"),
           lit(".77")))
+      // Lineage-truncated (the chain_summary pattern): with plain
+      // persists the chain's tail stages each re-ANALYZE the whole
+      // nested dedup→scrub→gate plan at materialization — the r15
+      // safety gates pushed that pure-planning cost to ~19 s of the
+      // chain's cold run (measured 27.3 s → 8.6 s with the truncation;
+      // stage compute is unchanged). Downstream plans see a flat
+      // LogicalRDD; Memo's release path owns the checkpoint blocks.
       Pipeline.redactPii(injected, textCol = "txt")
         .select(col("doc_id"), col("lang"), col("source"),
           col("red").as("text"),
           length(col("red")).cast("long").as("n_chars"),
           (col("n_email") + col("n_phone") + col("n_ip")).cast("long")
             .as("n_pii"))
+        .localCheckpoint()
     }
 
   /** Budget-admitted gated docs, memoized: the summary row reads the
