@@ -372,9 +372,16 @@ object Bench {
     // 2000-char stdout tail (BENCH_r14 parsed: null). With the session
     // fully stopped and silenced first, the compact headline below is
     // the ABSOLUTE last stdout line of the process.
-    spark.sparkContext.setLogLevel("ERROR")
-    operators.Dedup.clearCaches(spark)
-    spark.stop()
+    // Try-wrapped: a teardown hiccup (executor loss at shutdown, FS
+    // error unpersisting checkpoint blocks) must not suppress the
+    // metric lines — that would be the exact parsed-null failure this
+    // ordering exists to prevent.
+    scala.util.Try {
+      spark.sparkContext.setLogLevel("ERROR")
+      operators.Dedup.clearCaches(spark)
+      spark.stop()
+    }.failed.foreach(e => System.err.println(
+      s"[bench] teardown failed: ${e.getMessage}"))
     println(fullJson)
     // Compact headline LAST: whatever byte window the driver tails,
     // the final line always fits whole, so the total survives even if

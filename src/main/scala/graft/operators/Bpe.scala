@@ -177,6 +177,14 @@ object Bpe {
   def trainBatched(docs: DataFrame, k: Int, m: Int,
       cacheKey: String = ""): (Model, Int) = {
     require(m >= 1, s"batch size must be >= 1, got $m")
+    if (cacheKey.isEmpty) trainBatchedPlan(docs, k, m, cacheKey)
+    else batchedCache.synchronized(
+      batchedCache.getOrElseUpdate((docs.sparkSession, cacheKey, k, m),
+        trainBatchedPlan(docs, k, m, cacheKey)))
+  }
+
+  private def trainBatchedPlan(docs: DataFrame, k: Int, m: Int,
+      cacheKey: String): (Model, Int) = {
     val candCap = math.max(16, 8 * m)
     var vocab = initialVocab(docs, cacheKey)
     val merges = Seq.newBuilder[Merge]
@@ -256,4 +264,12 @@ object Bpe {
     */
   private val modelCache = scala.collection.mutable.Map.empty[
     (SparkSession, String, Int), Model]
+
+  /** [[trainBatched]]'s memo — same discipline, keyed by (k, m) too
+    * so the batched and sequential trainers never share an entry
+    * (their models can legitimately differ outside the equivalence
+    * regime).
+    */
+  private val batchedCache = scala.collection.mutable.Map.empty[
+    (SparkSession, String, Int, Int), (Model, Int)]
 }

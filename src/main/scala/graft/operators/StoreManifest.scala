@@ -112,6 +112,16 @@ object StoreManifest {
     * files RESTATE old rows — they carry no new data). The tag is
     * immutable and never GC'd, so [[deltaRead]] can classify versions
     * long after `v&lt;N&gt;.expired` was consumed by [[gcExpired]].
+    *
+    * PUBLISHER CONTRACT: a version with non-empty `expired` must ONLY
+    * restate — its fresh files may not carry rows absent from the
+    * previous version. [[deltaRead]] skips compact versions wholesale,
+    * so a combined rewrite+append publish would silently hide the
+    * appended rows from every incremental consumer (file-level deltas
+    * cannot tell restating files from new-data files). Publish such
+    * maintenance in TWO versions: the append first, then the
+    * compaction — which is what every publisher here does
+    * (epoch appends via StoreIntake, folds via compact*Snapshot).
     */
   def publish(spark: SparkSession, root: String, fileList: Seq[String],
       expired: Seq[String] = Seq.empty): Long = {
@@ -209,15 +219,17 @@ object StoreManifest {
   }
 
   /** Zero-row frame carrying the store's schema, inferred from the
-    * nearest published version that lists any file (earliest first —
-    * additive evolution means later versions only widen). Throws
-    * `what` when the whole line is fileless (no schema exists to
-    * infer).
+    * LATEST published version that lists any file — the latest because
+    * (a) its files are the live list and cannot have been GC'd (an
+    * early version's may be — reading them would crash the promised
+    * no-op answer), and (b) under additive evolution the latest schema
+    * is the widest. Throws `what` when the whole line is fileless (no
+    * schema exists to infer).
     */
   private def emptyWithStoreSchema(spark: SparkSession, root: String,
       cur: Long, what: String): DataFrame = {
     val fs = fsOf(spark, mdir(root))
-    val donor = (1L to cur).iterator
+    val donor = (cur to 1L by -1L).iterator
       .map(v => readList(fs, new Path(mdir(root), s"v$v.list")))
       .find(_.nonEmpty)
     donor match {

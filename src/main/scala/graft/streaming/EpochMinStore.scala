@@ -89,9 +89,17 @@ final class EpochMinStore(val path: String, val keyCols: Seq[String],
       case None =>
         // Replay: heal a crash between marker create and publish —
         // unless the epoch was published and later folded away
-        // (healMissing's everReferenced distinction).
-        if (manifested) StoreIntake.healMissing(spark, path,
-          StoreIntake.markerFiles(spark, path, scope, batchId))
+        // (healMissing's everReferenced distinction). An UNMANIFESTED
+        // store with a marker is the bootstrap crash window (first
+        // epoch applied, process died before the first publish —
+        // every successful append publishes, so no other state
+        // reaches here): publish the marker-held files directly, or
+        // the first epoch's minima would be lost from every future
+        // snapshot while the marker blocks re-applying them.
+        val held = StoreIntake.markerFiles(spark, path, scope, batchId)
+        if (manifested) StoreIntake.healMissing(spark, path, held)
+        else if (held.nonEmpty) StoreManifest.publish(spark, path,
+          held): Unit
     }
     if (placed.isDefined && compactOver > 0 &&
       StoreManifest.files(spark, path).exists(_.size > compactOver)) {

@@ -317,8 +317,10 @@ object StatefulOps {
       state.update(mn)
       // Slide the eviction horizon to last-seen + delay: delete any
       // previously registered timer first, or a stale earlier timer
-      // would evict a key that is still arriving.
-      getHandle.listTimers().foreach(t =>
+      // would evict a key that is still arriving. Materialize the
+      // timer list BEFORE deleting — mutating the timer column family
+      // under the provider's live iterator is undefined (RocksDB).
+      getHandle.listTimers().toSeq.foreach(t =>
         getHandle.deleteTimer(t.asInstanceOf[Long]))
       rs.map(_.ts.getTime).maxOption.foreach(last =>
         getHandle.registerTimer(last + delayMs))

@@ -110,6 +110,27 @@ class EpochMinStoreSpec extends AnyFunSuite {
     assert(readMap(store).get("k0").contains(7L)) // min(10, 7) at i=0,3
   }
 
+  test("bootstrap crash window: a marker without a manifest heals on " +
+    "replay instead of losing the first epoch") {
+    val store = mkStore()
+    store.append(df("a" -> 5L, "b" -> 2L), 0L)
+    // Simulate the crash between the first epoch's marker and the
+    // first publish: drop the manifest line entirely (the marker
+    // stays, so a re-apply is blocked by the ledger).
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(s"${store.path}/_manifest"))
+    // foreachBatch re-delivery: the ledger skips the apply, and the
+    // replay heal must bootstrap-publish the marker-held files — or
+    // epoch 0's minima would be absent from every future snapshot.
+    store.append(df("a" -> 5L, "b" -> 2L), 0L)
+    assert(readMap(store) === Map("a" -> 5L, "b" -> 2L))
+    store.append(df("c" -> 7L), 1L)
+    assert(readMap(store) === Map("a" -> 5L, "b" -> 2L, "c" -> 7L))
+  }
+
   test("empty batch records its epoch and changes nothing") {
     val store = mkStore()
     store.append(df("a" -> 5L), 0L)
