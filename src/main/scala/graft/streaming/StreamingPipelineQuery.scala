@@ -461,6 +461,106 @@ object StreamingPipelineQuery {
     }
   }
 
+  /** [[runDedupBounded]] under EVENT-TIME (watermark) eviction — the
+    * reference's streaming-state semantics (SURVEY §2.7) on the oracle
+    * path: [[StatefulOps.canonicalKeepersEventTime]] drops a key's
+    * election state when the watermark passes its last-seen event time
+    * + 5 s (event-time timers, re-registered per arrival), and the
+    * same [[EpochMinStore]] re-canonicalizes any post-eviction local
+    * re-election. Synthetic event times drive the clock
+    * deterministically — no wall-clock sleeps, no TTL races:
+    *
+    *  - execution 1: the first split at t=1000 s (timers land at
+    *    1005; the 10 s watermark delay leaves wm=990 — nothing fires);
+    *  - execution 2 (checkpoint restart): the second split at
+    *    t=2000 s — opens at wm=990, so execution-1 elections are
+    *    STILL LIVE and suppress this split's duplicates of them; wm
+    *    advances to 1990 after;
+    *  - execution 3a: ONE salted doc at t=3000 s — its batch opens at
+    *    wm=1990 ≥ 1005, firing every execution-1 timer (the salted
+    *    advance row reuses a corpus content key, so the store gains
+    *    no key the oracle lacks); wm → 2990;
+    *  - execution 3b: the REST of split 1 salted at t=3100 s — opens
+    *    at wm=2990 ≥ 2005 (execution-2 timers fire too); the evicted
+    *    keys re-elect LOCALLY and emit salted keepers, `require`d —
+    *    the watermark-eviction witness — and min-at-read over the
+    *    epoch store restores the batch keep-lowest rule.
+    *
+    * Event-time no-data batches cannot self-schedule (the watermark
+    * only advances with data), so AvailableNow terminates without the
+    * ProcessingTime livelock workaround. Same oracle as
+    * streaming_dedup: bounding state by watermark must not change
+    * what the store converges to.
+    */
+  private def runDedupEventTime(spark: SparkSession,
+      dir: String): DataFrame = withShufflePartitions(spark, 4) {
+    // 4, not the other replays' 8: this is FOUR AvailableNow
+    // executions, and the fixed cost is RocksDB instance opens per
+    // (partition × batch) — with timer column families on top, the
+    // extra executions double the open count, so the replay halves
+    // the partition fan-out instead (state here is KB-sized; the
+    // production lever scales partitions UP with the key space).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val rows = boundedFeed(Tables.t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1), "documents")
+    val split = rows.size * 2 / 3
+    val salt = rows.map(_._1).max + 1L
+    val work = Files.createTempDirectory("graft-streamdedupet").toString
+    val store = new EpochMinStore(s"$work/store", Seq("h"),
+      scope = "keeper-et", compactOver = 2)
+    val source = MemoryStream[(Long, String, Long)](spark)
+    val saltedEmissions = new java.util.concurrent.atomic.AtomicLong
+
+    def drain(): Unit = {
+      val keyed = source.toDF().toDF("doc_id", "text", "sec")
+        .selectExpr("md5(substring(norm_text(text), 1, 60)) AS h",
+          "doc_id AS docId", "cast(sec as timestamp) AS ts")
+        .as[StatefulOps.DocKeyT]
+        .withWatermark("ts", "10 seconds")
+      val q = StatefulOps.canonicalKeepersEventTime(keyed,
+          delayMs = 5000L)
+        .toDF()
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          saltedEmissions.addAndGet(
+            b.filter(col("keeper") >= salt).count()): Unit
+          store.append(b, id)
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    source.addData(rows.take(split).map { case (id, t) =>
+      (id, t, 1000L) }: _*)
+    drain()
+    source.addData(rows.drop(split).map { case (id, t) =>
+      (id, t, 2000L) }: _*)
+    drain() // restart; execution-1 elections still live at wm=990
+    // 3a: watermark mover — one salted doc fires execution-1's timers.
+    source.addData(rows.take(1).map { case (id, t) =>
+      (id + salt, t, 3000L) }: _*)
+    drain()
+    // 3b: cold-key re-delivery AFTER the eviction batch.
+    source.addData(rows.take(split).drop(1).map { case (id, t) =>
+      (id + salt, t, 3100L) }: _*)
+    drain()
+    require(saltedEmissions.get() > 0,
+      "no watermark-evicted key re-elected a salted keeper — the " +
+        "event-time timers never fired and the run proved nothing")
+    require(graft.operators.StoreManifest
+      .currentVersion(spark, s"$work/store").exists(_ >= 4),
+      "the min-merge compaction never ran — the fold is off the path")
+
+    store.read(spark).orderBy("h")
+  }
+
   /** Under TimeMode.ProcessingTime, every TTL-cleanup no-data batch
     * advances the processing-time clock, which schedules ANOTHER
     * cleanup batch — Trigger.AvailableNow never terminates (observed:
@@ -582,6 +682,15 @@ object StreamingPipelineQuery {
          |         AS h,
          |       MIN(doc_id) AS keeper
          |FROM documents WHERE text IS NOT NULL
-         |GROUP BY 1 ORDER BY h""".stripMargin)(runDedupBounded)
+         |GROUP BY 1 ORDER BY h""".stripMargin)(runDedupBounded),
+    // Watermark-bounded election, same oracle again: the eviction
+    // CLOCK (event time vs processing time) must not change what the
+    // store converges to either.
+    QuerySpec.replay("streaming_dedup_eventtime",
+      s"""SELECT md5(substring(${graft.operators.TextOps.normD}, 1, 60))
+         |         AS h,
+         |       MIN(doc_id) AS keeper
+         |FROM documents WHERE text IS NOT NULL
+         |GROUP BY 1 ORDER BY h""".stripMargin)(runDedupEventTime)
   )
 }
