@@ -354,6 +354,55 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     } finally e.unpersist(): Unit
   }
 
+  test("deltaRead edges: an unclassifiable rewrite rejects loudly, " +
+    "and a legitimately empty version time-travels to an empty frame " +
+    "with the latest schema") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-deltaedge").toString +
+      "/d"
+    // v1: a store BORN EMPTY (the signature-store pattern).
+    StoreManifest.publish(spark, root, Seq.empty): Unit
+    // v2: an append.
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .coalesce(1).write.parquet(root + "/e1")
+    StoreManifest.publish(spark, root,
+      StoreManifest.listDataFiles(spark, root)): Unit
+    // An empty early version reads as an EMPTY frame carrying the
+    // LATEST schema (ADVICE r14: previously conflated with a missing
+    // version), while an out-of-line version still rejects loudly.
+    val asOf1 = StoreManifest.snapshotReadAsOf(spark, root, 1L)
+    assert(asOf1.count() == 0L)
+    assert(asOf1.columns.toSet == Set("id", "v"))
+    intercept[IllegalArgumentException] {
+      StoreManifest.snapshotReadAsOf(spark, root, 3L)
+    }
+    // v3: a hand-crafted REWRITE whose classification evidence is
+    // gone — files removed vs v2, the op tag and expired record both
+    // deleted (the legacy-store shape). deltaRead must reject with
+    // unknown-rewrite semantics, never guess.
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .coalesce(1).write.parquet(root + "/e2")
+    val rewritten = StoreManifest.listDataFiles(spark, root)
+      .filter(_.startsWith("e2/"))
+    StoreManifest.publish(spark, root, rewritten,
+      expired = StoreManifest.files(spark, root, Some(2L)).get): Unit
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_manifest/v3.op"),
+      false)
+    fs.delete(new org.apache.hadoop.fs.Path(root,
+      "_manifest/v3.expired"), false)
+    val e = intercept[IllegalArgumentException] {
+      StoreManifest.deltaRead(spark, root, 1L, 3L)
+    }
+    assert(e.getMessage.contains("not recorded as a compaction"))
+    // With the op tag present (v3 republished as v4 = a PROPER
+    // compaction of v3's shape), the same range walks through.
+    StoreManifest.publish(spark, root, rewritten): Unit // v4 append-shaped
+    assert(StoreManifest.deltaRead(spark, root, 3L, 4L).count() == 0L)
+  }
+
   test("time travel: every pre-GC version reconstructs its exact " +
     "historical content across a compaction; gcExpired(0) reclaims " +
     "history and an as-of read of a collected version fails loudly") {
