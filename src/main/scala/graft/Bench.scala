@@ -382,10 +382,14 @@ object Bench {
       spark.stop()
     }.failed.foreach(e => System.err.println(
       s"[bench] teardown failed: ${e.getMessage}"))
-    println(fullJson)
-    // Compact headline LAST: whatever byte window the driver tails,
-    // the final line always fits whole, so the total survives even if
-    // the per-query line above gets clipped.
+    // Compact totals line is the ONLY stdout metric line (VERDICT r15
+    // #1): the full ~9 KB per-query line overflowed the driver's
+    // 2,000-char stdout capture two rounds running even when printed
+    // before this one — the capture window clips from the front, so
+    // anything sharing the window with the big line loses. The full
+    // per-query map lives exclusively in `outFile` above (and the
+    // committed root artifact); stdout carries one short line that
+    // fits any window whole.
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"sf":"$sfDir"$warmTotalOnly$catPart$loadPart}""")
   }
 }

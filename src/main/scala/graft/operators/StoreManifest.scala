@@ -118,13 +118,36 @@ object StoreManifest {
     * previous version. [[deltaRead]] skips compact versions wholesale,
     * so a combined rewrite+append publish would silently hide the
     * appended rows from every incremental consumer (file-level deltas
-    * cannot tell restating files from new-data files). Publish such
-    * maintenance in TWO versions: the append first, then the
-    * compaction — which is what every publisher here does
-    * (epoch appends via StoreIntake, folds via compact*Snapshot).
+    * cannot tell restating files from new-data files). The API makes
+    * that combination UNREPRESENTABLE (ADVICE r15): `publish` is the
+    * append entry point and rejects a non-empty `expired`;
+    * restating versions go through [[publishCompact]], whose name IS
+    * the contract. Maintenance that both adds and rewrites publishes
+    * TWO versions: the append first, then the compaction — which is
+    * what every publisher here does (epoch appends via StoreIntake,
+    * folds via compact*Snapshot).
     */
-  def publish(spark: SparkSession, root: String, fileList: Seq[String],
-      expired: Seq[String] = Seq.empty): Long = {
+  def publish(spark: SparkSession, root: String,
+      fileList: Seq[String]): Long =
+    publishVersion(spark, root, fileList, expired = Seq.empty)
+
+  /** Publish a RESTATING version: `fileList` replaces the files in
+    * `expired` without adding or removing any row (the compaction
+    * shape). Tagged `compact`, so [[deltaRead]] skips it wholesale —
+    * publishing new data through here hides it from every incremental
+    * consumer; that is the caller's contract to honor, and the split
+    * entry points exist so it cannot happen by accident.
+    */
+  def publishCompact(spark: SparkSession, root: String,
+      fileList: Seq[String], expired: Seq[String]): Long = {
+    require(expired.nonEmpty,
+      "publishCompact requires the replaced files; a version that " +
+        "expires nothing is an append — use publish")
+    publishVersion(spark, root, fileList, expired)
+  }
+
+  private def publishVersion(spark: SparkSession, root: String,
+      fileList: Seq[String], expired: Seq[String]): Long = {
     val dir = mdir(root)
     val fs = fsOf(spark, dir)
     fs.mkdirs(dir)
@@ -407,7 +430,7 @@ object StoreManifest {
             freshRel += s"$part/$destName"
           }
       }
-    val v = publish(spark, root, kept ++ freshRel.result(),
+    val v = publishCompact(spark, root, kept ++ freshRel.result(),
       expired = replaced)
     fs.delete(tmp, true): Unit
     v
@@ -444,7 +467,8 @@ object StoreManifest {
           s"rename failed: ${f.getPath}")
         freshRel += destName
       }
-    val v = publish(spark, root, freshRel.result(), expired = cur)
+    val v = publishCompact(spark, root, freshRel.result(),
+      expired = cur)
     fs.delete(tmp, true): Unit
     v
   }

@@ -49,6 +49,14 @@ import org.apache.spark.sql.functions.min
 final class EpochMinStore(val path: String, val keyCols: Seq[String],
     val scope: String, val compactOver: Int = 0) {
 
+  /** Per-key, per-COLUMN minimum. With more than one value column the
+    * mins are taken independently, so a converged row can interleave
+    * values from different source rows (column-wise merge semantics,
+    * NOT keep-the-min-row — ADVICE r15). That is exactly the lattice
+    * the keeper election needs (one value column, so the distinction
+    * is vacuous today); a caller wanting row-atomic min-by must pack
+    * the row into a single orderable struct column instead.
+    */
   private def minMerged(rows: DataFrame): DataFrame = {
     val nonKey = rows.columns.filterNot(keyCols.contains).toSeq
     require(nonKey.nonEmpty,
@@ -96,7 +104,18 @@ final class EpochMinStore(val path: String, val keyCols: Seq[String],
         // reaches here): publish the marker-held files directly, or
         // the first epoch's minima would be lost from every future
         // snapshot while the marker blocks re-applying them.
+        // markerFiles may surface legacy `files=N` marker lines that
+        // are not paths (its doc delegates filtering to the caller —
+        // ADVICE r15); the other intake callers filter by their path
+        // prefix, but this store's epochs land flat at the root, so
+        // the discipline here is existence: only entries that are
+        // actual files on disk may enter the manifest.
+        val rootPath = new org.apache.hadoop.fs.Path(path)
+        val fs = rootPath.getFileSystem(
+          spark.sessionState.newHadoopConf())
         val held = StoreIntake.markerFiles(spark, path, scope, batchId)
+          .filter(f => fs.isFile(
+            new org.apache.hadoop.fs.Path(rootPath, f)))
         if (manifested) StoreIntake.healMissing(spark, path, held)
         else if (held.nonEmpty) StoreManifest.publish(spark, path,
           held): Unit

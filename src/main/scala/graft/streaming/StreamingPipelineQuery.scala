@@ -563,9 +563,28 @@ object StreamingPipelineQuery {
     source.addData(rows.take(split).drop(1).map { case (id, t) =>
       (id + salt, t, 3100L) }: _*)
     drain()
-    require(saltedEmissions.get() > 0,
+    // The re-election witness needs an ELIGIBLE key: a split-1 content
+    // key other than rows.head's (the 3a mover refreshes that one)
+    // that does not recur in split 2 (a split-2 re-registration can
+    // keep its state live through 3b's wall, suppressing the salted
+    // election). A tiny or heavily-duplicated corpus may have none —
+    // then the require would fail SPURIOUSLY, proving nothing about
+    // eviction (ADVICE r15); the oracle compare still gates what the
+    // store converges to, so the witness softens rather than lies.
+    val keyOf = rows.toDF("doc_id", "text")
+      .selectExpr("doc_id",
+        "md5(substring(norm_text(text), 1, 60)) AS h")
+      .as[(Long, String)].collect().toMap
+    val split2Keys = rows.drop(split).map(r => keyOf(r._1)).toSet
+    val headKey = keyOf(rows.head._1)
+    val eligible = rows.take(split).drop(1).map(r => keyOf(r._1))
+      .exists(h => h != headKey && !split2Keys.contains(h))
+    if (eligible) require(saltedEmissions.get() > 0,
       "no watermark-evicted key re-elected a salted keeper — the " +
         "event-time timers never fired and the run proved nothing")
+    else System.err.println("[streaming_dedup_eventtime] corpus shape " +
+      "has no eviction-eligible split-1 key; re-election witness " +
+      "skipped (oracle compare still gates convergence)")
     require(graft.operators.StoreManifest
       .currentVersion(spark, s"$work/store").exists(_ >= 4),
       "the min-merge compaction never ran — the fold is off the path")

@@ -385,7 +385,7 @@ class StoreMaintenanceSpec extends AnyFunSuite {
       .coalesce(1).write.parquet(root + "/e2")
     val rewritten = StoreManifest.listDataFiles(spark, root)
       .filter(_.startsWith("e2/"))
-    StoreManifest.publish(spark, root, rewritten,
+    StoreManifest.publishCompact(spark, root, rewritten,
       expired = StoreManifest.files(spark, root, Some(2L)).get): Unit
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
