@@ -288,12 +288,16 @@ object PipelineQueries {
     // (Pipeline.budgetSelectBy); the oracle substitutes the unrolled
     // BPE piece-count CTE for n_chars in token_budget's plain-window
     // intent. Docs with zero tokens have no piece row and are excluded
-    // on both engines (the docTerms population).
+    // on both engines (the docTerms population). The pieces are the
+    // BATCHED trainer's (bpeBatchedCtesD / trainBatched — VERDICT r15
+    // #2): the scale trainer's vocabulary is the one a production run
+    // would meter with, and it diverges from the sequential one on
+    // these corpora.
     QuerySpec("token_budget_bpe",
-      s"""WITH ${bpeCtesD(BpeMerges)},
-         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tq
+      s"""WITH ${bpeBatchedCtesD(BpeMerges)},
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ztq
          |       GROUP BY doc_id, term),
-         |wl AS (SELECT word, len(syms) AS n_syms FROM w$BpeMerges),
+         |wl AS (SELECT word, len(syms) AS n_syms FROM zw$BpeMerges),
          |c AS (SELECT doc_id, CAST(SUM(tf * n_syms) AS BIGINT)
          |        AS n_tok_bpe
          |      FROM tf JOIN wl ON tf.term = wl.word GROUP BY doc_id),
@@ -319,12 +323,14 @@ object PipelineQueries {
     // per-language exclusive prefix-sum layout with documents costed
     // in BPE pieces — bins now hold 2048 MODEL tokens. Same banded
     // shape (Pipeline.packSequencesBy over the Bpe.tokenCounts
-    // lengths); population is docs with ≥ 1 token, as above.
+    // lengths); population is docs with ≥ 1 token, as above. Costed
+    // under the BATCHED-trained vocab (VERDICT r15 #2), like
+    // token_budget_bpe.
     QuerySpec("seq_pack_bpe",
-      s"""WITH ${bpeCtesD(BpeMerges)},
-         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tq
+      s"""WITH ${bpeBatchedCtesD(BpeMerges)},
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ztq
          |       GROUP BY doc_id, term),
-         |wl AS (SELECT word, len(syms) AS n_syms FROM w$BpeMerges),
+         |wl AS (SELECT word, len(syms) AS n_syms FROM zw$BpeMerges),
          |c AS (SELECT doc_id, CAST(SUM(tf * n_syms) AS BIGINT)
          |        AS n_tok_bpe
          |      FROM tf JOIN wl ON tf.term = wl.word GROUP BY doc_id),
@@ -1037,12 +1043,22 @@ object PipelineQueries {
     * model (Bpe.train memo, same key as bpe_vocab — training runs ONCE
     * per corpus across all four BPE queries).
     */
+  /** (doc_id, lang, BPE piece count) under the BATCHED-trained model —
+    * the curation queries' costing input (VERDICT r15 #2): at
+    * production k=32k the sequential trainer is 32k driver rounds, so
+    * the units budgets admit and packers bin must come from the scale
+    * trainer, whose vocabulary genuinely diverges from the sequential
+    * one outside the equivalence regime (BpeSpec names the case). The
+    * model is the memoized trainBatched run `bpe_vocab_batched`
+    * hash-gates; tokenCounts itself is just a join against its vocab.
+    */
   private def bpeLengths(s: org.apache.spark.sql.SparkSession,
       dir: String, docs: org.apache.spark.sql.DataFrame,
       alias: String): org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"), col("lang"))
       .join(Bpe.tokenCounts(docs,
-          Bpe.train(docs, BpeMerges, cacheKey = dir), cacheKey = dir)
+          Bpe.trainBatched(docs, BpeMerges, m = 2, cacheKey = dir)._1,
+          cacheKey = dir)
         .select(col("doc_id"), col("n_tokens_bpe").as(alias)), "doc_id")
 
   /** Build-once term-stats store per (session, corpus) — the
