@@ -66,40 +66,52 @@ object CorpusQueries {
     * oracle (over the dedup survivor set). The Spark twin is the
     * O(chars) codegen'd scrub_spans64 pass (functions.ScrubSpans64).
     */
-  private[operators] def scrubCtes(table: String): String =
-    s"""${TextOps.spanFpsCte(table)},
-       |fst AS (SELECT fp, MIN(doc_id) AS first_doc FROM e GROUP BY fp),
-       |stale AS (SELECT doc_id, fp FROM e JOIN fst USING (fp)
+  /** `pfx` renames every CTE (e → ${pfx}e, dl → ${pfx}dl, …) so one
+    * WITH can chain TWO scrub passes over different union tables — the
+    * two-epoch incremental chain needs per-epoch attribution sets.
+    * The default empty prefix keeps every existing caller semantically
+    * unchanged.
+    */
+  private[operators] def scrubCtes(table: String,
+      pfx: String = ""): String =
+    s"""${TextOps.spanFpsCte(table, pfx)},
+       |${pfx}fst AS (SELECT fp, MIN(doc_id) AS first_doc FROM ${pfx}e
+       |       GROUP BY fp),
+       |${pfx}stale AS (SELECT doc_id, fp FROM ${pfx}e
+       |          JOIN ${pfx}fst USING (fp)
        |          WHERE first_doc < doc_id),
-       |dl AS (SELECT doc_id, norm, length(norm) AS ln
+       |${pfx}dl AS (SELECT doc_id, norm, length(norm) AS ln
        |       FROM (SELECT doc_id, ${TextOps.normD} AS norm
        |             FROM $table WHERE text IS NOT NULL)),
-       |g AS (SELECT doc_id, norm, ln,
+       |${pfx}g AS (SELECT doc_id, norm, ln,
        |        unnest(range(1, (CASE WHEN ln >= 8 THEN ln - 7
        |                              ELSE 1 END) + 1)) AS pos
-       |      FROM dl),
-       |gf AS (SELECT doc_id, pos,
+       |      FROM ${pfx}dl),
+       |${pfx}gf AS (SELECT doc_id, pos,
        |         CASE WHEN ln >= 8 THEN pos + 7 ELSE ln END AS fin,
        |         CAST(('0x' || substring(md5(CASE WHEN ln >= 8
        |             THEN substring(norm, pos, 8) ELSE norm END), 1, 15))
        |           AS BIGINT) AS gfp
-       |       FROM g),
-       |sc AS (SELECT gf.doc_id, gf.pos, gf.fin
-       |       FROM gf JOIN stale s ON gf.doc_id = s.doc_id
+       |       FROM ${pfx}g),
+       |${pfx}sc AS (SELECT gf.doc_id, gf.pos, gf.fin
+       |       FROM ${pfx}gf gf JOIN ${pfx}stale s ON gf.doc_id = s.doc_id
        |                           AND gf.gfp = s.fp),
-       |cov AS (SELECT DISTINCT doc_id, p FROM (
+       |${pfx}cov AS (SELECT DISTINCT doc_id, p FROM (
        |          SELECT doc_id, unnest(range(pos, fin + 1)) AS p
-       |          FROM sc)),
-       |ch AS (SELECT doc_id, norm, unnest(range(1, ln + 1)) AS p
-       |       FROM dl),
-       |kept AS (SELECT ch.doc_id, ch.p, substring(ch.norm, ch.p, 1) AS c
-       |         FROM ch LEFT JOIN cov ON ch.doc_id = cov.doc_id
+       |          FROM ${pfx}sc)),
+       |${pfx}ch AS (SELECT doc_id, norm, unnest(range(1, ln + 1)) AS p
+       |       FROM ${pfx}dl),
+       |${pfx}kept AS (SELECT ch.doc_id, ch.p,
+       |           substring(ch.norm, ch.p, 1) AS c
+       |         FROM ${pfx}ch ch LEFT JOIN ${pfx}cov cov
+       |           ON ch.doc_id = cov.doc_id
        |                              AND ch.p = cov.p
        |         WHERE cov.p IS NULL),
-       |ks AS (SELECT doc_id, COUNT(*) AS kc,
+       |${pfx}ks AS (SELECT doc_id, COUNT(*) AS kc,
        |              string_agg(c, '' ORDER BY p) AS kt
-       |       FROM kept GROUP BY doc_id),
-       |ns AS (SELECT doc_id, COUNT(*) AS n_sc FROM sc GROUP BY doc_id)"""
+       |       FROM ${pfx}kept GROUP BY doc_id),
+       |${pfx}ns AS (SELECT doc_id, COUNT(*) AS n_sc FROM ${pfx}sc
+       |       GROUP BY doc_id)"""
       .stripMargin
 
   val all: Seq[QuerySpec] = Seq(

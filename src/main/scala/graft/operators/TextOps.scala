@@ -115,8 +115,8 @@ object TextOps {
     * formulation, tie cases included — see WinnowFps64's parity
     * contract).
     */
-  def spanFpsCte(table: String): String =
-    s"""e AS (
+  def spanFpsCte(table: String, pfx: String = ""): String =
+    s"""${pfx}e AS (
        |  SELECT doc_id,
        |    CAST(('0x' || substring(fph, 1, 15)) AS BIGINT) AS fp
        |  FROM (
