@@ -149,4 +149,47 @@ class EpochMinStoreSpec extends AnyFunSuite {
       "the epoch must hold per-key minima, not raw emissions")
     assert(readMap(store) === Map("a" -> 4L))
   }
+
+  test("retention contract (VERDICT r15 #6): compact's " +
+    "gcExpired(keepVersions = 2) keeps the trailing two pre-compaction " +
+    "snapshots whole; a reader holding an older snapshot whose files " +
+    "the fold reclaimed fails loudly, never silently partial") {
+    val store = mkStore(compactOver = 2)
+    // Three appends: the third crosses compactOver=2 and triggers the
+    // in-loop fold. Versions: v1..v3 appends, v4 compact. gc(keep=2)
+    // retains v2..v4 and finds nothing reclaimable yet (appends carry
+    // no .expired record; v4's own expiry is inside the window).
+    store.append(df("a" -> 5L, "b" -> 9L), 0L)
+    store.append(df("a" -> 3L), 1L)
+    store.append(df("c" -> 7L), 2L)
+    assert(StoreManifest.currentVersion(spark, store.path)
+      .contains(4L))
+    (1L to 4L).foreach { v =>
+      assert(StoreManifest.snapshotReadAsOf(spark, store.path, v)
+        .count() > 0, s"pre-GC version $v must reconstruct")
+    }
+    // Two more appends cross the threshold again: v5, v6 appends,
+    // v7 compact — and THIS gc (retaining v5..v7) reclaims the files
+    // v4's fold expired, i.e. every epoch file v1..v3 referenced.
+    store.append(df("d" -> 1L), 3L)
+    store.append(df("e" -> 2L), 4L)
+    assert(StoreManifest.currentVersion(spark, store.path)
+      .contains(7L))
+    // The retained window stays whole — including v4..v6, whose lists
+    // share files the second fold expired but retention protects.
+    (4L to 7L).foreach { v =>
+      val asOf = StoreManifest.snapshotReadAsOf(spark, store.path, v)
+      assert(asOf.count() > 0, s"retained version $v must reconstruct")
+    }
+    assert(readMap(store) ===
+      Map("a" -> 3L, "b" -> 9L, "c" -> 7L, "d" -> 1L, "e" -> 2L),
+      "the folds must never change what the store converges to")
+    // A reader more than keepVersions behind the compaction: its file
+    // list dangles and the read FAILS — the StoreMaintenanceSpec
+    // loud-failure precedent. Silent-partial here would mean a dedup
+    // index quietly forgetting elections.
+    intercept[Exception] {
+      StoreManifest.snapshotReadAsOf(spark, store.path, 2L).collect()
+    }
+  }
 }
