@@ -196,8 +196,130 @@ object ScaleQueries {
         .select(col("doc_id"), col("lang"), col("source"),
           col("n_chars"), md5(coalesce(col("text"), lit(""))).as("h"))
         .orderBy("doc_id")
+    },
+
+    // deltaRead as a SUBSCRIPTION (VERDICT r15 next-round #5): an
+    // incremental consumer tails the manifest's operation-tagged
+    // version line through graft.streaming.ManifestSubscription — a
+    // durable cursor + poll loop — and materializes every append
+    // delta into a DOWNSTREAM manifested store through the ledgered
+    // intake (batchId = the delta's toVersion). The drive exercises
+    // the three production hazards on the oracle path: a RESTART
+    // mid-line (a fresh subscription object over the same cursor file
+    // resumes, it does not re-consume), a REPLAYED range (the crash
+    // window between handler and cursor advance re-delivers (2,3];
+    // the downstream ledger must no-op it, pinned by a version
+    // require), and a COMPACTION mid-subscription (the op-tag walk
+    // makes it an empty delta — "nothing new", not a re-delivery of
+    // restated rows). The emitted frame is the downstream snapshot;
+    // green means bootstrap + three deltas + one replay + one
+    // compaction window reproduce the corpus exactly once. Category
+    // `replay`: the cold time is a multi-execution subscription drive
+    // over one durable cursor.
+    QuerySpec.replay("snapshot_subscribe",
+      """SELECT doc_id, lang, source, n_chars,
+        |       md5(COALESCE(text, '')) AS h
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      StoreManifest.snapshotRead(s, subscribedStore(s, dir))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), md5(coalesce(col("text"), lit(""))).as("h"))
+        .orderBy("doc_id")
     }
   )
+
+  /** Build-once per (session, corpus): the subscription drive behind
+    * `snapshot_subscribe`. Source store: bootstrap publish (v1 =
+    * doc_id % 4 == 0) + three appends (v2, v3, v5) with a sources
+    * compaction wedged between the last two (v4). Downstream store:
+    * bootstrapped from the v1 snapshot, then fed EXCLUSIVELY by
+    * ManifestSubscription polls whose handler is the exactly-once
+    * documents intake keyed by toVersion. Returns the downstream path.
+    */
+  private def subscribedStore(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    subscribedStoreCache.synchronized(
+      subscribedStoreCache.getOrElseUpdate((s, dir), {
+        val work = java.nio.file.Files
+          .createTempDirectory("graft-substore").toString
+        val src = s"$work/src"
+        val down = s"$work/down"
+        val cursor = s"$work/cursor/sub-1"
+        val docs = t(s, dir, "documents")
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        def epoch(i: Int) = docs
+          .filter(pmod(col("doc_id"), lit(4)) === i)
+          .repartition(1)
+        def feed(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+          graft.streaming.StoreIntake.documentsIntakeBatch(down, "sub")(
+            df.select(cols.map(col): _*), id)
+        // Source appends go through the ledgered intake's COMPOSITIONAL
+        // publish (current live list + the epoch's files). A listing
+        // re-publish would work until the compaction and then poison
+        // the line: expired files stay on disk until GC, so v5's
+        // listing would resurrect them and the (4,5] delta would
+        // re-deliver every pre-compaction row — the exact trap
+        // DEPLOY.md's lifecycle runbook names (and this build hit,
+        // 875 ≠ 500 rows, before switching).
+        def srcAppend(df: org.apache.spark.sql.DataFrame,
+            id: Long): Unit =
+          graft.streaming.StoreIntake.documentsIntakeBatch(src,
+            "srcfeed")(df.select(cols.map(col): _*), id)
+        // Source v1 + downstream bootstrap from that snapshot.
+        AtRestStores.writeDocumentsStore(epoch(0), src)
+        AtRestStores.publishDocumentsManifest(s, src): Unit
+        AtRestStores.writeDocumentsStore(
+          StoreManifest.snapshotReadAsOf(s, src, 1L)
+            .select(cols.map(col): _*), down)
+        AtRestStores.publishDocumentsManifest(s, down): Unit
+        val sub1 = new graft.streaming.ManifestSubscription(src, cursor)
+        require(sub1.subscribe(s, 1L) == 1L)
+        require(sub1.poll(s)((df, _, to) => feed(df, to)).isEmpty,
+          "nothing published yet — poll must answer 'nothing new'")
+        // v2 append → poll delivers (1,2].
+        srcAppend(epoch(1), 1L)
+        require(sub1.poll(s) { (df, _, to) => feed(df, to) }
+          .contains((1L, 2L)))
+        // RESTART mid-line: a fresh object over the same cursor file
+        // resumes at v2 — subscribe's afterVersion must NOT win.
+        val sub2 = new graft.streaming.ManifestSubscription(src, cursor)
+        require(sub2.subscribe(s, 1L) == 2L,
+          "an existing cursor must survive a subscriber restart")
+        srcAppend(epoch(2), 2L)
+        require(sub2.poll(s) { (df, _, to) => feed(df, to) }
+          .contains((2L, 3L)))
+        // REPLAYED range: a crash between the handler and the cursor
+        // advance leaves the cursor at 2 — the re-delivered (2,3]
+        // must be a downstream ledger no-op.
+        val fs = new org.apache.hadoop.fs.Path(cursor)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(cursor), false)
+        val sub3 = new graft.streaming.ManifestSubscription(src, cursor)
+        require(sub3.subscribe(s, 2L) == 2L)
+        val vDown = StoreManifest.currentVersion(s, down)
+        require(sub3.poll(s) { (df, _, to) => feed(df, to) }
+          .contains((2L, 3L)))
+        require(StoreManifest.currentVersion(s, down) == vDown,
+          "a replayed delta must not re-publish downstream")
+        // COMPACTION mid-subscription (v4): an empty delta, consumed
+        // as a normal poll — the cursor crosses it without error.
+        val sources = docs.select("source").distinct()
+          .collect().map(_.getString(0)).toSeq
+        AtRestStores.compactDocumentsSources(s, src, sources): Unit
+        require(sub3.poll(s) { (df, _, to) =>
+          require(df.isEmpty, "a compaction window must delta empty")
+          feed(df, to)
+        }.contains((3L, 4L)))
+        // v5 append lands AFTER the compaction → poll delivers it.
+        srcAppend(epoch(3), 3L)
+        require(sub3.poll(s) { (df, _, to) => feed(df, to) }
+          .contains((4L, 5L)))
+        require(sub3.poll(s)((df, _, to) => feed(df, to)).isEmpty,
+          "a drained line must answer 'nothing new' again")
+        down
+      }))
+
+  private val subscribedStoreCache = scala.collection.mutable.Map.empty[
+    (org.apache.spark.sql.SparkSession, String), String]
 
   /** Build-once per (session, corpus): the manifested documents store
     * with PER-EPOCH manifest versions — v1..v4 are the four intake
