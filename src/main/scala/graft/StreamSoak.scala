@@ -616,6 +616,122 @@ object StreamSoak {
         s"compacting intake batch time trending up: $p2a -> $p2b ms")
     }
 
+    // ---- 6. keeper epoch-min store read amplification (VERDICT r15
+    // #4): EpochMinStoreSpec pins write ∝ batch at fixture scale; this
+    // drives the store through `nBatches` foreachBatch triggers with
+    // the in-loop fold ARMED and measures what the spec can't — the
+    // read side. Per trigger: resident file count, bytes the epoch
+    // appended (compact-* maintenance files excluded), and the
+    // min-at-read wall time; at every fold, the (files, read-ms) pair
+    // immediately before vs after. Gates: epoch bytes stay flat while
+    // the resident store grows (write ∝ batch at soak scale), resident
+    // files stay bounded by the fold threshold, post-fold reads are
+    // never slower than the pre-fold reads they amortize, and read
+    // time stays flat across the whole run — which is only true
+    // BECAUSE the folds bound resident-epoch growth. Convergence is
+    // re-gated against a driver-side min map at the end.
+    {
+      val compactOver = 12
+      val keeper = new streaming.EpochMinStore(s"$tmp/keeper",
+        Seq("h"), scope = "soak", compactOver = compactOver)
+      val src = MemoryStream[(String, Long)](spark)
+      val q = src.toDF().toDF("h", "keeper")
+        .writeStream
+        .option("checkpointLocation", s"$tmp/keeper_ckpt")
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          keeper.append(b, id)
+        }
+        .start()
+      val expect = mutable.Map.empty[String, Long]
+      val nKeys = 2000
+      val batchKeys = 200
+      def fileSizes(): Map[String, Long] = {
+        val root = new org.apache.hadoop.fs.Path(keeper.path)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        operators.StoreManifest.files(spark, keeper.path)
+          .getOrElse(Seq.empty)
+          .map(f => f -> fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(root, f)).getLen).toMap
+      }
+      def readMs(): Long = {
+        val t0 = System.nanoTime()
+        keeper.read(spark).count(): Unit
+        (System.nanoTime() - t0) / 1000000L
+      }
+      val epochBytes = mutable.ArrayBuffer.empty[Long]
+      val readLog = mutable.ArrayBuffer.empty[(Int, Int, Long)]
+      val foldLog = mutable.ArrayBuffer.empty[(Int, Long, Int, Long)]
+      var prev = fileSizes()
+      var prevRead = -1L
+      (0 until nBatches).foreach { i =>
+        val batch = (0 until batchKeys).map { r =>
+          val j = (i * 37 + r) % nKeys
+          val k = f"k$j%04d"
+          val v = 1000000L - i * 13 + (j % 7)
+          expect.updateWith(k)(old =>
+            Some(math.min(old.getOrElse(Long.MaxValue), v)))
+          (k, v)
+        }
+        src.addData(batch: _*)
+        q.processAllAvailable()
+        val now = fileSizes()
+        epochBytes += now.view
+          .filterKeys(f => !prev.contains(f) && !f.startsWith("compact-"))
+          .values.sum
+        val ms = readMs()
+        readLog += ((i, now.size, ms))
+        if (now.size < prev.size && prevRead >= 0)
+          // The in-loop fold fired during THIS trigger: the previous
+          // trigger's (files, read-ms) is the pre-fold peak this fold
+          // amortized.
+          foldLog += ((i, prevRead, now.size, ms))
+        prev = now
+        prevRead = ms
+      }
+      q.stop()
+      val got = keeper.read(spark).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(got == expect.toMap,
+        s"keeper store diverged after $nBatches folds+appends: " +
+          s"${got.size} keys vs ${expect.size} expected")
+      def mean(xs: Seq[Long]): Double =
+        if (xs.isEmpty) 0.0 else xs.sum.toDouble / xs.size
+      val h = epochBytes.size / 2
+      val (wb1, wb2) = (mean(epochBytes.take(h).toSeq),
+        mean(epochBytes.drop(h).toSeq))
+      val qn = math.max(1, readLog.size / 4)
+      val (rq1, rq4) = (mean(readLog.take(qn).map(_._3).toSeq),
+        mean(readLog.takeRight(qn).map(_._3).toSeq))
+      val preFold = mean(foldLog.map(_._2).toSeq)
+      val postFold = mean(foldLog.map(_._4).toSeq)
+      val maxFiles = readLog.map(_._2).max
+      println(s"""{"metric":"stream_soak_keeper",""" +
+        s""""triggers":$nBatches,"keys":${expect.size},""" +
+        s""""batch_keys":$batchKeys,"compact_over":$compactOver,""" +
+        s""""folds":${foldLog.size},"max_files":$maxFiles,""" +
+        s""""epoch_bytes_h1":${math.round(wb1)},""" +
+        s""""epoch_bytes_h2":${math.round(wb2)},""" +
+        s""""read_ms_q1":${math.round(rq1)},""" +
+        s""""read_ms_q4":${math.round(rq4)},""" +
+        s""""read_ms_prefold":${math.round(preFold)},""" +
+        s""""read_ms_postfold":${math.round(postFold)}}""")
+      require(foldLog.nonEmpty,
+        "the in-loop fold never fired — the soak measured nothing")
+      require(maxFiles <= compactOver + 10,
+        s"resident epochs unbounded: $maxFiles files " +
+          s"(threshold $compactOver + writer-partition slack)")
+      require(wb2 <= 2.0 * wb1 + 65536,
+        s"per-trigger epoch bytes trending with store size, not " +
+          s"batch: ${math.round(wb1)} -> ${math.round(wb2)}")
+      require(postFold <= 1.5 * preFold + 150,
+        s"post-fold reads slower than the pre-fold peaks they " +
+          s"amortize: $preFold -> $postFold ms")
+      require(rq4 <= 2.0 * rq1 + 300,
+        s"min-at-read cost trending up across the soak: " +
+          s"$rq1 -> $rq4 ms")
+    }
+
     operators.Dedup.clearCaches(spark)
     spark.stop()
     ChainSoak.deleteRecursively(new java.io.File(tmp))
