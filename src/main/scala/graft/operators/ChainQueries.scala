@@ -222,6 +222,18 @@ object ChainQueries {
     */
   private def incrAdmitted(s: SparkSession, dir: String): DataFrame =
     Memo.memo("incr_admitted", s, dir, persistIt = true) {
+      incr2Admit(incrScrubbed(s, dir))
+    }
+
+  /** The one-epoch scrub, memoized LINEAGE-TRUNCATED (the incr2Scr1
+    * lesson, round 16): the admission consumes the scrub three times
+    * (language-mass collect, banded budget boundaries, output), and
+    * with a plain nested plan each action re-ran the scrub AND paid
+    * seconds of re-analysis of the nested tree — measured 15.1 s →
+    * 9.4 s on the query's cold build at sf0.1.
+    */
+  private def incrScrubbed(s: SparkSession, dir: String): DataFrame =
+    Memo.memo("incr_scr", s, dir, persistIt = false) {
       val docs = t(s, dir, "documents")
       val surv = docs.filter(col("doc_id") % 2 === 0)
         .join(incrNewDups(s, dir), Seq("doc_id"), "left_anti")
@@ -229,12 +241,7 @@ object ChainQueries {
         .select("doc_id").unionByName(surv.select("doc_id"))
       val fps = Corpus.docFps(docs, cacheKey = dir)
         .join(unionIds, Seq("doc_id"), "left_semi")
-      val scr = Corpus.spanScrubDocs(surv, fps)
-      val langMass = scr.groupBy("lang").agg(sum("n_chars").as("c"))
-        .collect().map(_.getLong(1))
-      val budget = if (langMass.isEmpty) 0L else langMass.min / 2
-      Pipeline.budgetSelectDocs(scr, budget)
-        .select("doc_id", "text", "lang", "source", "n_chars")
+      Corpus.spanScrubDocs(surv, fps).localCheckpoint()
     }
 
   /** Build-once per (session, corpus): the RESIDENT half materialized
@@ -274,16 +281,57 @@ object ChainQueries {
   // probe-set ids, and the oracle mirrors that with original-text
   // signature CTEs over snapshot-membership filters.
 
-  /** Batch-1 docs near-dupping a RESIDENT doc. */
+  /** Band-signature store maintained ALONGSIDE the documents store —
+    * the membership index every epoch's dedup probe hits (the
+    * sig_store_probe layout: bucketed (band, sig), signatures appended
+    * at admission time under the exactly-once ledger, from ORIGINAL
+    * content — intake-time semantics). Probing it is one broadcast of
+    * the batch's bands against a bucketed scan: ZERO corpus-sized
+    * shuffle per intake epoch. The first build of this query instead
+    * semi-joined the full band table with the snapshot's ids — two
+    * corpus-sized shuffles per daily epoch at 100 TB, which is
+    * exactly the cost the signature store exists to avoid.
+    */
+  private def incr2Sig(s: SparkSession, dir: String): (String, String) =
+    incr2SigCache.synchronized(
+      incr2SigCache.getOrElseUpdate((s, dir), {
+        val wh = java.nio.file.Files
+          .createTempDirectory("graft-incr2sig").toString
+        val tbl = "incr2sig_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val sh = Dedup.docShingles(t(s, dir, "documents"),
+          cacheKey = dir)
+        // Born empty; residents arrive through the ledgered intake.
+        Dedup.writeSignatureStore(sh.limit(0), s"$wh/sig", tbl)
+        graft.streaming.StoreIntake.signatureIntakeBatch(
+          tbl, s"$wh/sig", "incr2sig")(
+          t(s, dir, "documents").select("doc_id", "text")
+            .filter(col("doc_id") % 2 =!= 0), 0L)
+        (tbl, s"$wh/sig")
+      }))
+
+  private val incr2SigCache = scala.collection.mutable.Map.empty[
+    (SparkSession, String), (String, String)]
+
+  /** Batch-1 docs near-dupping a RESIDENT doc — probed off the
+    * signature store. The corpus-side parity filter restricts the
+    * verified pairs to resident partners: a no-op at epoch-1 probe
+    * time (the store holds only residents), load-bearing if the memo
+    * is recomputed after epoch 1's admitted signatures landed (a
+    * batch-internal pair must stay out of this query's contract).
+    */
   private[operators] def incr2Dups1(s: SparkSession, dir: String): DataFrame =
     Memo.memo("incr2_dups1", s, dir, persistIt = true) {
       val sh = Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir)
       val bands = Dedup.bandSignatures(sh, cacheKey = dir)
+      val (tbl, _) = incr2Sig(s, dir)
       Dedup.incrementalNearDupPairs(
-        corpus = sh.filter(col("doc_id") % 2 =!= 0),
+        corpus = sh,
         incoming = sh.filter(col("doc_id") % 4 === 0), 4, 5,
-        corpusBands = bands.filter(col("doc_id") % 2 =!= 0),
+        corpusBands = Dedup.signatureStore(s, tbl),
         incomingBands = bands.filter(col("doc_id") % 4 === 0))
+        .filter(col("corpus_id") % 2 =!= 0)
         .select(col("new_id").as("doc_id")).distinct()
     }
 
@@ -293,24 +341,49 @@ object ChainQueries {
     */
   private[operators] def incr2Adm1(s: SparkSession, dir: String): DataFrame =
     Memo.memo("incr2_adm1", s, dir, persistIt = true) {
+      incr2Admit(incr2Scr1(s, dir))
+    }
+
+  /** Epoch 1's scrubbed survivors, memoized: the scrub (first-carrier
+    * attribution over the fp subset + the codegen'd span removal) is
+    * the epoch's expensive pass, and the admission consumes it three
+    * times (language-mass collect, banded budget boundaries, output
+    * materialization) — unmemoized it re-ran per action.
+    */
+  private def incr2Scr1(s: SparkSession, dir: String): DataFrame =
+    Memo.memo("incr2_scr1", s, dir, persistIt = false) {
       val docs = t(s, dir, "documents")
       val surv = docs.filter(col("doc_id") % 4 === 0)
         .join(incr2Dups1(s, dir), Seq("doc_id"), "left_anti")
-      incr2ScrubAdmit(s, dir, surv,
+      // Lineage-truncated (the chain_gated lesson, r15): the scrub
+      // plan nests snapshot reads, probe checkpoints, and the fp memo;
+      // the admission's banded windows reference it from several
+      // subtrees, and a plain persist re-ANALYZES the nested tree on
+      // every downstream action — measured ~16 s of pure planning per
+      // admission action at sf0.1. A flat LogicalRDD makes them ms;
+      // Memo's release path owns the checkpoint blocks.
+      incr2Scrub(s, dir, surv,
         docs.filter(col("doc_id") % 2 =!= 0).select("doc_id"))
+        .localCheckpoint()
     }
 
-  /** Shared epoch body: scrub `surv` with first-carrier attribution
-    * over `probeIds` ∪ survivors (intake-time fps off the memoized
-    * full-corpus table), then budget-admit.
+  /** Shared epoch scrub: `surv` with first-carrier attribution over
+    * `probeIds` ∪ survivors (intake-time fps off the memoized
+    * full-corpus table).
     */
-  private def incr2ScrubAdmit(s: SparkSession, dir: String,
+  private def incr2Scrub(s: SparkSession, dir: String,
       surv: DataFrame, probeIds: DataFrame): DataFrame = {
     val docs = t(s, dir, "documents")
     val unionIds = probeIds.unionByName(surv.select("doc_id"))
     val fps = Corpus.docFps(docs, cacheKey = dir)
       .join(unionIds, Seq("doc_id"), "left_semi")
-    val scr = Corpus.spanScrubDocs(surv, fps)
+    Corpus.spanScrubDocs(surv, fps)
+  }
+
+  /** Shared epoch admission: budget-admit the scrubbed survivors under
+    * half the smallest language's post-scrub mass.
+    */
+  private def incr2Admit(scr: DataFrame): DataFrame = {
     val langMass = scr.groupBy("lang").agg(sum("n_chars").as("c"))
       .collect().map(_.getLong(1))
     val budget = if (langMass.isEmpty) 0L else langMass.min / 2
@@ -318,7 +391,9 @@ object ChainQueries {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
-  /** Resident store + epoch 0 (batch 1) appended; returns (path,
+  /** Resident store + epoch 0 (batch 1) appended to BOTH stores — the
+    * documents store (scrubbed text) and the signature store (original
+    * content's bands, the intake-time index); returns (path,
     * post-append manifest version). The version pin makes every
     * epoch-2 derivation re-computable after a memo flush even though
     * the CURRENT snapshot has since moved past it.
@@ -334,6 +409,15 @@ object ChainQueries {
         AtRestStores.publishDocumentsManifest(s, p): Unit
         graft.streaming.StoreIntake.documentsIntakeBatch(p, "incr2")(
           incr2Adm1(s, dir), 0L)
+        // Admitted docs' signatures land in the membership index —
+        // ORIGINAL text (the dedup index is intake-time; the documents
+        // store's copy is scrubbed), batch-sized semi-join.
+        val (tbl, sigPath) = incr2Sig(s, dir)
+        graft.streaming.StoreIntake.signatureIntakeBatch(
+          tbl, sigPath, "incr2sig")(
+          docs.select("doc_id", "text")
+            .join(incr2Adm1(s, dir).select("doc_id"),
+              Seq("doc_id"), "left_semi"), 1L)
         (p, StoreManifest.currentVersion(s, p).getOrElse(
           throw new IllegalStateException(s"$p lost its manifest")))
       }))
@@ -343,20 +427,36 @@ object ChainQueries {
 
   /** Batch-2 docs near-dupping a POST-EPOCH-1 SNAPSHOT member — the
     * repeat-cadence witness: batch 1's admitted survivors are probe
-    * targets, its dropped docs are not.
+    * targets, its dropped docs are not. The probe hits the signature
+    * store, whose membership after [[incr2Base]] is EXACTLY the
+    * post-epoch-1 snapshot's (both fed by the same admissions under
+    * the same ledgers); the verified pairs are restricted to that
+    * membership explicitly (odd residents by parity, admitted batch-1
+    * partners by a batch-sized semi-join), so the set is stable even
+    * if a later evolution appended further signature epochs.
     */
   private[operators] def incr2Dups2(s: SparkSession, dir: String): DataFrame =
     Memo.memo("incr2_dups2", s, dir, persistIt = true) {
-      val (p, v) = incr2Base(s, dir)
-      val snapIds = StoreManifest.snapshotReadAsOf(s, p, v)
-        .select("doc_id")
+      incr2Base(s, dir): Unit
       val sh = Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir)
       val bands = Dedup.bandSignatures(sh, cacheKey = dir)
-      Dedup.incrementalNearDupPairs(
-        corpus = sh.join(snapIds, Seq("doc_id"), "left_semi"),
+      val (tbl, _) = incr2Sig(s, dir)
+      // Checkpointed: the membership restriction below reads the
+      // verified pairs TWICE (parity branch + admitted-partner
+      // branch); without the truncation the whole probe ran twice.
+      // Candidate-pair-sized; Memo's release path owns the blocks via
+      // the result plan's LogicalRDD.
+      val pairs = Dedup.incrementalNearDupPairs(
+        corpus = sh,
         incoming = sh.filter(col("doc_id") % 4 === 2), 4, 5,
-        corpusBands = bands.join(snapIds, Seq("doc_id"), "left_semi"),
+        corpusBands = Dedup.signatureStore(s, tbl),
         incomingBands = bands.filter(col("doc_id") % 4 === 2))
+        .localCheckpoint()
+      val adm1Partner = pairs.filter(col("corpus_id") % 2 === 0)
+        .join(incr2Adm1(s, dir).select(col("doc_id").as("corpus_id")),
+          Seq("corpus_id"), "left_semi")
+      pairs.filter(col("corpus_id") % 2 =!= 0)
+        .unionByName(adm1Partner)
         .select(col("new_id").as("doc_id")).distinct()
     }
 
@@ -365,12 +465,20 @@ object ChainQueries {
     */
   private[operators] def incr2Adm2(s: SparkSession, dir: String): DataFrame =
     Memo.memo("incr2_adm2", s, dir, persistIt = true) {
+      incr2Admit(incr2Scr2(s, dir))
+    }
+
+  /** Epoch 2's scrubbed survivors, memoized (see [[incr2Scr1]]). */
+  private def incr2Scr2(s: SparkSession, dir: String): DataFrame =
+    Memo.memo("incr2_scr2", s, dir, persistIt = false) {
       val (p, v) = incr2Base(s, dir)
       val docs = t(s, dir, "documents")
       val surv = docs.filter(col("doc_id") % 4 === 2)
         .join(incr2Dups2(s, dir), Seq("doc_id"), "left_anti")
-      incr2ScrubAdmit(s, dir, surv,
+      // Lineage-truncated — see incr2Scr1.
+      incr2Scrub(s, dir, surv,
         StoreManifest.snapshotReadAsOf(s, p, v).select("doc_id"))
+        .localCheckpoint()
     }
 
   /** The fully-evolved store: epoch 1 (batch 2) appended on top of
