@@ -1055,11 +1055,19 @@ object PipelineQueries {
   private def bpeLengths(s: org.apache.spark.sql.SparkSession,
       dir: String, docs: org.apache.spark.sql.DataFrame,
       alias: String): org.apache.spark.sql.DataFrame =
-    docs.select(col("doc_id"), col("lang"))
-      .join(Bpe.tokenCounts(docs,
-          Bpe.trainBatched(docs, BpeMerges, m = 2, cacheKey = dir)._1,
-          cacheKey = dir)
-        .select(col("doc_id"), col("n_tokens_bpe").as(alias)), "doc_id")
+    Memo.memo("bpe_lengths", s, dir, persistIt = false) {
+      // Lineage-truncated (the incr2Scr1 lesson): the banded budget /
+      // packing windows consume this doc-count-sized join from several
+      // subtrees per action; flat LogicalRDD instead of re-running the
+      // docTerms⋈vocab join and re-analyzing its nested plan each time.
+      docs.select(col("doc_id"), col("lang"))
+        .join(Bpe.tokenCounts(docs,
+            Bpe.trainBatched(docs, BpeMerges, m = 2, cacheKey = dir)._1,
+            cacheKey = dir)
+          .select(col("doc_id"), col("n_tokens_bpe")), "doc_id")
+        .localCheckpoint()
+    }.select(col("doc_id"), col("lang"),
+      col("n_tokens_bpe").as(alias))
 
   /** Build-once term-stats store per (session, corpus) — the
     * ivfpq_store_ann pattern: a production stats store is folded
