@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the forked Bench main's final stdout line as bare
+// JSON. sbt's default forked-output strategy re-logs the child's stdout
+// as `[info] ...` and appends its own `[success] Total time` line, so
+// the metric line was never the last line nor bare (BENCH_r14–r16 all
+// parsed: null). StdoutOutput passes the child's stdout/stderr through
+// raw; showSuccess drops the trailing [success] banner.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by the command engine, not a task — exclude
+// it from the unused-setting lint so the warning doesn't land on
+// stdout right above the metric line.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

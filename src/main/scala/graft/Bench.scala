@@ -213,7 +213,10 @@ object Bench {
     val coldResults = selected.map { spec =>
       val cold = timeOnce(spec)
       val warm = repeat match {
-        case Some(n) if cold >= 0 =>
+        // Replays are excluded from the warm pool (see below), so
+        // repeating them here would time full replay re-runs only to
+        // discard the numbers — ~2×50 s of suite wall at REPEAT=3.
+        case Some(n) if cold >= 0 && spec.category != "replay" =>
           val reps = Seq.fill(n - 1)(timeOnce(spec)).filter(_ >= 0).sorted
           if (reps.isEmpty) None else Some(reps(reps.size / 2))
         case _ => None
@@ -234,8 +237,20 @@ object Bench {
     // reflects the cached-pipeline steady state BY DESIGN and is blind
     // to regressions in their cold pipeline — the COLD total is the
     // regression signal; warm_total only de-noises host load.
+    // Replay-tagged entries never enter the warm pool (VERDICT r16 #3):
+    // each "warm" run of a replay repeats the full multi-execution
+    // checkpoint replay, so its re-run time is ≥ cold by construction —
+    // substituting it made warm_total mix steady-state numbers with
+    // replay re-runs (streaming_join 8.9 s cold → 12.4 s "warm" in the
+    // r16 map). Replays contribute their COLD time to warm_total and
+    // are excluded from queries_warm and the slowest-rerun pool; build
+    // entries stay (their warm re-run is a read of the already-built
+    // store — a legitimate steady-state number).
+    val catOfEarly = selected.map(s => s.name -> s.category).toMap
     val results = if (repeat.isDefined) coldResults else {
-      val slowest = coldResults.filter(_._2 >= 0).sortBy(-_._2)
+      val slowest = coldResults
+        .filter { case (k, c, _) => c >= 0 && catOfEarly(k) != "replay" }
+        .sortBy(-_._2)
         .take(10).map(_._1).toSet
       coldResults.map { case (k, cold, _) =>
         if (cold >= 0 && slowest(k)) {
@@ -261,7 +276,7 @@ object Bench {
     // covers EVERY sample (reruns included), so a persistently loaded
     // host stays flagged even after the rerun pass; only transient
     // spikes clear.
-    val catOf = selected.map(s => s.name -> s.category).toMap
+    val catOf = catOfEarly
     val ambientFlagged =
       ambientSamples.nonEmpty && ambientSamples.map(_._2).max > maxAmbient
     val rerunNames = if (!ambientFlagged) Seq.empty[String] else
@@ -296,9 +311,15 @@ object Bench {
     // warm_total = cold total with each re-run query's warm time
     // substituted (in REPEAT mode every query has one; in default mode
     // only the 10 slowest — the rest contribute their cold time).
-    val warmTotal = finalResults
-      .collect { case (_, c, w) if c >= 0 => w.getOrElse(c) }.sum
-    val wq = j(finalResults.collect { case (k, _, Some(w)) => (k, w) })
+    // Replay-tagged entries always contribute COLD (see the rerun-pool
+    // comment above): their "warm" run is a full replay re-run, not a
+    // steady state, so warm_total stays a steady-state statement.
+    val warmTotal = finalResults.collect {
+      case (k, c, w) if c >= 0 =>
+        if (catOf(k) == "replay") c else w.getOrElse(c)
+    }.sum
+    val wq = j(finalResults.collect {
+      case (k, _, Some(w)) if catOf(k) != "replay" => (k, w) })
     // Like-for-like split (VERDICT r12 #3): the one-time store builds
     // and two-execution streaming replays are declared capabilities,
     // not data-path throughput — aggregating them with the queries
