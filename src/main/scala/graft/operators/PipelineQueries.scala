@@ -312,9 +312,8 @@ object PipelineQueries {
          |  FROM dd)
          |WHERE cum + n_tok_bpe <= 8000 ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
-        val docs = t(s, dir, "documents")
         Pipeline.budgetSelectBy(
-          bpeLengths(s, dir, docs, "n_tok_bpe"),
+          bpeLengths(s, dir, "n_tok_bpe"),
           budget = 8000L, scoreCol = "n_tok_bpe", costCol = "n_tok_bpe")
           .orderBy("doc_id")
     },
@@ -346,9 +345,8 @@ object PipelineQueries {
          |           0) AS BIGINT) AS tok_offset
          |  FROM dd)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val docs = t(s, dir, "documents")
       Pipeline.packSequencesBy(
-        bpeLengths(s, dir, docs, "n_tok"), cap = 2048)
+        bpeLengths(s, dir, "n_tok"), cap = 2048)
         .withColumnRenamed("n_tok", "n_tok_bpe")
         .orderBy("doc_id")
     },
@@ -1053,8 +1051,12 @@ object PipelineQueries {
     * hash-gates; tokenCounts itself is just a join against its vocab.
     */
   private def bpeLengths(s: org.apache.spark.sql.SparkSession,
-      dir: String, docs: org.apache.spark.sql.DataFrame,
-      alias: String): org.apache.spark.sql.DataFrame =
+      dir: String, alias: String): org.apache.spark.sql.DataFrame = {
+    // The corpus is DERIVED from the memo key (ADVICE r16): taking a
+    // docs frame as a parameter while memoizing under (s, dir) would
+    // hand a future caller with a filtered corpus the first caller's
+    // full-corpus lengths — the frame must be a function of the key.
+    val docs = t(s, dir, "documents")
     Memo.memo("bpe_lengths", s, dir, persistIt = false) {
       // Lineage-truncated (the incr2Scr1 lesson): the banded budget /
       // packing windows consume this doc-count-sized join from several
@@ -1068,6 +1070,7 @@ object PipelineQueries {
         .localCheckpoint()
     }.select(col("doc_id"), col("lang"),
       col("n_tokens_bpe").as(alias))
+  }
 
   /** Build-once term-stats store per (session, corpus) — the
     * ivfpq_store_ann pattern: a production stats store is folded

@@ -290,9 +290,11 @@ object ScaleQueries {
         // REPLAYED range: a crash between the handler and the cursor
         // advance leaves the cursor at 2 — the re-delivered (2,3]
         // must be a downstream ledger no-op.
+        // (cursor storage is versioned files cursor.<v> in the cursor
+        // dir — dropping the dir simulates the never-advanced state)
         val fs = new org.apache.hadoop.fs.Path(cursor)
           .getFileSystem(s.sessionState.newHadoopConf())
-        fs.delete(new org.apache.hadoop.fs.Path(cursor), false)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$work/cursor"), true)
         val sub3 = new graft.streaming.ManifestSubscription(src, cursor)
         require(sub3.subscribe(s, 2L) == 2L)
         val vDown = StoreManifest.currentVersion(s, down)

@@ -43,7 +43,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cursor so old that the range's appended files were GC'd past
   * retention makes `deltaRead` reject loudly by name — re-bootstrap
   * from one full snapshot ([[StoreManifest.snapshotRead]]) and
-  * [[subscribe]] a fresh cursor at that snapshot's version.
+  * [[reset]] the cursor to that snapshot's version (a fresh
+  * subscriber just [[subscribe]]s there).
   *
   * Scale: a poll moves (cursor, current] — O(new data) parquet reads
   * plus a handful of KB-sized manifest line reads; the resident store
@@ -58,18 +59,31 @@ final class ManifestSubscription(val storeRoot: String,
     .getFileSystem(spark.sessionState.newHadoopConf())
 
   /** The durable cursor: last version this subscriber consumed, None
-    * before the first [[subscribe]].
+    * before the first [[subscribe]]. Stored as versioned files
+    * `<cursorPath>.<v>` — the current cursor is the max suffix
+    * (ADVICE r16): the previous single-file layout advanced via
+    * delete+rename on filesystems whose rename won't replace, leaving
+    * a crash window with NO cursor on disk; a restarted subscriber
+    * would then [[subscribe]] as if fresh and silently re-bootstrap at
+    * its configured `afterVersion` — skipping ranges when that is
+    * ahead of the lost position. With create-new-then-delete-old the
+    * "cursor lost" state is unrepresentable: the new version file
+    * exists before any old one is removed, a fresh name is never
+    * renamed over, and a crash mid-cleanup just leaves stale lower
+    * versions that max() ignores.
     */
   def cursor(spark: SparkSession): Option[Long] = {
     val f = fs(spark)
     val p = new Path(cursorPath)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString.trim.toLong)
-      finally in.close()
-    }
+    val dir = Option(p.getParent).getOrElse(new Path("."))
+    if (!f.exists(dir)) return None
+    val prefix = p.getName + "."
+    val vs = f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(prefix) =>
+        n.stripPrefix(prefix) }
+      .flatMap(_.toLongOption)
+    if (vs.isEmpty) None else Some(vs.max)
   }
 
   /** Start (or resume) the subscription: an existing cursor WINS — a
@@ -88,20 +102,45 @@ final class ManifestSubscription(val storeRoot: String,
   private def advance(spark: SparkSession, v: Long): Unit = {
     val f = fs(spark)
     val p = new Path(cursorPath)
-    val tmp = new Path(
-      Option(p.getParent).getOrElse(new Path(".")),
-      s".${p.getName}-tmp-$v")
-    Option(p.getParent).foreach(d => f.mkdirs(d): Unit)
+    val dir = Option(p.getParent).getOrElse(new Path("."))
+    val tmp = new Path(dir, s".${p.getName}-tmp-$v")
+    f.mkdirs(dir): Unit
     val out = f.create(tmp, true)
     try out.write(s"$v\n".getBytes("UTF-8"))
     finally out.close()
-    // POSIX rename replaces atomically; HDFS-semantics fallback is
-    // covered by the re-read-or-re-poll structure (an absent cursor
-    // window would fail the next poll loudly, never skip a range).
-    if (!f.rename(tmp, p)) {
-      f.delete(p, false)
-      require(f.rename(tmp, p), s"could not advance cursor to v$v")
-    }
+    // Rename to a FRESH name (`<cursor>.<v>` never exists before this
+    // advance), so the rename needs no replace semantics on any
+    // filesystem; only after the new cursor is durable are the lower
+    // versions cleaned up. A crash anywhere leaves either the old
+    // cursor (range re-delivered — the at-least-once contract) or
+    // both (max() reads the new one); never none.
+    val dst = new Path(dir, s"${p.getName}.$v")
+    require(f.rename(tmp, dst), s"could not advance cursor to v$v")
+    val prefix = p.getName + "."
+    f.listStatus(dir).toSeq.map(_.getPath)
+      .filter { q =>
+        val n = q.getName
+        n.startsWith(prefix) &&
+          n.stripPrefix(prefix).toLongOption.exists(_ < v)
+      }
+      .foreach(q => f.delete(q, false): Unit)
+  }
+
+  /** Forcibly move the cursor to `atVersion` — the second half of the
+    * documented re-bootstrap after [[poll]] rejects a range GC'd past
+    * retention: consume a full snapshot ([[graft.operators.StoreManifest
+    * .snapshotRead]]) of version V, then `reset(spark, V)` so the next
+    * poll resumes with deltas after V. Guarded forward-only: rewinding
+    * a cursor re-delivers ranges outside any crash window, which only
+    * a ledgered handler could absorb — a deliberate rewind should drop
+    * the cursor files and subscribe() fresh instead.
+    */
+  def reset(spark: SparkSession, atVersion: Long): Unit = {
+    val cur = cursor(spark).getOrElse(throw new IllegalStateException(
+      s"no cursor at $cursorPath — subscribe() first"))
+    require(atVersion >= cur,
+      s"reset must move forward (cursor v$cur, asked v$atVersion)")
+    if (atVersion > cur) advance(spark, atVersion)
   }
 
   /** One poll of the subscription; returns the delivered (from, to]
@@ -112,9 +151,20 @@ final class ManifestSubscription(val storeRoot: String,
       handle: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
     val from = cursor(spark).getOrElse(throw new IllegalStateException(
       s"no cursor at $cursorPath — subscribe() first"))
-    val to = StoreManifest.currentVersion(spark, storeRoot)
-      .getOrElse(return None)
-    if (to <= from) return None
+    // A cursor AHEAD of the published line is never "nothing new"
+    // (ADVICE r16): versions are dense and monotone, and a cursor only
+    // ever advances to an observed currentVersion — ahead means the
+    // store was rebuilt/reset under the subscriber, or this cursor
+    // file is cross-wired to the wrong store. Reading it as caught-up
+    // would stall the subscription silently forever; reject loudly
+    // instead (versions start at 1, so cursor 0 against a not-yet-
+    // published line is a legitimate wait, not a reset).
+    val to = StoreManifest.currentVersion(spark, storeRoot).getOrElse(0L)
+    if (to < from) throw new IllegalStateException(
+      s"cursor $cursorPath is at v$from but $storeRoot's line is at " +
+        s"v$to — store reset/rebuilt or cursor cross-wired; " +
+        "re-bootstrap from a full snapshot and subscribe() fresh")
+    if (to == from) return None
     handle(StoreManifest.deltaRead(spark, storeRoot, from, to), from, to)
     advance(spark, to)
     Some((from, to))

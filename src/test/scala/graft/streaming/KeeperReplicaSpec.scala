@@ -78,7 +78,9 @@ class KeeperReplicaSpec extends AnyFunSuite {
     // a compact version inside the range stays skipped.
     val fs = new org.apache.hadoop.fs.Path(s"$work/cursor")
       .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(s"$work/cursor"), false)
+    fs.listStatus(new org.apache.hadoop.fs.Path(work)).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("cursor."))
+      .foreach(p => fs.delete(p, false))
     val sub2 = new ManifestSubscription(store.path, s"$work/cursor")
     assert(lastFrom > 0)
     assert(sub2.subscribe(spark, lastFrom) == lastFrom)
