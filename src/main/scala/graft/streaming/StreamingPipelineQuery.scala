@@ -370,6 +370,127 @@ object StreamingPipelineQuery {
     sink.read(spark).orderBy("h")
   }
 
+  /** The cross-site/DR story on the oracle path (VERDICT r16 #3): a
+    * ledger-FREE replica of the keeper election's epoch-min store, fed
+    * exclusively by a [[ManifestSubscription]] tail of the primary's
+    * version line — the second-region / read-optimized-serving-copy
+    * shape KeeperReplicaSpec pins at fixture scale. What makes the
+    * replica sound with no coordination and no ledger:
+    *
+    *  - folds only RESTATE (the publishCompact contract), so the
+    *    subscription's op-tag walk skipping them loses nothing;
+    *  - min-merge is idempotent and associative (the CRDT argument),
+    *    so at-least-once delivery suffices — a re-delivered crash
+    *    window merges to the same state. This run PROVES that the
+    *    hard way: the last delivered range is re-appended under a
+    *    FRESH epoch id, so the replica's own epoch ledger cannot
+    *    absorb it — only the merge semantics can.
+    *
+    * Drive: two AvailableNow executions of the canonical keeper
+    * election over one checkpoint (restart on the path) append epochs
+    * to the PRIMARY EpochMinStore with the in-loop fold armed; the
+    * replica bootstraps from one full snapshot, then consumes only
+    * subscription deltas — crossing the primary's fold+GC mid-line —
+    * into its own epoch-min store (its own folds armed too). The
+    * emitted rows are the REPLICA's converged read, digested against
+    * the same batch keep-lowest-doc_id oracle as `streaming_dedup`:
+    * green means source elections → manifest tail → ledger-free
+    * min-merge replication reproduces the batch rule exactly.
+    *
+    * Scale: each poll moves O(new data) (manifest-line KBs + the
+    * range's delta parquet); the replica never rescans the primary,
+    * and its per-delta append cost is ∝ the delta's distinct keys —
+    * the same write shape as the primary's own triggers.
+    */
+  private def runDedupReplica(spark0: SparkSession,
+      dir: String): DataFrame =
+    withReplaySession(spark0, shuffleN(8)) { spark =>
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val rows = boundedFeed(Tables.t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1), "documents")
+    val split = rows.size * 2 / 3
+    val work = Files.createTempDirectory("graft-streamdeduprep").toString
+    val primary = new EpochMinStore(s"$work/primary", Seq("h"),
+      scope = "keeper", compactOver = 2)
+    val replica = new EpochMinStore(s"$work/replica", Seq("h"),
+      scope = "replica", compactOver = 2)
+    val source = MemoryStream[(Long, String)](spark)
+
+    def drain(): Unit = {
+      val keyed = source.toDF().toDF("doc_id", "text")
+        .selectExpr("md5(substring(norm_text(text), 1, 60)) AS h",
+          "doc_id AS docId")
+        .as[StatefulOps.DocKey]
+      val q = StatefulOps.canonicalKeepers(keyed)
+        .toDF()
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(primary.append _)
+        .start()
+      q.awaitTermination()
+    }
+
+    // Execution 1 → the primary's first epoch publishes its manifest.
+    source.addData(rows.take(split): _*)
+    drain()
+    // Replica bootstrap: one full snapshot at the observed version,
+    // subscription strictly after it (the class contract).
+    val v0 = graft.operators.StoreManifest
+      .currentVersion(spark, primary.path)
+      .getOrElse(throw new IllegalStateException(
+        "execution 1 published no primary manifest"))
+    replica.append(graft.operators.StoreManifest
+      .snapshotReadAsOf(spark, primary.path, v0)
+      .select("h", "keeper"), 0L)
+    val sub = new ManifestSubscription(primary.path,
+      s"$work/cursor/replica-1")
+    require(sub.subscribe(spark, v0) == v0)
+    var nextEpoch = 1L
+    var lastRange = Option.empty[(Long, Long)]
+    def pump(): Unit = {
+      var drained = false
+      while (!drained) {
+        val r = sub.poll(spark) { (d, _, _) =>
+          replica.append(d.select("h", "keeper"), nextEpoch)
+          nextEpoch += 1
+        }
+        r.foreach(x => lastRange = Some(x))
+        drained = r.isEmpty
+      }
+    }
+    pump()
+    // Execution 2 (checkpoint restart): recovered elections suppress
+    // round-2 duplicates; the primary's in-loop fold + GC land
+    // mid-line and the subscription crosses them without error.
+    source.addData(rows.drop(split): _*)
+    drain()
+    pump()
+    require(graft.operators.StoreManifest
+      .currentVersion(spark, primary.path).exists(_ >= 3),
+      "the primary's min-merge fold never ran — the replica never " +
+        "crossed a compaction window")
+    // The crash window, adversarially: re-deliver the LAST range under
+    // a FRESH epoch id — the replica's ledger reads it as new work, so
+    // only min-merge idempotence keeps the state right. Vacuous if the
+    // range appended nothing; require it bites.
+    val (rf, rt) = lastRange.getOrElse(throw new IllegalStateException(
+      "the subscription never delivered a range — nothing replicated"))
+    val redelivered = graft.operators.StoreManifest
+      .deltaRead(spark, primary.path, rf, rt)
+    require(!redelivered.isEmpty,
+      s"re-delivered range v$rf..v$rt is empty — the crash-window " +
+        "claim would green vacuously")
+    replica.append(redelivered.select("h", "keeper"), nextEpoch)
+
+    replica.read(spark).orderBy("h")
+  }
+
   /** [[runDedup]] with BOUNDED election state (VERDICT r13 #4): the
     * KeeperProcessor's ValueState carries a processing-time TTL, so
     * stream state holds only the hot arrival window — never one entry
@@ -700,6 +821,15 @@ object StreamingPipelineQuery {
          |       MIN(doc_id) AS keeper
          |FROM documents WHERE text IS NOT NULL
          |GROUP BY 1 ORDER BY h""".stripMargin)(runDedup),
+    // Identical oracle to streaming_dedup — replication through a
+    // manifest-subscription tail into a ledger-free min-merge replica
+    // must not change WHAT converges, only where it is readable.
+    QuerySpec.replay("streaming_dedup_replica",
+      s"""SELECT md5(substring(${graft.operators.TextOps.normD}, 1, 60))
+         |         AS h,
+         |       MIN(doc_id) AS keeper
+         |FROM documents WHERE text IS NOT NULL
+         |GROUP BY 1 ORDER BY h""".stripMargin)(runDedupReplica),
     // Identical oracle to streaming_dedup — bounding the election
     // state must not change WHAT the store converges to, only how
     // much of the key space lives in RocksDB.
