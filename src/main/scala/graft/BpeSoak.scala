@@ -20,8 +20,19 @@ import org.apache.spark.sql.SparkSession
   *    batches fill, but the number is corpus-dependent, so it is
   *    reported rather than gated.
   *
-  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BPE_K=256 \
-  *     SPARK_GRAFT_BPE_M=32 sbt "runMain graft.BpeSoak"
+  * `SPARK_GRAFT_BPE_AMP=N` (N > 1) trains on the ChainSoak-amplified
+  * corpus instead of the raw fixture (VERDICT r16 #6 — the
+  * production-shaped-k run): the fixture's synthetic text dries out
+  * at ~91 learnable merges, far below a real tokenizer's k, while the
+  * amplification's per-copy hex-token salts contribute ~37 distinct
+  * 8-char words per doc per salted copy — a vocabulary table large
+  * and diverse enough to sustain k ≥ 4096 merges, so the driver-round
+  * cost curve at production k is measured, not extrapolated from
+  * k=256.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BPE_K=4096 \
+  *     SPARK_GRAFT_BPE_M=256 SPARK_GRAFT_BPE_AMP=4 \
+  *     sbt "runMain graft.BpeSoak"
   */
 object BpeSoak {
   def main(args: Array[String]): Unit = {
@@ -42,10 +53,24 @@ object BpeSoak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = Tables.t(spark, sfDir, "documents")
+    val amp = sys.env.get("SPARK_GRAFT_BPE_AMP").flatMap(_.toIntOption)
+      .getOrElse(1)
+    val base = Tables.t(spark, sfDir, "documents")
+    // Amplified corpora are materialized to a temp table so every
+    // training round reads a stable parquet scan (the memoized
+    // initialVocab contract), not a re-evaluated salting expression.
+    val tmp = if (amp <= 1) None else Some(java.nio.file.Files
+      .createTempDirectory("graft-bpe-soak").toString)
+    val (docs, key) = tmp match {
+      case None => (base, sfDir)
+      case Some(dir) =>
+        ChainSoak.amplifiedDocs(base, amp, dupCopies = 1)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        (Tables.t(spark, dir, "documents"), dir)
+    }
     val t0 = System.nanoTime()
     val (model, rounds) =
-      operators.Bpe.trainBatched(docs, k, m, cacheKey = sfDir)
+      operators.Bpe.trainBatched(docs, k, m, cacheKey = key)
     val sec = (System.nanoTime() - t0) / 1e9
     val learned = model.merges.size
     // Dry-out detection: fewer than k merges is legitimate ONLY when
@@ -62,12 +87,14 @@ object BpeSoak {
     require(rounds < math.max(2, learned),
       s"batching never engaged: $rounds rounds for $learned merges")
     val perRound = math.round(learned.toDouble / rounds * 100) / 100.0
-    println(s"""{"metric":"bpe_soak","k":$k,"m":$m,""" +
+    val secRound = math.round(sec / rounds * 100) / 100.0
+    println(s"""{"metric":"bpe_soak","k":$k,"m":$m,"amp":$amp,""" +
       s""""learned":$learned,"rounds":$rounds,""" +
-      s""""merges_per_round":$perRound,""" +
+      s""""merges_per_round":$perRound,"sec_per_round":$secRound,""" +
       s""""round_bound_floor":${(k + m - 1) / m},""" +
       s""""sec":${math.round(sec * 10) / 10.0},"sf":"$sfDir"}""")
     operators.Dedup.clearCaches(spark)
     spark.stop()
+    tmp.foreach(d => ChainSoak.deleteRecursively(new java.io.File(d)))
   }
 }

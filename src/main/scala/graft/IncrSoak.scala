@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   *    ledgered appends (documents + signatures), all batch-sized
   *    writes.
   *
+  * BOTH stores run their maintenance inside the cadence: the
+  * documents store arms `compactOver` (source compaction + gcExpired
+  * mid-loop), and the band-signature store arms the bucketed
+  * blue/green fold (Dedup.compactSignatureStore + carried epoch
+  * ledger) whenever files/bucket crosses its criterion — so the
+  * per-epoch exactness gate keeps passing ACROSS generation swaps of
+  * the very store the probe reads (VERDICT r16 #4).
+  *
   * The corpus slices by xxhash64(doc_id) mod (nEpochs + 4): slices
   * 0..3 are the resident bootstrap (~20%), slice 3+e is epoch e —
   * hash slicing keeps every batch statistically alike, so a time
@@ -85,6 +93,43 @@ object IncrSoak {
     val epochMs = mutable.ArrayBuffer.empty[Long]
     val lines = mutable.ArrayBuffer.empty[String]
 
+    // Band-signature store maintenance, armed IN-cadence (VERDICT r16
+    // #4): every admission appends one file per non-empty bucket, so
+    // the store's probe task count grows with epoch count unless the
+    // bucketed blue/green fold (Dedup.compactSignatureStore) runs
+    // inside the cadence — exactly like the documents store's armed
+    // compactOver above. The fold rebuilds into a fresh generation
+    // (path + table), CARRIES the exactly-once epoch ledger
+    // (StoreIntake.carryEpochLedger — a re-delivered pre-fold batch
+    // must still read as applied), then swaps the probe/intake handles
+    // and drops the old generation. The per-epoch exactness gate keeps
+    // running across the swaps, so membership must survive the
+    // SIGNATURE store's maintenance too, not just the corpus's.
+    val sigCompactOver = 4
+    var curSigTable = sigTable
+    var curSigPath = sigPath
+    var sigGen = 0
+    var sigFolds = 0
+    def maybeFoldSigStore(): Unit = {
+      val stats = operators.Dedup.signatureStoreFileStats(spark,
+        curSigPath)
+      if (stats.exists(_._2 > sigCompactOver)) {
+        sigGen += 1
+        val nextTable = s"${sigTable}_g$sigGen"
+        val nextPath = s"$tmp/sig_g$sigGen"
+        spark.sql(s"DROP TABLE IF EXISTS $nextTable")
+        operators.Dedup.compactSignatureStore(spark, curSigPath,
+          nextPath, nextTable)
+        streaming.StoreIntake.carryEpochLedger(spark, curSigPath,
+          nextPath)
+        spark.sql(s"DROP TABLE IF EXISTS $curSigTable")
+        ChainSoak.deleteRecursively(new java.io.File(curSigPath))
+        curSigTable = nextTable
+        curSigPath = nextPath
+        sigFolds += 1
+      }
+    }
+
     (1 to nEpochs).foreach { e =>
       val t0 = System.nanoTime()
       val sliceVal = 3 + e
@@ -93,7 +138,7 @@ object IncrSoak {
       val got = operators.Dedup.incrementalNearDupPairs(
         corpus = sh,
         incoming = sh.filter(slice(col("doc_id")) === sliceVal), 4, 5,
-        corpusBands = operators.Dedup.signatureStore(spark, sigTable),
+        corpusBands = operators.Dedup.signatureStore(spark, curSigTable),
         incomingBands = bands.filter(slice(col("doc_id")) === sliceVal))
         .select(col("new_id").as("doc_id")).distinct()
         .localCheckpoint()
@@ -127,10 +172,11 @@ object IncrSoak {
       // the cadence runs WITH its maintenance, not beside it.
       streaming.StoreIntake.documentsIntakeBatch(docsPath, "incrsoak",
         compactOver = 3)(admitted, e.toLong)
-      streaming.StoreIntake.signatureIntakeBatch(sigTable, sigPath,
+      streaming.StoreIntake.signatureIntakeBatch(curSigTable, curSigPath,
         "incrsoak")(docs.select("doc_id", "text")
           .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi"),
           e.toLong)
+      maybeFoldSigStore()
       val prev = memberIds
       memberIds = memberIds.unionByName(admitted.select("doc_id"))
         .localCheckpoint()
@@ -141,9 +187,12 @@ object IncrSoak {
       epochMs += ms
       val nFiles = operators.StoreManifest.files(spark, docsPath)
         .map(_.size).getOrElse(0)
+      val sigFiles = operators.Dedup
+        .signatureStoreFileStats(spark, curSigPath).map(_._2).sum
       lines += s"""{"metric":"incr_soak_epoch","epoch":$e,""" +
         s""""dups":$nDups,"admitted":$nAdm,"ms":$ms,""" +
-        s""""store_files":$nFiles}"""
+        s""""store_files":$nFiles,"sig_files":$sigFiles,""" +
+        s""""sig_gen":$sigGen}"""
     }
 
     // Final snapshot exactness: residents + every admitted doc, once.
@@ -161,6 +210,18 @@ object IncrSoak {
     require(perSource.max <= 6,
       s"in-cadence compaction failed to bound files/source: " +
         s"${perSource.toSeq.sorted}")
+    // The armed signature-store fold must have actually run (a dead
+    // arm means the cadence never tested membership across ITS store's
+    // maintenance) and must bound files/bucket the same way the docs
+    // compaction bounds files/source.
+    require(sigFolds >= 2,
+      s"sig-store fold armed but ran $sigFolds times over $nEpochs " +
+        "epochs — the exactness gate never crossed a fold")
+    val sigPerBucket = operators.Dedup
+      .signatureStoreFileStats(spark, curSigPath).map(_._2)
+    require(sigPerBucket.nonEmpty && sigPerBucket.max <= sigCompactOver,
+      s"in-cadence sig-store folds failed to bound files/bucket: " +
+        s"${sigPerBucket.sorted}")
     // Flatness: last-quarter mean epoch time ≤ 2× first-quarter + 2 s.
     val q = math.max(1, nEpochs / 4)
     def mean(xs: Seq[Long]): Double =
@@ -170,7 +231,7 @@ object IncrSoak {
     lines.foreach(println)
     println(s"""{"metric":"incr_soak","epochs":$nEpochs,""" +
       s""""resident":$residentRows,"admitted_total":$admittedTotal,""" +
-      s""""snapshot_rows":$snapRows,""" +
+      s""""snapshot_rows":$snapRows,"sig_folds":$sigFolds,""" +
       s""""epoch_ms_q1":${math.round(m1)},""" +
       s""""epoch_ms_q4":${math.round(m4)},"sf":"$dir"}""")
     require(m4 <= 2.0 * m1 + 2000,

@@ -382,8 +382,9 @@ object Corpus {
     * 8-byte): first-carrier is one fp-keyed partial-agg min over the
     * memoized [[docFps]] table; stale spans join back 1:1 on fp (the
     * spanDupRate precedent — a boilerplate span shared by millions of
-    * docs amplifies nothing) and regroup to one bounded array per doc
-    * (≤ the doc's selected-span count); the text pass is ONE
+    * docs amplifies nothing) and regroup SORT-MERGE to one bounded
+    * array per doc (≤ the doc's distinct-span count; see
+    * [[staleFpLists]] for why not collect_list); the text pass is ONE
     * doc_id-keyed join onto the corpus and an O(chars) codegen'd
     * expression per row — no per-character or per-gram explode exists
     * on this side (the oracle's char-level reconstruction is
@@ -392,12 +393,55 @@ object Corpus {
     * witness that the TEXTS match, not just the counts; a pipeline
     * materializing the scrub selects `kept_text` off the same struct).
     */
+  /** Per-document stale-fingerprint lists — the scrub variants' join
+    * input — built SORT-MERGE (shuffle on doc_id, sort, stream one
+    * group at a time) instead of `groupBy(doc_id).collect_list`.
+    *
+    * Why not collect_list: TypedImperativeAggregates plan through
+    * ObjectHashAggregateExec, whose in-memory map holds up to
+    * [[graft.GraftConf.ObjAggFallbackGroups]] (256k) group buffers PER
+    * TASK before the sort fallback — a threshold tuned for the dedup
+    * chain's ~12-byte df-capped bucket structs, not for per-document
+    * fingerprint ARRAYS. At 100× chain amplification that regime sat
+    * on the 8 GiB heap line (one ChainSoak attempt OOM'd in
+    * Collect.serialize while its identical rerun passed — a
+    * scheduling-dependent gate). MapGroups streams groups off the
+    * sorted shuffle, so live memory per task is ONE document's list
+    * regardless of the aggregate-fallback conf or slot count —
+    * deterministic at any heap, here and on a real executor.
+    *
+    * The emitted array is sorted-distinct: [[graft.functions
+    * .ScrubSpans64]] probes membership (order-insensitive), winnowing
+    * re-selects the same gram at multiple positions, and dedup bounds
+    * the array by the doc's DISTINCT stale grams.
+    */
+  private[operators] def staleFpLists(fps: DataFrame): DataFrame = {
+    val session = fps.sparkSession
+    import session.implicits._
+    val first = fps.groupBy("fp").agg(min("doc_id").as("first_doc"))
+    fps.join(first, "fp")
+      .filter(col("first_doc") < col("doc_id"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("fp").cast("long").as("fp"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val a = it.map(_._2).toArray
+        java.util.Arrays.sort(a)
+        var n = 0
+        var i = 0
+        while (i < a.length) {
+          if (n == 0 || a(n - 1) != a(i)) { a(n) = a(i); n += 1 }
+          i += 1
+        }
+        (id, java.util.Arrays.copyOf(a, n))
+      }
+      .toDF("doc_id", "stale_fps")
+  }
+
   def spanScrub(docs: DataFrame, fps: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val first = fps.groupBy("fp").agg(min("doc_id").as("first_doc"))
-    val stale = fps.join(first, "fp")
-      .filter(col("first_doc") < col("doc_id"))
-      .groupBy("doc_id").agg(collect_list("fp").as("stale_fps"))
+    val stale = staleFpLists(fps)
     docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), expr(TextOps.normS).as("norm"))
@@ -423,10 +467,7 @@ object Corpus {
     */
   def spanScrubDocs(docs: DataFrame, fps: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val first = fps.groupBy("fp").agg(min("doc_id").as("first_doc"))
-    val stale = fps.join(first, "fp")
-      .filter(col("first_doc") < col("doc_id"))
-      .groupBy("doc_id").agg(collect_list("fp").as("stale_fps"))
+    val stale = staleFpLists(fps)
     docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), col("source"),

@@ -693,4 +693,33 @@ object StoreIntake {
     // invisible to spark.table(table) until refreshed.
     if (applied.isDefined) spark.catalog.refreshTable(table)
   }
+
+  /** Carry the exactly-once epoch ledger across a BLUE/GREEN store
+    * rewrite (Dedup.compactSignatureStore and kin rebuild into a fresh
+    * path): the fold changes the LAYOUT, never which (scope, batchId)
+    * epochs are applied — without the carried ledger, a re-delivered
+    * pre-fold batch would read as new and re-append rows the compacted
+    * files already hold. Copies the applied markers, the consolidated
+    * `.applied` ledger, and the format stamp; transient `.intent-*`
+    * records are deliberately left behind (an intent names the OLD
+    * store's destination paths — carrying one would aim a replay's
+    * cleanup at paths that mean something else post-fold, and the
+    * single-maintenance-writer rule guarantees no epoch is mid-flight
+    * while the fold runs).
+    */
+  def carryEpochLedger(spark: SparkSession, fromRoot: String,
+      toRoot: String): Unit = {
+    val from = new Path(new Path(fromRoot), "_epochs")
+    val fs = fsOf(spark, from)
+    if (!fs.exists(from)) return
+    val to = new Path(new Path(toRoot), "_epochs")
+    fs.mkdirs(to): Unit
+    val conf = spark.sessionState.newHadoopConf()
+    fs.listStatus(from).foreach { s =>
+      val name = s.getPath.getName
+      if (s.isFile && !name.startsWith(".intent-"))
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, s.getPath, fs, new Path(to, name), false, true, conf): Unit
+    }
+  }
 }
