@@ -722,4 +722,69 @@ class StoreIntakeSpec extends AnyFunSuite {
     assert(viaStore.exceptAll(ref).isEmpty &&
       ref.exceptAll(viaStore).isEmpty)
   }
+
+  test("carryEpochLedger: a blue/green fold keeps applied epochs " +
+    "applied — a re-delivered pre-fold batch is a no-op in the new " +
+    "generation, a new epoch still lands, and WITHOUT the carry the " +
+    "same re-delivery double-appends") {
+    val spark = TestSpark.spark
+    val wh = Files.createTempDirectory("graft-sig-carry").toString
+    val docs = Tables.t(spark, dir, "documents")
+    val baseDocs = docs.filter(col("doc_id") % 3 =!= 0)
+    val b1 = docs.filter(col("doc_id") % 6 === 0)
+      .select("doc_id", "text")
+    val b2 = docs.filter(col("doc_id") % 6 === 3)
+      .select("doc_id", "text")
+    Seq("sig_carry_t", "sig_carry_t_g1", "sig_carry_t_bare")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Dedup.writeSignatureStore(Dedup.docShingles(baseDocs),
+      s"$wh/sig", "sig_carry_t")
+    StoreIntake.signatureIntakeBatch("sig_carry_t", s"$wh/sig", "ck")(
+      b1, 0L)
+
+    // Fold blue/green with the ledger carried: the re-delivered
+    // pre-fold epoch 0 must read as applied against the NEW generation
+    // — byte-identical listing, no executor work re-staged.
+    Dedup.compactSignatureStore(spark, s"$wh/sig", s"$wh/sig_g1",
+      "sig_carry_t_g1")
+    StoreIntake.carryEpochLedger(spark, s"$wh/sig", s"$wh/sig_g1")
+    val files = listing(spark, s"$wh/sig_g1")
+    StoreIntake.signatureIntakeBatch("sig_carry_t_g1", s"$wh/sig_g1",
+      "ck")(b1, 0L)
+    assert(listing(spark, s"$wh/sig_g1") == files,
+      "re-delivered pre-fold epoch re-appended into the carried " +
+        "generation")
+    // Rows stay exactly base ∪ b1's bands — nothing doubled, nothing
+    // lost by the fold.
+    val direct = Dedup.bandSignatures(Dedup.docShingles(
+      baseDocs.unionByName(docs.filter(col("doc_id") % 6 === 0))))
+    val carried = Dedup.signatureStore(spark, "sig_carry_t_g1")
+    assert(carried.exceptAll(direct).isEmpty &&
+      direct.exceptAll(carried).isEmpty,
+      "carried generation diverges from the from-scratch banding")
+    // A genuinely NEW epoch still lands in the carried generation.
+    StoreIntake.signatureIntakeBatch("sig_carry_t_g1", s"$wh/sig_g1",
+      "ck")(b2, 1L)
+    assert(listing(spark, s"$wh/sig_g1").size > files.size,
+      "new epoch failed to land after the carry")
+
+    // Negative control — the hazard the carry closes: fold WITHOUT
+    // carrying the ledger, and the same re-delivery reads as new work
+    // and double-appends.
+    Dedup.compactSignatureStore(spark, s"$wh/sig", s"$wh/sig_bare",
+      "sig_carry_t_bare")
+    val bare = listing(spark, s"$wh/sig_bare")
+    StoreIntake.signatureIntakeBatch("sig_carry_t_bare", s"$wh/sig_bare",
+      "ck")(b1, 0L)
+    assert(listing(spark, s"$wh/sig_bare").size > bare.size,
+      "expected the uncarried generation to re-append (the control " +
+        "that proves the carry is load-bearing)")
+    val doubled = Dedup.signatureStore(spark, "sig_carry_t_bare")
+    assert(doubled.count() > Dedup.bandSignatures(
+      Dedup.docShingles(baseDocs.unionByName(
+        docs.filter(col("doc_id") % 6 === 0)))).count(),
+      "uncarried re-delivery should hold duplicated band rows")
+    Seq("sig_carry_t", "sig_carry_t_g1", "sig_carry_t_bare")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
