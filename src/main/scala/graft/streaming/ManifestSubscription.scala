@@ -71,6 +71,14 @@ final class ManifestSubscription(val storeRoot: String,
     * exists before any old one is removed, a fresh name is never
     * renamed over, and a crash mid-cleanup just leaves stale lower
     * versions that max() ignores.
+    *
+    * A pre-upgrade LEGACY cursor — the single bare file at
+    * `cursorPath` itself — still reads (max'd with any versioned
+    * files): ignoring it would make an upgraded subscriber look FRESH
+    * and silently re-bootstrap at its configured start, the exact
+    * range-skipping hazard the versioned layout closes. The first
+    * [[advance]] after the upgrade migrates it (bare file deleted
+    * once the versioned cursor is durable).
     */
   def cursor(spark: SparkSession): Option[Long] = {
     val f = fs(spark)
@@ -83,7 +91,15 @@ final class ManifestSubscription(val storeRoot: String,
       .collect { case n if n.startsWith(prefix) =>
         n.stripPrefix(prefix) }
       .flatMap(_.toLongOption)
-    if (vs.isEmpty) None else Some(vs.max)
+    val legacy = if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toLongOption
+      finally in.close()
+    }
+    val all = vs ++ legacy
+    if (all.isEmpty) None else Some(all.max)
   }
 
   /** Start (or resume) the subscription: an existing cursor WINS — a
@@ -124,6 +140,10 @@ final class ManifestSubscription(val storeRoot: String,
           n.stripPrefix(prefix).toLongOption.exists(_ < v)
       }
       .foreach(q => f.delete(q, false): Unit)
+    // Migrate a legacy bare cursor once the versioned one is durable:
+    // advance is only ever called with v >= cursor() >= the legacy
+    // value, so the delete can never lose position.
+    if (f.exists(p)) f.delete(p, false): Unit
   }
 
   /** Forcibly move the cursor to `atVersion` — the second half of the

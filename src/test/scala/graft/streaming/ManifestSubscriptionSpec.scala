@@ -216,4 +216,42 @@ class ManifestSubscriptionSpec extends AnyFunSuite {
     assert(fastSeen == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
     assert(ids(StoreManifest.snapshotRead(spark, root)) == fastSeen)
   }
+
+  test("a pre-upgrade legacy single-file cursor still reads (no silent " +
+    "fresh re-bootstrap) and migrates to the versioned layout on the " +
+    "first advance") {
+    val work = Files.createTempDirectory("graft-subspec-legacy").toString
+    val root = s"$work/store"
+    val cursorPath = s"$work/cur/cursor"
+    val f1 = writeEpoch(root, "e1", Seq(1L, 2L))
+    StoreManifest.publish(spark, root, Seq(f1)): Unit // v1
+    val f2 = writeEpoch(root, "e2", Seq(3L))
+    StoreManifest.publish(spark, root, Seq(f1, f2)): Unit // v2
+
+    // Hand-write the OLD layout: one bare file holding the version.
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$work/cur"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(cursorPath),
+      "1\n".getBytes("UTF-8")): Unit
+
+    val sub = new ManifestSubscription(root, cursorPath)
+    assert(sub.cursor(spark).contains(1L),
+      "legacy bare cursor must read — an upgraded subscriber is not " +
+        "fresh")
+    // subscribe() must RESUME at the legacy position, not re-bootstrap
+    // at its configured afterVersion.
+    assert(sub.subscribe(spark, 2L) == 1L)
+    val seen = scala.collection.mutable.Set.empty[Long]
+    assert(sub.poll(spark)((d, _, _) => seen ++= ids(d))
+      .contains((1L, 2L)))
+    assert(seen == Set(3L), "the legacy position's delta must deliver")
+    // The advance migrated the layout: bare file gone, versioned
+    // cursor holds the new position.
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cursorPath)),
+      "legacy bare cursor file must be deleted after migration")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$cursorPath.2")))
+    assert(sub.cursor(spark).contains(2L))
+  }
 }
