@@ -679,6 +679,38 @@ object Dedup {
       nearDupClusters(minhashNearDupPairs(docs, p, q, cacheKey))
     }
 
+  /** Quality-elected cluster keepers: for every near-dup cluster, the
+    * member with the HIGHEST quality score wins (ties to the lowest
+    * doc_id) — the production keeper policy when duplicates differ in
+    * extraction quality (a clean render vs a boilerplate-ridden copy
+    * of the same page): min-doc_id election keeps whichever arrived
+    * first, this keeps the one worth training on. `quality` is any
+    * (doc_id, score_micro) frame — the memoized Pipeline.docQuality
+    * table on the declared path, so the score is the same quantized
+    * signal quality_score/token_budget_score read and the tokenize
+    * pass is shared, not repeated.
+    *
+    * Scale shape: one join of the CLUSTERS labeling (near-dup members
+    * only — a small corpus fraction, broadcastable when it fits; AQE's
+    * call) against the quality table, then a clusters-keyed aggregate.
+    * The election is max(struct(score, -doc_id)) — a hash aggregate
+    * with map-side partials, NOT a per-cluster window: a mega-cluster
+    * (boilerplate that swallowed a crawl) costs a skewed GROUP key,
+    * not a single-task sort. The struct max orders by score first,
+    * then by -doc_id, whose max is the MIN doc_id — the deterministic
+    * tie-break.
+    */
+  def qualityKeepers(clusters: DataFrame, quality: DataFrame): DataFrame =
+    clusters
+      .join(quality.select("doc_id", "score_micro"), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("score_micro"), (-col("doc_id")).as("neg_id")))
+          .as("best"))
+      .select(col("cluster_id"), (-col("best.neg_id")).as("keeper_id"),
+        col("n_members"), col("best.score_micro").as("best_score_micro"))
+
   /** Cluster-size histogram over a (doc_id, cluster_id) labeling — the
     * dedup REPORT a pipeline operator reads before choosing thresholds
     * ("how much of the corpus sits in 2-member vs 100-member groups").

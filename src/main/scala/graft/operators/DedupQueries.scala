@@ -381,6 +381,57 @@ object DedupQueries {
         .orderBy("cluster_size")
     },
 
+    // Quality-elected cluster keepers: per near-dup cluster, keep the
+    // member with the highest quality_score (ties to min doc_id) —
+    // the production policy when duplicates differ in extraction
+    // quality; min-id election keeps whichever arrived first. Shares
+    // BOTH memo tables (the clustering and Pipeline.docQuality), so
+    // the query costs one clusters-sized join + a clusters-keyed
+    // struct-max aggregate — no window, no re-banding, no
+    // re-tokenize. The oracle states the election as the plain
+    // per-cluster ROW_NUMBER; every cluster member has ≥ 1 shingle
+    // (≥ 3 tokens), so score_micro is never NULL here.
+    QuerySpec("dedup_keep_quality",
+      s"""$clustersCte,
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(round((0.5 * stop_ratio
+         |      + 0.3 * least(n_tokens / 100.0, 1.0)
+         |      + 0.2 * least(avg_token_len / 8.0, 1.0)) * 1000000)
+         |      AS BIGINT) AS score_micro
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(toks) AS INTEGER) AS n_tokens,
+         |      CAST(list_reduce(list_prepend(0, list_transform(toks,
+         |        x -> length(x))), (a, b) -> a + b) AS DOUBLE)
+         |        / greatest(len(toks), 1) AS avg_token_len,
+         |      CAST(len(list_filter(toks, x -> list_contains(
+         |        ${TextOps.arrD(TextOps.stopEn)}, x))) AS DOUBLE)
+         |        / greatest(len(toks), 1) AS stop_ratio
+         |    FROM (SELECT doc_id, ${TextOps.toksD} AS toks
+         |          FROM documents))),
+         |m AS (SELECT c.cluster_id, c.doc_id, q.score_micro
+         |      FROM clusters c JOIN q ON c.doc_id = q.doc_id)
+         |SELECT cluster_id, keeper_id, n_members, best_score_micro
+         |FROM (
+         |  SELECT cluster_id, doc_id AS keeper_id,
+         |         score_micro AS best_score_micro,
+         |         ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |           ORDER BY score_micro DESC, doc_id) AS rn,
+         |         CAST(COUNT(*) OVER (PARTITION BY cluster_id)
+         |           AS BIGINT) AS n_members
+         |  FROM m) WHERE rn = 1
+         |ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+      Dedup.qualityKeepers(
+        Dedup.clusters(
+          Dedup.docShingles(t(s, dir, "documents"), cacheKey = dir),
+          4, 5, cacheKey = dir),
+        Pipeline.docQuality(t(s, dir, "documents"), cacheKey = dir))
+        .select("cluster_id", "keeper_id", "n_members",
+          "best_score_micro")
+        .orderBy("cluster_id")
+    },
+
     // Per-source duplication governance: which sources contribute the
     // near-dup mass (the rows dedup_keep drops). One corpus pass left-
     // joined against the shared memoized labeling, sources-sized agg.

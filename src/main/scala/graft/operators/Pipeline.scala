@@ -88,6 +88,8 @@ object Pipeline {
   val SampleMult = 2246822519L // mixtureSample
   val BalanceMult = 3266489917L // downsample
   val StratifyMult = 668265261L // stratified_sample
+  val ShuffleMult = 374761393L // shardShuffle (xxHash PRIME32_5)
+  val UpsampleMult = 1540483477L // upsampleEpochs (MurmurHash2 M)
 
   /** The same ANSI-proof multiplicative hash into an arbitrary bucket
     * count — `buckets = 1e6` gives the micro-granularity sampling
@@ -755,6 +757,94 @@ object Pipeline {
       .filter(hashBucket(col("doc_id"), 1000000L, SampleMult)
         < col("keep_micro"))
       .drop("w_source", "keep_micro")
+  }
+
+  /** Deterministic training-order shuffle into `nShards` shards — the
+    * step between curation and the shard writer: every document gets a
+    * scrambled 32-bit order key (the multiplicative hash, its own
+    * stream), its shard is the key's low bits, and its POSITION is the
+    * dense 1-based rank of the key within the shard. Reproducible
+    * row-by-row (re-runs, repartitioning, and engines agree — rand()
+    * based shuffles are none of these), and shard sizes concentrate at
+    * corpus/nShards by hash uniformity.
+    *
+    * Scale shape: the rank is a TWO-STAGE BANDED computation, not a
+    * per-shard window — a window partitioned by shard alone would pull
+    * corpus/nShards rows into ONE task (the single-reducer sort this
+    * repo bans). Stage 1 ranks within (shard, band) where band = the
+    * key's high 8 bits — nShards·nBands sort partitions, each
+    * ~corpus/(nShards·nBands); stage 2 adds the exclusive prefix of
+    * band counts per shard, a window over the nShards·nBands-row count
+    * table that then BROADCASTS back. Band-major order ≡ key order
+    * because the band IS the key's high bits, so the composed rank
+    * equals the plain per-shard ROW_NUMBER the oracle computes —
+    * PipelineSpec pins band-count independence (nBands=1 ≡ nBands=256).
+    * At 100 TB: size nBands so corpus/(nShards·nBands) rows fit one
+    * task's sort buffer; both knobs are layout-invisible.
+    */
+  def shardShuffle(docs: DataFrame, nShards: Int = 16,
+      nBands: Int = 256): DataFrame = {
+    require(nShards > 0 && nBands > 0 && 4294967296L % nBands == 0,
+      s"nBands must divide 2^32 (got $nBands)")
+    val bandDiv = 4294967296L / nBands
+    val keyed = docs
+      .withColumn("ord_key",
+        hashBucket(col("doc_id"), 4294967296L, ShuffleMult))
+      .withColumn("shard", col("ord_key") % nShards)
+      .withColumn("band", expr(s"ord_key div $bandDiv"))
+    val offsets = keyed.groupBy("shard", "band")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.partitionBy("shard").orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "band", "off")
+    keyed
+      .join(broadcast(offsets), Seq("shard", "band"))
+      .withColumn("pos", col("off") +
+        row_number().over(Window.partitionBy("shard", "band")
+          .orderBy("ord_key", "doc_id")))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Materialize the REPETITION side of [[mixWeights]] — the epochs
+    * [[mixtureSample]] deliberately leaves to training time: each
+    * document of an under-represented source is emitted
+    * `floor(weight)` times (capped at `maxEpochs` — repeating data
+    * past ~4 epochs stops buying loss, so production mixes cap the
+    * factor) plus one more copy for a deterministic `weight mod 1`
+    * fraction of its documents; over-represented sources (weight < 1)
+    * emit only the fractional copy, which IS the mixture downsample.
+    * Rows out per source ≈ weight·rows in, exactly and reproducibly —
+    * the materialized-epochs corpus a packing/shuffle stage consumes
+    * when the trainer wants one flat sequence stream instead of a
+    * sampler. The fractional keep decision uses its OWN hash stream
+    * (UpsampleMult): sharing SampleMult would nest this fractional set
+    * inside mix_sample's kept set and skew composed pipelines (the
+    * multiplier-table rule).
+    *
+    * Scale shape: the weights aggregate is sources-sized and
+    * broadcasts onto the corpus; the emission is a narrow
+    * explode(sequence(...)) — zero corpus shuffle, output ∝ Σ weights.
+    * A NULL-weight (zero-char) source drops on both engines.
+    */
+  def upsampleEpochs(docs: DataFrame, maxEpochs: Int = 4): DataFrame = {
+    val reps = mixWeights(docs)
+      .filter(col("weight_micro").isNotNull)
+      .select(
+        col("source").as("w_source"),
+        least(expr("weight_micro div 1000000"), lit(maxEpochs.toLong))
+          .as("n_full"),
+        when(expr("weight_micro div 1000000") >= maxEpochs, lit(0L))
+          .otherwise(col("weight_micro") % 1000000L).as("frac_micro"))
+    docs.join(broadcast(reps), col("source") <=> col("w_source"))
+      .withColumn("n_rep", col("n_full") +
+        when(hashBucket(col("doc_id"), 1000000L, UpsampleMult)
+          < col("frac_micro"), 1L).otherwise(0L))
+      // sequence(0, -1) would DESCEND ([0, -1]); zero-rep docs must
+      // drop before the explode, matching the oracle's empty unnest.
+      .filter(col("n_rep") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("n_rep") - 1)).as("rep"))
   }
 
   /** Packing-layout report over [[packSequences]]: per language, corpus

@@ -763,6 +763,70 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Epoch-materialized mixture: the repetition side of mix_weights
+    // made rows — floor(weight) full copies per doc (capped at 4:
+    // repeating data past ~4 epochs stops buying loss) plus a
+    // fractional copy for a deterministic weight-mod-1 share of each
+    // source's docs, on the UpsampleMult stream (sharing SampleMult
+    // would nest the fractional set inside mix_sample's kept set —
+    // the multiplier-table rule). Sources with weight < 1 emit only
+    // the fractional copy, which IS the mixture downsample. Scale:
+    // sources-sized broadcast + a narrow explode — zero corpus
+    // shuffle; output rows ∝ Σ weights. The oracle's naive (id·C) %
+    // 2^32 equals Spark's ANSI-safe halved form on the non-negative
+    // doc_id domain (the hash_split contract).
+    QuerySpec("upsample_epochs",
+      """WITH s AS (SELECT source, CAST(SUM(n_chars) AS BIGINT)
+        |             AS chars_tot
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source,
+        |  CAST((1000000 * CAST((SELECT SUM(chars_tot) FROM s) AS HUGEINT))
+        |    // NULLIF(CAST((SELECT COUNT(*) FROM s) AS HUGEINT)
+        |         * chars_tot, 0)
+        |    AS BIGINT) AS weight_micro
+        |      FROM s),
+        |r AS (SELECT source,
+        |        CAST(least(weight_micro // 1000000, 4) AS BIGINT)
+        |          AS n_full,
+        |        CASE WHEN weight_micro // 1000000 >= 4 THEN 0
+        |             ELSE weight_micro % 1000000 END AS frac_micro
+        |      FROM w WHERE weight_micro IS NOT NULL)
+        |SELECT doc_id, source, CAST(rep AS BIGINT) AS rep FROM (
+        |  SELECT doc_id, d.source AS source,
+        |         unnest(range(n_full +
+        |           CASE WHEN ((doc_id * 1540483477) % 4294967296)
+        |                  % 1000000 < frac_micro
+        |                THEN 1 ELSE 0 END)) AS rep
+        |  FROM documents d
+        |  JOIN r ON d.source IS NOT DISTINCT FROM r.source)
+        |ORDER BY doc_id, rep""".stripMargin) { (s, dir) =>
+      Pipeline.upsampleEpochs(t(s, dir, "documents"))
+        .orderBy("doc_id", "rep")
+    },
+
+    // Deterministic training-order shard shuffle: scrambled 32-bit
+    // order key (its own ShuffleMult stream), shard = key's low bits,
+    // pos = dense 1-based rank of the key within the shard — the step
+    // between curation and the shard writer. The oracle states the
+    // rank as the plain per-shard ROW_NUMBER; the operator computes
+    // the identical rank with the banded two-stage shape (rank within
+    // (shard, key-high-bits) + exclusive band-count prefix), capping
+    // any single sort partition at corpus/(nShards·nBands) — the
+    // per-shard window here would be a corpus/16-row single task.
+    // Band-count independence (nBands=1 ≡ 256) is spec-pinned.
+    QuerySpec("shard_shuffle",
+      """SELECT doc_id, shard, CAST(pos AS BIGINT) AS pos FROM (
+        |  SELECT doc_id, k % 16 AS shard,
+        |         ROW_NUMBER() OVER (PARTITION BY k % 16
+        |           ORDER BY k, doc_id) AS pos
+        |  FROM (SELECT doc_id,
+        |               ((doc_id * 374761393) % 4294967296) AS k
+        |        FROM documents))
+        |ORDER BY shard, pos""".stripMargin) { (s, dir) =>
+      Pipeline.shardShuffle(t(s, dir, "documents"))
+        .orderBy("shard", "pos")
+    },
+
     // Packing-layout report over seq_pack: per language, token mass,
     // bins consumed, and the number a training run actually budgets
     // against — documents SPLIT across a sequence boundary (offset

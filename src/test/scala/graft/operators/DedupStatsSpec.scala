@@ -55,4 +55,19 @@ class DedupStatsSpec extends AnyFunSuite {
             col("a.term") > col("b.term"))))
     assert(misordered.isEmpty)
   }
+  test("qualityKeepers elects the highest-score member; ties fall to " +
+    "the min doc_id; n_members counts the whole cluster") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Cluster 1: scores 5e5 / 9e5 / 9e5 — the 9e5 tie breaks to doc 2
+    // (min-id election would have kept doc 1, the worst copy).
+    // Cluster 10: exact score tie — falls back to the min-id keeper.
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L)).toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 500000L), (2L, 900000L), (3L, 900000L),
+      (10L, 100000L), (11L, 100000L)).toDF("doc_id", "score_micro")
+    val out = Dedup.qualityKeepers(clusters, quality)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 2L, 3L, 900000L), (10L, 10L, 2L, 100000L)))
+  }
 }
