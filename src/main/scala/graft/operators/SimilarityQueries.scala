@@ -219,6 +219,64 @@ object SimilarityQueries {
         Similarity.prepared(t(s, dir, "embeddings")), NQ, 8)
     },
 
+    // ANN recall promoted to the oracle path: recall@10 of the IVF
+    // probe against the exact brute-force ground truth, per query —
+    // until now recall was only spec/soak-gated (SimilaritySpec
+    // floors, VectorSoak); this makes the accuracy-vs-cost tradeoff
+    // an oracle-checked FACT. Same centroids, assignment argmax, and
+    // (cos DESC, n_id) tie-break as ivf_ann; recall_micro =
+    // 1e6·|IVF∩exact|/10 is exact integer arithmetic. Scale shape: a
+    // recall AUDIT runs on a bounded sampled query set (NQ here) — the
+    // ground-truth side is one broadcast-queries corpus stream with a
+    // WindowGroupLimit top-k, priced per audit, not per search.
+    QuerySpec("ann_recall",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, ${normD("v")} AS nrm FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn
+         |      FROM n WHERE vec_id < $NQ),
+         |corpus AS (SELECT vec_id AS n_id, v AS cv, nrm AS cn
+         |           FROM n WHERE vec_id >= $NQ),
+         |ex AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${dotD("qv", "cv")} / (qn * cn) DESC, n_id)
+         |      AS rn
+         |    FROM corpus CROSS JOIN q) WHERE rn <= 10),
+         |cent AS (SELECT vec_id AS cid, v AS centv, nrm AS centn
+         |         FROM n WHERE vec_id >= $NQ AND vec_id < $NQ + 8),
+         |asg AS (SELECT n_id, cv, cn, cid FROM (
+         |    SELECT n_id, cv, cn, cid, row_number() OVER (
+         |      PARTITION BY n_id
+         |      ORDER BY ${dotD("cv", "centv")} / (cn * centn) DESC, cid)
+         |      AS arn
+         |    FROM corpus CROSS JOIN cent) WHERE arn = 1),
+         |probe AS (SELECT q_id, qv, qn, cid FROM (
+         |    SELECT q_id, qv, qn, cid, row_number() OVER (
+         |      PARTITION BY q_id
+         |      ORDER BY ${dotD("qv", "centv")} / (qn * centn) DESC, cid)
+         |      AS prn
+         |    FROM q CROSS JOIN cent) WHERE prn <= 2),
+         |iv AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${dotD("qv", "cv")} / (qn * cn) DESC, n_id)
+         |      AS rn
+         |    FROM asg JOIN probe USING (cid)) WHERE rn <= 10)
+         |SELECT q_id, CAST(COUNT(i.n_id) AS BIGINT) AS n_hit,
+         |       CAST(COUNT(i.n_id) * 100000 AS BIGINT) AS recall_micro
+         |FROM ex LEFT JOIN iv i USING (q_id, n_id)
+         |GROUP BY q_id ORDER BY q_id""".stripMargin) { (s, dir) =>
+      val prep = Similarity.prepared(t(s, dir, "embeddings"))
+      val exact = Similarity.cosineTopK(prep, NQ, 10)
+        .select("q_id", "n_id")
+      val ivf = Similarity.ivfTopK(prep, NQ, 8, 2, 10)
+        .select(col("q_id"), col("n_id")).withColumn("hit", lit(1))
+      exact.join(ivf, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(col("hit")).as("n_hit"))
+        .withColumn("recall_micro", col("n_hit") * 100000L)
+        .orderBy("q_id")
+    },
+
     // Codebook-drift remediation on the oracle path (what
     // ivf_cell_stats only reports): the IVF store is built with the
     // untrained first-8 codebook and manifested, the codebook is
