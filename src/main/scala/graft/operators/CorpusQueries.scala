@@ -57,6 +57,23 @@ object CorpusQueries {
       |FROM documents WHERE text IS NOT NULL
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** hll_distinct's oracle, shared verbatim with the streamed
+    * `streaming_distinct` (the transformWithState HLL state converges
+    * to the same per-source cardinality — one SQL definition, two
+    * consumers; the kllQuantilesSql pattern).
+    */
+  val hllDistinctSql: String =
+    s"""WITH tq AS (SELECT doc_id, unnest(${TextOps.toksD}) AS term
+       |            FROM documents),
+       |u AS (SELECT DISTINCT d.source, tq.term
+       |      FROM tq JOIN documents d USING (doc_id))
+       |SELECT source, COUNT(*) AS distinct_terms
+       |FROM u GROUP BY source
+       |UNION ALL
+       |SELECT '__all__' AS source, COUNT(DISTINCT term)
+       |FROM u
+       |ORDER BY source""".stripMargin
+
   /** The span-scrub CTE chain over `table` (doc_id, text …): winnowing
     * fingerprints `e`, first-carrier attribution, and the per-character
     * DuckDB-only reconstruction of each doc's scrubbed text — ends in
@@ -578,17 +595,7 @@ object CorpusQueries {
         .orderBy("term")
     },
 
-    QuerySpec("hll_distinct",
-      s"""WITH tq AS (SELECT doc_id, unnest(${toksD}) AS term
-         |            FROM documents),
-         |u AS (SELECT DISTINCT d.source, tq.term
-         |      FROM tq JOIN documents d USING (doc_id))
-         |SELECT source, COUNT(*) AS distinct_terms
-         |FROM u GROUP BY source
-         |UNION ALL
-         |SELECT '__all__' AS source, COUNT(DISTINCT term)
-         |FROM u
-         |ORDER BY source""".stripMargin) { (s, dir) =>
+    QuerySpec("hll_distinct", CorpusQueries.hllDistinctSql) { (s, dir) =>
       Corpus.hllDistinctTerms(t(s, dir, "documents"), cacheKey = dir)
         .orderBy("source")
     },

@@ -413,4 +413,57 @@ object StatefulOps {
       .transformWithState(new QuantileProcessor(k),
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** One keyed term observation — the input row of [[keyDistinct]]. */
+  final case class KeyedTerm(key: String, term: String)
+
+  /** Emitted each trigger for keys seen in the batch: the CURRENT
+    * distinct-term cardinality over everything the key has streamed.
+    */
+  final case class KeyDistinct(key: String, distinct_terms: Long)
+
+  private final class DistinctProcessor(lgK: Int)
+      extends StatefulProcessor[String, KeyedTerm, KeyDistinct] {
+    @transient private var state: ValueState[SketchState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SketchState]("hll",
+        Encoders.product[SketchState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedTerm],
+        timerValues: TimerValues): Iterator[KeyDistinct] = {
+      import org.apache.datasketches.hll.HllSketch
+      val sk =
+        if (state.exists()) HllSketch.heapify(state.get().sk)
+        else new HllSketch(lgK)
+      // Sorted fold, same rationale as QuantileProcessor: HLL's
+      // coupon-list layout records insertion order, so sorting keeps
+      // the state BYTES retry-stable in the exact (coupon) regime.
+      // The ESTIMATE is order-independent in every regime.
+      rows.toSeq.map(_.term).sorted.foreach(t => sk.update(t))
+      state.update(SketchState(sk.toUpdatableByteArray))
+      Iterator.single(KeyDistinct(key, Math.round(sk.getEstimate)))
+    }
+  }
+
+  /** Streaming per-key distinct cardinality — the batch
+    * [[graft.operators.Corpus.hllDistinctTerms]] contract as a
+    * `transformWithState` stream: one serialized HLL sketch per key as
+    * ValueState (KB-bounded for the stream's lifetime, where a seen-set
+    * would grow with the vocabulary), updated per microbatch, the
+    * current cardinality emitted each trigger. Same lgK and estimator
+    * as the batch `hll_sketch_agg`/`hll_sketch_estimate` path, so
+    * stream and batch agree exactly while a key stays in the HLL
+    * coupon regime (≲ 2^(lgK−2) distinct values) — the regime the
+    * declared fixtures sit in; past it, both carry the same HLL error
+    * envelope. StatefulOpsSpec pins batch parity across a microbatch
+    * split.
+    */
+  def keyDistinct(ds: Dataset[KeyedTerm],
+      lgK: Int = 12): Dataset[KeyDistinct] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new DistinctProcessor(lgK),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -199,6 +199,59 @@ object StreamingPipelineQuery {
       .orderBy("source")
   }
 
+  /** Streaming per-source distinct-term cardinality on the oracle path
+    * — the cardinality sibling of [[runQuantiles]]: documents stream
+    * in two chunk rounds across two AvailableNow executions of one
+    * checkpoint (serialized HLL state in RocksDB must recover
+    * mid-line), tokenization and the (source, term) explode run INSIDE
+    * the stream (the feed stays docs-sized), each term also feeds a
+    * `__all__` key so the corpus-global row of the batch query exists
+    * here too, and emissions upsert by key — the final store row per
+    * key is the cardinality over everything streamed. Oracle is
+    * hll_distinct's COUNT(DISTINCT) SQL verbatim: stream, batch, and
+    * oracle agree exactly in the HLL coupon regime the fixtures sit in.
+    */
+  private def runDistinct(spark0: SparkSession, dir: String): DataFrame =
+    withReplaySession(spark0, shuffleN(8)) { spark =>
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = boundedFeed(Tables.t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().toSeq, "documents")
+    val work = Files.createTempDirectory("graft-streamhll").toString
+    val sink = new ParquetUpsertSink(s"$work/store", Seq("key"))
+    val source = MemoryStream[(Long, String, String)](spark)
+
+    def drain(): Unit = {
+      graft.functions.GraftFunctions.register(spark)
+      val terms = source.toDF().toDF("doc_id", "source", "text")
+        .select(col("source"),
+          explode(expr("norm_tokens(text)")).as("term"))
+        .select(explode(array(col("source"), lit("__all__")))
+          .as("key"), col("term"))
+        .as[StatefulOps.KeyedTerm]
+      val q = StatefulOps.keyDistinct(terms)
+        .toDF()
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(sink.upsert _)
+        .start()
+      q.awaitTermination()
+    }
+
+    source.addData(rows.filter(_._1 % 3 == 0): _*)
+    drain()
+    source.addData(rows.filter(_._1 % 3 != 0): _*)
+    drain() // restart from the checkpoint; HLL state merges in place
+
+    sink.read(spark)
+      .select(col("key").as("source"), col("distinct_terms"))
+      .orderBy("source")
+  }
+
   /** Stream-stream interval join on the oracle path: view events
     * joined to click events of the same user within 60 minutes
     * (StreamOps.intervalJoin — watermarked state on BOTH sides, the
@@ -803,6 +856,10 @@ object StreamingPipelineQuery {
       graft.operators.FlagshipQueries.joinEnrichSql)(run),
     QuerySpec.replay("streaming_quantiles",
       graft.operators.CorpusQueries.kllQuantilesSql)(runQuantiles),
+    // Identical oracle to hll_distinct — tracking the cardinality as
+    // streaming HLL state must not change WHAT it converges to.
+    QuerySpec.replay("streaming_distinct",
+      graft.operators.CorpusQueries.hllDistinctSql)(runDistinct),
     QuerySpec.replay("streaming_join",
       """SELECT v.event_id AS view_id, c.event_id AS click_id,
         |       v.user_id AS user_id

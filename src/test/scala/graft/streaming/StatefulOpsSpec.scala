@@ -258,4 +258,42 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(last == want,
       "streamed sketch state diverged from the one-pass batch sketch")
   }
+
+  test("streaming HLL state: distinct counts over a microbatch split " +
+    "equal the batch hll_sketch_agg path (coupon regime)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+    val terms = docs.select(
+        org.apache.spark.sql.functions.col("source").cast("string"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.expr("norm_tokens(text)"))
+          .as("term"))
+      .as[(String, String)].collect()
+      .flatMap { case (s, t) =>
+        Seq(KeyedTerm(s, t), KeyedTerm("__all__", t)) }
+    val source = MemoryStream[KeyedTerm](spark)
+    val query = keyDistinct(source.toDS())
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("hll_state")
+      .start()
+    // Three microbatches — the serialized sketch must carry across
+    // triggers (a per-batch sketch would undercount every key).
+    terms.grouped(math.max(terms.length / 3, 1)).foreach { chunk =>
+      source.addData(chunk.toSeq: _*)
+      query.processAllAvailable()
+    }
+    query.stop()
+    val last = spark.table("hll_state").as[KeyDistinct].collect()
+      .groupBy(_.key)
+      .map { case (k, v) => k -> v.map(_.distinct_terms).max }
+    val want = graft.operators.Corpus.hllDistinctTerms(docs)
+      .as[(String, Long)].collect().toMap
+    assert(last == want,
+      "streamed HLL state diverged from the batch sketch path")
+  }
 }
