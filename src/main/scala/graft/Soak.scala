@@ -156,6 +156,60 @@ object Soak {
       s""""selected":$nSel,"sources":$nSrc,"sec_pii":$tPii,""" +
       s""""sec_budget":$tBudget,"sec_mix":$tMix}""")
 
+    // Training-order tail soak: upsample_epochs → shard_shuffle
+    // CHAINED on the amplified corpus — the materialized-epochs
+    // emission and the banded rank must keep their shapes composed.
+    // The upsample must broadcast its sources-sized weights (a
+    // corpus-side shuffle join here would be the scale killer), and
+    // the shard rank must never window by shard alone (that is the
+    // corpus/nShards single-task sort the banded shape exists to
+    // avoid). Exactness at soak scale without a ground-truth window:
+    // per shard, positions must be exactly the dense set 1..n
+    // (min = 1, max = n, n distinct) — together a full proof.
+    val up = operators.Pipeline.upsampleEpochs(docs)
+    val upQe = up.queryExecution
+    val (nUp, tUp) = timed { upQe.toRdd.count() }
+    val upPlan = upQe.executedPlan.toString
+      .split("== Initial Plan ==").head
+    require(upPlan.contains("BroadcastHashJoin") &&
+      !upPlan.contains("SortMergeJoin"),
+      s"upsample weights must broadcast onto the corpus:\n$upPlan")
+    // Re-key so epoch copies rank as distinct sequence rows (rep in
+    // the id's high bits — ids stay unique by construction).
+    val seqRows = up.select(
+      (col("doc_id") + col("rep") * 1000000000L).as("doc_id"))
+    val shuffled = operators.Pipeline.shardShuffle(seqRows,
+      nShards = 32, nBands = 256)
+    val shQe = shuffled.queryExecution
+    val (nSh, tShard) = timed { shQe.toRdd.count() }
+    val shPlan = shQe.executedPlan.toString
+      .split("== Initial Plan ==").head
+    require(shPlan.contains("BroadcastHashJoin") &&
+      !shPlan.contains("SortMergeJoin"),
+      s"band offsets must broadcast:\n$shPlan")
+    require("windowspecdefinition\\(shard#\\d+L?, ord_key".r
+      .findFirstIn(shPlan).isEmpty,
+      s"rank must never window by shard alone:\n$shPlan")
+    require("windowspecdefinition\\(shard#\\d+L?, band#\\d+L?".r
+      .findFirstIn(shPlan).nonEmpty,
+      s"rank must window by (shard, band):\n$shPlan")
+    require(nSh == nUp, s"shard shuffle dropped rows: $nSh != $nUp")
+    val posChk = shuffled.groupBy("shard").agg(
+      count(lit(1)).as("n"), min(col("pos")).as("mn"),
+      max(col("pos")).as("mx"),
+      countDistinct(col("pos")).as("nd")).collect()
+    require(posChk.length == 32, s"expected 32 shards: ${posChk.length}")
+    posChk.foreach { r =>
+      val (cnt, mn, mx, nd) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      require(mn == 1L && mx == cnt && nd == cnt,
+        s"shard ${r.get(0)} positions not dense 1..$cnt " +
+          s"(min=$mn max=$mx distinct=$nd)")
+    }
+    println(s"""{"metric":"soak_order","n_copies":$n,"rows_in":$nRed,""" +
+      s""""rows_up":$nUp,"shards":32,"sec_upsample":$tUp,""" +
+      s""""sec_shard":$tShard}""")
+
     // Span/DSIR soak: the round-7 operators (span_dup_rate,
     // span_decontaminate, dsir_weights) CHAINED on the amplified corpus
     // — fixture-tested individually, this is their at-scale evidence.
