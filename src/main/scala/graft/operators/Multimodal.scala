@@ -96,7 +96,16 @@ object Multimodal {
     */
   def mediaTable(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
+    // Spread the render across the session's cores (r17, guide §2.6):
+    // the id projection collapses to the SCAN's split count — one
+    // split at fixture scale — so the encode+decode CPU ran on a
+    // single task while 31 cores idled (measured: multimodal_decode
+    // 1.39 s cold with the whole decode stage serialized). The shuffle
+    // moves 8-byte ids, never payloads — rendering happens after the
+    // exchange, so this is cheap at any scale and the stage width
+    // tracks the session (defaultParallelism), not a constant.
     docs.select(col("doc_id")).as[Long]
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .mapPartitions(_.map(id => MediaRow(id, renderPayload(id))))
   }
 
@@ -232,7 +241,11 @@ object Multimodal {
     */
   def corruptedMediaTable(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    // Same id-only repartition as [[mediaTable]] (r17): spread the
+    // render/decode CPU across cores instead of the scan's split count.
+    docs.select(col("doc_id")).as[Long]
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
       val payload =
         if (id % 7 == 3) java.util.Arrays.copyOf(renderPayload(id), 16)
         else if (id % 11 == 5) Array.fill(32)(0xAB.toByte)

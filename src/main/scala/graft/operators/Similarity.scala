@@ -201,12 +201,11 @@ object Similarity {
         col("nrm").as("cn"))
     var cent = codebook
     for (_ <- 0 until iters) {
-      val bestCid = corpus.crossJoin(broadcast(cent))
-        .withColumn("csim", expr("array_dot(cv, centv) / (cn * centn)"))
-        .groupBy(col("n_id"))
-        .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
-        .select(col("n_id"), (-col("m.ncid")).as("cid"))
-      val means = corpus.join(bestCid, "n_id")
+      // r17: in-row assignment ([[withCellIdLit]]) — each Lloyd
+      // iteration loses its crossJoin+argmax aggregate AND the n_id
+      // re-join (two corpus Exchanges per iteration); the codebook is
+      // already driver-resident between iterations.
+      val means = withCellIdLit(corpus, collectCentroids(cent))
         .select(col("cid"), posexplode(col("cv")).as(Seq("p", "comp")))
         .select(col("cid"), col("p"),
           round(col("comp") * 1000000).cast("long").as("q"))
@@ -240,33 +239,23 @@ object Similarity {
     */
   def ivfTopKWith(e: DataFrame, codebook: DataFrame, nQueries: Int,
       nProbe: Int, k: Int): DataFrame = {
-    val cent = codebook
+    // r17: codebook collected driver-side (KB-sized, bounded loudly),
+    // assignment and probe selection in-row ([[withCellIdLit]] / the
+    // sorted-slice probe) — the old crossJoin+argmax+re-join spent two
+    // corpus Exchanges on per-row arithmetic, and the probe window an
+    // exchange on a queries×centroids frame. (The historical note
+    // stands: the argmax never drags the 64-dim payload through an
+    // aggregation buffer — here it never leaves its own row at all.)
+    val cents = collectCentroids(codebook)
     val corpus = e.filter(col("vec_id") >= nQueries)
       .select(col("vec_id").as("n_id"), col("v").as("cv"),
         col("nrm").as("cn"))
-    // Argmax carries ONLY (csim, -cid): dragging the 64-dim vector
-    // through the max(struct(...)) aggregation buffers copies the
-    // payload array once per (corpus row × centroid) update — measured
-    // 1.7× slower than brute force at 30k vecs × 32 centroids before
-    // the payload was split out. The vector re-attaches afterwards by
-    // joining corpus on n_id (both sides hash-partition on n_id — at
-    // scale a cid-bucketed layout removes even that).
-    val bestCid = corpus.crossJoin(broadcast(cent))
-      .withColumn("csim", expr("array_dot(cv, centv) / (cn * centn)"))
-      .groupBy(col("n_id"))
-      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
-      .select(col("n_id"), (-col("m.ncid")).as("cid"))
-    val assigned = corpus.join(bestCid, "n_id")
+    val assigned = withCellIdLit(corpus, cents)
+      .select(col("n_id"), col("cv"), col("cn"), col("cid"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
-    val wp = Window.partitionBy(col("q_id"))
-      .orderBy(col("psim").desc, col("cid"))
-    val probes = q.crossJoin(broadcast(cent))
-      .withColumn("psim", expr("array_dot(qv, centv) / (qn * centn)"))
-      .withColumn("prn", row_number().over(wp))
-      .filter(col("prn") <= nProbe)
-      .select(col("q_id"), col("qv"), col("qn"), col("cid"))
+    val probes = probeRows(q, cents, nProbe, cidInt = false)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
     assigned.join(broadcast(probes), "cid")
@@ -303,14 +292,15 @@ object Similarity {
     * mismatch on the partition column would silently disable pruning.
     */
   private def withCellIds(corpus: DataFrame,
-      codebook: DataFrame): DataFrame = {
-    val bestCid = corpus.crossJoin(broadcast(codebook))
-      .withColumn("csim", expr("array_dot(cv, centv) / (cn * centn)"))
-      .groupBy(col("n_id"))
-      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
-      .select(col("n_id"), (-col("m.ncid")).cast("int").as("cid"))
-    corpus.join(bestCid, "n_id")
-  }
+      codebook: DataFrame): DataFrame =
+    // r17: in-row assignment (see [[withCellIdLit]]) — the store build
+    // no longer shuffles the corpus twice to decide cells. EVERY
+    // corpus column rides through (evolved epochs carry extras), in
+    // the old join's layout (corpus columns, then cid) so the written
+    // store is byte-identical.
+    withCellIdLit(corpus, collectCentroids(codebook))
+      .select(corpus.columns.map(col).toSeq :+
+        col("cid").cast("int").as("cid"): _*)
 
   def writeIvfStore(e: DataFrame, codebook: DataFrame, nQueries: Int,
       path: String): Unit = {
@@ -503,14 +493,13 @@ object Similarity {
     */
   def ivfCellStatsWith(corpus: DataFrame,
       codebook: DataFrame): DataFrame = {
-    perCellStats(corpus
-      .crossJoin(broadcast(codebook))
-      .withColumn("csim", expr("array_dot(cv, centv) / (cn * centn)"))
-      .groupBy(col("n_id"))
-      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
-      .select((-col("m.ncid")).cast("int").as("cid"),
-        expr("cast(round((1.0 - m.csim) * 1000000) as bigint)")
-          .as("err_micro")))
+    // r17: in-row assignment; the winning csim is
+    // element_at(__csims, __p) — the same double the old argmax
+    // aggregate carried as m.csim.
+    perCellStats(withCellIdLit(corpus, collectCentroids(codebook))
+      .select(col("cid").cast("int").as("cid"),
+        expr("cast(round((1.0 - element_at(__csims, __p)) * 1000000) " +
+          "as bigint)").as("err_micro")))
   }
 
   /** Shared aggregation tail of [[ivfCellStatsWith]]/[[ivfStoreDrift]]
@@ -763,14 +752,10 @@ object Similarity {
         s"$root carries no manifest — publish one first"))
     val cent = loadCodebook(spark,
       codebookPathAsOf(spark, path, Some(version)))
-    val wp = Window.partitionBy(col("q_id"))
-      .orderBy(col("psim").desc, col("cid"))
-    val probes = queries.crossJoin(broadcast(cent))
-      .withColumn("psim", expr("array_dot(qv, centv) / (qn * centn)"))
-      .withColumn("prn", row_number().over(wp))
-      .filter(col("prn") <= nProbe)
-      .select(col("q_id"), col("qv"), col("qn"),
-        col("cid").cast("int").as("cid"))
+    // r17: in-row probe selection (see [[probeRows]]) — no window
+    // exchange in the probe job.
+    val probes = probeRows(queries, collectCentroids(cent), nProbe,
+      cidInt = true)
     val cells = probes.select("cid").distinct()
       .collect().map(_.getInt(0)).toSeq
     val store = StoreManifest.snapshotReadAsOf(spark, root, version)
@@ -798,14 +783,9 @@ object Similarity {
   def ivfTopKFromStore(spark: SparkSession, path: String,
       queries: DataFrame, nProbe: Int, k: Int): DataFrame = {
     val cent = loadCodebook(spark, s"$path/codebook")
-    val wp = Window.partitionBy(col("q_id"))
-      .orderBy(col("psim").desc, col("cid"))
-    val probes = queries.crossJoin(broadcast(cent))
-      .withColumn("psim", expr("array_dot(qv, centv) / (qn * centn)"))
-      .withColumn("prn", row_number().over(wp))
-      .filter(col("prn") <= nProbe)
-      .select(col("q_id"), col("qv"), col("qn"),
-        col("cid").cast("int").as("cid"))
+    // r17: in-row probe selection (see [[probeRows]]).
+    val probes = probeRows(queries, collectCentroids(cent), nProbe,
+      cidInt = true)
     val cells = probes.select("cid").distinct()
       .collect().map(_.getInt(0)).toSeq
     val store = spark.read.parquet(s"$path/vectors")
@@ -860,6 +840,204 @@ object Similarity {
     * arithmetic, so doubles are bit-identical. Output: (q_id, n_id, rn,
     * adist) — approximate distance, k rows per query, ascending.
     */
+  // ----- literal-codebook encode/LUT helpers (optimization r17) -----
+  //
+  // The PQ/IVFPQ encode and LUT stages used to run as
+  // explode(subspaces) × broadcast-join(codebook) × two keyed
+  // aggregations — three corpus-sized Exchanges for what is per-row
+  // arithmetic against a KB-sized table (guide §2.4: remove shuffles
+  // outright). Codebooks are bounded by construction (nSub × nCode
+  // cells, require-guarded ≤ 65536), so they are collected once to the
+  // driver — the bucketExpr precedent: Catalyst cannot constant-fold a
+  // joined codebook, but it executes an embedded literal one at
+  // codegen speed — and the argmin/LUT become a single zero-shuffle
+  // projection. Codebooks are attached as ONE typedlit Literal node
+  // each (a parsed-per-codeword first cut cost more per invocation in
+  // analysis than the removed Exchanges saved), and the sq()/round()
+  // expression TEXT is unchanged with the codeword as the lambda
+  // variable, so every emitted double is bit-identical to the joined
+  // form (the oracle hashes prove it).
+
+  /** A coarse codebook row collected to the driver. */
+  private final case class Cent(cid: Long, v: Seq[Double], n: Double)
+
+  /** Attach the collected codebook as three parallel Literal columns
+    * (cid ascending) — one Catalyst node each, so the in-row argmax
+    * plans as cheaply as a column reference.
+    */
+  private def withCentLits(df: DataFrame, cents: Seq[Cent]): DataFrame =
+    df.withColumn("__cvs", typedlit(cents.map(_.v)))
+      .withColumn("__cns", typedlit(cents.map(_.n)))
+      .withColumn("__cids", typedlit(cents.map(_.cid)))
+
+  /** In-row probe selection (r17): the nProbe nearest cells per query
+    * as exploded (q_id, qv, qn, cid) rows — a sorted-slice over the
+    * collected codebook replacing crossJoin(broadcast) + window
+    * row_number (one Exchange per probe job). The comparator is the
+    * old (psim DESC, cid ASC) row_number order exactly.
+    */
+  private def probeRows(queries: DataFrame, cents: Seq[Cent],
+      nProbe: Int, cidInt: Boolean): DataFrame = {
+    val cmp = "(l, r) -> case when l.psim > r.psim then -1 " +
+      "when l.psim < r.psim then 1 when l.cid < r.cid then -1 " +
+      "when l.cid > r.cid then 1 else 0 end"
+    withCentLits(queries, cents)
+      .withColumn("__ps", expr(
+        s"transform(sequence(1, ${cents.size}), i -> named_struct(" +
+          "'psim', array_dot(qv, element_at(__cvs, i)) / " +
+          "(qn * element_at(__cns, i)), " +
+          "'cid', element_at(__cids, i)))"))
+      .withColumn("__probe", explode(
+        expr(s"slice(array_sort(__ps, $cmp), 1, $nProbe)")))
+      .select(col("q_id"), col("qv"), col("qn"),
+        (if (cidInt) col("__probe.cid").cast("int")
+         else col("__probe.cid")).as("cid"))
+  }
+
+  /** In-row nearest-centroid assignment (r17; guide §2.4): appends
+    * `cid` (and `__p`, the 1-based centroid ordinal, for callers that
+    * need the winning csim or centv) to a (…, cv, cn) frame against a
+    * collected codebook. Replaces the crossJoin(broadcast) + argmax
+    * aggregation + n_id re-join — two corpus-sized Exchanges per call
+    * — with a single zero-shuffle projection: a cosine argmax over a
+    * KB-sized codebook is per-row arithmetic. Tie-break:
+    * array_position's 1-based FIRST max in cid-ascending order ≡ the
+    * old max(struct(csim, -cid)); the csim text is unchanged with the
+    * codebook entries as HOF lambda variables, so assignments are
+    * bit-identical. Callers drop the __-prefixed helper columns.
+    */
+  private def withCellIdLit(corpus: DataFrame,
+      cents: Seq[Cent]): DataFrame =
+    withCentLits(corpus, cents)
+      .withColumn("__csims", expr(
+        "zip_with(__cvs, __cns, (centv, centn) -> " +
+          "array_dot(cv, centv) / (cn * centn))"))
+      .withColumn("__p",
+        expr("cast(array_position(__csims, array_max(__csims)) " +
+          "as int)"))
+      .withColumn("cid", expr("element_at(__cids, __p)"))
+
+  /** Collect a coarse codebook (cid, centv, centn) driver-side, cid
+    * ascending — KB-sized metadata by contract, bounded loudly like
+    * [[loadCodebook]] (a corpus-sized frame here must fail, not OOM
+    * the driver).
+    */
+  private def collectCentroids(cent: DataFrame): Seq[Cent] = {
+    val rows = cent.select(col("cid").cast("long").as("cid"),
+      col("centv").cast("array<double>").as("centv"),
+      col("centn").cast("double").as("centn"))
+      .limit(65537).collect()
+    require(rows.nonEmpty && rows.length <= 65536,
+      s"coarse codebook has ${rows.length}+ rows — a codebook is " +
+        "KB-sized metadata (1..65536 centroids), not a corpus")
+    rows.map(r => Cent(r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_.cid).toSeq
+  }
+
+  /** Collect a (m, code, cbv) sub-codebook dense to the driver:
+    * cells(m)(code) = the codeword subvector. The flattened ADC index
+    * m·nCode + code is only valid when EVERY cell exists — the gate
+    * the joined form enforced with an in-plan raise_error moves here,
+    * where it fails at build time naming the hole instead of at
+    * scoring time.
+    */
+  private[graft] def collectSubCodebook(cb: DataFrame, nSub: Int,
+      nCode: Int): Array[Array[Seq[Double]]] = {
+    val rows = cb.select(col("m").cast("int").as("m"),
+      col("code").cast("int").as("code"),
+      col("cbv").cast("array<double>").as("cbv"))
+      .limit(nSub * nCode + 1).collect()
+    require(rows.length == nSub * nCode,
+      s"pq sub-codebook incomplete: expected ${nSub * nCode} " +
+        s"(m, code) cells, got ${rows.length}")
+    val cells = Array.ofDim[Seq[Double]](nSub, nCode)
+    rows.foreach { r =>
+      val (m, c) = (r.getInt(0), r.getInt(1))
+      require(m >= 0 && m < nSub && c >= 0 && c < nCode,
+        s"pq sub-codebook cell (m=$m, code=$c) out of " +
+          s"range ${nSub}x$nCode")
+      require(cells(m)(c) == null,
+        s"duplicate pq sub-codebook cell (m=$m, code=$c)")
+      cells(m)(c) = r.getSeq[Double](2)
+    }
+    cells
+  }
+
+  /** The collected sub-codebook as ONE Literal column
+    * (array&lt;array&lt;array&lt;double&gt;&gt;&gt;, indexed [m+1][code+1]) — a single
+    * Catalyst node, so attaching it costs the plan nothing: the first
+    * cut of this rewrite embedded every codeword as its own parsed
+    * array literal and the ~2,500-node trees cost more per invocation
+    * in analysis/optimization than the removed Exchanges saved.
+    */
+  private def cbLit(cells: Array[Array[Seq[Double]]]) =
+    typedlit(cells.map(_.toSeq).toSeq)
+
+  /** Append `codes` (array&lt;int&gt;: nearest sub-code per subspace, ties
+    * to the lowest code) computed IN-ROW against a literal
+    * sub-codebook over vector column `vcol` — the zero-shuffle
+    * replacement for the exploded encode.
+    * array_position(sqa, array_min(sqa)) is 1-based FIRST match, which
+    * reproduces the old min(struct(sq, code)) tie-break exactly (equal
+    * sq → lowest code; sq values are never NaN/-0.0: norms are
+    * guarded and IEEE x−y with x=y is +0.0). The sq lambda body is the
+    * old join-form text with `cbv` now the transform variable, so
+    * every double is bit-identical.
+    */
+  private[graft] def withPqCodes(df: DataFrame, vcol: String,
+      cells: Array[Array[Seq[Double]]], nSub: Int,
+      nCode: Int): DataFrame = {
+    val sub = 64 / nSub
+    var out = df.withColumn("__cb", cbLit(cells))
+    (0 until nSub).foreach { m =>
+      val sv = s"__sv$m"
+      out = out
+        .withColumn(sv, expr(s"slice($vcol, ${m * sub + 1}, $sub)"))
+        .withColumn(s"__sqa$m", expr(
+          s"transform(element_at(__cb, ${m + 1}), cbv -> " +
+            s"array_dot($sv, $sv) - 2 * array_dot($sv, cbv) + " +
+            "array_dot(cbv, cbv))"))
+    }
+    val codes = (0 until nSub).map(m =>
+        s"cast(array_position(__sqa$m, array_min(__sqa$m)) - 1 as int)")
+      .mkString("array(", ", ", ")")
+    out.withColumn("codes", expr(codes))
+      .drop("__cb")
+      .drop((0 until nSub).flatMap(m =>
+        Seq(s"__sv$m", s"__sqa$m")): _*)
+  }
+
+  /** Append `luts` (the flattened m·nCode + code micro-distance array)
+    * computed IN-ROW against a literal sub-codebook over vector column
+    * `vcol` — the zero-shuffle replacement for the exploded LUT build.
+    * Per-m transforms concatenated emit cells in (m, code) order,
+    * which IS the old array_sort(struct(m, code, qm)) order;
+    * completeness is guaranteed by [[collectSubCodebook]], so the
+    * in-plan size gate is no longer representable. round()·cast text
+    * unchanged (micro quantization bit-identical).
+    */
+  private[graft] def withPqLut(df: DataFrame, vcol: String,
+      cells: Array[Array[Seq[Double]]], nSub: Int,
+      nCode: Int): DataFrame = {
+    val sub = 64 / nSub
+    var out = df.withColumn("__cb", cbLit(cells))
+    (0 until nSub).foreach { m =>
+      val sv = s"__qsv$m"
+      out = out
+        .withColumn(sv, expr(s"slice($vcol, ${m * sub + 1}, $sub)"))
+        .withColumn(s"__lut$m", expr(
+          s"transform(element_at(__cb, ${m + 1}), cbv -> " +
+            s"cast(round((array_dot($sv, $sv) - " +
+            s"2 * array_dot($sv, cbv) + array_dot(cbv, cbv)) " +
+            "* 1000000) as long))"))
+    }
+    out.withColumn("luts",
+        concat((0 until nSub).map(m => col(s"__lut$m")): _*))
+      .drop("__cb")
+      .drop((0 until nSub).flatMap(m =>
+        Seq(s"__qsv$m", s"__lut$m")): _*)
+  }
+
   def pqTopK(e: DataFrame, nQueries: Int, nSub: Int, nCode: Int,
       k: Int): DataFrame =
     pqTopKWith(e, pqSubCodebook(e, nQueries, nSub, nCode), nQueries,
@@ -882,66 +1060,42 @@ object Similarity {
 
   /** PQ-ADC search against a supplied sub-codebook frame
     * (m, code, cbv) — see pqTopK for the scale shape.
+    *
+    * r17: the codebook is collected driver-side (KB-sized, bounded
+    * loudly in [[collectSubCodebook]] — which also subsumes the old
+    * in-plan LUT-completeness raise_error: an absent cell now fails at
+    * build) and the encode/LUT stages run as single zero-shuffle
+    * projections ([[withPqCodes]]/[[withPqLut]]) instead of
+    * explode × broadcast-join × two aggregations — 3 corpus Exchanges
+    * and 2 extra corpus scans removed; arithmetic bit-identical.
     */
   def pqTopKWith(e: DataFrame, subCodebook: DataFrame, nQueries: Int,
       nSub: Int, nCode: Int, k: Int): DataFrame = {
-    // The flattened ADC index m·nCode + code is only valid when the
-    // subspace slicing is exact and EVERY (m, code) cell exists —
-    // array_sort positions shift on any absent cell and every later
-    // lookup silently reads the wrong distance. Fail loudly instead.
     require(64 % nSub == 0,
       s"nSub must divide the 64-dim embedding exactly, got $nSub")
-    val sub = 64 / nSub
-    val subspaces = s"explode(sequence(0, ${nSub - 1}))"
-    def slicedSub(v: String): String = s"slice($v, m * $sub + 1, $sub)"
-    def sq(a: String, b: String): String =
-      s"array_dot($a, $a) - 2 * array_dot($a, $b) + array_dot($b, $b)"
-    val cb = subCodebook
-    // Encode: nearest sub-code per (vector, subspace), then ONE row per
-    // vector carrying its code array (sorted by m — struct sort order).
-    val enc = e.filter(col("vec_id") >= nQueries)
-      .select(col("vec_id").as("n_id"), col("v"))
-      .withColumn("m", expr(subspaces))
-      .select(col("n_id"), col("m"), expr(slicedSub("v")).as("sv"))
-      .join(broadcast(cb), "m")
-      .select(col("n_id"), col("m"),
-        struct(expr(sq("sv", "cbv")).as("sq"), col("code")).as("sc"))
-      .groupBy("n_id", "m")
-      .agg(min(col("sc")).as("mn"))
-      .groupBy("n_id")
-      .agg(array_sort(collect_list(struct(col("m"),
-        col("mn.code").as("code")))).as("mc"))
-      .select(col("n_id"), expr("transform(mc, x -> x.code)").as("codes"))
-      // The code table is BYTES per vector, so AQE happily coalesces it
-      // to one partition — which would serialize the ×nQueries ADC scan
-      // below (measured 4× slower inside a busy session). Pin the scan
-      // width explicitly: the expansion factor lives downstream of this
-      // exchange, invisible to AQE's input-size heuristic.
-      .repartition(e.sparkSession.sparkContext.defaultParallelism)
-    // Query LUT: micro-quantized distance to every (m, code) cell,
-    // flattened to one (nSub·nCode)-long array per query, index
-    // m·nCode + code (struct sort by (m, code) makes the order).
-    val lut = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v"))
-      .withColumn("m", expr(subspaces))
-      .select(col("q_id"), col("m"), expr(slicedSub("v")).as("qsv"))
-      .join(cb, "m")
-      .select(col("q_id"), struct(col("m"), col("code"),
-        round(expr(sq("qsv", "cbv")) * 1000000).cast("long").as("qm"))
-        .as("mcq"))
-      .groupBy("q_id")
-      .agg(array_sort(collect_list(col("mcq"))).as("l"))
-      .select(col("q_id"), expr("transform(l, x -> x.qm)").as("luts"))
-      // In-plan completeness gate (costs no extra job: luts feeds the
-      // broadcast anyway). A codebook built from a corpus slice that
-      // lacks some vec_id would produce a short LUT here — raise at
-      // scoring time rather than return silently wrong distances.
-      .withColumn("luts",
-        when(size(col("luts")) === nSub * nCode, col("luts"))
-          .otherwise(raise_error(concat(
-            lit(s"pq sub-codebook incomplete: expected ${nSub * nCode}" +
-              " (m, code) cells, got "),
-            size(col("luts")).cast("string")))))
+    val cells = collectSubCodebook(subCodebook, nSub, nCode)
+    // Encode in-row: one projection, ONE row per vector with its code
+    // array (m ascending by construction of the literal loop).
+    val enc = withPqCodes(
+        e.filter(col("vec_id") >= nQueries)
+          .select(col("vec_id").as("n_id"), col("v")),
+        "v", cells, nSub, nCode)
+      .select(col("n_id"), col("codes"))
+      // No scan-width repartition anymore (r17): the old pin existed
+      // because the encode ENDED in a shuffle whose bytes-sized output
+      // AQE coalesced to one partition, serializing the ×nQueries ADC
+      // expansion downstream. The zero-shuffle encode inherits the
+      // SCAN's partitioning — splits sized by the input at any scale —
+      // so the pin would only add an exchange and 32 scheduling-bound
+      // tasks at bench scale.
+    // Query LUT in-row: micro-quantized distance to every (m, code)
+    // cell, flattened to index m·nCode + code by the literal loop
+    // order.
+    val lut = withPqLut(
+        e.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("q_id"), col("v")),
+        "v", cells, nSub, nCode)
+      .select(col("q_id"), col("luts"))
     // ADC: fixed m-order sum of nSub subscripts (0-based [] operator).
     val adcMicro = (0 until nSub)
       .map(m => s"luts[$m * $nCode + codes[$m]]").mkString(" + ")
@@ -1100,32 +1254,27 @@ object Similarity {
     val sub = 64 / nSub
     val subspaces = s"explode(sequence(0, ${nSub - 1}))"
     def slicedSub(v: String): String = s"slice($v, m * $sub + 1, $sub)"
-    def sq(a: String, b: String): String =
-      s"array_dot($a, $a) - 2 * array_dot($a, $b) + array_dot($b, $b)"
     val corpus = e.filter(col("vec_id") >= nQueries)
       .select(col("vec_id").as("n_id"), col("v").as("cv"),
         col("nrm").as("cn"))
-    // Coarse assignment — the payload-free cosine argmax shared with
-    // ivfTopKWith/writeIvfStore, so cells coincide with the at-rest
-    // layout's partitions.
-    val bestCid = corpus.crossJoin(broadcast(cent))
-      .withColumn("csim", expr("array_dot(cv, centv) / (cn * centn)"))
-      .groupBy(col("n_id"))
-      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
-      .select(col("n_id"), (-col("m.ncid")).as("cid"))
-    // Memoized (keyless-persisted without a cacheKey): the residual
-    // table feeds the sub-codebook slice AND the encode branch — left
-    // lazy, the corpus-wide assignment crossJoin+argmax would replay
-    // once per consumer inside a single call (differing column pruning
-    // defeats ReuseExchange, the Memo rationale).
+    // Coarse assignment + residual in ONE zero-shuffle projection
+    // (r17; guide §2.4): the codebook is KB-sized by contract, so the
+    // per-vector cosine argmax over it is in-row arithmetic against
+    // embedded literals — the old crossJoin+argmax aggregate and the
+    // two re-attach joins (n_id, then cid) were three corpus-sized
+    // Exchanges deciding with data that fits in the plan. Tie-break:
+    // array_position finds the FIRST max in cid-ascending literal
+    // order ≡ max(struct(csim, -cid)); csim text unchanged with centn
+    // a literal, so cells and residuals are bit-identical.
+    val cents = collectCentroids(cent)
     val residuals = Memo.memo("ivfpq_residuals", e.sparkSession,
       if (cacheKey.isEmpty) ""
       else s"$cacheKey|nq=$nQueries|${cbFingerprint(cent)}",
       persistIt = true) {
-      corpus.join(bestCid, "n_id")
-        .join(broadcast(cent.select(col("cid"), col("centv"))), "cid")
+      withCellIdLit(corpus, cents)
         .select(col("n_id"), col("cid"),
-          expr("zip_with(cv, centv, (a, b) -> a - b)").as("rv"))
+          expr("zip_with(cv, element_at(__cvs, __p), " +
+            "(a, b) -> a - b)").as("rv"))
     }
     // Deterministic first-nCode RESIDUAL sub-codebook (production
     // trains per-subspace k-means on residuals offline). cbBase slices
@@ -1140,25 +1289,17 @@ object Similarity {
       .withColumn("m", expr(subspaces))
       .select(col("m"), col("code"),
         expr(slicedSub("rv")).as("cbv"))
-    // Encode: nearest sub-code per (residual, subspace) → one code
-    // array per vector, cid carried for the cell-blocked score join.
-    val enc = residuals
-      .withColumn("m", expr(subspaces))
-      .select(col("n_id"), col("cid"), col("m"),
-        expr(slicedSub("rv")).as("sv"))
-      .join(broadcast(cb), "m")
-      .select(col("n_id"), col("cid"), col("m"),
-        struct(expr(sq("sv", "cbv")).as("sq"), col("code")).as("sc"))
-      .groupBy("n_id", "cid", "m")
-      .agg(min(col("sc")).as("mn"))
-      .groupBy("n_id", "cid")
-      .agg(array_sort(collect_list(struct(col("m"),
-        col("mn.code").as("code")))).as("mc"))
-      .select(col("n_id"), col("cid"),
-        expr("transform(mc, x -> x.code)").as("codes"))
-      // Pin the scan width (the pqTopKWith AQE lesson: the code table
-      // is bytes-sized, the expansion lives downstream).
-      .repartition(e.sparkSession.sparkContext.defaultParallelism)
+    // Encode in-row against the collected sub-codebook (r17): one
+    // projection over the residual table replaces the exploded
+    // broadcast-join + two keyed aggregations — see [[withPqCodes]].
+    val enc = withPqCodes(
+        residuals.select(col("n_id"), col("cid"), col("rv")),
+        "rv", collectSubCodebook(cb, nSub, nCode), nSub, nCode)
+      .select(col("n_id"), col("cid"), col("codes"))
+      // No scan-width repartition (r17) — see pqTopKWith: the encode
+      // is shuffle-free now, so it inherits the residual table's
+      // scan/persist partitioning instead of needing a pinned width
+      // after a coalesced exchange.
     (cb, enc)
   }
 
@@ -1171,40 +1312,36 @@ object Similarity {
   private def ivfPqAdcTopK(queries: DataFrame, cent: DataFrame,
       cb: DataFrame, enc: DataFrame, nProbe: Int, nSub: Int, nCode: Int,
       k: Int): DataFrame = {
-    val sub = 64 / nSub
-    val subspaces = s"explode(sequence(0, ${nSub - 1}))"
-    def slicedSub(v: String): String = s"slice($v, m * $sub + 1, $sub)"
-    def sq(a: String, b: String): String =
-      s"array_dot($a, $a) - 2 * array_dot($a, $b) + array_dot($b, $b)"
-    // Probe cells per query, then one LUT per (q_id, cid) from the
-    // query's residual against THAT cell's centroid.
-    val wp = Window.partitionBy(col("q_id"))
-      .orderBy(col("psim").desc, col("cid"))
+    // r17: both codebooks collected driver-side (KB-sized, bounded
+    // loudly — collectSubCodebook also subsumes the old in-plan
+    // LUT-completeness raise_error: a hole fails at build). Probe
+    // selection becomes an in-row top-nProbe over a literal
+    // (psim, cid, centv) struct array — array_sort's comparator
+    // reproduces row_number over (psim DESC, cid ASC) exactly — and
+    // the per-(query, cell) LUT a zero-shuffle projection
+    // ([[withPqLut]]): the old crossJoin+window+exploded-join shape
+    // spent three Exchanges deciding with plan-resident data.
+    val cents = collectCentroids(cent)
+    val cells = collectSubCodebook(cb, nSub, nCode)
+    val cmp = "(l, r) -> case when l.psim > r.psim then -1 " +
+      "when l.psim < r.psim then 1 when l.cid < r.cid then -1 " +
+      "when l.cid > r.cid then 1 else 0 end"
     val probes = queries
-      .crossJoin(broadcast(cent))
-      .withColumn("psim", expr("array_dot(qv, centv) / (qn * centn)"))
-      .withColumn("prn", row_number().over(wp))
-      .filter(col("prn") <= nProbe)
-      .select(col("q_id"), col("cid"),
-        expr("zip_with(qv, centv, (a, b) -> a - b)").as("qrv"))
-    val lut = probes
-      .withColumn("m", expr(subspaces))
-      .select(col("q_id"), col("cid"), col("m"),
-        expr(slicedSub("qrv")).as("qsv"))
-      .join(cb, "m")
-      .select(col("q_id"), col("cid"), struct(col("m"), col("code"),
-        round(expr(sq("qsv", "cbv")) * 1000000).cast("long").as("qm"))
-        .as("mcq"))
-      .groupBy("q_id", "cid")
-      .agg(array_sort(collect_list(col("mcq"))).as("l"))
-      .select(col("q_id"), col("cid"),
-        expr("transform(l, x -> x.qm)").as("luts"))
-      .withColumn("luts",
-        when(size(col("luts")) === nSub * nCode, col("luts"))
-          .otherwise(raise_error(concat(
-            lit(s"ivfpq sub-codebook incomplete: expected " +
-              s"${nSub * nCode} (m, code) cells, got "),
-            size(col("luts")).cast("string")))))
+      .withColumn("__cvs", typedlit(cents.map(_.v)))
+      .withColumn("__cns", typedlit(cents.map(_.n)))
+      .withColumn("__cids", typedlit(cents.map(_.cid)))
+      .withColumn("__ps", expr(
+        s"transform(sequence(1, ${cents.size}), i -> named_struct(" +
+          "'psim', array_dot(qv, element_at(__cvs, i)) / " +
+          "(qn * element_at(__cns, i)), " +
+          "'cid', element_at(__cids, i), 'i', i))"))
+      .withColumn("__probe", explode(
+        expr(s"slice(array_sort(__ps, $cmp), 1, $nProbe)")))
+      .select(col("q_id"), col("__probe.cid").as("cid"),
+        expr("zip_with(qv, element_at(__cvs, __probe.i), " +
+          "(a, b) -> a - b)").as("qrv"))
+    val lut = withPqLut(probes, "qrv", cells, nSub, nCode)
+      .select(col("q_id"), col("cid"), col("luts"))
     val adcMicro = (0 until nSub)
       .map(m => s"luts[$m * $nCode + codes[$m]]").mkString(" + ")
     val w = Window.partitionBy(col("q_id"))
@@ -1355,13 +1492,24 @@ object Similarity {
     */
   private def probedCells(queries: DataFrame, cent: DataFrame,
       nProbe: Int): Seq[Int] = {
-    val wp = Window.partitionBy(col("q_id"))
-      .orderBy(col("psim").desc, col("cid"))
-    queries.crossJoin(broadcast(cent))
-      .withColumn("psim", expr("array_dot(qv, centv) / (qn * centn)"))
-      .withColumn("prn", row_number().over(wp))
-      .filter(col("prn") <= nProbe)
-      .select(col("cid").cast("int").as("cid")).distinct()
+    // r17: in-row top-nProbe (sorted-slice over the literal codebook)
+    // instead of crossJoin + window — the probe-choice job loses its
+    // exchange; same (psim DESC, cid ASC) order via the comparator.
+    val cents = collectCentroids(cent)
+    val cmp = "(l, r) -> case when l.psim > r.psim then -1 " +
+      "when l.psim < r.psim then 1 when l.cid < r.cid then -1 " +
+      "when l.cid > r.cid then 1 else 0 end"
+    withCentLits(queries, cents)
+      .withColumn("__ps", expr(
+        s"transform(sequence(1, ${cents.size}), i -> named_struct(" +
+          "'psim', array_dot(qv, element_at(__cvs, i)) / " +
+          "(qn * element_at(__cns, i)), " +
+          "'cid', element_at(__cids, i)))"))
+      .select(explode(
+        expr(s"slice(array_sort(__ps, $cmp), 1, $nProbe).cid"))
+        .as("cid"))
+      .select(col("cid").cast("int").as("cid"))
+      .distinct()
       .collect().map(_.getInt(0)).toSeq
   }
 
@@ -1394,9 +1542,11 @@ object Similarity {
     val d = cb.agg((max("m") + 1).cast("int").as("ns"),
       (max("code") + 1).cast("int").as("nc")).head()
     val (nSub, nCode) = (d.getInt(0), d.getInt(1))
+    // Partition-pruned codes scan; splits follow the pruned file set
+    // (no repartition — the r17 shuffle-free ADC consumes the scan's
+    // own partitioning at any scale).
     val codes = spark.read.parquet(s"$path/codes")
       .filter(col("cid").isin(cells: _*))
-      .repartition(spark.sparkContext.defaultParallelism)
     ivfPqAdcTopK(queries, cent, cb, codes, nProbe, nSub, nCode, k)
   }
 
@@ -1596,20 +1746,20 @@ object Similarity {
           lit(0L)).as("h")).head()
       s"$cacheKey|cbn=${fp.getLong(0)}|cbh=${fp.getLong(1)}"
     }
-    // Payload-free argmax (see ivfTopKWith): only (csim, -cid) rides
-    // the aggregation buffer; vectors re-attach by joining on vec_id.
+    // In-row assignment (r17, see [[withCellIdLit]]): the old
+    // crossJoin+argmax+re-join spent two corpus Exchanges per build.
     // Memoized: `assigned` feeds the a-side, the b-side, AND the final
-    // keep-flag join — left lazy, the corpus×codebook assignment would
+    // keep-flag join — left lazy, the corpus-wide assignment would
     // replay three times per call (column pruning differs per branch,
     // so ReuseExchange cannot collapse them).
     val assigned = Memo.memo("semdedup_assigned", e.sparkSession,
       key, persistIt = true) {
-      val bestCid = e.crossJoin(broadcast(codebook))
-        .withColumn("csim", expr("array_dot(v, centv) / (nrm * centn)"))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
-        .select(col("vec_id"), (-col("m.ncid")).as("cid"))
-      e.join(bestCid, "vec_id")
+      withCellIdLit(
+          e.select(col("vec_id"), col("v").as("cv"),
+            col("nrm").as("cn")),
+          collectCentroids(codebook))
+        .select(col("vec_id"), col("cv").as("v"),
+          col("cn").as("nrm"), col("cid"))
     }
     val a = assigned.select(col("vec_id").as("va"), col("cid"),
       col("v").as("qv"), col("nrm").as("qn"))

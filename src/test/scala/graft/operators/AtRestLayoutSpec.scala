@@ -85,8 +85,11 @@ class AtRestLayoutSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         scanStr.contains("cid"),
         s"probe cells must prune cell directories, scan: $scanStr")
       val shuffles = collect(plan) { case s: ShuffleExchangeExec => s }
-      assert(shuffles.size == 2, // query-side probe window + final top-k
-        s"expected only the two q_id-sized window exchanges, got " +
+      // r17: probe selection is an in-row sorted-slice over the
+      // collected codebook, so the query-side probe window exchange is
+      // gone — the final top-k window is the plan's ONLY shuffle.
+      assert(shuffles.size == 1,
+        s"expected only the final q_id top-k window exchange, got " +
           s"${shuffles.size}:\n$plan")
       shuffles.foreach(s => assert(s.toString.contains("q_id"),
         s"corpus-side shuffle leaked into the probe plan: $s"))

@@ -317,18 +317,33 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("pqTopK: codebook joins broadcast, codebook vectors encode to " +
-    "themselves, and their ADC distance is the exact squared L2") {
+  test("pqTopK: shuffle-free literal-codebook encode, codebook vectors " +
+    "encode to themselves, and their ADC distance is the exact squared " +
+    "L2") {
     val spark = TestSpark.spark
     import spark.implicits._
     val e = Similarity.prepared(Tables.t(spark, dir, "embeddings"))
     val out = Similarity.pqTopK(e, 5, 4, 16, k = 2000)
     val plan = out.queryExecution.executedPlan.toString
-    // Both stages probe a broadcast codebook/LUT — the corpus side
-    // never sort-merge-joins and there is no cartesian product.
-    assert(plan.contains("BroadcastHashJoin"))
+    // r17 shape: the codebook is embedded as literals, so there is NO
+    // codebook join left — the only join is the broadcast LUT cross,
+    // the corpus never sort-merge-joins, and the encode branch carries
+    // no Exchange beyond the explicit scan-width repartition (the sole
+    // RoundRobinPartitioning) and the final top-k window's hash
+    // exchange.
     assert(!plan.contains("SortMergeJoin") &&
       !plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastHashJoin"),
+      "encode/LUT must not join the codebook — it is embedded as " +
+        "literals")
+    val shuffles = graft.ChainSoak.planNodes(out.queryExecution.executedPlan)
+      .collect {
+        case s: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeLike => s.outputPartitioning
+      }
+    assert(shuffles.size <= 2,
+      s"pqTopK should shuffle only for the pinned scan width and the " +
+        s"top-k window, got: $shuffles\n$plan")
     // A codebook vector (vec_id NQ..NQ+15) is its own nearest codeword
     // in every subspace (self-distance 0), so its PQ reconstruction is
     // exact and its ADC distance to any query equals the true squared
