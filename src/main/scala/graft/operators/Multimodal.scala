@@ -30,6 +30,19 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is FILE-backed: every
+  // ImageIO.write(img, fmt, outputStream) wraps the sink in a
+  // FileCacheImageOutputStream — a temp FILE created, written through,
+  // copied, and deleted per encoded image — so the encode stage was
+  // bottlenecked on filesystem round-trips (and their global locks)
+  // rather than codec CPU, and extra tasks bought nothing (r17,
+  // measured: 1-partition ≈ 32-partition decode wall). Memory-cached
+  // streams produce byte-identical output; the decode path already
+  // bypassed the setting with explicit MemoryCacheImageInputStreams.
+  // Process-wide, thread-safe, applies on every JVM that loads this
+  // object (driver and executors alike).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A media payload riding the pipeline as opaque bytes. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
 
