@@ -221,10 +221,16 @@ object Corpus {
     val bigrams = docBigrams(docs, cacheKey)
     val cab = bigrams.filter(col("a").isNotNull)
       .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    // Top-V cap as orderBy+limit, not a global row_number window
+    // (r17): an empty-partition window moves the WHOLE bigram
+    // vocabulary to one task to rank it; (c_ab DESC, a, b) is a total
+    // order over the grouped table, so `limit(topV)` admits exactly
+    // the rows the old `rk <= topV` filter kept, and the planner runs
+    // it as TakeOrderedAndProject — per-partition top-V heaps merged
+    // on the driver, a topV-bounded transfer at any vocabulary size.
     val capped = cab
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("c_ab").desc, col("a"), col("b"))))
-      .filter(col("rk") <= topV).drop("rk")
+      .orderBy(col("c_ab").desc, col("a"), col("b"))
+      .limit(topV)
     // c(a) = Σ_b c(a,b) off the (vocabulary-sized) uncapped bigram
     // counts — an exact identity with bigram-position counting, so
     // per-prefix probabilities sum to 10⁶ before capping.
@@ -293,8 +299,14 @@ object Corpus {
     * (doc_id, n_fps, n_dup, dup_rate — exact int/int division).
     */
   def spanDupRate(fps: DataFrame): DataFrame = {
-    val freq = fps.groupBy("fp").agg(count(lit(1)).as("n_docs_fp"))
-    fps.join(freq, "fp")
+    // Carrier count as a window over ONE fp-keyed exchange (r17): the
+    // former groupBy(fp)+join-back shuffled the corpus-sized fps table
+    // by fp twice (frequency aggregate + the join's probe side) and
+    // sort-merged; count(*) OVER (PARTITION BY fp) attaches the
+    // identical per-fp carrier count in a single exchange+sort. Same
+    // 1:1 amplification contract — one output row per input row.
+    fps.withColumn("n_docs_fp",
+        count(lit(1)).over(Window.partitionBy(col("fp"))))
       .groupBy("doc_id").agg(
         count(lit(1)).cast("int").as("n_fps"),
         count(when(col("n_docs_fp") >= 2, lit(1))).cast("int")
@@ -317,8 +329,12 @@ object Corpus {
     * nothing. Output: (doc_id, n_fps, n_novel, novelty).
     */
   def noveltyScore(fps: DataFrame): DataFrame = {
-    val first = fps.groupBy("fp").agg(min("doc_id").as("first_doc"))
-    fps.join(first, "fp")
+    // First-carrier attribution as a window over ONE fp-keyed
+    // exchange (r17) — the spanDupRate rewrite: min(doc_id) OVER
+    // (PARTITION BY fp) replaces the groupBy(fp)+join-back pair of
+    // corpus-sized fp shuffles with a single exchange+sort.
+    fps.withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .groupBy("doc_id").agg(
         count(lit(1)).cast("int").as("n_fps"),
         count(when(col("first_doc") === col("doc_id"), lit(1)))
@@ -587,13 +603,21 @@ object Corpus {
         .groupBy("source", "term")
         .agg(sum(col("tf")).as("c_st"))
     }
-    val gt = st.groupBy("term").agg(sum(col("c_st")).as("c_t"))
     val ts = st.groupBy("source").agg(sum(col("c_st")).as("t_s"))
     val tot = st.agg(sum(col("c_st")).as("t"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("lift_micro").desc, col("term"))
-    st.filter(col("c_st") >= minCount)
-      .join(gt, "term")
+    // c_t as a window sum over the SAME term-keyed pass (r17): the
+    // former `st.groupBy(term).agg` + equi-join shuffled the
+    // vocabulary-sized st table by term twice (agg exchange + the
+    // sort-merge join's probe-side exchange) and sorted both join
+    // sides; one Window over partition-by-term computes the identical
+    // BIGINT sum in a single term-keyed exchange. The window runs
+    // over the UNFILTERED table — the global term model must count
+    // sub-minCount sources, exactly like the old gt aggregate.
+    st.withColumn("c_t",
+        sum(col("c_st")).over(Window.partitionBy(col("term"))))
+      .filter(col("c_st") >= minCount)
       .join(broadcast(ts), "source")
       .crossJoin(broadcast(tot))
       // decimal(38,0), not Long: c_st·t·10⁶ overflows 2⁶³ at a few

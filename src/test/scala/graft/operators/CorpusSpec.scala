@@ -297,13 +297,16 @@ class CorpusSpec extends AnyFunSuite {
       "capped model and unigram tables must broadcast")
     assert(!plan.contains("SortMergeJoin") &&
       !plan.contains("CartesianProduct"))
-    // The global row_number window must sit above an aggregate of the
-    // model (a,b,c_ab) shape, not above any document-id-bearing frame:
-    // every Window operator's child output must not carry doc_id.
+    // The top-V model cap must rank WITHOUT a window at all (r17): it
+    // plans as TakeOrderedAndProject — per-partition top-V heaps, a
+    // topV-bounded transfer — instead of the former global row_number
+    // window that moved the whole bigram vocabulary to one task. And
+    // if a window ever reappears, it must not run over a corpus frame.
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the model cap must plan as TakeOrderedAndProject:\n$plan")
     val windows = out.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
-    assert(windows.nonEmpty)
     windows.foreach { w =>
       assert(!w.child.output.exists(_.name == "doc_id"),
         s"ranking window must not run over a corpus frame: $w")
