@@ -41,6 +41,20 @@ object GraftConf {
         sys.env.getOrElse("SPARK_GRAFT_STATESTORE",
           "org.apache.spark.sql.execution.streaming.state." +
             "RocksDBStateStoreProvider"))
+      // Changelog checkpointing (r17): by default RocksDB uploads a
+      // FULL state snapshot into the checkpoint at every micro-batch
+      // commit; with changelog checkpointing each commit persists only
+      // the batch's changed key-values (write ∝ batch, the EpochMinStore
+      // argument) and snapshots happen asynchronously in the
+      // maintenance thread. The production recommendation for any
+      // nontrivial state size, and measured locally it cuts the
+      // checkpoint-replay fixed cost per trigger. Recovery replays
+      // snapshot+changelog, so restart-from-checkpoint semantics are
+      // unchanged (CheckpointRecoverySpec and the nine declared replay
+      // queries gate that on the oracle path).
+      .config("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true"))
       // The events table carries INT64 TIMESTAMP(NANOS); reading it
       // requires this legacy flag (Tables.t also sets it defensively,
       // but setting it at session build makes the policy uniform from

@@ -619,9 +619,18 @@ object Dedup {
       edges.count() / 50000L + 1L)).toInt
     val edgesW = eagerCheckpoint(edges.repartition(width, col("b")))
     Memo.checkpointRdds(edges).foreach(_.unpersist(blocking = false))
-    var labels = eagerCheckpoint(edgesW.select(col("a").as("id"))
-      .repartition(width, col("id")).distinct()
-      .withColumn("lbl", col("id")))
+    // Init = identity PLUS one propagation step (r17): lbl₀(v) =
+    // min(v, min neighbor) — the same single width-pinned exchange the
+    // old identity init paid for its distinct (the agg dedups ids as a
+    // by-product), but it starts the loop one hop ahead, which saves
+    // one full iteration (checkpoint job + convergence probe) at every
+    // scale. Correctness: labels must only ever hold REACHABLE node
+    // ids ≥ the component minimum — min over the closed neighborhood
+    // is exactly the loop's own first hop from identity.
+    var labels = eagerCheckpoint(edgesW
+      .select(col("a").as("id"), col("b"))
+      .repartition(width, col("id"))
+      .groupBy("id").agg(least(col("id"), min(col("b"))).as("lbl")))
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
