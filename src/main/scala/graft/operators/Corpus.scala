@@ -106,17 +106,27 @@ object Corpus {
     * did this crawl add or lose") and the input to tokenizer-refresh
     * decisions.
     *
-    * Scale shape: each snapshot streams ONCE through the un-memoized
-    * tokenize+count plan (Pipeline.docTermsPlan — snapshot promotion
-    * is a one-shot job; memoizing under the session's one live terms
-    * key would evict the main corpus table mid-session) and reduces
-    * to a vocabulary-sized (term, mass) table; the comparison is one
-    * full-outer join of the two vocab tables co-partitioned on term —
-    * corpus payloads never move, exactly the corpusDiff digest
-    * pattern one level down.
+    * Scale shape: each snapshot streams ONCE through the
+    * tokenize+count plan and reduces to a vocabulary-sized (term,
+    * mass) table; the comparison is one full-outer join of the two
+    * vocab tables co-partitioned on term — corpus payloads never
+    * move, exactly the corpusDiff digest pattern one level down.
+    *
+    * The PREV side is the resident corpus, so with a `cacheKey` it
+    * reads the session's MEMOIZED docTerms table (shared with
+    * tfidf/token_freq/vocab_stats — the same live key, no eviction)
+    * instead of re-tokenizing the corpus (r17; measured ~0.3 s of
+    * pure re-tokenization at sf0.1). The NEXT side is a one-shot
+    * synthetic snapshot and stays un-memoized on purpose — keying it
+    * WOULD evict the main corpus table mid-session.
     */
-  def vocabChurn(prev: DataFrame, next: DataFrame): DataFrame = {
-    val a = Pipeline.docTermsPlan(prev)
+  def vocabChurn(prev: DataFrame, next: DataFrame,
+      cacheKey: String = ""): DataFrame = {
+    // Keyless callers keep the one-shot un-memoized plan (a keyless
+    // docTerms call would persist a table nobody unpersists).
+    val prevTerms = if (cacheKey.isEmpty) Pipeline.docTermsPlan(prev)
+      else Pipeline.docTerms(prev, cacheKey)
+    val a = prevTerms
       .groupBy("term").agg(sum(col("tf")).as("c_prev"))
     val b = Pipeline.docTermsPlan(next)
       .groupBy("term").agg(sum(col("tf")).as("c_next"))

@@ -238,7 +238,7 @@ object CorpusQueries {
             .otherwise(col("text")))
         .unionByName(d.filter(col("doc_id") % 13 === 0)
           .withColumn("doc_id", col("doc_id") + lit(10000000L)))
-      Corpus.vocabChurn(d, next).orderBy("term")
+      Corpus.vocabChurn(d, next, cacheKey = dir).orderBy("term")
     },
 
     // Corpus-derived stopword scrub: the 8 highest-df tokens at
