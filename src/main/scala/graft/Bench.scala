@@ -403,14 +403,38 @@ object Bench {
       spark.stop()
     }.failed.foreach(e => System.err.println(
       s"[bench] teardown failed: ${e.getMessage}"))
-    // Compact totals line is the ONLY stdout metric line (VERDICT r15
-    // #1): the full ~9 KB per-query line overflowed the driver's
-    // 2,000-char stdout capture two rounds running even when printed
-    // before this one — the capture window clips from the front, so
-    // anything sharing the window with the big line loses. The full
-    // per-query map lives exclusively in `outFile` above (and the
-    // committed root artifact); stdout carries one short line that
-    // fits any window whole.
+    // Per-query stdout visibility (VERDICT r17 next-round #1): with
+    // only the totals line on stdout, PERF_r17 had n_common=0 and the
+    // driver could not adjudicate per-query deltas or fill
+    // scaling.per_query. Emit the per-query COLD map compactly —
+    // centisecond ints, ~3.7 KB total — split across three
+    // self-contained part lines immediately before the totals line.
+    // Why parts, not one line: the r04/r15 lesson is that a single
+    // ~9 KB line clipped FROM THE FRONT loses its own head; small
+    // whole lines with the totals line LAST degrade gracefully in any
+    // capture window (whatever survives is parseable). The warm map
+    // (10 slowest re-runs in default mode) rides one line ahead of the
+    // cold parts — first in, first clipped. Full float precision stays
+    // in `outFile`; nothing about how queries are timed changes.
+    def csEntries(kvs: Seq[(String, Double)]): Seq[String] =
+      kvs.map { case (k, v) =>
+        "\"" + k + "\":" +
+          (if (v < 0) "-1" else math.round(v * 100).toString)
+      }
+    val warmCs = csEntries(finalResults.collect {
+      case (k, _, Some(w)) if catOf(k) != "replay" => (k, w) })
+    if (warmCs.nonEmpty) println(
+      s"""{"metric":"queries_warm","unit":"cs","queries":{${
+        warmCs.mkString(",")}}}""")
+    val coldCs = csEntries(finalResults.map { case (k, v, _) => (k, v) })
+    val per = math.max(1, (coldCs.size + 2) / 3)
+    val parts = coldCs.grouped(per).toSeq
+    parts.zipWithIndex.foreach { case (p, i) =>
+      println(s"""{"metric":"queries_cold","part":${i + 1},"of":${
+        parts.size},"unit":"cs","queries":{${p.mkString(",")}}}""")
+    }
+    // Compact totals line stays the LAST stdout line (VERDICT r15 #1 /
+    // build.sbt: the driver parses the final stdout line as bare JSON).
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"sf":"$sfDir"$warmTotalOnly$catPart$loadPart}""")
   }
 }

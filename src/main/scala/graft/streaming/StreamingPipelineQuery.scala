@@ -49,12 +49,23 @@ object StreamingPipelineQuery {
     * PER PARTITION (×4 store instances for a stream-stream join), so
     * 32 partitions over a fixture-sized replay is pure per-batch
     * overhead — measured 18.6 s → ~5 s on streaming_join at sf0.1.
-    * The declared streaming queries right-size to 8 (4 for the
-    * four-execution event-time replay) for the run; at production
+    * The declared streaming queries right-size to 4 for the run
+    * (8 until r18 — see the re-measurement below); at production
     * scale the partition count is the state-throughput lever and is
     * sized UP with the key space, exactly like the reference's
     * shuffle.partitions submit knob (AqeSpec pins the batch side of
     * that story).
+    *
+    * r18 re-measurement (interleaved width A/B, two rounds, plus a
+    * per-batch listener decomposition — plans/r18): at fixture state
+    * sizes the summed per-partition state-commit latency scales
+    * ~linearly with width (8→4 cut it 2-4× on every RocksDB replay;
+    * streaming_dedup_bounded 17.5→2.8 s summed, wall 11.6→8.7 s under
+    * the same load regime) while the data-processing side is nowhere
+    * near parallelism-bound, so every replay now right-sizes to 4;
+    * width 2 measured within noise of 4 (commit keeps shrinking, wall
+    * flat) — 4 keeps processing headroom. The production direction is
+    * unchanged: size UP with the key space.
     *
     * The overrides land on a CHILD session (`spark.newSession()`:
     * shared context/catalog, isolated SQL conf + function registry) —
@@ -73,8 +84,15 @@ object StreamingPipelineQuery {
     body(s)
   }
 
+  /** Replay state-partition width. `n` is the per-query local default
+    * (see the scaladoc above — the production lever is sized UP with
+    * the key space); SPARK_GRAFT_REPLAY_SHUFFLE overrides every replay
+    * at once for width A/Bs (r18 measurement protocol).
+    */
   private def shuffleN(n: Int): (String, String) =
-    "spark.sql.shuffle.partitions" -> n.toString
+    "spark.sql.shuffle.partitions" ->
+      sys.env.get("SPARK_GRAFT_REPLAY_SHUFFLE")
+        .flatMap(_.toIntOption).map(_.toString).getOrElse(n.toString)
 
   /** The session default is RocksDB (GraftConf — transformWithState
     * requires it), but the window-agg and join state here is KB-sized
@@ -112,8 +130,20 @@ object StreamingPipelineQuery {
     rows
   }
 
+  /** No-data micro-batches are OFF for this replay (r18, guide §1.2
+    * "fix the algorithm's passes"): each AvailableNow execution
+    * appended a trailing no-data batch after its single data batch —
+    * a full state-store load/commit cycle per partition (~1.2 s wall
+    * here) that, in UPDATE output mode, can emit nothing (update-mode
+    * window aggregation emits only on arriving data; the no-data
+    * batch's sole job is watermark-driven state eviction, which is
+    * invisible to the sink). The event-time-ordered feed means no
+    * late data exists for delayed eviction to misclassify, so the
+    * upserted store converges identically — oracle hash-gated.
+    */
   private def run(spark0: SparkSession, dir: String): DataFrame =
-    withReplaySession(spark0, shuffleN(8), HdfsStateStore) { spark =>
+    withReplaySession(spark0, shuffleN(4), HdfsStateStore,
+      NoDataBatchesOff) { spark =>
     import spark.implicits._
     val rows = boundedFeed(Tables.t(spark, dir, "events").as[E]
       .collect().sortBy(_.ts.getTime).toSeq, "events")
@@ -161,7 +191,7 @@ object StreamingPipelineQuery {
     */
   private def runQuantiles(spark0: SparkSession,
       dir: String): DataFrame =
-    withReplaySession(spark0, shuffleN(8)) { spark =>
+    withReplaySession(spark0, shuffleN(4)) { spark =>
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val rows = boundedFeed(Tables.t(spark, dir, "documents")
@@ -212,7 +242,7 @@ object StreamingPipelineQuery {
     * oracle agree exactly in the HLL coupon regime the fixtures sit in.
     */
   private def runDistinct(spark0: SparkSession, dir: String): DataFrame =
-    withReplaySession(spark0, shuffleN(8)) { spark =>
+    withReplaySession(spark0, shuffleN(4)) { spark =>
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val rows = boundedFeed(Tables.t(spark, dir, "documents")
@@ -265,8 +295,18 @@ object StreamingPipelineQuery {
     * is exactly the match set when nothing is late (ordered feed under
     * a 2-hour delay).
     */
+  /** No-data micro-batches OFF (r18, see [[run]]'s rationale): an
+    * INNER stream-stream join emits matches only while processing
+    * arriving rows — the trailing no-data batch per execution only
+    * evicts buffered state below the watermark and emits nothing
+    * (outer joins would be different). The feed is event-time-ordered
+    * and split at a timestamp cut, so no drain-2 row is ever below
+    * drain-1's final watermark — delayed eviction cannot admit or
+    * drop a match. Digest-identical, oracle-gated.
+    */
   private def runJoin(spark0: SparkSession, dir: String): DataFrame =
-    withReplaySession(spark0, shuffleN(8), HdfsStateStore) { spark =>
+    withReplaySession(spark0, shuffleN(4), HdfsStateStore,
+      NoDataBatchesOff) { spark =>
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val ev = boundedFeed(Tables.t(spark, dir, "events")
@@ -332,7 +372,7 @@ object StreamingPipelineQuery {
     */
   private def runZScore(spark0: SparkSession,
       dir: String): DataFrame =
-    withReplaySession(spark0, shuffleN(8)) { spark =>
+    withReplaySession(spark0, shuffleN(4)) { spark =>
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val rows = boundedFeed(Tables.t(spark, dir, "events")
@@ -386,7 +426,7 @@ object StreamingPipelineQuery {
     * store equals the batch min-per-key rule, which is the oracle.
     */
   private def runDedup(spark0: SparkSession, dir: String): DataFrame =
-    withReplaySession(spark0, shuffleN(8)) { spark =>
+    withReplaySession(spark0, shuffleN(4)) { spark =>
     import spark.implicits._
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
@@ -457,7 +497,7 @@ object StreamingPipelineQuery {
     */
   private def runDedupReplica(spark0: SparkSession,
       dir: String): DataFrame =
-    withReplaySession(spark0, shuffleN(8)) { spark =>
+    withReplaySession(spark0, shuffleN(4)) { spark =>
     import spark.implicits._
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
@@ -578,7 +618,7 @@ object StreamingPipelineQuery {
     */
   private def runDedupBounded(spark0: SparkSession,
       dir: String): DataFrame =
-    withReplaySession(spark0, shuffleN(8), NoDataBatchesOff) { spark =>
+    withReplaySession(spark0, shuffleN(4), NoDataBatchesOff) { spark =>
     import spark.implicits._
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
@@ -679,13 +719,26 @@ object StreamingPipelineQuery {
     */
   private def runDedupEventTime(spark0: SparkSession,
       dir: String): DataFrame =
-    withReplaySession(spark0, shuffleN(4)) { spark =>
-    // 4, not the other replays' 8: this is FOUR AvailableNow
-    // executions, and the fixed cost is RocksDB instance opens per
-    // (partition × batch) — with timer column families on top, the
-    // extra executions double the open count, so the replay halves
-    // the partition fan-out instead (state here is KB-sized; the
-    // production lever scales partitions UP with the key space).
+    // No-data micro-batches OFF (r18): each of the FOUR executions ran
+    // its data batch plus a trailing no-data batch — 8 full state
+    // load/commit cycles where 4 carry the data. Event-time timers
+    // fire on the watermark regardless of batch kind; without no-data
+    // batches an eviction that would have landed in execution N's
+    // trailing batch lands at the OPEN of execution N+1's data batch
+    // instead — before that batch's input is processed — so the 3a/3b
+    // schedule below is unchanged (3a opens at wm=1990 and fires the
+    // execution-1 timers; 3b opens at wm=2990 and fires execution-2's
+    // before its salted re-deliveries are handled). The salted-
+    // emission `require` below is the in-run witness that eviction +
+    // re-election still happen; the min-merge store is eviction-
+    // timing-agnostic by construction (canonicalKeepersBounded's
+    // safety argument), and the oracle hash gates the converged rows.
+    withReplaySession(spark0, shuffleN(4), NoDataBatchesOff) { spark =>
+    // This replay right-sized to 4 a round before the others: FOUR
+    // AvailableNow executions pay RocksDB load/commit per (partition ×
+    // batch) with timer column families on top. Since r18 every replay
+    // runs at 4 (see shuffleN's re-measurement note); the production
+    // lever still scales partitions UP with the key space.
     import spark.implicits._
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
@@ -794,7 +847,7 @@ object StreamingPipelineQuery {
     * fold reproduces a single batch tokenize exactly.
     */
   private def runIntake(spark0: SparkSession, dir: String): DataFrame =
-    withReplaySession(spark0, shuffleN(8)) { spark =>
+    withReplaySession(spark0, shuffleN(4)) { spark =>
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val docs = boundedFeed(Tables.t(spark, dir, "documents")
