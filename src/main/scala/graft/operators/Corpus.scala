@@ -315,7 +315,13 @@ object Corpus {
     // sort-merged; count(*) OVER (PARTITION BY fp) attaches the
     // identical per-fp carrier count in a single exchange+sort. Same
     // 1:1 amplification contract — one output row per input row.
-    fps.withColumn("n_docs_fp",
+    // isNotNull (ADVICE r17): the replaced inner join DROPPED null
+    // fingerprints (as does the oracle's JOIN USING), while a window
+    // keeps them in one null partition — winnow_fps64 never emits
+    // null today, but the filter pins the join semantics rather than
+    // inheriting that contract silently.
+    fps.filter(col("fp").isNotNull)
+      .withColumn("n_docs_fp",
         count(lit(1)).over(Window.partitionBy(col("fp"))))
       .groupBy("doc_id").agg(
         count(lit(1)).cast("int").as("n_fps"),
@@ -343,7 +349,9 @@ object Corpus {
     // exchange (r17) — the spanDupRate rewrite: min(doc_id) OVER
     // (PARTITION BY fp) replaces the groupBy(fp)+join-back pair of
     // corpus-sized fp shuffles with a single exchange+sort.
-    fps.withColumn("first_doc",
+    // isNotNull: the spanDupRate join-parity guard (ADVICE r17).
+    fps.filter(col("fp").isNotNull)
+      .withColumn("first_doc",
         min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .groupBy("doc_id").agg(
         count(lit(1)).cast("int").as("n_fps"),

@@ -30,18 +30,34 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  // ImageIO's default stream cache is FILE-backed: every
+  // ImageIO's default stream cache is FILE-backed: a bare
   // ImageIO.write(img, fmt, outputStream) wraps the sink in a
   // FileCacheImageOutputStream — a temp FILE created, written through,
   // copied, and deleted per encoded image — so the encode stage was
   // bottlenecked on filesystem round-trips (and their global locks)
   // rather than codec CPU, and extra tasks bought nothing (r17,
-  // measured: 1-partition ≈ 32-partition decode wall). Memory-cached
-  // streams produce byte-identical output; the decode path already
-  // bypassed the setting with explicit MemoryCacheImageInputStreams.
-  // Process-wide, thread-safe, applies on every JVM that loads this
-  // object (driver and executors alike).
-  javax.imageio.ImageIO.setUseCache(false)
+  // measured: 1-partition ≈ 32-partition decode wall). r17 fixed this
+  // with a process-wide ImageIO.setUseCache(false); ADVICE r17 flagged
+  // that as a load-order-dependent global side effect on every ImageIO
+  // user in the JVM, so the fix is now SCOPED: every encode sink wraps
+  // its ByteArrayOutputStream in an explicit
+  // MemoryCacheImageOutputStream ([[encodeTo]]), mirroring the decode
+  // path's explicit MemoryCacheImageInputStreams. Byte-identical
+  // output, same throughput, no global state.
+
+  /** Encode `img` as `fmt` through an explicitly memory-cached sink —
+    * the per-call form of setUseCache(false). close() flushes the
+    * cache tail into the byte array before it is read.
+    */
+  private def encodeTo(img: java.awt.image.RenderedImage,
+      fmt: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try require(ImageIO.write(img, fmt, ios),
+      s"no ImageIO writer for $fmt")
+    finally ios.close()
+    out.toByteArray
+  }
 
   /** A media payload riding the pipeline as opaque bytes. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
@@ -96,10 +112,7 @@ object Multimodal {
       }
       y += 1
     }
-    val out = new ByteArrayOutputStream()
-    require(ImageIO.write(img, ruleFormat(id), out),
-      s"no ImageIO writer for ${ruleFormat(id)}")
-    out.toByteArray
+    encodeTo(img, ruleFormat(id))
   }
 
   /** The media table: one real encoded PNG/JPEG payload per document.
@@ -337,9 +350,7 @@ object Multimodal {
         }
         y += 1
       }
-      val out = new ByteArrayOutputStream()
-      ImageIO.write(dst, "png", out)
-      MediaRow(r.doc_id, out.toByteArray)
+      MediaRow(r.doc_id, encodeTo(dst, "png"))
     })
   }
 

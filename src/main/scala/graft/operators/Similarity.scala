@@ -905,6 +905,14 @@ object Similarity {
     * old max(struct(csim, -cid)); the csim text is unchanged with the
     * codebook entries as HOF lambda variables, so assignments are
     * bit-identical. Callers drop the __-prefixed helper columns.
+    *
+    * NaN dependency (ADVICE r17): if any csim were NaN,
+    * array_position(..., array_max(...)) returns 0 and element_at
+    * throws — where the old max(struct) argmax tolerated NaN. That
+    * path is unreachable BY CONTRACT: [[prepared]] raises on zero/NaN
+    * norms before any vector reaches an assignment, so csim is always
+    * finite; this scaladoc records the dependency instead of papering
+    * over it with a silent fallback.
     */
   private def withCellIdLit(corpus: DataFrame,
       cents: Seq[Cent]): DataFrame =

@@ -568,7 +568,19 @@ object StoreIntake {
         graft.operators.Similarity.assertEvolvableSchema(
           graft.operators.AtRestStores
             .documentsStoreEvolved(spark, storePath).schema, batch.schema)
-        batch.write.partitionBy("source").mode("overwrite")
+        // Keyed by the partition column before the write (r18, guide
+        // §6): un-repartitioned, every task writes one file per source
+        // it holds — measured 142 files (median 1.2 KB) for ONE
+        // fixture epoch of ~350 rows, each paying a task commit, an
+        // individual ledger rename, an intent line, and a manifest
+        // list entry. Hash-clustering on `source` bounds an epoch to
+        // one file per source at any input width; at 100 TB per-source
+        // file size is then governed by maxRecordsPerFile / a
+        // REBALANCE-style split, while the small-files growth the
+        // per-source compaction exists to fold stays bounded at the
+        // source, not repaired after.
+        batch.repartition(col("source"))
+          .write.partitionBy("source").mode("overwrite")
           .parquet(stageDir)
     }
     val applied = placed.isDefined
@@ -683,7 +695,15 @@ object StoreIntake {
       val bands = graft.operators.Dedup.bandSignatures(sh)
       val tmpTable = table + "_intake_stage"
       spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
-      bands.write.format("parquet")
+      // One file per bucket per epoch at any input width (r18, guide
+      // §6): bucketBy writes one file per (task × bucket), so a
+      // wide upstream would stage up to width × buckets tiny files
+      // per intake epoch. Repartitioning by the bucket keys into
+      // `buckets` partitions aligns tasks with buckets (same murmur3
+      // hash family), pinning the epoch's file count to the bucket
+      // count — the layout the one-sided-exchange probe reads anyway.
+      bands.repartition(buckets, col("band"), col("sig"))
+        .write.format("parquet")
         .bucketBy(buckets, "band", "sig").sortBy("band", "sig")
         .option("path", stageDir).mode("overwrite").saveAsTable(tmpTable)
       // External table: dropping the catalog entry leaves the files.

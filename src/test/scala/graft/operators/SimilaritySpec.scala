@@ -327,10 +327,11 @@ class SimilaritySpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     // r17 shape: the codebook is embedded as literals, so there is NO
     // codebook join left — the only join is the broadcast LUT cross,
-    // the corpus never sort-merge-joins, and the encode branch carries
-    // no Exchange beyond the explicit scan-width repartition (the sole
-    // RoundRobinPartitioning) and the final top-k window's hash
-    // exchange.
+    // the corpus never sort-merge-joins, and the encode is ZERO-shuffle
+    // (the r17 scan-width repartition is gone with its rationale) —
+    // the final top-k window's hash exchange is the plan's ONLY
+    // shuffle (ADVICE r17: `<= 2` would mask a reintroduced encode
+    // exchange).
     assert(!plan.contains("SortMergeJoin") &&
       !plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastHashJoin"),
@@ -341,9 +342,9 @@ class SimilaritySpec extends AnyFunSuite {
         case s: org.apache.spark.sql.execution.exchange
           .ShuffleExchangeLike => s.outputPartitioning
       }
-    assert(shuffles.size <= 2,
-      s"pqTopK should shuffle only for the pinned scan width and the " +
-        s"top-k window, got: $shuffles\n$plan")
+    assert(shuffles.size == 1,
+      s"pqTopK should shuffle ONLY for the final top-k window, " +
+        s"got: $shuffles\n$plan")
     // A codebook vector (vec_id NQ..NQ+15) is its own nearest codeword
     // in every subspace (self-distance 0), so its PQ reconstruction is
     // exact and its ADC distance to any query equals the true squared
